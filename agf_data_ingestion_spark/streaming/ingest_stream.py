@@ -1,0 +1,207 @@
+"""Streaming ingest — the event-driven path (SURVEY.md §3.1).
+
+The reference's topology ``S3 → EventBridge(suffix rule) → Lambda →
+DynamoDB`` maps to one Structured Streaming query per manifest type:
+
+    readStream(json, pathGlobFilter)        # OP-SRC-EVENT: new-file discovery
+      → split_valid                         # OP-FIL-PATH + DLQ quarantine
+      → ingest transforms (operators/ingest)# identical code to batch
+      → foreachBatch(upsert_append)         # OP-SINK-UPSERT idempotency
+
+Checkpointing replaces EventBridge delivery tracking (OP-STRM-TRIGGER);
+``Trigger.AvailableNow`` turns the same query into the backfill job
+(reference ``scripts/backfill_s3_data.py`` — SURVEY.md §3.3: backfill is
+*the same code* with a bounded trigger). Idempotent upsert makes replays
+safe, which is exactly the guarantee the reference derives from conditional
+writes on at-least-once delivery (OP-STRM-STATE).
+
+At scale: each micro-batch only shuffles for the sink anti-join; state
+stores are unused (ingest is stateless per file, like the reference), so
+there is no streaming-state growth to manage. ``maxFilesPerTrigger``
+bounds batch size the way the Lambda concurrency cap bounded fan-out.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from agf_data_ingestion_spark.operators.ingest import (
+    experiments_from_manifests,
+    file_inventory_from_experiment_manifests,
+    file_inventory_from_run_manifests,
+    quarantine_bad_checksums,
+    split_valid,
+    sync_runs_from_run_manifests,
+)
+from agf_data_ingestion_spark.operators.upsert import upsert_append
+from agf_data_ingestion_spark.schemas import (
+    EXPERIMENTS_KEYS,
+    FILE_INVENTORY_KEYS,
+    SYNC_RUNS_KEYS,
+)
+from agf_data_ingestion_spark.sources.manifests import (
+    stream_experiment_manifests,
+    stream_run_manifests,
+)
+
+RUN_REQUIRED = ["computer_name", "files_in_batch"]
+EXP_REQUIRED = ["experiment_id", "experiment_folder", "staff_name", "instrument", "computer"]
+
+
+def _quarantine_path(warehouse: str) -> str:
+    return os.path.join(warehouse, "quarantine")
+
+
+def _write_quarantine(bad: DataFrame, warehouse: str, source: str) -> None:
+    if bad.isEmpty():
+        return
+    (
+        bad.select(
+            F.lit(source).alias("source"),
+            F.col("s3_key"),
+            F.to_json(F.struct(*[c for c in bad.columns])).alias("record"),
+            F.current_timestamp().alias("quarantined_at"),
+        ).write.mode("append").parquet(_quarantine_path(warehouse))
+    )
+
+
+def run_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
+    """foreachBatch function for run.json manifests → sync_runs +
+    file_inventory, with DLQ quarantine (OP-SINK-DLQ)."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        valid, bad = split_valid(batch, required=RUN_REQUIRED)
+        valid = valid.persist()
+        try:
+            _write_quarantine(bad, warehouse, "run.json")
+            upsert_append(
+                sync_runs_from_run_manifests(valid, now=now),
+                os.path.join(warehouse, "sync_runs"),
+                SYNC_RUNS_KEYS,
+            )
+            inv, bad_ck = quarantine_bad_checksums(
+                file_inventory_from_run_manifests(valid, now=now)
+            )
+            _write_quarantine(bad_ck, warehouse, "run.json/file_manifest")
+            # Keyed on (experiment_id, file_path) = the table's primary key
+            # (reference :333-341). Divergence note: the reference writes
+            # run-manifest file rows unconditionally (:247-252), i.e.
+            # last-writer-wins on re-delivery; this sink is first-writer-
+            # wins, which is identical for byte-identical re-deliveries
+            # (the idempotency case that actually occurs).
+            upsert_append(
+                inv,
+                os.path.join(warehouse, "file_inventory"),
+                FILE_INVENTORY_KEYS,
+            )
+        finally:
+            valid.unpersist()
+
+    return fn
+
+
+def experiment_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
+    """foreachBatch function for experiment.json manifests → experiments +
+    file_inventory."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        valid, bad = split_valid(batch, required=EXP_REQUIRED)
+        valid = valid.persist()
+        try:
+            _write_quarantine(bad, warehouse, "experiment.json")
+            upsert_append(
+                experiments_from_manifests(valid, now=now),
+                os.path.join(warehouse, "experiments"),
+                EXPERIMENTS_KEYS,
+            )
+            inv, bad_ck = quarantine_bad_checksums(
+                file_inventory_from_experiment_manifests(valid, now=now)
+            )
+            _write_quarantine(bad_ck, warehouse, "experiment.json/files")
+            upsert_append(
+                inv,
+                os.path.join(warehouse, "file_inventory"),
+                FILE_INVENTORY_KEYS,
+            )
+        finally:
+            valid.unpersist()
+
+    return fn
+
+
+def start_run_ingest(
+    spark: SparkSession,
+    lake_root: str,
+    warehouse: str,
+    checkpoint: str,
+    *,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    now: _dt.datetime | None = None,
+) -> StreamingQuery:
+    stream = stream_run_manifests(spark, lake_root, max_files_per_trigger=max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(run_ingest_batch_fn(warehouse, now=now))
+        .option("checkpointLocation", os.path.join(checkpoint, "runs"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_experiment_ingest(
+    spark: SparkSession,
+    lake_root: str,
+    warehouse: str,
+    checkpoint: str,
+    *,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    now: _dt.datetime | None = None,
+) -> StreamingQuery:
+    stream = stream_experiment_manifests(
+        spark, lake_root, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = (
+        stream.writeStream.foreachBatch(experiment_ingest_batch_fn(warehouse, now=now))
+        .option("checkpointLocation", os.path.join(checkpoint, "experiments"))
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def backfill(
+    spark: SparkSession,
+    lake_root: str,
+    warehouse: str,
+    checkpoint: str,
+    *,
+    now: _dt.datetime | None = None,
+    file_type: str = "all",
+) -> None:
+    """Batch replay of the whole lake (reference ``backfill_s3_data.py``).
+
+    Same transforms, ``availableNow`` trigger; ``file_type`` mirrors the
+    reference's ``--file-type {all,run,experiment}`` choice filter
+    (OP-FIL-CHOICE, :159-160).
+
+    The two queries run sequentially: both sink into ``file_inventory`` and
+    the plain-Parquet idempotent sink is single-writer (operators/upsert.py
+    scale notes) — with a transactional table format they could overlap.
+    """
+    if file_type in ("all", "run"):
+        start_run_ingest(
+            spark, lake_root, warehouse, checkpoint, available_now=True, now=now
+        ).awaitTermination()
+    if file_type in ("all", "experiment"):
+        start_experiment_ingest(
+            spark, lake_root, warehouse, checkpoint, available_now=True, now=now
+        ).awaitTermination()
