@@ -1,0 +1,26 @@
+"""Query-plan catalog: every engine capability as a (Spark plan, SQL oracle) pair.
+
+``QUERIES`` maps a stable query name → QuerySpec.  The driver contract
+(``__spark_entry__.py``) re-exports these; ``scripts/check_oracle.py`` runs
+the Spark plan and the DuckDB oracle side by side exactly like the driver
+does (row count + schema + order-insensitive value hash).
+
+Cross-engine determinism rules used throughout (see plans/base.py):
+* Sums over floating columns go through an exact DECIMAL cast so the result
+  is independent of accumulation order (Spark partial aggs vs DuckDB), then
+  back to DOUBLE for a stable output type.
+* Every LIMIT / row_number has a unique total-order tiebreaker.
+* No current_timestamp / rand in oracle-checked plans — "now" is a pinned
+  literal.
+"""
+
+from __future__ import annotations
+
+from agf_data_ingestion_spark.plans.base import QuerySpec
+from agf_data_ingestion_spark.plans import analytics, similarity, text
+
+QUERIES: dict[str, QuerySpec] = {}
+for _mod in (analytics, text, similarity):
+    QUERIES.update(_mod.QUERIES)
+
+__all__ = ["QUERIES", "QuerySpec"]

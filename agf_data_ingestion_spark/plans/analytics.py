@@ -1,0 +1,625 @@
+"""Relational analytics catalog: scans, filters, derivations, aggregations,
+joins, windows, sort/limit — the reference's operator surface (SURVEY.md
+§2.1-2.7) exercised on the driver's TPC-H-ish testdata, each with a DuckDB
+oracle.
+
+Scale notes (100 TB mindset):
+* Star joins put the fact table (lineitem/orders/events) on the streamed
+  side; dimension sides are far below the broadcast threshold, so Catalyst
+  plans broadcast-hash joins — no fact-table shuffle.
+* Aggregations are expressed as single groupBy/agg so Spark performs
+  map-side partial aggregation before the exchange.
+* All filters are plain column predicates on scan columns → parquet
+  predicate pushdown + column pruning (verify with .explain: PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import (
+    QuerySpec,
+    davg,
+    dsum,
+    o_davg,
+    o_dsum,
+    t,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregation core (OP-AGG-*): TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum('l_extendedprice')} AS sum_base_price,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {o_davg('l_quantity')} AS avg_qty,
+       {o_davg('l_extendedprice')} AS avg_price,
+       {o_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join + agg + top-k (OP-JOIN / OP-SORT-LIMIT): TPC-H Q3-style
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (OP-JOIN-ENRICH generalized): TPC-H Q5-style
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global-ratio aggregate (OP-MATH): TPC-H Q14-style promo share
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            100.0
+            * dsum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)))
+            / dsum(disc_price)
+        ).alias("promo_revenue_pct")
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * {o_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {o_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-window rollup (OP-FIL-TIME + OP-AGG): events per day per type
+# ---------------------------------------------------------------------------
+
+
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-08").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+_EVENTS_DAILY_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {o_dsum('value')} AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08'
+GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional counts / pivot (OP-AGG-CONDCOUNT)
+# ---------------------------------------------------------------------------
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+
+    def cnt(tp: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == tp, 1).otherwise(0)).cast("long")
+
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+        cnt("signup").alias("signups"),
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Latest-version-per-key window (OP-WIN / SURVEY §2.7 canonical query)
+# ---------------------------------------------------------------------------
+
+
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts_us")
+    )
+
+
+_EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collision numbering (OP-WIN-DEDUPNAME — zip name dedup semantics)
+# ---------------------------------------------------------------------------
+
+
+def docs_name_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    rn = F.row_number().over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(rn > 1, F.concat_ws("_", "source", (rn - 1).cast("string")))
+        .otherwise(F.col("source"))
+        .alias("export_name"),
+    )
+
+
+_DOCS_COLLISION_SQL = """
+SELECT doc_id, source,
+       CASE WHEN rn > 1 THEN source || '_' || CAST(rn - 1 AS VARCHAR) ELSE source END AS export_name
+FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) rn
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti-joins both ways (OP-JOIN-ANTI-S3 / OP-JOIN-ANTI-DB — reconciliation)
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def orders_without_known_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mirror-direction audit: order rows whose customer is absent from
+    # the dimension (empty on consistent data — exactly the reconciliation
+    # invariant, SURVEY.md §5 "after clean ingest both anti-joins are empty").
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_anti").select("o_orderkey", "o_custkey")
+
+
+_ORDERS_NO_CUST_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (OP-JOIN-SEMI) + union-distinct (OP-SET-UNION)
+# ---------------------------------------------------------------------------
+
+
+def orders_of_building_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+_ORDERS_SEMI_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def active_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reconciliation-style union-distinct across three key sources
+    # (reference unions s3_key across 3 tables; here: custkeys from two
+    # tables + high-value event users as the third).
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key_id"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key_id"))
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("key_id"))
+    )
+    return c.unionByName(o).unionByName(e).distinct()
+
+
+_UNION_KEYS_SQL = """
+SELECT DISTINCT key_id FROM (
+  SELECT c_custkey AS key_id FROM customer
+  UNION ALL SELECT o_custkey FROM orders
+  UNION ALL SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Enrichment left join (OP-JOIN-ENRICH)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_part_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand"
+    )
+
+
+_ENRICH_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered sample (OP-SORT-LIMIT) and grouped ordered concat (OP-AGG-GROUPMAP)
+# ---------------------------------------------------------------------------
+
+
+def top20_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_TOP20_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum(F.col("s_acctbal")).alias("total_acctbal"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_names"),
+        )
+    )
+
+
+_SUPPLIERS_NATION_SQL = f"""
+SELECT n_name, COUNT(*) AS n_suppliers,
+       {o_dsum('s_acctbal')} AS total_acctbal,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Threshold guards (OP-FIL-SIZE — zip-export size prechecks)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.max("l_extendedprice").alias("max_price"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        (F.max("l_extendedprice") > F.lit(50000.0)).alias("any_file_too_big"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") > F.lit(1.0e9)).alias(
+            "batch_too_big"
+        ),
+    )
+
+
+_SIZE_GUARD_SQL = f"""
+SELECT MAX(l_extendedprice) AS max_price,
+       {o_dsum('l_extendedprice')} AS total_price,
+       MAX(l_extendedprice) > 50000.0 AS any_file_too_big,
+       {o_dsum('l_extendedprice')} > 1.0e9 AS batch_too_big
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar derivation bundles (OP-STR-* / OP-DATE-* / OP-JSON / OP-FIL-*)
+# ---------------------------------------------------------------------------
+
+
+def docs_path_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path/string scalar layer on synthesized raw-zone keys.
+
+    Covers OP-STR-CONCATKEY, OP-STR-SPLITPATH, OP-STR-BASENAME, OP-STR-EXT,
+    OP-STR-DIRNAME, OP-STR-CHECKNORM, OP-FIL-CHECKSUM over a deterministic
+    derived path per document.
+    """
+    d = t(spark, sf_dir, "documents")
+    path = F.concat_ws(
+        "/", F.lit("raw"), "source", "lang", F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt"))
+    )
+    name = F.substring_index(path, "/", -1)
+    prefixed = F.concat(F.lit("sha256:"), F.upper(F.md5("text")))
+    norm = F.lower(F.regexp_replace(prefixed, "^sha256:", ""))
+    return d.select(
+        "doc_id",
+        path.alias("s3_key"),
+        F.element_at(F.split(path, "/"), 2).alias("instrument_id"),
+        name.alias("file_name"),
+        F.when(name.contains("."), F.lower(F.substring_index(name, ".", -1)))
+        .otherwise("unknown")
+        .alias("file_type"),
+        F.regexp_replace(path, "/[^/]*$", "").alias("parent_prefix"),
+        norm.alias("checksum_norm"),
+        norm.rlike("^[a-f0-9]{32}$").alias("checksum_valid"),
+    )
+
+
+_DOCS_PATH_SQL = """
+SELECT doc_id,
+       'raw/' || source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS s3_key,
+       source AS instrument_id,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+       'txt' AS file_type,
+       'raw/' || source || '/' || lang AS parent_prefix,
+       lower(md5(text)) AS checksum_norm,
+       regexp_matches(lower(md5(text)), '^[a-f0-9]{32}$') AS checksum_valid
+FROM documents
+"""
+
+
+def events_time_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar layer: OP-DATE-PARSE (lenient, Z-suffix), OP-DATE-FMT,
+    OP-DATE-EPOCH, OP-JSON-NORM (JSON prop extraction), OP-FIL-TIME.
+
+    A synthetic ISO string (nulled for every 10th event) exercises the
+    lenient parse: fallback is a *pinned* now (determinism — SURVEY §7).
+    """
+    e = t(spark, sf_dir, "events")
+    iso = F.when(
+        F.col("event_id") % 10 != 0,
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")),
+    )
+    parsed = F.regexp_replace(iso, "Z$", "+00:00").try_cast("timestamp")
+    pinned_now = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        F.expr("ts_us div 1000000").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.date_format(
+            F.to_date(F.concat_ws("-", F.year("ts"), F.month("ts"), F.dayofmonth("ts")), "y-M-d"),
+            "yyyy-MM-dd",
+        ).alias("date_assembled"),
+        iso.alias("iso_string"),
+        F.coalesce(parsed, pinned_now).alias("parsed_lenient"),
+        parsed.isNull().alias("needed_fallback"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+_EVENTS_TIME_SQL = """
+SELECT event_id,
+       epoch_us(ts) // 1000000 AS epoch_s,
+       strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       strftime(ts, '%Y-%m-%d') AS date_assembled,
+       CASE WHEN event_id % 10 != 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' END AS iso_string,
+       CASE WHEN event_id % 10 != 0 THEN CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+            ELSE TIMESTAMP '2024-06-01 00:00:00' END AS parsed_lenient,
+       event_id % 10 = 0 AS needed_fallback,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Projection + category filter (OP-PROJ / OP-FIL-CHOICE / OP-FIL-JUNK)
+# ---------------------------------------------------------------------------
+
+
+def events_projected_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & ~F.col("props").endswith("/")
+            & ~F.col("props").contains(".DS_Store")
+        )
+        .select("event_id", "ts_us")
+    )
+
+
+_EVENTS_PROJ_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us FROM events
+WHERE event_type = 'purchase' AND props NOT LIKE '%/' AND props NOT LIKE '%.DS_Store%'
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(
+        q1_pricing_summary, _Q1_SQL, ("OP-AGG-SUM", "OP-AGG-COUNT", "OP-FIL-TIME")
+    ),
+    "q3_shipping_priority": QuerySpec(
+        q3_shipping_priority, _Q3_SQL, ("OP-JOIN-ENRICH", "OP-SORT-LIMIT", "OP-AGG-SUM")
+    ),
+    "q5_local_supplier_volume": QuerySpec(
+        q5_local_supplier_volume, _Q5_SQL, ("OP-JOIN-ENRICH", "OP-AGG-SUM")
+    ),
+    "q14_promo_share": QuerySpec(q14_promo_share, _Q14_SQL, ("OP-MATH", "OP-AGG-CONDCOUNT")),
+    "events_daily_rollup": QuerySpec(
+        events_daily_rollup, _EVENTS_DAILY_SQL, ("OP-FIL-TIME", "OP-AGG-COUNT", "OP-DATE-FMT")
+    ),
+    "events_type_pivot": QuerySpec(events_type_pivot, _EVENTS_PIVOT_SQL, ("OP-AGG-CONDCOUNT",)),
+    "events_latest_per_user": QuerySpec(
+        events_latest_per_user, _EVENTS_LATEST_SQL, ("OP-WIN-DEDUPNAME", "OP-DEDUP-KEY")
+    ),
+    "docs_name_collision": QuerySpec(
+        docs_name_collision, _DOCS_COLLISION_SQL, ("OP-WIN-DEDUPNAME",)
+    ),
+    "customers_without_orders": QuerySpec(
+        customers_without_orders, _CUST_NO_ORDERS_SQL, ("OP-JOIN-ANTI-S3",)
+    ),
+    "orders_without_known_customer": QuerySpec(
+        orders_without_known_customer, _ORDERS_NO_CUST_SQL, ("OP-JOIN-ANTI-DB",)
+    ),
+    "orders_of_building_segment": QuerySpec(
+        orders_of_building_segment, _ORDERS_SEMI_SQL, ("OP-JOIN-SEMI",)
+    ),
+    "active_keys_union": QuerySpec(active_keys_union, _UNION_KEYS_SQL, ("OP-SET-UNION", "OP-AGG-SETUNION")),
+    "lineitem_part_enrich": QuerySpec(lineitem_part_enrich, _ENRICH_SQL, ("OP-JOIN-ENRICH",)),
+    "top20_orders_by_price": QuerySpec(top20_orders_by_price, _TOP20_SQL, ("OP-SORT-LIMIT",)),
+    "suppliers_per_nation": QuerySpec(
+        suppliers_per_nation, _SUPPLIERS_NATION_SQL, ("OP-AGG-GROUPMAP", "OP-AGG-SUM")
+    ),
+    "lineitem_size_guard": QuerySpec(lineitem_size_guard, _SIZE_GUARD_SQL, ("OP-FIL-SIZE",)),
+    "docs_path_derivations": QuerySpec(
+        docs_path_derivations,
+        _DOCS_PATH_SQL,
+        (
+            "OP-STR-CONCATKEY",
+            "OP-STR-SPLITPATH",
+            "OP-STR-BASENAME",
+            "OP-STR-EXT",
+            "OP-STR-DIRNAME",
+            "OP-STR-CHECKNORM",
+            "OP-FIL-CHECKSUM",
+        ),
+    ),
+    "events_time_derivations": QuerySpec(
+        events_time_derivations,
+        _EVENTS_TIME_SQL,
+        ("OP-DATE-PARSE", "OP-DATE-FMT", "OP-DATE-EPOCH", "OP-JSON-NORM"),
+    ),
+    "events_projected_filter": QuerySpec(
+        events_projected_filter, _EVENTS_PROJ_SQL, ("OP-PROJ", "OP-FIL-CHOICE", "OP-FIL-JUNK", "OP-FIL-SUFFIX")
+    ),
+}

@@ -1,0 +1,86 @@
+"""Shared helpers for the query catalog (cross-engine determinism toolkit)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: exact accumulator for money-ish magnitudes (|x| < 1e19, 6 frac digits)
+DEC_MONEY = "decimal(25,6)"
+#: exact accumulator for unit-interval magnitudes (dot products, ratios)
+DEC_UNIT = "decimal(25,18)"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One catalog entry.
+
+    ``fn(spark, sf_dir) -> DataFrame`` is the Spark plan; ``oracle`` is the
+    equivalent DuckDB SQL over the pre-registered table views (None for
+    plans whose semantics are not ANSI-SQL-expressible — the driver then
+    records a rows-only check).  ``ops`` lists the SURVEY.md §2 operator
+    IDs the query demonstrates, for the coverage audit.
+    """
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    ops: tuple[str, ...] = field(default=())
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as a nanosecond BIGINT and expose a
+    µs-truncated TimestampType ``ts`` for calendar operations plus an
+    epoch-µs BIGINT ``ts_us`` (DuckDB's parquet reader also truncates
+    TIMESTAMP_NS to µs, so this is the cross-engine-faithful value).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column, dec: str = DEC_MONEY) -> Column:
+    """Order-independent exact sum of a floating column, emitted as DOUBLE.
+
+    The per-row DOUBLE→DECIMAL rounding is deterministic and identical in
+    Spark and DuckDB; DECIMAL addition is exact, so partial/final agg order
+    (Spark) vs single-pass (DuckDB) cannot change the result.
+    """
+    return F.sum(col.cast(dec)).cast("double")
+
+
+def o_dsum(expr: str, dec: str = "DECIMAL(25,6)") -> str:
+    """DuckDB oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS {dec})) AS DOUBLE)"
+
+
+def davg(col: Column, dec: str = DEC_MONEY) -> Column:
+    """Deterministic mean: exact decimal sum → DOUBLE, IEEE-divided by count.
+
+    Both engines perform the identical double division, so results are
+    bit-equal (counts < 2^53 are exact in binary64).
+    """
+    return F.sum(col.cast(dec)).cast("double") / F.count(col)
+
+
+def o_davg(expr: str, dec: str = "DECIMAL(25,6)") -> str:
+    return f"CAST(SUM(CAST(({expr}) AS {dec})) AS DOUBLE) / COUNT({expr})"

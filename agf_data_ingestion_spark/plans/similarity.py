@@ -1,0 +1,248 @@
+"""Similarity-search catalog (SURVEY.md §2.9): array folds, brute-force
+cosine top-k, label-blocked near-dup, and an LSH-bucketed ANN variant.
+
+Determinism across engines: every floating reduction over the embedding
+arrays is a *sequential left fold in DOUBLE* — array order is defined, both
+engines fold left-to-right (Spark ``aggregate``, DuckDB ``list_reduce``),
+and IEEE-754 addition is deterministic, so results are bit-identical.
+(A decimal-cast approach fails here: Spark converts DOUBLE→DECIMAL via the
+shortest round-trip string, DuckDB via the exact binary expansion.)
+
+Scale design:
+* Brute-force top-k broadcasts the (small) query set against the corpus —
+  a map-side-only pass plus a per-query top-k window; this is the exact
+  baseline.
+* The ANN variant buckets vectors by random-hyperplane LSH signs so only
+  same-bucket pairs are scored — the 100 TB path (probes scale with bucket
+  size, not corpus size).  Hyperplanes are seeded, so results are
+  reproducible run-to-run; recall vs the brute-force baseline is asserted
+  in tests (no SQL oracle — rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+_TOPK = 3
+_N_QUERIES = 5
+_DIM = 64
+
+
+def _seq_fold(arr: Column) -> Column:
+    """Sequential left fold (sum) of an array<double> column."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _seq_fold(prods)
+
+
+def _sq_norm(a: Column) -> Column:
+    return _dot(a, a)
+
+
+#: DuckDB twin of the sequential fold: 0.0 init keeps parity with Spark's
+#: aggregate (0.0 + x0 == x0 bit-for-bit for finite nonzero x0).
+def _o_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array fold metrics (OP-ARR-SUM generalized to embeddings)
+# ---------------------------------------------------------------------------
+
+
+def emb_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        _seq_fold(F.transform(arr, lambda x: x.cast("double"))).alias("elem_sum"),
+        F.sqrt(_sq_norm(arr)).alias("l2_norm"),
+    )
+
+
+_ARRAY_FOLD_SQL = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) AS elem_sum,
+       sqrt({_o_dot('embedding', 'embedding')}) AS l2_norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (OP-X-SIM-TOPK baseline)
+# ---------------------------------------------------------------------------
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("norm_n"),
+    )
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("norm_q"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("norm_q") * F.col("norm_n"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_COSINE_TOPK_SQL = f"""
+WITH norms AS (
+  SELECT vec_id, sqrt({_o_dot('embedding', 'embedding')}) AS nrm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-blocked embedding near-dup (OP-X-DEDUP-NEAR, embedding-cosine variant)
+# ---------------------------------------------------------------------------
+
+
+def emb_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs: block on ``label`` (the IVF-style
+    coarse partition), score cosine within blocks, keep pairs >= 0.35."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
+    )
+    a = v.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", sim.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+_NEARDUP_SQL = f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         {_o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (the scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8 sign bits bucket the corpus; queries
+    probe only their own bucket.  Seeded hyperplanes → deterministic output.
+
+    Non-SQL-expressible (seeded hyperplane generation); the driver records
+    a rows-only check and tests/test_similarity.py asserts recall vs the
+    brute-force baseline.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(8, _DIM)  # deterministic
+    e = t(spark, sf_dir, "embeddings")
+
+    def sign_bits(arr: Column) -> Column:
+        bits = [
+            F.when(
+                _dot(arr, F.array(*[F.lit(float(v)) for v in planes[j]])) >= 0, "1"
+            ).otherwise("0")
+            for j in range(planes.shape[0])
+        ]
+        return F.concat(*bits)
+
+    v = e.select(
+        "vec_id",
+        "embedding",
+        sign_bits(F.col("embedding")).alias("bucket"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
+    )
+    corpus = v.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
+    queries = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("bucket").alias("bucket_q"),
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("bucket_q"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
+    "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
+    "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
+    "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, None, ("OP-X-SIM-TOPK",)),
+}

@@ -1,0 +1,421 @@
+"""Text-analysis and deduplication catalog (SURVEY.md §2.9 extensions).
+
+LLM-training-data operators over the ``documents`` table: exact dedup,
+MinHash+LSH and SimHash near-dup, n-gram Jaccard, language ID, quality
+scoring, token counting, fingerprinting.  Everything in this module is
+built from JVM-side ``pyspark.sql.functions`` (no Python UDFs in the hot
+path); each query carries a DuckDB oracle built from the *same* md5-based
+hashing so the two engines agree bit-for-bit.
+
+Scale design:
+* MinHash signatures are computed in one explode → groupBy pass (map-side
+  partial min per permutation); the LSH band self-join only shuffles the
+  tiny (doc, band-signature) table, never the corpus text.
+* SimHash is a single explode over (word × 64 bits) with an integer-only
+  inner expression — whole-stage codegen keeps it in the JVM.
+* All pairwise verification joins operate on candidate keys only; at 100 TB
+  the band join is the standard LSH cost profile (linear in corpus +
+  near-linear in collisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_N_PERMS = 16
+_BAND_ROWS = 4  # 4 bands × 4 rows
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles(col: str = "text") -> F.Column:
+    """Distinct 3-word shingles; empty array for docs under 3 words."""
+    w = _words(col)
+    n = F.size(w)
+    gram = lambda i: F.concat_ws(
+        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    )
+    return F.when(
+        n >= 3,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - 2), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+ELSE [] END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (OP-X-DEDUP-EXACT, generalizing OP-DEDUP-KEY / OP-FIL-CHECKSUM)
+# ---------------------------------------------------------------------------
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", h.alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "content_hash")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id, source, content_hash FROM (
+  SELECT doc_id, source, md5(lower(text)) AS content_hash,
+         row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id ASC) rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token analysis (OP-X-TEXT): explode + counts
+# ---------------------------------------------------------------------------
+
+
+def docs_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_words()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+_TOKEN_TOPK_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics: word/token counts, word length, stopword & alpha
+    ratios, and a composite quality score — all integer-derived doubles so
+    both engines compute identical IEEE results."""
+    d = t(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    # BPE-ish tokenization: letter runs, digit runs, single punctuation
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        ((n_words >= 20) & (stop_ratio > 0.01)).alias("passes_quality"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS n_tokens,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       len(string_split(text, ' ')) >= 20
+         AND CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+             / len(string_split(text, ' ')) > 0.01 AS passes_quality
+FROM documents
+"""
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio over an English function-word
+    list → 'en' / 'und', compared against the labeled ``lang`` column."""
+    d = t(spark, sf_dir, "documents")
+    w = _words()
+    ratio = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(w)
+    pred = F.when(ratio >= 0.02, "en").otherwise("und")
+    return d.select(
+        "doc_id",
+        ratio.alias("en_score"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("pred_correct"),
+    )
+
+
+_LANG_ID_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+         / len(string_split(text, ' ')) AS en_score,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
+       (CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+                  / len(string_split(text, ' ')) >= 0.02 THEN 'en' ELSE 'und' END) = lang AS pred_correct
+FROM documents
+"""
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text, plus a bottom-4 sketch of 8-char-gram hashes (winnowing-style)."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
+        lambda i: F.md5(F.substring(norm, i, 8)),
+    )
+    bottom4 = F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("doc_hash"),
+        F.array_join(bottom4, "|").alias("sketch"),
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM documents)
+SELECT doc_id, md5(nt) AS doc_hash,
+       array_to_string(list_sort(list_distinct(
+         list_transform(range(1, greatest(length(nt) - 7, 1) + 1), i -> md5(substr(nt, i, 8)))
+       ))[1:4], '|') AS sketch
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs (OP-X-DEDUP-NEAR exact-verify path)
+# ---------------------------------------------------------------------------
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs within a doc_id block.
+
+    At scale the candidate set comes from LSH (see minhash query); the
+    block filter here keeps the demonstration O(k²) not O(n²).
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+  FROM documents WHERE doc_id < 40
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (OP-X-DEDUP-NEAR)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p, mh): per-permutation MinHash.
+
+    Permutation p's hash of shingle s is md5(s || '#' || p) — a keyed hash
+    both engines implement identically; min over the doc's shingle set is
+    the MinHash.  One explode + groupBy: partial min runs map-side.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    perms = spark.range(_N_PERMS).withColumnRenamed("id", "p")
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "p")
+        .agg(F.min(F.md5(F.concat_ws("#", "s", "p"))).alias("mh"))
+    )
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with MinHash-estimated Jaccard.
+
+    16 permutations in 4 bands × 4 rows; docs sharing any full band
+    signature become candidates; estimate = fraction of matching minhashes.
+    """
+    sigs = _minhash_sigs(spark, sf_dir).cache()
+    band = F.floor(F.col("p") / _BAND_ROWS).cast("int").alias("band")
+    band_sigs = (
+        sigs.groupBy("doc_id", band)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "mh"))), lambda x: x["mh"]
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.p") == F.col("sb.p")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)).cast("double")
+                / _N_PERMS
+            ).alias("est_jaccard")
+        )
+    )
+
+
+_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+sigs AS (
+  SELECT doc_id, p, min(md5(s || '#' || CAST(p AS VARCHAR))) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PERMS})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(floor(p / {_BAND_ROWS}) AS INT) AS band,
+         string_agg(mh, '|' ORDER BY p) AS sig
+  FROM sigs GROUP BY doc_id, CAST(floor(p / {_BAND_ROWS}) AS INT)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERMS} AS est_jaccard
+FROM cands
+JOIN sigs sa ON doc_a = sa.doc_id
+JOIN sigs sb ON doc_b = sb.doc_id AND sa.p = sb.p
+GROUP BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (OP-X-DEDUP-NEAR, bitwise variant)
+# ---------------------------------------------------------------------------
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over distinct words, emitted as a '0'/'1' bitstring.
+
+    Bit b of word w = bit (3 - b%4) of md5(w)'s hex nibble b//4 — pure
+    integer expressions, identical in both engines.  Bit votes (+1/-1) sum
+    per document; sign gives the fingerprint bit.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.array_distinct(_words())).alias("w"))
+    bits = spark.range(64).withColumnRenamed("id", "b")
+    h = F.md5("w")
+    nibble = F.expr("instr('0123456789abcdef', substr(md5(w), CAST(b / 4 AS INT) + 1, 1)) - 1")
+    bit = F.expr(
+        "(shiftright(instr('0123456789abcdef', substr(md5(w), CAST(b / 4 AS INT) + 1, 1)) - 1,"
+        " 3 - CAST(b % 4 AS INT))) & 1"
+    )
+    votes = (
+        words.crossJoin(F.broadcast(bits))
+        .select("doc_id", "b", (bit * 2 - 1).alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", F.when(F.col("v") > 0, "1").otherwise("0").alias("bit")))),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("simhash_bits")
+    )
+
+
+_SIMHASH_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(((strpos('0123456789abcdef', substr(md5(w), CAST(b // 4 AS INT) + 1, 1)) - 1
+               >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1) AS v
+  FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash_bits
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_dedup_exact": QuerySpec(
+        docs_dedup_exact, _DEDUP_EXACT_SQL, ("OP-X-DEDUP-EXACT", "OP-DEDUP-KEY")
+    ),
+    "docs_token_topk": QuerySpec(
+        docs_token_topk, _TOKEN_TOPK_SQL, ("OP-X-TEXT", "OP-EXPLODE-RUN", "OP-SORT-LIMIT")
+    ),
+    "docs_text_stats": QuerySpec(docs_text_stats, _TEXT_STATS_SQL, ("OP-X-TEXT",)),
+    "docs_lang_id": QuerySpec(docs_lang_id, _LANG_ID_SQL, ("OP-X-TEXT",)),
+    "docs_fingerprint": QuerySpec(docs_fingerprint, _FINGERPRINT_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")),
+    "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, _NGRAM_JACCARD_SQL, ("OP-X-DEDUP-NEAR",)),
+    "docs_minhash_lsh": QuerySpec(docs_minhash_lsh, _MINHASH_SQL, ("OP-X-DEDUP-NEAR",)),
+    "docs_simhash": QuerySpec(docs_simhash, _SIMHASH_SQL, ("OP-X-DEDUP-NEAR",)),
+}

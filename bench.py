@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the full query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the two
+reference-derived workloads from BASELINE.md (backfill-equivalent manifest
+ingest, 60k-key reconciliation).  Prints ONE JSON line:
+
+    {"metric": "catalog_total_s", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ingest_bench(spark, lake_root: str) -> tuple[float, int]:
+    """Batch ingest of the fixture lake (backfill-equivalent: BASELINE.md
+    targets 180 manifests ≪ 15 min).  Returns (seconds, rows_produced)."""
+    import datetime as dt
+
+    from agf_data_ingestion_spark.operators.ingest import (
+        experiments_from_manifests,
+        file_inventory_from_experiment_manifests,
+        file_inventory_from_run_manifests,
+        sync_runs_from_run_manifests,
+    )
+    from agf_data_ingestion_spark.sources.manifests import (
+        read_experiment_manifests,
+        read_run_manifests,
+    )
+
+    now = dt.datetime(2024, 6, 1)
+    t0 = time.time()
+    runs = read_run_manifests(spark, lake_root)
+    exps = read_experiment_manifests(spark, lake_root)
+    n = (
+        sync_runs_from_run_manifests(runs, now=now).count()
+        + file_inventory_from_run_manifests(runs, now=now).count()
+        + experiments_from_manifests(exps, now=now).count()
+        + file_inventory_from_experiment_manifests(exps, now=now).count()
+    )
+    return time.time() - t0, n
+
+
+def _reconcile_bench(spark) -> tuple[float, int]:
+    """Key-set reconciliation at the reference's 50k+ scale point
+    (BASELINE.md: full audit ≪ 900 s)."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.reconcile import reconcile
+
+    t0 = time.time()
+    storage = spark.range(60_000).select(
+        F.concat(F.lit("raw/inst/2024/01/01/run/"), F.col("id")).alias("key")
+    )
+    tracked = spark.range(100, 59_900).select(
+        F.concat(F.lit("raw/inst/2024/01/01/run/"), F.col("id")).alias("key")
+    )
+    res = reconcile(storage, tracked)
+    return time.time() - t0, res.orphaned_in_storage
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from agf_data_ingestion_spark.plans import QUERIES
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("agf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        t0 = time.time()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # reference-derived workloads
+    import tempfile
+
+    from fixtures.generate import generate
+
+    lake_root = os.path.join(tempfile.gettempdir(), "agf_bench_lake_v1")
+    if not os.path.exists(os.path.join(lake_root, ".done")):
+        generate(lake_root, instruments=6, days=5, runs_per_day=6)  # 180 runs
+        open(os.path.join(lake_root, ".done"), "w").write("ok")
+    t_ing, _ = _ingest_bench(spark, lake_root)
+    timings["ingest_backfill_180"] = round(t_ing, 3)
+    t_rec, _ = _reconcile_bench(spark)
+    timings["reconcile_60k_keys"] = round(t_rec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_s",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

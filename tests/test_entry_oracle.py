@@ -1,0 +1,79 @@
+"""Local replica of the driver's correctness gate (verify surface 2).
+
+Runs a representative subset of ``__spark_entry__.queries()`` against their
+``oracle_sql()`` twins via DuckDB at sf0.001 (full catalog parity is run by
+``scripts/check_oracle.py`` at sf0.01; this test keeps the suite fast while
+guarding the contract wiring and the determinism toolkit end-to-end).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_latest_per_user",
+    "customers_without_orders",
+    "docs_dedup_exact",
+    "docs_minhash_lsh",
+    "emb_cosine_topk",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == "float64":
+            out[c] = col.map(lambda v: repr(float(v)) if pd.notna(v) else "NULL")
+        else:
+            out[c] = col.map(
+                lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
+            )
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema.fieldNames()
+
+
+def test_every_query_has_callable():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # the vast majority must carry a SQL oracle (rows-only is the exception)
+    assert len(oracles) >= len(qs) - 3
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    assert len(sdf) == len(ddf)
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    pd.testing.assert_frame_equal(_canon(sdf), _canon(ddf))
