@@ -1,0 +1,184 @@
+"""Multimodal column support (SURVEY.md §2.9 OP-X-MULTIMODAL).
+
+Media assets are opaque ``binary`` columns with a typed metadata struct —
+the pattern a 100 TB training-data lake uses: content stays columnar (or an
+object-store reference), metadata is queryable, and all per-item Python
+work runs through Arrow-batched ``mapInPandas`` so the exchange cost is one
+columnar batch, never per-row pickling.
+
+The actual codecs (PIL / libav) are NOT available in this environment, so
+``decode`` is stubbed two ways, clearly marked:
+
+* ``backend="fake"`` (default): a deterministic md5-derived decoder — real
+  Spark plumbing (schema, batching, partitioning) with reproducible output,
+  so the pipeline is testable end-to-end and oracle-checkable.
+* ``backend="pil"``: the real import path, raising ``NotImplementedError``
+  with guidance when the library is missing.
+
+Scale notes: ``mapInPandas`` preserves the input partitioning (no shuffle);
+batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+Feature vectors come back as ``array<float>`` ready for the similarity
+operators (plans/similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: the lake-wide media column layout: content plus typed metadata
+MEDIA_STRUCT = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+IMAGE_META_FIELDS = [
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("n_channels", LongType(), True),
+]
+
+
+def attach_media(df: DataFrame, *, path: Column, mime: Column, content: Column) -> DataFrame:
+    """Pack loose columns into the canonical ``media`` struct column."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            path.alias("path"),
+            mime.alias("mime"),
+            F.length(content).cast("long").alias("size_bytes"),
+            content.alias("content"),
+        ),
+    )
+
+
+def _fake_dims(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image header parse: dimensions are
+    derived from the content's md5 (stable across engines and runs)."""
+    h = hashlib.md5(content).hexdigest()
+    return 1 + int(h[:4], 16) % 1024, 1 + int(h[4:8], 16) % 1024, 3
+
+
+def decode_image_meta(df: DataFrame, *, backend: str = "fake") -> DataFrame:
+    """media struct → per-image metadata columns via ``mapInPandas``.
+
+    Output schema = input schema (minus content) + width/height/n_channels.
+    """
+    if backend == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env has no PIL
+            raise NotImplementedError(
+                "real image decode requires Pillow; install it on the cluster "
+                "or use backend='fake' for plumbing tests"
+            ) from exc
+    elif backend != "fake":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "media"]
+        + [
+            StructField("path", StringType(), True),
+            StructField("mime", StringType(), True),
+            StructField("size_bytes", LongType(), True),
+        ]
+        + IMAGE_META_FIELDS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = pdf["media"]
+            dims = [
+                _fake_dims(bytes(m["content"])) if m is not None and m["content"] is not None
+                else (None, None, None)
+                for m in media
+            ]
+            out = pdf.drop(columns=["media"])
+            out["path"] = [m["path"] if m is not None else None for m in media]
+            out["mime"] = [m["mime"] if m is not None else None for m in media]
+            out["size_bytes"] = [m["size_bytes"] if m is not None else None for m in media]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["n_channels"] = [d[2] for d in dims]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
+    """media struct → ``array<float>`` feature vector (deterministic stub).
+
+    The fake featurizer hashes content into ``dim`` floats in [-1, 1); the
+    real one would run a vision/audio encoder over the same batches — the
+    Arrow exchange shape is identical, which is what this validates.
+    """
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField("features", ArrayType(FloatType()), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for m in pdf["media"]:
+                if m is None or m["content"] is None:
+                    feats.append(None)
+                    continue
+                h = hashlib.sha256(bytes(m["content"])).digest()
+                raw = (h * ((dim * 2) // len(h) + 1))[: dim * 2]
+                feats.append(
+                    [
+                        (int.from_bytes(raw[2 * i : 2 * i + 2], "big") - 32768) / 32768.0
+                        for i in range(dim)
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling stub: emits one row per sampled "frame" offset
+    (deterministic byte-stride placeholder for keyframe extraction).
+
+    Real implementation would demux with libav inside the same
+    ``mapInPandas`` loop; the explode shape (one input row → N frame rows)
+    is the part the engine owns and tests."""
+    out_schema = StructType(
+        [
+            StructField("path", StringType(), True),
+            StructField("frame_index", LongType(), True),
+            StructField("byte_offset", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for m in pdf["media"]:
+                if m is None or m["size_bytes"] is None:
+                    continue
+                n = min(max_frames, max(1, int(m["size_bytes"]) // every_n_bytes + 1))
+                for i in range(n):
+                    rows.append((m["path"], i, i * every_n_bytes))
+            yield pd.DataFrame(rows, columns=["path", "frame_index", "byte_offset"])
+
+    return df.select("media").mapInPandas(batches, schema=out_schema)
