@@ -75,6 +75,10 @@ def main() -> None:
     spark = get_spark("agf-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM so query timings measure the plans, not one-time
+    # session startup (codegen compiler, file index, Arrow init)
+    QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.time()
