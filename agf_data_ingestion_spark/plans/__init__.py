@@ -17,10 +17,17 @@ Cross-engine determinism rules used throughout (see plans/base.py):
 from __future__ import annotations
 
 from agf_data_ingestion_spark.plans.base import QuerySpec
-from agf_data_ingestion_spark.plans import analytics, ingest_queries, media, similarity, text
+from agf_data_ingestion_spark.plans import (
+    analytics,
+    ingest_queries,
+    media,
+    similarity,
+    text,
+    windows,
+)
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (analytics, text, similarity, ingest_queries, media):
+for _mod in (analytics, text, similarity, ingest_queries, media, windows):
     QUERIES.update(_mod.QUERIES)
 
 __all__ = ["QUERIES", "QuerySpec"]

@@ -1,0 +1,188 @@
+"""Temporal/analytic extensions: as-of join, range join, sessionization,
+rollup/cube grouping sets, and approximate aggregates.
+
+These are the operators a time-series / training-data workload needs that
+the reference never had (SURVEY.md §2.9 spirit); each is expressed as a
+composition of Spark built-ins with the shuffle story called out, and
+oracle-checked where ANSI SQL (or a DuckDB-native operator, for ASOF)
+expresses the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.operators.asof import asof_join
+from agf_data_ingestion_spark.plans.base import QuerySpec, dsum, o_dsum, t
+
+# ---------------------------------------------------------------------------
+# As-of join (OP-X-ASOF): purchase → most recent prior click, per user
+# ---------------------------------------------------------------------------
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="p_ts", right_time="c_ts"
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "p_ts",
+        F.col("click_id_asof").alias("prior_click_id"),
+        F.col("c_ts_asof").alias("prior_click_ts"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS p_ts,
+       c.event_id AS prior_click_id, epoch_us(c.ts) AS prior_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join (OP-X-RANGE): bucket events by value bands (broadcast interval dim)
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+
+
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    # interval dimension is tiny → broadcast nested-loop join; the fact side
+    # streams through without a shuffle (the scalable range-join shape when
+    # one side is small; for two big sides you bucket both by range first)
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+_RANGE_SQL = f"""
+SELECT band, COUNT(*) AS n, {o_dsum('value')} AS total_value
+FROM events
+JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'high')) AS bands(lo, hi, band)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (OP-X-SESSION): 30-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = (
+        (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
+        | F.lag("ts_us").over(w).isNull()
+    ).cast("int")
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("duration_s"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start,
+       (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_s
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (OP-X-ROLLUP / OP-X-CUBE)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {o_dsum('o_totalprice')} AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (OP-X-APPROX) — sketch outputs are engine-specific,
+# so the check is rows-only here; tests/test_windows.py bounds the error
+# against exact values.
+# ---------------------------------------------------------------------------
+
+
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_asof_click": QuerySpec(events_asof_click, _ASOF_SQL, ("OP-X-ASOF",)),
+    "events_value_bands": QuerySpec(events_value_bands, _RANGE_SQL, ("OP-X-RANGE",)),
+    "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL, ("OP-X-SESSION", "OP-STRM-LATE")),
+    "lineitem_rollup": QuerySpec(lineitem_rollup, _ROLLUP_SQL, ("OP-X-ROLLUP",)),
+    "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
+    "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
+}

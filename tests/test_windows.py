@@ -1,0 +1,53 @@
+"""Tests for the temporal operators (as-of join semantics, approximate
+aggregate error bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [("A", 100, "t1"), ("A", 205, "t2"), ("B", 50, "t3"), ("C", 10, "tc")],
+        ["sym", "tt", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0), ("B", 60, 9.0)],
+        ["sym", "qt", "px"],
+    )
+    out = {
+        r["trade_id"]: r
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_time="tt", right_time="qt"
+        ).collect()
+    }
+    # tie rule: quote at exactly t=100 is visible to the t=100 trade
+    assert out["t1"]["px_asof"] == 2.0 and out["t1"]["qt_asof"] == 100
+    assert out["t2"]["px_asof"] == 3.0
+    # B's only quote is later than the trade -> no match
+    assert out["t3"]["px_asof"] is None
+    # key with no right rows at all -> no match, row preserved
+    assert out["tc"]["px_asof"] is None
+    assert len(out) == 4
+
+
+def test_asof_join_picks_latest_not_any(spark):
+    left = spark.createDataFrame([("k", 1000, "x")], ["k", "lt", "id"])
+    right = spark.createDataFrame(
+        [("k", t, float(t)) for t in (1, 500, 999, 1001)], ["k", "rt", "v"]
+    )
+    row = asof_join(left, right, on=["k"], left_time="lt", right_time="rt").collect()[0]
+    assert row["v_asof"] == 999.0
+
+
+def test_approx_stats_bounded(spark):
+    from agf_data_ingestion_spark.plans.windows import events_approx_stats
+
+    rows = events_approx_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.1, f"{r['event_type']}: {rel_err}"
+        assert r["approx_median_value"] is not None
