@@ -1,0 +1,81 @@
+"""Watermarked event-time processing + observable metrics.
+
+Reference mapping (SURVEY.md §2.8):
+* OP-STRM-LATE — the reference has no watermarks; its 8-day reconciliation
+  window is the de-facto lateness bound.  Here that bound is explicit:
+  ``windowed_counts(..., watermark="8 days")`` finalizes windows once the
+  event-time high-water mark passes, dropping later stragglers instead of
+  silently double-counting them.
+* OP-STRM-STATE — the reference gets exactly-once via conditional writes;
+  the streaming-native equivalent is ``dropDuplicatesWithinWatermark`` —
+  state is bounded by the lateness horizon instead of growing forever.
+* OP-SINK-METRICS — the reference returns {processed, errors} per batch and
+  emits CloudWatch metrics; Spark's ``observe`` attaches the same counters
+  to the query itself (no second pass over the data).
+
+Scale: a watermarked window agg keeps state only for open windows per key —
+the knob that makes stateful streaming viable at 100 TB/day; unbounded
+``dropDuplicates`` would OOM, the watermarked variant cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    time_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "8 days",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window counts with a lateness watermark.
+
+    Works identically on a batch or streaming DataFrame (unified model);
+    under streaming append mode a window emits exactly once, when the
+    watermark passes its end.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    time_col: str = "ts",
+    watermark: str = "8 days",
+) -> DataFrame:
+    """Streaming-stateful dedup with bounded state (OP-STRM-STATE).
+
+    Duplicates arriving within the lateness horizon are dropped; state for
+    keys older than the watermark is evicted — the exactly-once effect the
+    reference builds from DynamoDB conditional writes, without unbounded
+    memory."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def observed(df: DataFrame, name: str = "ingest") -> tuple[DataFrame, Observation]:
+    """Attach the reference's per-batch counters ({processed, errors}) as an
+    ``Observation`` — metrics are collected during the action itself."""
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.when(F.col("_valid") == False, 1).otherwise(0)).alias("errors")  # noqa: E712
+        if "_valid" in df.columns
+        else F.lit(0).alias("errors"),
+    )
+    return out, obs

@@ -1,0 +1,134 @@
+"""Watermark semantics tests: late-data dropping, bounded-state dedup, and
+observe() metrics (OP-STRM-LATE / OP-STRM-STATE / OP-SINK-METRICS)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from agf_data_ingestion_spark.streaming.windowed import (
+    dedup_within_watermark,
+    observed,
+    windowed_counts,
+)
+
+SCHEMA = StructType(
+    [StructField("ts", StringType()), StructField("event_type", StringType()),
+     StructField("k", StringType())]
+)
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src, chk, out_fn, mode="append"):
+    """availableNow round writing finalized rows to parquet via foreachBatch
+    (memory sink cannot resume from a checkpoint; parquet-through-
+    foreachBatch is also the production shape)."""
+    out_dir = chk + "_out"
+
+    stream = (
+        spark.readStream.schema(SCHEMA).json(src)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "k")
+    )
+
+    def sink(batch, batch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        out_fn(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        return spark.createDataFrame([], "window_start timestamp")
+
+
+def test_windowed_counts_batch_and_late_drop(spark, tmp_path):
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk_win")
+    # round 1: two events in the 10:00 window
+    _write(src, "a.json", [
+        {"ts": "2024-01-01 10:01:00", "event_type": "click", "k": "a"},
+        {"ts": "2024-01-01 10:04:00", "event_type": "click", "k": "b"},
+    ])
+    out1 = _run_stream(
+        spark, src, chk,
+        lambda s: windowed_counts(s, window="10 minutes", watermark="10 minutes"),
+    )
+    # nothing finalized yet (watermark has not passed the window end)
+    assert out1.count() == 0
+
+    # round 2: an event far in the future advances the watermark past the
+    # 10:00 window -> it finalizes with BOTH round-1 rows
+    _write(src, "b.json", [
+        {"ts": "2024-01-01 12:00:00", "event_type": "click", "k": "c"},
+    ])
+    out2 = _run_stream(
+        spark, src, chk,
+        lambda s: windowed_counts(s, window="10 minutes", watermark="10 minutes"),
+    )
+    rows = {str(r["window_start"]): r["n_events"] for r in out2.collect()}
+    assert rows.get("2024-01-01 10:00:00") == 2
+
+    # round 3: a straggler far behind the watermark arrives -> dropped; the
+    # already-emitted window is not re-emitted or double-counted
+    _write(src, "c.json", [
+        {"ts": "2024-01-01 10:02:00", "event_type": "click", "k": "late"},
+    ])
+    out3 = _run_stream(
+        spark, src, chk,
+        lambda s: windowed_counts(s, window="10 minutes", watermark="10 minutes"),
+    )
+    rows3 = [
+        r for r in out3.collect() if str(r["window_start"]) == "2024-01-01 10:00:00"
+    ]
+    assert len(rows3) == 1 and rows3[0]["n_events"] == 2  # late row NOT added
+
+    # unified model: the same function over a batch DataFrame
+    batch = spark.read.schema(SCHEMA).json(src).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "k"
+    )
+    brows = {
+        str(r["window_start"]): r["n_events"]
+        for r in windowed_counts(batch, window="10 minutes").collect()
+    }
+    # batch sees everything, including what streaming classified as late
+    assert brows["2024-01-01 10:00:00"] == 3
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src, chk = str(tmp_path / "src2"), str(tmp_path / "chk_dd")
+    _write(src, "a.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "x", "k": "dup"},
+        {"ts": "2024-01-01 10:00:30", "event_type": "x", "k": "dup"},
+        {"ts": "2024-01-01 10:01:00", "event_type": "x", "k": "uniq"},
+    ])
+    out = _run_stream(
+        spark, src, chk,
+        lambda s: dedup_within_watermark(s, keys=["k"], watermark="1 hour"),
+    )
+    ks = [r["k"] for r in out.collect()]
+    assert sorted(ks) == ["dup", "uniq"]
+
+
+def test_observe_metrics(spark):
+    df = spark.range(10).withColumn("_valid", F.col("id") % 3 != 0)
+    out, obs = observed(df)
+    out.count()
+    m = obs.get
+    assert m["processed"] == 10
+    assert m["errors"] == 4  # ids 0,3,6,9
