@@ -566,7 +566,7 @@ WHERE event_type = 'purchase' AND props NOT LIKE '%/' AND props NOT LIKE '%.DS_S
 
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(
-        q1_pricing_summary, _Q1_SQL, ("OP-AGG-SUM", "OP-AGG-COUNT", "OP-FIL-TIME")
+        q1_pricing_summary, _Q1_SQL, ("OP-AGG-SUM", "OP-AGG-COUNT", "OP-FIL-TIME", "OP-SRC-TABLE")
     ),
     "q3_shipping_priority": QuerySpec(
         q3_shipping_priority, _Q3_SQL, ("OP-JOIN-ENRICH", "OP-SORT-LIMIT", "OP-AGG-SUM")

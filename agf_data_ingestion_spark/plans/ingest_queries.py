@@ -395,6 +395,7 @@ QUERIES: dict[str, QuerySpec] = {
             "OP-ARR-SUM",
             "OP-COALESCE",
             "OP-FIL-PATH",
+            "OP-DATE-NOW",
         ),
     ),
     "ingest_file_inventory_run": QuerySpec(
@@ -426,6 +427,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ingest_reconcile_orphans": QuerySpec(
         ingest_reconcile_orphans,
         _RECONCILE_SQL,
-        ("OP-SRC-LIST", "OP-SET-UNION", "OP-JOIN-ANTI-S3", "OP-JOIN-ANTI-DB", "OP-FIL-JUNK"),
+        ("OP-SRC-LIST", "OP-SET-UNION", "OP-JOIN-ANTI-S3", "OP-JOIN-ANTI-DB", "OP-FIL-JUNK", "OP-STR-URLDEC"),
     ),
 }

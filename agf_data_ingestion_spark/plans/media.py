@@ -121,5 +121,5 @@ QUERIES: dict[str, QuerySpec] = {
         docs_frame_samples, _FRAME_SAMPLES_SQL, ("OP-X-MULTIMODAL",)
     ),
     "docs_presigned_urls": QuerySpec(docs_presigned_urls, _PRESIGNED_SQL, ("OP-UDF-URL",)),
-    "docs_export_zip": QuerySpec(docs_export_zip, None, ("OP-UDF-ZIP", "OP-FIL-SIZE", "OP-WIN-DEDUPNAME")),
+    "docs_export_zip": QuerySpec(docs_export_zip, None, ("OP-UDF-ZIP", "OP-SINK-FILE", "OP-FIL-SIZE", "OP-WIN-DEDUPNAME")),
 }
