@@ -23,11 +23,12 @@ from agf_data_ingestion_spark.plans import (
     media,
     similarity,
     text,
+    tpch_extra,
     windows,
 )
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (analytics, text, similarity, ingest_queries, media, windows):
+for _mod in (analytics, tpch_extra, text, similarity, ingest_queries, media, windows):
     QUERIES.update(_mod.QUERIES)
 
 __all__ = ["QUERIES", "QuerySpec"]
