@@ -1,0 +1,106 @@
+"""Property-based fuzzing of the validator/derivation layer (SURVEY.md §5.4):
+the Spark column expressions must agree with a direct Python re-statement of
+the reference's logic on arbitrary inputs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.functions.checksums import normalize_checksum
+from agf_data_ingestion_spark.functions.paths import (
+    basename,
+    file_extension,
+    is_valid_raw_key,
+)
+
+# one shared evaluation helper: run a column expression over a batch of strings
+def _eval(spark, values, colfn):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r["out"] for r in df.select(colfn(F.col("x")).alias("out")).collect()]
+
+
+# --- Python re-statements of the reference semantics -----------------------
+
+
+def _ref_valid_key(key: str) -> bool:
+    # lambda/agf_ingestion_lambda.py:71-93
+    parts = key.split("/")
+    return (
+        key.startswith("raw/")
+        and len(parts) >= 6
+        and all(p.isascii() and p.isdigit() and p != "" for p in parts[2:5])
+    )
+
+
+def _ref_checksum(c: str) -> str | None:
+    # lambda/agf_ingestion_lambda.py:96-112 (str.replace removes all)
+    clean = c.replace("sha256:", "").strip()
+    if len(clean) == 64 and all(ch in "0123456789abcdefABCDEF" for ch in clean):
+        return clean.lower()
+    return None
+
+
+def _ref_basename(p: str) -> str:
+    return p.split("/")[-1]
+
+
+def _ref_ext(name: str) -> str:
+    return name.split(".")[-1].lower() if "." in name else "unknown"
+
+
+# --- strategies -------------------------------------------------------------
+
+# printable-ish, no newlines (JSON manifests never contain raw newlines in keys)
+_seg = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="/"),
+    min_size=0,
+    max_size=8,
+)
+_paths = st.builds(lambda segs: "/".join(segs), st.lists(_seg, min_size=1, max_size=8))
+_keys = st.one_of(
+    _paths,
+    st.builds(lambda p: "raw/" + p, _paths),
+    st.builds(
+        lambda inst, y, m, d, run, rest: f"raw/{inst}/{y}/{m}/{d}/{run}/{rest}",
+        _seg, st.integers(0, 9999), st.integers(0, 99), st.integers(0, 99), _seg, _seg,
+    ),
+)
+_hex = "0123456789abcdefABCDEF"
+_checksums = st.one_of(
+    st.text(alphabet=_hex, min_size=0, max_size=70),
+    st.builds(lambda h: "sha256:" + h, st.text(alphabet=_hex, min_size=60, max_size=66)),
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=0, max_size=70
+    ),
+)
+
+_SET = settings(
+    max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestValidatorProperties:
+    @_SET
+    @given(st.lists(_keys, min_size=1, max_size=50))
+    def test_key_validation_matches_reference(self, spark, keys):
+        got = _eval(spark, keys, is_valid_raw_key)
+        assert got == [_ref_valid_key(k) for k in keys]
+
+    @_SET
+    @given(st.lists(_checksums, min_size=1, max_size=50))
+    def test_checksum_normalization_matches_reference(self, spark, checks):
+        got = _eval(spark, checks, normalize_checksum)
+        assert got == [_ref_checksum(c) for c in checks]
+
+    @_SET
+    @given(st.lists(_paths, min_size=1, max_size=50))
+    def test_basename_and_extension_match_reference(self, spark, paths):
+        got_base = _eval(spark, paths, basename)
+        assert got_base == [_ref_basename(p) for p in paths]
+        names = [_ref_basename(p) for p in paths]
+        got_ext = _eval(spark, names, file_extension)
+        assert got_ext == [_ref_ext(n) for n in names]
