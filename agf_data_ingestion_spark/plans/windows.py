@@ -169,6 +169,24 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 # ---------------------------------------------------------------------------
 
 
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe grouped aggregation (OP-X-SKEW): the salted two-phase
+    plan must produce exactly the plain GROUP BY result — the oracle IS the
+    unsalted query."""
+    from agf_data_ingestion_spark.operators.skew import salted_sum_count
+
+    e = t(spark, sf_dir, "events")
+    return salted_sum_count(
+        e, ["event_type"], F.col("value"), salt_from=["event_id"], n_salt=16
+    )
+
+
+_SALTED_SQL = f"""
+SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS total
+FROM events GROUP BY event_type
+"""
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -184,5 +202,8 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL, ("OP-X-SESSION", "OP-STRM-LATE")),
     "lineitem_rollup": QuerySpec(lineitem_rollup, _ROLLUP_SQL, ("OP-X-ROLLUP",)),
     "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
+    "events_salted_type_counts": QuerySpec(
+        events_salted_type_counts, _SALTED_SQL, ("OP-X-SKEW", "OP-AGG-SUM")
+    ),
     "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
 }
