@@ -16,6 +16,8 @@ Cross-engine determinism rules used throughout (see plans/base.py):
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 from agf_data_ingestion_spark.plans.base import QuerySpec
 from agf_data_ingestion_spark.plans import (
     analytics,
@@ -27,8 +29,24 @@ from agf_data_ingestion_spark.plans import (
     windows,
 )
 
+
+def _pinned_session(fn):
+    """Wrap a catalog query so it behaves identically under ANY caller's
+    SparkSession (the driver builds its own): timestamps must render/parse
+    in UTC to match the DuckDB oracle's naive timestamps."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 QUERIES: dict[str, QuerySpec] = {}
 for _mod in (analytics, tpch_extra, text, similarity, ingest_queries, media, windows):
-    QUERIES.update(_mod.QUERIES)
+    for _name, _spec in _mod.QUERIES.items():
+        QUERIES[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
 
 __all__ = ["QUERIES", "QuerySpec"]
