@@ -1,0 +1,70 @@
+"""Connected components via min-label propagation — the cluster step of
+near-duplicate deduplication (SURVEY.md §2.9 OP-X-DEDUP-NEAR: "connected
+components for clusters").
+
+Iterative algorithms don't fit a single Catalyst plan; the driver loop runs
+one join + aggregate per round and truncates lineage with an eager
+``localCheckpoint`` so the plan doesn't grow unboundedly.  Convergence: every
+vertex ends with the minimum vertex id reachable in its component —
+deterministic, so the result is oracle-checkable against a recursive-CTE
+transitive closure.
+
+Scale: each round is one shuffle on vertex id; rounds needed = graph
+diameter (candidate-pair graphs from LSH are shallow — hub-shaped, a few
+rounds).  For planet-scale graphs you'd switch to large-star/small-star
+(alternating optimizations of the same fixpoint); the API is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    vertex_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Returns (id, component) where component = min vertex id in the
+    connected component.  ``edges`` is treated as undirected."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.a == labels.id)
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

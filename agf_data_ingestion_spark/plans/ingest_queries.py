@@ -277,6 +277,56 @@ FROM ex
 
 
 # ---------------------------------------------------------------------------
+# Run-id enrichment of experiment file rows (OP-JOIN-ENRICH — the
+# reference's 'from_experiment_json' placeholder made real, :453)
+# ---------------------------------------------------------------------------
+
+
+def ingest_enriched_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agf_data_ingestion_spark.operators.ingest import enrich_experiment_files_with_run
+
+    runs = read_run_manifests(spark, LAKE)
+    rv, _ = split_valid(runs, required=["computer_name", "files_in_batch"])
+    exps = read_experiment_manifests(spark, LAKE)
+    ev, _ = split_valid(exps, required=["experiment_id", "staff_name"])
+    run_files = file_inventory_from_run_manifests(rv, now=NOW)
+    exp_files = file_inventory_from_experiment_manifests(ev, now=NOW)
+    out = enrich_experiment_files_with_run(exp_files, run_files)
+    return out.select("experiment_id", "file_path", "s3_key", "run_id", "staff_name")
+
+
+_ENRICHED_SQL = f"""
+WITH runs AS ({_O_RUNS_SRC}),
+rv AS (SELECT * FROM runs WHERE computer_name IS NOT NULL AND files_in_batch IS NOT NULL
+         AND s3_key LIKE 'raw/%'),
+run_inv AS (
+  SELECT DISTINCT
+         regexp_replace(run_json_key, '/[^/]*$', '') || '/' ||
+           CASE WHEN len(p) > 1 THEN p[1] || '/payload/' || array_to_string(p[2:], '/')
+                ELSE p[1] || '/payload/' || p[-1] END AS key,
+         seg[6] AS run_id
+  FROM (SELECT s3_key AS run_json_key, string_split(s3_key, '/') AS seg,
+               string_split(unnest(file_manifest).path, '/') AS p
+        FROM rv)
+),
+exps AS ({_O_EXPS_SRC}),
+ev AS (SELECT * FROM exps WHERE experiment_id IS NOT NULL AND staff_name IS NOT NULL
+         AND s3_key LIKE 'raw/%'),
+exp_inv AS (
+  SELECT experiment_id,
+         f.relative_path AS file_path,
+         regexp_replace(s3_key, '/[^/]*$', '') || '/' || f.relative_path AS key,
+         staff_name
+  FROM (SELECT experiment_id, staff_name, s3_key, unnest(files) AS f FROM ev)
+)
+SELECT experiment_id, file_path, exp_inv.key AS s3_key,
+       COALESCE(run_inv.run_id, 'from_experiment_json') AS run_id,
+       staff_name
+FROM exp_inv LEFT JOIN run_inv ON exp_inv.key = run_inv.key
+"""
+
+
+# ---------------------------------------------------------------------------
 # Quarantine accounting (OP-SINK-DLQ / OP-STRM-ERR / OP-SINK-METRICS)
 # ---------------------------------------------------------------------------
 
@@ -418,6 +468,9 @@ QUERIES: dict[str, QuerySpec] = {
         ingest_file_inventory_exp,
         _FILE_INV_EXP_SQL,
         ("OP-EXPLODE-EXP", "OP-STR-CONCATKEY", "OP-STR-DIRNAME"),
+    ),
+    "ingest_enriched_inventory": QuerySpec(
+        ingest_enriched_inventory, _ENRICHED_SQL, ("OP-JOIN-ENRICH",)
     ),
     "ingest_quarantine_stats": QuerySpec(
         ingest_quarantine_stats,

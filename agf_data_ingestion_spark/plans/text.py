@@ -355,8 +355,10 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SQL = f"""
-WITH sh AS (
+#: shared CTE block: documents → shingles → KM hashes → signatures → LSH
+#: bands → candidate pairs → estimated jaccard (composed by the minhash
+#: query and the connected-components cluster oracle)
+_MINHASH_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
 ),
 hashed AS (
@@ -378,13 +380,57 @@ bands AS (
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERMS} AS est_jaccard
+  FROM cands
+  JOIN sigs sa ON doc_a = sa.doc_id
+  JOIN sigs sb ON doc_b = sb.doc_id AND sa.p = sb.p
+  GROUP BY doc_a, doc_b
+)"""
+
+_MINHASH_SQL = f"WITH {_MINHASH_CTES} SELECT * FROM est"
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+_CLUSTER_THRESHOLD = 0.25
+
+
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ids for near-duplicate groups: LSH candidate pairs above the
+    estimate threshold become edges; each document's cluster is the minimum
+    doc_id reachable (iterative min-label propagation, operators/
+    components.py).  Oracle: a recursive-CTE transitive closure computes
+    the identical fixpoint."""
+    from agf_data_ingestion_spark.operators.components import connected_components
+
+    pairs = docs_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    vertices = t(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(
+        vertices, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+e2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.dst, reach.root FROM reach JOIN e2 ON e2.src = reach.node
 )
-SELECT doc_a, doc_b,
-       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERMS} AS est_jaccard
-FROM cands
-JOIN sigs sa ON doc_a = sa.doc_id
-JOIN sigs sb ON doc_b = sb.doc_id AND sa.p = sb.p
-GROUP BY doc_a, doc_b
+SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
 """
 
 
@@ -455,5 +501,8 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_fingerprint": QuerySpec(docs_fingerprint, _FINGERPRINT_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, _NGRAM_JACCARD_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_minhash_lsh": QuerySpec(docs_minhash_lsh, _MINHASH_SQL, ("OP-X-DEDUP-NEAR",)),
+    "docs_dup_clusters": QuerySpec(
+        docs_dup_clusters, _CLUSTERS_SQL, ("OP-X-DEDUP-NEAR", "OP-X-ITER")
+    ),
     "docs_simhash": QuerySpec(docs_simhash, _SIMHASH_SQL, ("OP-X-DEDUP-NEAR",)),
 }

@@ -192,7 +192,42 @@ WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6-style, through the SQL API: the engine's spark.sql surface
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implemented via ``spark.sql`` over registered temp views — the same
+    catalog plan is reachable through either API (Catalyst compiles both to
+    the identical physical plan)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+                 AS forecast_revenue,
+               COUNT(*) AS n_lines
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+        """
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+         AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL, ("OP-AGG-SUM", "OP-FIL-TIME")),
     "q7_nation_trade": QuerySpec(q7_nation_trade, _Q7_SQL, ("OP-JOIN-ENRICH", "OP-AGG-SUM")),
     "q10_returned_revenue": QuerySpec(
         q10_returned_revenue, _Q10_SQL, ("OP-JOIN-ENRICH", "OP-SORT-LIMIT", "OP-FIL-CHOICE")
