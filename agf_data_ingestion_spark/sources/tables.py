@@ -34,7 +34,8 @@ def table_path(warehouse: str, name: str) -> str:
 
 
 def testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {
-        t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-        for t in TESTDATA_TABLES
-    }
+    # route through the catalog loader: events ships nanosecond parquet
+    # timestamps that need the ns-aware read path (plans/base.py)
+    from agf_data_ingestion_spark.plans.base import t as _t
+
+    return {name: _t(spark, sf_dir, name) for name in TESTDATA_TABLES}
