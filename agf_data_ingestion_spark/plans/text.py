@@ -393,6 +393,44 @@ est AS (
 _MINHASH_SQL = f"WITH {_MINHASH_CTES} SELECT * FROM est"
 
 
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·(N/df) — the rational
+    (log-free) TF-IDF variant so both engines compute exact integer-derived
+    doubles (ln() is not correctly-rounded and differs across libms)."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny driver-side scalar, pinned into the plan
+    tokens = d.select("doc_id", F.explode(_words()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tokens.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.lit(n_docs).cast("double") / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rn").cast("int").alias("term_rank"))
+    )
+
+
+_TFIDF_SQL = """
+WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token),
+scored AS (
+  SELECT doc_id, tf.token AS token,
+         tf * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+)
+SELECT doc_id, token, tfidf, CAST(rn AS INT) AS term_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the LSH candidate graph
 # ---------------------------------------------------------------------------
@@ -499,6 +537,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_text_stats": QuerySpec(docs_text_stats, _TEXT_STATS_SQL, ("OP-X-TEXT",)),
     "docs_lang_id": QuerySpec(docs_lang_id, _LANG_ID_SQL, ("OP-X-TEXT",)),
     "docs_fingerprint": QuerySpec(docs_fingerprint, _FINGERPRINT_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")),
+    "docs_tfidf_topterms": QuerySpec(docs_tfidf_topterms, _TFIDF_SQL, ("OP-X-TEXT",)),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, _NGRAM_JACCARD_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_minhash_lsh": QuerySpec(docs_minhash_lsh, _MINHASH_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_dup_clusters": QuerySpec(

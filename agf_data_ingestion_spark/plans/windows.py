@@ -169,6 +169,46 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 # ---------------------------------------------------------------------------
 
 
+def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one pass: lag/lead, frame-bounded
+    moving sum (exact decimal), rank/dense_rank/ntile over a unique total
+    order (OP-X-WINFRAME)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    wt = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lag("value").over(wt).alias("prev_value"),
+        F.lead("value").over(wt).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(wt.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("moving_sum3"),
+        F.rank().over(wv).cast("long").alias("value_rank"),
+        F.dense_rank().over(wv).cast("long").alias("value_dense_rank"),
+        F.ntile(4).over(wv).cast("long").alias("value_quartile"),
+    )
+
+
+_WINDOW_FUNCS_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       lag(value) OVER wt AS prev_value,
+       lead(value) OVER wt AS next_value,
+       CAST(SUM(CAST(value AS DECIMAL(25,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+       CAST(rank() OVER wv AS BIGINT) AS value_rank,
+       CAST(dense_rank() OVER wv AS BIGINT) AS value_dense_rank,
+       CAST(ntile(4) OVER wv AS BIGINT) AS value_quartile
+FROM events
+WHERE user_id < 20
+WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+       wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+"""
+
+
 def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe grouped aggregation (OP-X-SKEW): the salted two-phase
     plan must produce exactly the plain GROUP BY result — the oracle IS the
@@ -202,6 +242,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL, ("OP-X-SESSION", "OP-STRM-LATE")),
     "lineitem_rollup": QuerySpec(lineitem_rollup, _ROLLUP_SQL, ("OP-X-ROLLUP",)),
     "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
+    "events_window_funcs": QuerySpec(
+        events_window_funcs, _WINDOW_FUNCS_SQL, ("OP-X-WINFRAME", "OP-WIN-DEDUPNAME")
+    ),
     "events_salted_type_counts": QuerySpec(
         events_salted_type_counts, _SALTED_SQL, ("OP-X-SKEW", "OP-AGG-SUM")
     ),
