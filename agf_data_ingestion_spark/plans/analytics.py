@@ -564,7 +564,111 @@ WHERE event_type = 'purchase' AND props NOT LIKE '%/' AND props NOT LIKE '%.DS_S
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact median via windowing (deterministic cross-engine, unlike
+# interpolated percentile whose formula/rounding is engine-specific)
+# ---------------------------------------------------------------------------
+
+
+def events_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    odd_mid = (F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))
+    even_mid = (F.col("n") % 2 == 0) & (
+        (F.col("rn") == F.expr("n div 2")) | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    mid = ranked.filter(odd_mid | even_mid)
+    return mid.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")
+        ).alias("median_value")
+    )
+
+
+_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+mid AS (
+  SELECT * FROM ranked
+  WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+     OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+)
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS median_value
+FROM mid GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+def custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = building.intersect(with_orders).select(
+        F.col("c_custkey"), F.lit("building_with_orders").alias("tag")
+    )
+    only = building.exceptAll(with_orders.distinct()).select(
+        F.col("c_custkey"), F.lit("building_no_orders").alias("tag")
+    )
+    return both.unionByName(only)
+
+
+_SETOPS_SQL = """
+SELECT c_custkey, 'building_with_orders' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'building_no_orders' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Native pivot (groupBy().pivot() — relational PIVOT surface)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def events_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"))
+        .select(
+            "user_id", *[F.coalesce(F.col(c), F.lit(0.0)).alias(f"{c}_value") for c in _EVENT_TYPES]
+        )
+    )
+
+
+_PIVOT_NATIVE_SQL = "SELECT user_id, " + ", ".join(
+    f"COALESCE(CAST(SUM(CASE WHEN event_type = '{c}' THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS {c}_value"
+    for c in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_median_value": QuerySpec(events_median_value, _MEDIAN_SQL, ("OP-X-APPROX", "OP-WIN-DEDUPNAME")),
+    "custkey_setops": QuerySpec(custkey_setops, _SETOPS_SQL, ("OP-SET-UNION", "OP-JOIN-SEMI", "OP-JOIN-ANTI-S3")),
+    "events_pivot_native": QuerySpec(events_pivot_native, _PIVOT_NATIVE_SQL, ("OP-AGG-CONDCOUNT",)),
     "q1_pricing_summary": QuerySpec(
         q1_pricing_summary, _Q1_SQL, ("OP-AGG-SUM", "OP-AGG-COUNT", "OP-FIL-TIME", "OP-SRC-TABLE")
     ),
