@@ -185,51 +185,76 @@ SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.35
 # ---------------------------------------------------------------------------
 
 
-def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 8 sign bits bucket the corpus; queries
-    probe only their own bucket.  Seeded hyperplanes → deterministic output.
+_ANN_TABLES = 8
+_ANN_BITS = 4
 
-    Non-SQL-expressible (seeded hyperplane generation); the driver records
-    a rows-only check and tests/test_similarity.py asserts recall vs the
-    brute-force baseline.
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN: ``_ANN_TABLES`` independent
+    hash tables of ``_ANN_BITS`` sign bits each; a (query, vector) pair is
+    a candidate if ANY table buckets them together (recall compounds as
+    1-(1-p^bits)^tables), candidates are deduped before exact scoring so
+    each pair is scored once.  Seeded hyperplanes → deterministic output.
+
+    Probe cost ~ tables × bucket-size, independent of corpus size when bits
+    scale with log(corpus) — the 100 TB path.  Non-SQL-expressible (seeded
+    hyperplane generation); the driver records a rows-only check and
+    tests/test_similarity.py asserts recall vs the brute-force baseline.
     """
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.randn(8, _DIM)  # deterministic
+    planes = rng.randn(_ANN_TABLES, _ANN_BITS, _DIM)  # deterministic
     e = t(spark, sf_dir, "embeddings")
 
-    def sign_bits(arr: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(arr, F.array(*[F.lit(float(v)) for v in planes[j]])) >= 0, "1"
-            ).otherwise("0")
-            for j in range(planes.shape[0])
-        ]
-        return F.concat(*bits)
+    def table_buckets(arr: Column) -> Column:
+        """array of 'table:bits' bucket keys, one per hash table."""
+        entries = []
+        for ti in range(_ANN_TABLES):
+            bits = [
+                F.when(
+                    _dot(arr, F.array(*[F.lit(float(v)) for v in planes[ti][bi]])) >= 0,
+                    "1",
+                ).otherwise("0")
+                for bi in range(_ANN_BITS)
+            ]
+            entries.append(F.concat(F.lit(f"{ti}:"), *bits))
+        return F.array(*entries)
 
     v = e.select(
         "vec_id",
         "embedding",
-        sign_bits(F.col("embedding")).alias("bucket"),
+        F.explode(table_buckets(F.col("embedding"))).alias("bucket"),
+    )
+    corpus = v.select(F.col("bucket"), F.col("vec_id").alias("neighbor_id"))
+    queries = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("bucket"), F.col("vec_id").alias("query_id")
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a pair colliding in several tables is scored once
+    )
+    emb = e.select(
+        F.col("vec_id"),
+        F.col("embedding"),
         F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
     )
-    corpus = v.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_n"),
-        F.col("nrm").alias("nrm_n"),
-    )
-    queries = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("bucket").alias("bucket_q"),
+    qe = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
         F.col("nrm").alias("nrm_q"),
     )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
     sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
     scored = (
-        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("bucket_q"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cands.join(F.broadcast(qe), "query_id")
+        .join(F.broadcast(ne), "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

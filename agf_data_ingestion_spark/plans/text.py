@@ -38,17 +38,22 @@ def _words(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def _shingles(col: str = "text") -> F.Column:
-    """Distinct 3-word shingles; empty array for docs under 3 words."""
+def _shingles(col: str = "text", *, distinct: bool = True) -> F.Column:
+    """3-word shingles; empty array for docs under 3 words.
+
+    ``distinct=False`` skips ``array_distinct`` — it is O(n²) per array and
+    is a no-op for MinHash (min over a multiset == min over its set); only
+    set-cardinality consumers (Jaccard) need truly distinct shingles.
+    """
     w = _words(col)
     n = F.size(w)
     gram = lambda i: F.concat_ws(
         " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
     )
-    return F.when(
-        n >= 3,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), n - 2), gram)),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(F.sequence(F.lit(1), n - 2), gram)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
 
 
 _SHINGLES_SQL = """
@@ -288,7 +293,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
     h = F.md5("s")
-    hashed = d.select("doc_id", F.explode(_shingles()).alias("s")).select(
+    hashed = d.select("doc_id", F.explode(_shingles(distinct=False)).alias("s")).select(
         "doc_id",
         F.conv(F.substring(h, 1, 10), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(h, 11, 10), 16, 10).cast("long").alias("h2"),
