@@ -169,6 +169,29 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 # ---------------------------------------------------------------------------
 
 
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-counts operator (streaming/windowed.py) run
+    over a bounded input — Structured Streaming's unified model means the
+    identical function serves both; the oracle re-derives the tumbling
+    bucket arithmetic (OP-STRM-LATE's aggregation shape, batch-checked)."""
+    from agf_data_ingestion_spark.streaming.windowed import windowed_counts
+
+    e = t(spark, sf_dir, "events")
+    out = windowed_counts(e, time_col="ts", window="10 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").alias("win_start_s"),
+        "event_type",
+        "n_events",
+    )
+
+
+_TUMBLING_SQL = """
+SELECT (epoch_us(ts) // 1000000) // 600 * 600 AS win_start_s,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window surface in one pass: lag/lead, frame-bounded
     moving sum (exact decimal), rank/dense_rank/ntile over a unique total
@@ -242,6 +265,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL, ("OP-X-SESSION", "OP-STRM-LATE")),
     "lineitem_rollup": QuerySpec(lineitem_rollup, _ROLLUP_SQL, ("OP-X-ROLLUP",)),
     "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
+    "events_tumbling_windows": QuerySpec(
+        events_tumbling_windows, _TUMBLING_SQL, ("OP-STRM-LATE", "OP-STRM-TRIGGER")
+    ),
     "events_window_funcs": QuerySpec(
         events_window_funcs, _WINDOW_FUNCS_SQL, ("OP-X-WINFRAME", "OP-WIN-DEDUPNAME")
     ),
