@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import os
 import zipfile
 from collections.abc import Iterator
 
@@ -64,6 +65,7 @@ def _zip_group(
     pdf: pd.DataFrame,
     max_file_bytes: int = MAX_FILE_BYTES,
     max_batch_bytes: int = MAX_BATCH_BYTES,
+    output_dir: str | None = None,
 ) -> pd.DataFrame:
     group = pdf["export_group"].iloc[0]
     total = int(pdf["content"].map(len).sum())
@@ -85,6 +87,12 @@ def _zip_group(
             info = zipfile.ZipInfo(_dedup_name(base, seen), date_time=_ZIP_EPOCH)
             zf.writestr(info, bytes(row["content"]))
     data = buf.getvalue()
+    if output_dir:
+        # each group task writes its own artifact (the reference uploads
+        # one zip per request; here one file per group, cluster-parallel)
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, f"{group}.zip"), "wb") as fh:
+            fh.write(data)
     return pd.DataFrame(
         [[group, "ok", len(pdf), total, len(data), hashlib.sha256(data).hexdigest()]],
         columns=[f.name for f in ZIP_RESULT_SCHEMA.fields],
@@ -99,6 +107,7 @@ def export_zip_groups(
     content: Column,
     max_file_bytes: int = MAX_FILE_BYTES,
     max_batch_bytes: int = MAX_BATCH_BYTES,
+    output_dir: str | None = None,
 ) -> DataFrame:
     """One zip archive per export group (OP-UDF-ZIP).
 
@@ -112,7 +121,7 @@ def export_zip_groups(
         group.alias("export_group"), path.alias("path"), content.alias("content")
     )
     return prepared.groupBy("export_group").applyInPandas(
-        lambda pdf: _zip_group(pdf, max_file_bytes, max_batch_bytes),
+        lambda pdf: _zip_group(pdf, max_file_bytes, max_batch_bytes, output_dir),
         schema=ZIP_RESULT_SCHEMA,
     )
 

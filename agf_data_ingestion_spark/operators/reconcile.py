@@ -52,7 +52,7 @@ def list_storage_keys(
             F.url_decode(
                 F.regexp_replace(
                     F.regexp_replace(F.col("path"), "^file:/+", "/"),
-                    "^" + "/" + root.strip("/") + "/",
+                    "^" + "/" + os.path.abspath(root).strip("/") + "/",
                     "",
                 )
             ).alias("key"),

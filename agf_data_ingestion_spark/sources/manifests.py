@@ -31,9 +31,12 @@ from agf_data_ingestion_spark.schemas import (
 
 
 def _with_provenance(df: DataFrame, root: str, bucket: str) -> DataFrame:
-    # input_file_name() is a file:// URI; strip the data root to recover the
-    # bucket-relative key scheme raw/{instrument}/{Y}/{M}/{D}/...
-    root_norm = "/" + root.strip("/")
+    # input_file_name() is an absolute file:// URI; strip the data root to
+    # recover the bucket-relative key scheme raw/{instrument}/{Y}/{M}/{D}/...
+    # (abspath so relative roots — e.g. CLI usage — strip correctly)
+    import os as _os
+
+    root_norm = "/" + _os.path.abspath(root).strip("/")
     key = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
     key = F.url_decode(key)  # file URIs are percent-encoded (OP-STR-URLDEC)
     key = F.regexp_replace(key, "^" + root_norm + "/", "")

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Operational CLI — the reference's entry points as engine subcommands.
+
+    python scripts/agf_pipeline.py backfill  --lake <dir> --warehouse <dir>
+        [--file-type {all,run,experiment}] [--dry-run] [--now ISO]
+    python scripts/agf_pipeline.py stream    --lake <dir> --warehouse <dir>
+        [--checkpoint <dir>] [--max-files-per-trigger N]
+    python scripts/agf_pipeline.py reconcile --lake <dir> --warehouse <dir>
+        [--days N]
+    python scripts/agf_pipeline.py export    --warehouse <dir> --out <dir>
+        [--group-col instrument_id]
+
+Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
+--dry-run, summary counts), the EventBridge-triggered ingest (stream), the
+weekly reconciliation Lambda (reconcile, incremental --days window), and
+the zip-generator Lambda (export).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from agf_data_ingestion_spark.session import get_spark
+
+    s = get_spark("agf-pipeline")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_backfill(args) -> int:
+    from agf_data_ingestion_spark.streaming.ingest_stream import backfill
+
+    spark = _spark()
+    now = dt.datetime.fromisoformat(args.now) if args.now else None
+    if args.dry_run:
+        from agf_data_ingestion_spark.sources.manifests import (
+            read_experiment_manifests,
+            read_run_manifests,
+        )
+
+        n_run = read_run_manifests(spark, args.lake).count() if args.file_type in ("all", "run") else 0
+        n_exp = (
+            read_experiment_manifests(spark, args.lake).count()
+            if args.file_type in ("all", "experiment")
+            else 0
+        )
+        print(f"DRY RUN: would process {n_run} run.json + {n_exp} experiment.json manifests")
+        return 0
+    chk = args.checkpoint or os.path.join(args.warehouse, "_checkpoints")
+    backfill(spark, args.lake, args.warehouse, chk, file_type=args.file_type, now=now)
+    from agf_data_ingestion_spark.sources.tables import load_table
+
+    counts = {}
+    for name in ("sync_runs", "experiments", "file_inventory"):
+        path = os.path.join(args.warehouse, name)
+        counts[name] = load_table(spark, args.warehouse, name).count() if os.path.exists(path) else 0
+    print(f"backfill complete: {counts}")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from agf_data_ingestion_spark.streaming.ingest_stream import (
+        start_experiment_ingest,
+        start_run_ingest,
+    )
+
+    spark = _spark()
+    chk = args.checkpoint or os.path.join(args.warehouse, "_checkpoints")
+    q1 = start_run_ingest(
+        spark, args.lake, args.warehouse, chk,
+        max_files_per_trigger=args.max_files_per_trigger, available_now=args.available_now,
+    )
+    q2 = start_experiment_ingest(
+        spark, args.lake, args.warehouse, chk,
+        max_files_per_trigger=args.max_files_per_trigger, available_now=args.available_now,
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    return 0
+
+
+def cmd_reconcile(args) -> int:
+    from agf_data_ingestion_spark.operators.reconcile import (
+        format_report,
+        list_storage_keys,
+        reconcile,
+        tracked_keys,
+    )
+    from agf_data_ingestion_spark.sources.tables import load_table
+
+    spark = _spark()
+    cutoff = (
+        dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(days=args.days)
+        if args.days
+        else None
+    )
+    tables = {}
+    for name in ("file_inventory", "sync_runs", "experiments"):
+        path = os.path.join(args.warehouse, name)
+        if os.path.exists(path):
+            tables[name] = load_table(spark, args.warehouse, name)
+    res = reconcile(
+        list_storage_keys(spark, args.lake, cutoff=cutoff),
+        tracked_keys(tables, cutoff=cutoff),
+    )
+    print(format_report(res, dt.datetime.now(dt.timezone.utc).isoformat()))
+    return 0 if res.status == "in_sync" else 2
+
+
+def cmd_export(args) -> int:
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.export import export_zip_groups
+    from agf_data_ingestion_spark.sources.tables import load_table
+
+    spark = _spark()
+    inv = load_table(spark, args.warehouse, "file_inventory")
+    # content is stubbed from metadata here (real deployment: ranged reads
+    # of the object store inside the same group task)
+    results = export_zip_groups(
+        inv.withColumn("content", F.encode(F.col("s3_key"), "UTF-8")),
+        group=F.col(args.group_col),
+        path=F.col("file_path"),
+        content=F.col("content"),
+        output_dir=args.out,
+    ).collect()
+    for r in results:
+        print(f"{r['export_group']}: {r['status']} files={r['file_count']} zip={r['zip_bytes']}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("backfill")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--file-type", choices=["all", "run", "experiment"], default="all")
+    b.add_argument("--dry-run", action="store_true")
+    b.add_argument("--now")
+    b.add_argument("--checkpoint")
+    b.set_defaults(fn=cmd_backfill)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--checkpoint")
+    s.add_argument("--max-files-per-trigger", type=int)
+    s.add_argument("--available-now", action="store_true")
+    s.set_defaults(fn=cmd_stream)
+
+    r = sub.add_parser("reconcile")
+    r.add_argument("--lake", required=True)
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--days", type=int, default=0)
+    r.set_defaults(fn=cmd_reconcile)
+
+    e = sub.add_parser("export")
+    e.add_argument("--warehouse", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--group-col", default="instrument_id")
+    e.set_defaults(fn=cmd_export)
+
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
