@@ -26,6 +26,7 @@ from agf_data_ingestion_spark.plans import (
     similarity,
     text,
     tpch_extra,
+    training_data,
     windows,
 )
 
@@ -45,7 +46,16 @@ def _pinned_session(fn):
 
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (analytics, tpch_extra, text, similarity, ingest_queries, media, windows):
+for _mod in (
+    analytics,
+    tpch_extra,
+    text,
+    similarity,
+    ingest_queries,
+    media,
+    windows,
+    training_data,
+):
     for _name, _spec in _mod.QUERIES.items():
         QUERIES[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
 

@@ -1,0 +1,191 @@
+"""Training-data curation operators (§2.9 extension surface, the ops an
+LLM-data pipeline runs after dedup/quality): deterministic stratified
+sampling, token-budget packing, dedup-corpus materialization, and int8
+embedding quantization for memory-bounded ANN.
+
+Cross-engine notes: sampling uses md5-derived integers (Spark ``hash()`` is
+murmur3, DuckDB's is different — never use engine hash() in oracle-checked
+plans); quantization uses truncation casts (round() half-away vs half-even
+differs across engines); packing uses an exact integer running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (OP-X-SAMPLE): per-source rates, reproducible
+# ---------------------------------------------------------------------------
+
+_RATES = {"src0": 100, "src1": 50, "src2": 25}  # percent, per stratum
+_DEFAULT_RATE = 10
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep a per-source percentage of documents, chosen by a content-stable
+    hash (md5 of doc_id) — the same doc is kept/dropped on every run, on
+    every engine, regardless of partitioning (the property `sample()` and
+    rand() don't give you)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = F.lit(_DEFAULT_RATE)
+    for src, r in _RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "source", "lang", "n_chars")
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 <
+      CASE source
+        WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+        ELSE {_DEFAULT_RATE} END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing (OP-X-PACK): bin documents into ~fixed token budgets
+# ---------------------------------------------------------------------------
+
+_BUDGET = 2000  # tokens per pack
+
+
+def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents (in doc_id order, per language) to sequential packs
+    of ~_BUDGET whitespace tokens: pack = floor(running_token_count /
+    budget).  The streaming-friendly approximation of bin packing — one
+    window, no driver loop; exact integer arithmetic on both engines."""
+    d = t(spark, sf_dir, "documents")
+    tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(tokens).over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        tokens.alias("n_tokens"),
+        F.floor((cum - 1) / _BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+_PACKING_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(floor((SUM(len(string_split(text, ' ')))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - 1) / {_BUDGET}) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-corpus materialization (OP-X-DEDUP-NEAR end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def docs_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup flow's OUTPUT: cluster the LSH candidate graph,
+    keep the minimum doc_id of each cluster, return the surviving corpus
+    (what you'd actually train on)."""
+    from agf_data_ingestion_spark.plans.text import docs_dup_clusters
+
+    clusters = docs_dup_clusters(spark, sf_dir)
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    d = t(spark, sf_dir, "documents")
+    return d.join(survivors, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
+
+
+# reuse the cluster CTE machinery from text.py for the oracle
+def _deduped_sql() -> str:
+    from agf_data_ingestion_spark.plans.text import _CLUSTER_THRESHOLD, _MINHASH_CTES
+
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+e2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.dst, reach.root FROM reach JOIN e2 ON e2.src = reach.node
+),
+clusters AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (OP-X-QUANT): 4x memory for ANN at scale
+# ---------------------------------------------------------------------------
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max(|x|)/127,
+    q_i = trunc(x_i / scale).  Truncation (not round) keeps both engines
+    bit-agreed; reconstruction error <= scale.  Output: the quantized
+    vector stats + exact integer self-dot (what an int8 ANN kernel uses)."""
+    e = t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform("embedding", lambda x: (x.cast("double") / scale).cast("int"))
+    qdot = F.aggregate(
+        F.zip_with(q, q, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+        qdot.alias("q_self_dot"),
+        (F.sqrt(qdot.cast("double")) * scale).alias("l2_norm_approx"),
+    )
+
+
+_QUANT_SQL = """
+WITH prep AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) / scale) AS INT)) AS qv
+  FROM prep
+)
+SELECT vec_id, scale,
+       list_max(qv) AS q_max,
+       list_min(qv) AS q_min,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(qv, v -> CAST(v AS BIGINT) * v)),
+                   (a, b) -> a + b) AS q_self_dot,
+       sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                          list_transform(qv, v -> CAST(v AS BIGINT) * v)),
+                             (a, b) -> a + b) AS DOUBLE)) * scale AS l2_norm_approx
+FROM q
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_stratified_sample": QuerySpec(
+        docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
+    ),
+    "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
+    "docs_deduped_corpus": QuerySpec(
+        docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
+    ),
+    "emb_quantize_int8": QuerySpec(emb_quantize_int8, _QUANT_SQL, ("OP-X-QUANT", "OP-ARR-SUM")),
+}
