@@ -26,6 +26,7 @@ from agf_data_ingestion_spark.plans import (
     similarity,
     text,
     tpch_extra,
+    tpch_more,
     training_data,
     windows,
 )
@@ -49,6 +50,7 @@ QUERIES: dict[str, QuerySpec] = {}
 for _mod in (
     analytics,
     tpch_extra,
+    tpch_more,
     text,
     similarity,
     ingest_queries,

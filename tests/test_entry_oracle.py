@@ -23,6 +23,8 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q13_custdist",
+    "q21_sole_blame_supplier",
     "events_latest_per_user",
     "customers_without_orders",
     "docs_dedup_exact",
