@@ -265,9 +265,162 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN top-k (coarse-quantizer cells + nprobe; full SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+_IVF_NPROBE = 2
+#: quantization scale for centroid accumulation (2^20)
+_IVF_Q = 1048576.0
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: build coarse centroids as the per-``label``
+    mean embedding, assign every vector to its nearest centroid cell, probe
+    the ``_IVF_NPROBE`` nearest cells per query, and score exactly only
+    within probed cells.  Complements emb_ann_lsh_topk: data-dependent cells
+    (IVF) vs data-oblivious hyperplanes (LSH).
+
+    At 100 TB the cell assignment is one broadcast-map pass (centroid table
+    is tiny), candidate scoring touches nprobe/ncells of the corpus, and the
+    only shuffle is the per-query top-k window over candidates.
+
+    Cross-engine determinism: group means over float rows are order-
+    dependent in IEEE double, so each component is quantized to an integer
+    ``floor(v * 2^20)`` first — BIGINT sums are exact and order-independent,
+    and the final ``sum/count`` double division is identical in both
+    engines.  Distances then use the module's sequential-fold dot product.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dim_idx = list(range(_DIM))
+
+    # centroids: per-label quantized-mean vector (array<double>, length _DIM)
+    comp_means = [
+        (
+            F.sum(
+                F.floor(F.element_at("embedding", i + 1).cast("double") * _IVF_Q).cast("long")
+            ).cast("double")
+            / F.count("*")
+            / _IVF_Q
+        ).alias(f"m{i}")
+        for i in dim_idx
+    ]
+    cent = e.groupBy("label").agg(*comp_means)
+    cent = cent.select(
+        F.col("label").alias("cell"),
+        F.array(*[F.col(f"m{i}") for i in dim_idx]).alias("cvec"),
+    ).withColumn("cnrm", F.sqrt(_sq_norm(F.col("cvec"))))
+
+    v = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
+    )
+    cos_c = _dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    ranked = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cell", cos_c.alias("cos_c"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("crank") == 1).select(
+        F.col("cell"), F.col("vec_id").alias("neighbor_id")
+    )
+    probes = ranked.filter(
+        (F.col("crank") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("cell"), F.col("vec_id").alias("query_id"))
+
+    cands = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qe = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    ne = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    scored = (
+        cands.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_IVF_COMPS = ",\n         ".join(
+    f"CAST(SUM(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {_IVF_Q}) AS BIGINT)) AS DOUBLE)"
+    f" / COUNT(*) / {_IVF_Q} AS m{i}"
+    for i in range(_DIM)
+)
+_IVF_CVEC = "[" + ", ".join(f"m{i}" for i in range(_DIM)) + "]"
+
+_IVF_TOPK_SQL = f"""
+WITH cent0 AS (
+  SELECT label AS cell,
+         {_IVF_COMPS}
+  FROM embeddings GROUP BY label
+),
+cent AS (
+  SELECT cell, {_IVF_CVEC} AS cvec FROM cent0
+),
+centn AS (
+  SELECT cell, cvec, sqrt({_o_dot('cvec', 'cvec')}) AS cnrm FROM cent
+),
+v AS (
+  SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_o_dot('embedding', 'cvec')} / (nrm * cnrm) DESC, cell ASC
+         ) AS crank
+  FROM v, centn
+),
+assign AS (
+  SELECT cell, vec_id AS neighbor_id FROM ranked WHERE crank = 1
+),
+probes AS (
+  SELECT cell, vec_id AS query_id FROM ranked
+  WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+  FROM assign a
+  JOIN probes p ON a.cell = p.cell AND a.neighbor_id != p.query_id
+  JOIN v q ON p.query_id = q.vec_id
+  JOIN v n ON a.neighbor_id = n.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, None, ("OP-X-SIM-TOPK",)),
+    "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
 }

@@ -70,3 +70,29 @@ def test_ann_recall_vs_brute(spark):
     # every ANN result must be a real vector with sane cosine
     for q, ns in ann.items():
         assert q not in ns
+
+
+def test_ivf_recall_vs_brute(spark):
+    from agf_data_ingestion_spark.plans.similarity import emb_cosine_topk, emb_ivf_topk
+
+    brute = {}
+    for r in emb_cosine_topk(spark, SF).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    rows = emb_ivf_topk(spark, SF).collect()
+    for r in rows:
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # nprobe=2 of ~10 label cells: most true neighbors share the query's
+    # cell (labels correlate with embedding clusters in the testdata)
+    hits = sum(len(brute[q] & ivf.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert total > 0
+    assert hits / total >= 0.2, f"recall {hits}/{total}"
+    for q, ns in ivf.items():
+        assert q not in ns
+    # ranks are contiguous from 1 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
