@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +39,14 @@ def _seq_fold(arr: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-faithful to the DuckDB oracle).
+
+    Note: an unrolled ``0.0 + a[1]*b[1] + …`` chain was tried and is
+    WORSE — 2048-node expression trees exceed janino's method limits, fail
+    codegen, and the interpreted fallback is slower than this fold.  Keep
+    the fold for oracle-checked paths; truly hot non-oracle paths (ANN
+    bucketing) use an Arrow-vectorized pandas_udf instead.
+    """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return _seq_fold(prods)
 
@@ -200,26 +210,25 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with log(corpus) — the 100 TB path.  Non-SQL-expressible (seeded
     hyperplane generation); the driver records a rows-only check and
     tests/test_similarity.py asserts recall vs the brute-force baseline.
+
+    The 32 plane dots per vector are one numpy matmul inside an Arrow-
+    batched pandas_udf (no per-row interpreted folds — this projection is
+    the query's hot spot: |corpus| × tables × bits dot products).
     """
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.RandomState(42)
     planes = rng.randn(_ANN_TABLES, _ANN_BITS, _DIM)  # deterministic
+    plane_mat = planes.reshape(_ANN_TABLES * _ANN_BITS, _DIM).T  # (dim, 32)
+    bit_weights = 1 << np.arange(_ANN_BITS)
     e = t(spark, sf_dir, "embeddings")
 
-    def table_buckets(arr: Column) -> Column:
-        """array of 'table:bits' bucket keys, one per hash table."""
-        entries = []
-        for ti in range(_ANN_TABLES):
-            bits = [
-                F.when(
-                    _dot(arr, F.array(*[F.lit(float(v)) for v in planes[ti][bi]])) >= 0,
-                    "1",
-                ).otherwise("0")
-                for bi in range(_ANN_BITS)
-            ]
-            entries.append(F.concat(F.lit(f"{ti}:"), *bits))
-        return F.array(*entries)
+    @pandas_udf("array<string>")
+    def table_buckets(emb: pd.Series) -> pd.Series:
+        V = np.vstack(emb.to_numpy())  # (n, dim) float32
+        signs = (V.astype(np.float64) @ plane_mat) >= 0  # (n, tables*bits)
+        ints = (signs.reshape(len(V), _ANN_TABLES, _ANN_BITS) * bit_weights).sum(axis=2)
+        return pd.Series([[f"{ti}:{row[ti]}" for ti in range(_ANN_TABLES)] for row in ints])
 
     v = e.select(
         "vec_id",
