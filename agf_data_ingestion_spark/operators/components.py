@@ -42,12 +42,18 @@ def connected_components(
         F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for i in range(max_iter):
         nbr_min = (
             und.join(labels, und.a == labels.id)
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("component").alias("nbr"))
         )
+        # the convergence check rides the checkpoint job as an Observation
+        # (one job per round, not two: the old separate join+count doubled
+        # the per-round latency)
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
@@ -55,16 +61,15 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias(
                     "component"
                 ),
+                F.col("component").alias("_prev"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("component") != F.col("_prev")).cast("long")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_prev")
+        if obs.get["changed"] == 0:
             break
     return labels
