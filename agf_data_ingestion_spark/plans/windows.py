@@ -162,6 +162,42 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not a rollup/cube prefix family): totals by
+    (returnflag, linestatus), by (returnflag, ship-year), and the grand
+    total, with per-column grouping flags to disambiguate aggregated-away
+    nulls.  One shuffle: Spark expands the sets map-side and aggregates all
+    of them in a single Expand + HashAggregate pass."""
+    l = t(spark, sf_dir, "lineitem").withColumn(
+        "l_year", F.year("l_shipdate").cast("int")
+    )
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag", "l_year"], []],
+        "l_returnflag",
+        "l_linestatus",
+        "l_year",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.grouping("l_year").cast("int").alias("g_yr"),
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(GROUPING(CAST(year(l_shipdate) AS INT)) AS INT) AS g_yr,
+       COUNT(*) AS n, {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag, CAST(year(l_shipdate) AS INT)),
+                        ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates (OP-X-APPROX) — sketch outputs are engine-specific,
 # so the check is rows-only here; tests/test_windows.py bounds the error
@@ -265,6 +301,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, _SESSION_SQL, ("OP-X-SESSION", "OP-STRM-LATE")),
     "lineitem_rollup": QuerySpec(lineitem_rollup, _ROLLUP_SQL, ("OP-X-ROLLUP",)),
     "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
+    "lineitem_grouping_sets": QuerySpec(
+        lineitem_grouping_sets, _GROUPING_SETS_SQL, ("OP-X-ROLLUP", "OP-X-CUBE")
+    ),
     "events_tumbling_windows": QuerySpec(
         events_tumbling_windows, _TUMBLING_SQL, ("OP-STRM-LATE", "OP-STRM-TRIGGER")
     ),
