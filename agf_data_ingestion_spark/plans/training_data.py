@@ -126,6 +126,106 @@ WHERE c.doc_id = c.cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Repetition stats (OP-X-TEXT): Gopher-style rep-removal signals
+# ---------------------------------------------------------------------------
+
+_DUP_WORD_MAX = 0.55
+_TOP_BIGRAM_MAX = 0.05
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals used by rep-removal quality filters
+    (Gopher/RefinedWeb style): duplicate-word ratio, most-frequent-word and
+    most-frequent-bigram fractions, and the resulting keep/drop flag.
+
+    Shape: explode → two keyed aggregations (all codegen-friendly plain
+    aggs — no higher-order folds in the hot path); everything reduces
+    map-side first, so the shuffle carries (doc, term, count) partials, not
+    text.  Ratios are BIGINT/BIGINT → DOUBLE divisions — identical IEEE
+    ops in both engines.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    per_word = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    j = word_stats.join(bigram_stats, "doc_id")
+    dup_ratio = F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words")
+    top_word_frac = F.col("top_word_count") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram_count") / F.col("n_bigrams")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        dup_ratio.alias("dup_word_ratio"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((dup_ratio <= _DUP_WORD_MAX) & (top_bigram_frac <= _TOP_BIGRAM_MAX)).alias(
+            "passes_rep_filter"
+        ),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+per_word AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM w)
+  GROUP BY doc_id, word
+),
+word_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM per_word GROUP BY doc_id
+),
+per_bg AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM w)
+  GROUP BY doc_id, bigram
+),
+bigram_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM per_bg GROUP BY doc_id
+)
+SELECT ws.doc_id, n_words, n_distinct_words,
+       1.0 - n_distinct_words / n_words AS dup_word_ratio,
+       top_word_count / n_words AS top_word_frac,
+       top_bigram_count / n_bigrams AS top_bigram_frac,
+       (1.0 - n_distinct_words / n_words) <= {_DUP_WORD_MAX}
+         AND (top_bigram_count / n_bigrams) <= {_TOP_BIGRAM_MAX} AS passes_rep_filter
+FROM word_stats ws JOIN bigram_stats USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization (OP-X-QUANT): 4x memory for ANN at scale
 # ---------------------------------------------------------------------------
 
@@ -184,6 +284,9 @@ QUERIES: dict[str, QuerySpec] = {
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
     ),
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
+    "docs_repetition_stats": QuerySpec(
+        docs_repetition_stats, _REPETITION_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")
+    ),
     "docs_deduped_corpus": QuerySpec(
         docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
     ),
