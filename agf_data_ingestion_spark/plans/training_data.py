@@ -226,6 +226,77 @@ FROM word_stats ws JOIN bigram_stats USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Decontamination (OP-X-TEXT / OP-X-DEDUP-NEAR): eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 4  # shingle width, words (real pipelines use 8-13; the synthetic
+# corpus' short docs need 4 to produce a non-trivial contaminated set)
+_BENCH_DOCS = 10  # doc_id < _BENCH_DOCS plays the held-out benchmark set
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark contamination: flag corpus documents sharing
+    any word-``_CONTAM_N``-gram with the (small) benchmark set, with the
+    count of distinct shared shingles.  The standard decontamination pass
+    before training.
+
+    Scale shape: both sides shingle independently (explode over a sliding
+    slice — map-only); the join keys on an md5-derived shingle hash, and
+    the benchmark side is tiny → broadcast, so the corpus is never
+    shuffled.  Never ship shingle text: 16-hex-digit hashes only.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+
+    def shingles(df: DataFrame) -> DataFrame:
+        # guard: Spark's sequence(1, n) with n <= 0 counts DOWN (DuckDB's
+        # range is simply empty) — short docs must be dropped, not reversed
+        idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
+        gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
+        return (
+            df.filter(F.size("w") >= _CONTAM_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
+                ).alias("sh"),
+            )
+            .distinct()
+        )
+
+    corpus = shingles(d.filter(F.col("doc_id") >= _BENCH_DOCS))
+    bench = shingles(d.filter(F.col("doc_id") < _BENCH_DOCS)).select(
+        F.col("sh"), F.col("doc_id").alias("bench_doc_id")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("bench_doc_id").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+_CONTAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM w, unnest(range(1, len(w) - {_CONTAM_N - 2})) AS t(i)
+),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {_BENCH_DOCS}),
+bench AS (SELECT doc_id AS bench_doc_id, sh FROM sh WHERE doc_id < {_BENCH_DOCS})
+SELECT c.doc_id,
+       COUNT(DISTINCT c.sh) AS n_shared_shingles,
+       COUNT(DISTINCT b.bench_doc_id) AS n_bench_docs_hit
+FROM corpus c JOIN bench b USING (sh)
+GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization (OP-X-QUANT): 4x memory for ANN at scale
 # ---------------------------------------------------------------------------
 
@@ -286,6 +357,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
     "docs_repetition_stats": QuerySpec(
         docs_repetition_stats, _REPETITION_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")
+    ),
+    "docs_contamination": QuerySpec(
+        docs_contamination, _CONTAM_SQL, ("OP-X-TEXT", "OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
     ),
     "docs_deduped_corpus": QuerySpec(
         docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
