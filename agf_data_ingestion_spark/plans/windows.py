@@ -162,6 +162,39 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (view → click within 4 h, per user) via
+    the streaming ``interval_join`` operator run on bounded input — the
+    unified-model batch twin of the watermarked stream-stream join.  All
+    comparisons and outputs in epoch-µs (the cross-engine-faithful events
+    precision)."""
+    from agf_data_ingestion_spark.streaming.windowed import interval_join
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    clicks = e.filter(F.col("event_type") == "click")
+    j = interval_join(views, clicks, key="user_id", max_delay="4 hours")
+    return j.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.ts_us").alias("view_ts_us"),
+        (F.col("r.ts_us") - F.col("l.ts_us")).alias("delay_us"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(v.ts)
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + 14400000000
+"""
+
+
 def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (not a rollup/cube prefix family): totals by
     (returnflag, linestatus), by (returnflag, ship-year), and the grand
@@ -303,6 +336,9 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_cube": QuerySpec(orders_cube, _CUBE_SQL, ("OP-X-CUBE",)),
     "lineitem_grouping_sets": QuerySpec(
         lineitem_grouping_sets, _GROUPING_SETS_SQL, ("OP-X-ROLLUP", "OP-X-CUBE")
+    ),
+    "events_interval_join": QuerySpec(
+        events_interval_join, _INTERVAL_JOIN_SQL, ("OP-X-RANGE", "OP-STRM-LATE")
     ),
     "events_tumbling_windows": QuerySpec(
         events_tumbling_windows, _TUMBLING_SQL, ("OP-STRM-LATE", "OP-STRM-TRIGGER")

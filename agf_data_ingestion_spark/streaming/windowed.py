@@ -67,6 +67,37 @@ def dedup_within_watermark(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "8 days",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    right events of the same key that happen in ``[left_time, left_time +
+    max_delay]``.  The classic attribution join (view → click within N
+    minutes).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store evicts rows once the watermark passes
+    their join horizon — state is O(events inside the horizon), not O(the
+    stream).  On batch inputs the same function is a plain range join
+    (unified model; the batch twin is the oracle-checked catalog query).
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def observed(df: DataFrame, name: str = "ingest") -> tuple[DataFrame, Observation]:
     """Attach the reference's per-batch counters ({processed, errors}) as an
     ``Observation`` — metrics are collected during the action itself."""

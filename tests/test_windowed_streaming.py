@@ -125,6 +125,78 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ks) == ["dup", "uniq"]
 
 
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (view→click within 15 min per key):
+    matches emit from the availableNow run, and the identical function on
+    batch inputs returns the same pairs (unified model)."""
+    from agf_data_ingestion_spark.streaming.windowed import interval_join
+
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    chk, out_dir = str(tmp_path / "chk_ij"), str(tmp_path / "out_ij")
+    _write(vsrc, "v.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "view", "k": "u1"},
+        {"ts": "2024-01-01 12:00:00", "event_type": "view", "k": "u2"},
+    ])
+    _write(csrc, "c.json", [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "k": "u1"},  # match
+        {"ts": "2024-01-01 10:20:00", "event_type": "click", "k": "u1"},  # too late
+        {"ts": "2024-01-01 12:10:00", "event_type": "click", "k": "u2"},  # match
+        {"ts": "2024-01-01 12:05:00", "event_type": "click", "k": "u9"},  # wrong key
+    ])
+
+    def read(src):
+        return (
+            spark.readStream.schema(SCHEMA).json(src)
+            .select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        )
+
+    joined = interval_join(
+        read(vsrc), read(csrc), key="k", max_delay="15 minutes", watermark="1 hour"
+    ).select(
+        F.col("l.k").alias("k"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+    def sink(batch, batch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], str(r["view_ts"]), str(r["click_ts"]))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    expect = [
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+        ("u2", "2024-01-01 12:00:00", "2024-01-01 12:10:00"),
+    ]
+    assert got == expect
+
+    # unified model: the same operator over batch inputs gives the same pairs
+    def read_batch(src):
+        return (
+            spark.read.schema(SCHEMA).json(src)
+            .select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        )
+
+    batch = interval_join(
+        read_batch(vsrc), read_batch(csrc), key="k", max_delay="15 minutes", watermark="1 hour"
+    ).select(
+        F.col("l.k").alias("k"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+    assert sorted((r["k"], str(r["view_ts"]), str(r["click_ts"])) for r in batch.collect()) == expect
+
+
 def test_observe_metrics(spark):
     df = spark.range(10).withColumn("_valid", F.col("id") % 3 != 0)
     out, obs = observed(df)
