@@ -51,13 +51,29 @@ def upsert_append(
     *,
     partition_by: list[str] | None = None,
     prune: Column | None = None,
+    lock: bool = False,
+    lock_wait_s: float = 30.0,
 ) -> None:
     """Append only key-combinations not already present (idempotent).
 
     ``prune``: optional predicate over the existing table used to narrow
     the anti-join's right side (e.g. ``col('date') >= lit(batch_min_date)``
     on a date-partitioned table → partition pruning).
+
+    ``lock=True`` serializes the read-keys → anti-join → append cycle
+    against other lock-honoring writers via operators/locking.table_lock,
+    closing the concurrent-duplicate window the plain-Parquet sink
+    otherwise has (see locking.py; streaming foreachBatch callers are
+    already serialized per query and don't need it).
     """
+    if lock:
+        from agf_data_ingestion_spark.operators.locking import table_lock
+
+        with table_lock(path, wait_s=lock_wait_s):
+            upsert_append(
+                df, path, keys, partition_by=partition_by, prune=prune, lock=False
+            )
+        return
     spark = df.sparkSession
     batch = df.dropDuplicates(keys)
     if _table_exists(spark, path):
