@@ -46,7 +46,7 @@ def _pinned_session(fn):
     return wrapped
 
 
-QUERIES: dict[str, QuerySpec] = {}
+_ALL: dict[str, QuerySpec] = {}
 for _mod in (
     analytics,
     tpch_extra,
@@ -59,6 +59,77 @@ for _mod in (
     training_data,
 ):
     for _name, _spec in _mod.QUERIES.items():
-        QUERIES[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
+        _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
+
+# The driver records correctness for only the first ~50 catalog entries, so
+# dict order is the witness budget (VERDICT.md r1 "Next round" #2).  Front-load
+# (a) every query the round-1 driver did NOT record — above all the ingest_*
+# reference-parity path — and (b) queries whose plans changed this round, so
+# the driver re-certifies them.  Everything else was driver-green in r01 and
+# keeps local-replica coverage via scripts/check_oracle.py.
+_PRIORITY = [
+    # reference-parity ingest path (agf_ingestion_lambda.py semantics)
+    "ingest_sync_runs",
+    "ingest_file_inventory_run",
+    "ingest_experiments",
+    "ingest_file_inventory_exp",
+    "ingest_enriched_inventory",
+    "ingest_quarantine_stats",
+    "ingest_reconcile_orphans",
+    # unwitnessed relational / window / streaming-twin queries
+    "lineitem_rollup",
+    "orders_cube",
+    "lineitem_grouping_sets",
+    "events_asof_click",
+    "events_interval_join",
+    "events_value_bands",
+    "events_sessionize",
+    "events_tumbling_windows",
+    "events_window_funcs",
+    "events_salted_type_counts",
+    "events_approx_stats",
+    # unwitnessed similarity / training-data / media queries
+    "emb_ivf_topk",
+    "emb_ann_lsh_topk",
+    "emb_neardup_by_label",
+    "emb_quantize_int8",
+    "docs_stratified_sample",
+    "docs_token_packing",
+    "docs_repetition_stats",
+    "docs_contamination",
+    "docs_deduped_corpus",
+    "docs_multimodal_meta",
+    "docs_media_features",
+    "docs_frame_samples",
+    "docs_presigned_urls",
+    "docs_export_zip",
+    # plans changed this round — re-certify under the driver
+    "docs_neardup_verified",
+    "docs_minhash_lsh",
+    "docs_dup_clusters",
+    "docs_ngram_jaccard",
+    # flagship subset of the r01-green suite
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_sole_blame_supplier",
+    "emb_cosine_topk",
+    "docs_dedup_exact",
+    "docs_simhash",
+    "docs_token_topk",
+    "docs_text_stats",
+    "docs_lang_id",
+    "docs_tfidf_topterms",
+    "docs_fingerprint",
+    "events_latest_per_user",
+    "events_daily_rollup",
+]
+
+QUERIES: dict[str, QuerySpec] = {}
+for _name in _PRIORITY:
+    if _name in _ALL:
+        QUERIES[_name] = _ALL[_name]
+for _name, _spec in _ALL.items():
+    QUERIES.setdefault(_name, _spec)
 
 __all__ = ["QUERIES", "QuerySpec"]

@@ -146,9 +146,31 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 # ---------------------------------------------------------------------------
 
 
-def emb_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: cells larger than this are grid-salted so no single join task goes
+#: quadratic on a skewed label (VERDICT.md r1 "What's wrong" #4)
+_NEARDUP_SALT_THRESHOLD = 2000
+_NEARDUP_SALT_G = 8
+
+
+def emb_neardup_by_label(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    salt_threshold: int = _NEARDUP_SALT_THRESHOLD,
+    salt_g: int = _NEARDUP_SALT_G,
+) -> DataFrame:
     """Candidate near-duplicate pairs: block on ``label`` (the IVF-style
-    coarse partition), score cosine within blocks, keep pairs >= 0.35."""
+    coarse partition), score cosine within blocks, keep pairs >= 0.35.
+
+    Skew cap: a single hot label makes the within-block self-join quadratic
+    in ONE task.  Cells above ``salt_threshold`` rows are split into a
+    ``salt_g`` × ``salt_g`` grid — each row gets a deterministic md5 bucket,
+    side A is replicated across the grid's columns and side B across its
+    rows, and the join key becomes (label, i, j).  Every pair still meets in
+    exactly one grid task (the one keyed by its two buckets), so the result
+    set is IDENTICAL to the naive self-join — only the physical task sizes
+    change, bounded by (cell/g)².  Small cells keep g=1 (no replication).
+    """
     e = t(spark, sf_dir, "embeddings")
     v = e.select(
         "label",
@@ -156,21 +178,42 @@ def emb_neardup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
     )
-    a = v.select(
+    sizes = v.groupBy("label").agg(F.count("*").alias("cell_n"))
+    g = F.when(F.col("cell_n") > salt_threshold, F.lit(salt_g)).otherwise(F.lit(1))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % g
+    ).cast("int")
+    vg = v.join(F.broadcast(sizes), "label").select(
+        "label", "vec_id", "embedding", "nrm", g.alias("g"), bucket.alias("bkt")
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+    a = vg.select(
         F.col("label"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
+        F.col("bkt").alias("gi"),
+        grid.alias("gj"),
     )
-    b = v.select(
+    b = vg.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        grid.alias("gi_b"),
+        F.col("bkt").alias("gj_b"),
     )
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        # both sides are corpus-sized — force the shuffle join on the grid key
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("label") == F.col("label_b"))
+            & (F.col("gi") == F.col("gi_b"))
+            & (F.col("gj") == F.col("gj_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", "label", sim.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
@@ -250,7 +293,10 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
     )
-    qe = emb.select(
+    # queries: tiny, filtered BEFORE the broadcast.  corpus side: shuffle
+    # hash join on neighbor_id — broadcasting every corpus vector would
+    # defeat the LSH bucketing at scale (VERDICT.md r1 "What's wrong" #2).
+    qe = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
         F.col("nrm").alias("nrm_q"),
@@ -263,7 +309,7 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
     scored = (
         cands.join(F.broadcast(qe), "query_id")
-        .join(F.broadcast(ne), "neighbor_id")
+        .join(ne.hint("shuffle_hash"), "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -349,7 +395,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    qe = v.select(
+    qe = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_q"),
         F.col("nrm").alias("nrm_q"),

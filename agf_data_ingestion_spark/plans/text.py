@@ -287,11 +287,15 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted higher-order array fold ≈ 8.5 s, shingle×perm explode with
     per-perm md5 ≈ 11 s, this shape ≈ 5 s.)
     """
-    # a single-file corpus scans as one partition — spread rows so the
-    # hash work parallelizes; this shuffle moves only the raw documents
-    d = t(spark, sf_dir, "documents").repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    # A single-file small corpus scans as one partition — spread rows so the
+    # hash work parallelizes.  At scale the scan already yields >=cores
+    # partitions (spark.sql.files.maxPartitionBytes splits big inputs), and
+    # round-robining the raw text through an exchange would be pure waste —
+    # so only repartition when the scan is narrower than the parallelism.
+    d = t(spark, sf_dir, "documents")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     h = F.md5("s")
     hashed = d.select("doc_id", F.explode(_shingles(distinct=False)).alias("s")).select(
         "doc_id",
@@ -317,6 +321,11 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate comes from comparing the two signature arrays directly.  The
     signature table is consumed three times (banding + both sides of the
     estimate join) → cache it so the hash fold runs once.
+
+    The estimate join is a SHUFFLE hash join on doc_id, never a broadcast:
+    the signature table is one row per *document* (corpus-sized — >100 GB at
+    10^9 docs), so broadcasting it would OOM the driver at scale, while
+    shuffling 16 longs/doc is cheap (VERDICT.md r1 "What's wrong" #1).
     """
     sigs = _minhash_sigs(spark, sf_dir).cache()
     bands = sigs.select(
@@ -337,7 +346,10 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bsig")
-    a, b = bands.alias("a"), bands.alias("b")
+    # the band bucket-join is corpus-sized on BOTH sides (4 rows/doc) —
+    # force the shuffle plan; small-sf size estimates would statically
+    # pick a broadcast that cannot exist at 10^9 docs
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     cands = (
         a.join(
             b,
@@ -354,8 +366,8 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
-        cands.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", (n_equal.cast("double") / _N_PERMS).alias("est_jaccard"))
     )
 
@@ -396,6 +408,72 @@ est AS (
 )"""
 
 _MINHASH_SQL = f"WITH {_MINHASH_CTES} SELECT * FROM est"
+
+
+def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → exact-verify end to end over the FULL corpus (the scale path
+    for n-gram Jaccard; VERDICT.md r1 "Next round" #6).
+
+    MinHash-LSH proposes candidate pairs; each candidate is then re-scored
+    with exact 3-gram Jaccard.  Only shingles of candidate documents are
+    joined (the candidate join semi-reduces the shingle table), so the
+    exact verification costs O(|candidates| × shingles/doc), never O(n²).
+    All joins are shuffle joins on doc ids — nothing corpus-sized is
+    broadcast.  A zero-overlap candidate (band collision) keeps a row with
+    jaccard 0.0 via the left join.
+    """
+    est = docs_minhash_lsh(spark, sf_dir)
+    sh = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    # the indicator column comes from the RIGHT side: in a left join the
+    # output "s" join key is always the left value, so count("s") would
+    # count every doc_a shingle, matched or not.  est_jaccard rides through
+    # the groupBy (functionally dependent on the pair) so the LSH pipeline
+    # is planned once, not re-joined.
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s", F.lit(1).alias("hit"))
+    inter = (
+        est.join(sh_a.hint("shuffle_hash"), "doc_a")
+        .join(sh_b.hint("shuffle_hash"), ["doc_b", "s"], "left")
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count("hit").alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza.hint("shuffle_hash"), "doc_a")
+        .join(szb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_NEARDUP_VERIFIED_SQL = f"""
+WITH {_MINHASH_CTES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT est.doc_a, est.doc_b, COUNT(sb2.s) AS inter
+  FROM est
+  JOIN sh sa2 ON est.doc_a = sa2.doc_id
+  LEFT JOIN sh sb2 ON est.doc_b = sb2.doc_id AND sa2.s = sb2.s
+  GROUP BY est.doc_a, est.doc_b
+)
+SELECT i.doc_a, i.doc_b, est.est_jaccard,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN est ON i.doc_a = est.doc_a AND i.doc_b = est.doc_b
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+"""
 
 
 def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +623,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_tfidf_topterms": QuerySpec(docs_tfidf_topterms, _TFIDF_SQL, ("OP-X-TEXT",)),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, _NGRAM_JACCARD_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_minhash_lsh": QuerySpec(docs_minhash_lsh, _MINHASH_SQL, ("OP-X-DEDUP-NEAR",)),
+    "docs_neardup_verified": QuerySpec(
+        docs_neardup_verified, _NEARDUP_VERIFIED_SQL, ("OP-X-DEDUP-NEAR",)
+    ),
     "docs_dup_clusters": QuerySpec(
         docs_dup_clusters, _CLUSTERS_SQL, ("OP-X-DEDUP-NEAR", "OP-X-ITER")
     ),

@@ -72,6 +72,54 @@ def test_ann_recall_vs_brute(spark):
         assert q not in ns
 
 
+def test_neardup_grid_salt_identical_on_skewed_cells(spark, tmp_path):
+    """The grid salt is a physical redistribution only: on a fixture with one
+    hot label (well above the salt threshold) the salted plan must return the
+    exact same pair set and cosines as the unsalted self-join."""
+    import pandas as pd
+
+    from agf_data_ingestion_spark.plans.similarity import emb_neardup_by_label
+
+    rng = np.random.RandomState(7)
+    n_hot, n_cold, dim = 240, 30, 16
+    base = rng.randn(dim)
+    rows = []
+    for i in range(n_hot):  # hot label: correlated vectors → many pairs
+        rows.append((i, (base + 0.7 * rng.randn(dim)).astype(np.float32), 0))
+    for i in range(n_cold):
+        rows.append((n_hot + i, rng.randn(dim).astype(np.float32), 1 + i % 3))
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].tolist() for r in rows],
+         "label": [r[2] for r in rows]}
+    )
+    sf_dir = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(pdf, schema=pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]))
+    pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")
+
+    def rows_of(df):
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["label"], round(r["cosine"], 12))
+            for r in df.collect()
+        )
+
+    naive = rows_of(
+        emb_neardup_by_label(spark, sf_dir, salt_threshold=10**9, salt_g=1)
+    )
+    salted = rows_of(
+        emb_neardup_by_label(spark, sf_dir, salt_threshold=100, salt_g=4)
+    )
+    assert len(naive) > 0
+    assert salted == naive
+
+
 def test_ivf_recall_vs_brute(spark):
     from agf_data_ingestion_spark.plans.similarity import emb_cosine_topk, emb_ivf_topk
 
