@@ -21,13 +21,20 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import shutil
 import socket
 import time
 import uuid
+import warnings
 
 
 class TableLockedError(RuntimeError):
     """The table is locked by another writer and the wait budget expired."""
+
+
+class LockBrokenWarning(UserWarning):
+    """This holder's lock was broken (stale TTL) while it was still working;
+    the release left the new holder's lock untouched."""
 
 
 def _lock_dir(table_path: str) -> str:
@@ -40,6 +47,51 @@ def _read_meta(lockdir: str) -> dict:
             return json.load(fh)
     except Exception:
         return {}
+
+
+def _acquire_once(lockdir: str, meta: dict) -> bool:
+    """Atomically acquire: stage owner.json in a temp dir, then ``rename``
+    into place.  POSIX ``rename(dir, dst)`` succeeds only if ``dst`` is
+    absent (a held lock is never empty under this protocol, so a non-absent
+    dst always fails with ENOTEMPTY/EEXIST) — acquisition and its metadata
+    are therefore a single atomic step; no observer can ever see a lock
+    directory without its owner.json (the round-1 stale-break race)."""
+    tmp = f"{lockdir}.tmp-{meta['token']}"
+    os.mkdir(tmp)
+    with open(os.path.join(tmp, "owner.json"), "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.rename(tmp, lockdir)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+
+
+def _remove_if_token(lockdir: str, token: str) -> bool:
+    """Atomically remove ``lockdir`` iff its owner token is ``token``.
+
+    The directory is first renamed to a private trash name (atomic — after
+    this no other process can see or acquire-over it), the trashed
+    owner.json is then the authoritative copy: matching token → delete;
+    mismatch → we raced with a hand-off, rename the lock back untouched.
+    Returns True when the matching lock was removed."""
+    trash = f"{lockdir}.trash-{uuid.uuid4()}"
+    try:
+        os.rename(lockdir, trash)
+    except OSError:
+        return False  # already gone / already re-acquired
+    if _read_meta(trash).get("token") == token:
+        shutil.rmtree(trash, ignore_errors=True)
+        return True
+    # raced: someone else's fresh lock — put it back where it was
+    try:
+        os.rename(trash, lockdir)
+    except OSError:
+        # a third contender acquired in the interim; their lock stands, the
+        # trashed one is dropped (its holder will see LockBrokenWarning)
+        shutil.rmtree(trash, ignore_errors=True)
+    return False
 
 
 @contextlib.contextmanager
@@ -61,42 +113,43 @@ def table_lock(
     lockdir = _lock_dir(table_path)
     os.makedirs(os.path.dirname(os.path.abspath(lockdir)) or ".", exist_ok=True)
     token = str(uuid.uuid4())
+    my_meta = {
+        "token": token,
+        "host": socket.gethostname(),
+        "pid": os.getpid(),
+        "acquired_at": time.time(),
+    }
     deadline = time.monotonic() + wait_s
     while True:
-        try:
-            os.mkdir(lockdir)  # atomic-exclusive
+        my_meta["acquired_at"] = time.time()
+        if _acquire_once(lockdir, my_meta):
             break
-        except FileExistsError:
-            meta = _read_meta(lockdir)
-            ts = meta.get("acquired_at", 0)
-            if ts and time.time() - ts > stale_after_s:
-                # stale holder: break the lock, then re-contend (another
-                # waiter may win the subsequent mkdir — that's fine)
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(lockdir, "owner.json"))
-                with contextlib.suppress(OSError):
-                    os.rmdir(lockdir)
-                continue
-            if time.monotonic() >= deadline:
-                raise TableLockedError(
-                    f"{table_path} locked by {meta.get('host', '?')}:"
-                    f"{meta.get('pid', '?')} since {ts}"
-                ) from None
-            time.sleep(poll_s)
+        meta = _read_meta(lockdir)
+        ts = meta.get("acquired_at", 0)
+        if ts and time.time() - ts > stale_after_s:
+            # stale holder (crashed writer): remove THAT specific lock —
+            # token-guarded + atomic, so a concurrent breaker/acquirer
+            # can never have its fresh lock collateral-deleted — then
+            # re-contend (another waiter may win; that's fine)
+            _remove_if_token(lockdir, meta.get("token"))
+            continue
+        if time.monotonic() >= deadline:
+            raise TableLockedError(
+                f"{table_path} locked by {meta.get('host', '?')}:"
+                f"{meta.get('pid', '?')} since {ts}"
+            ) from None
+        time.sleep(poll_s)
     try:
-        with open(os.path.join(lockdir, "owner.json"), "w") as fh:
-            json.dump(
-                {
-                    "token": token,
-                    "host": socket.gethostname(),
-                    "pid": os.getpid(),
-                    "acquired_at": time.time(),
-                },
-                fh,
-            )
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(os.path.join(lockdir, "owner.json"))
-        with contextlib.suppress(OSError):
-            os.rmdir(lockdir)
+        # release only OUR lock: if the TTL elapsed mid-write and another
+        # writer broke + re-acquired, their lock must stand
+        if _read_meta(lockdir).get("token") == token:
+            _remove_if_token(lockdir, token)
+        else:
+            warnings.warn(
+                f"lock on {table_path} was broken while held "
+                f"(exceeded stale_after_s={stale_after_s}); not releasing",
+                LockBrokenWarning,
+                stacklevel=2,
+            )

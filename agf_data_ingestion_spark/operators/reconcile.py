@@ -49,16 +49,20 @@ def list_storage_keys(
         .option("recursiveFileLookup", "true")
         .load(os.path.join(root, prefix.strip("/")))
         .select(
-            F.url_decode(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("path"), "^file:/+", "/"),
-                    "^" + "/" + os.path.abspath(root).strip("/") + "/",
-                    "",
-                )
-            ).alias("key"),
+            F.regexp_replace(F.col("path"), "^file:/+", "/").alias("abs_path"),
             F.col("modificationTime").alias("modified_at"),
         )
     )
+    # percent-decode FIRST ('+' shielded: url_decode is form decoding), then
+    # strip the root by LENGTH, not regexp — roots with regex metacharacters
+    # must not corrupt keys or error the pattern (ADVICE r1)
+    decoded = F.url_decode(F.regexp_replace(F.col("abs_path"), "\\+", "%2B"))
+    root_prefix = "/" + os.path.abspath(root).strip("/") + "/"
+    stripped = F.when(
+        decoded.startswith(F.lit(root_prefix)),
+        F.substring(decoded, len(root_prefix) + 1, 1 << 30),
+    ).otherwise(decoded)
+    listing = listing.select(stripped.alias("key"), "modified_at")
     listing = listing.filter(
         ~F.col("key").endswith("/") & ~F.col("key").contains(".DS_Store")
     )

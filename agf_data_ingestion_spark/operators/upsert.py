@@ -33,10 +33,13 @@ from pyspark.sql import functions as F
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    # local FS check is enough for this environment; on HDFS/S3 rely on a
-    # catalog or a cheap read.schema probe instead
-    if os.path.exists(path):
-        return True
+    # probe READABILITY, not directory existence: an aborted first write can
+    # leave a directory holding only _temporary — treating that as "exists"
+    # would make every later upsert fail at the existing-side read until
+    # manual cleanup.  The schema probe is a driver-side footer read (cheap)
+    # and works the same on local FS, HDFS, and object stores.
+    if not os.path.exists(path):
+        return False
     try:
         spark.read.parquet(path).schema
         return True
@@ -63,8 +66,9 @@ def upsert_append(
     ``lock=True`` serializes the read-keys → anti-join → append cycle
     against other lock-honoring writers via operators/locking.table_lock,
     closing the concurrent-duplicate window the plain-Parquet sink
-    otherwise has (see locking.py; streaming foreachBatch callers are
-    already serialized per query and don't need it).
+    otherwise has (see locking.py).  foreachBatch serializes batches
+    *within* one streaming query, but any table written by MORE than one
+    query (file_inventory: run + experiment streams) needs the lock.
     """
     if lock:
         from agf_data_ingestion_spark.operators.locking import table_lock

@@ -36,10 +36,17 @@ def _with_provenance(df: DataFrame, root: str, bucket: str) -> DataFrame:
     # (abspath so relative roots — e.g. CLI usage — strip correctly)
     import os as _os
 
-    root_norm = "/" + _os.path.abspath(root).strip("/")
+    # strip the root by LENGTH, not regexp — a root containing regex
+    # metacharacters ('+', '(', …) would otherwise corrupt the key or
+    # error the pattern (ADVICE r1)
+    prefix = "/" + _os.path.abspath(root).strip("/") + "/"
     key = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-    key = F.url_decode(key)  # file URIs are percent-encoded (OP-STR-URLDEC)
-    key = F.regexp_replace(key, "^" + root_norm + "/", "")
+    # file URIs are PERCENT-encoded (OP-STR-URLDEC); url_decode is form
+    # decoding ('+' → space), so shield literal '+' as %2B first
+    key = F.url_decode(F.regexp_replace(key, "\\+", "%2B"))
+    key = F.when(
+        key.startswith(F.lit(prefix)), F.substring(key, len(prefix) + 1, 1 << 30)
+    ).otherwise(key)
     return df.withColumn("s3_key", key).withColumn("s3_bucket", F.lit(bucket))
 
 

@@ -94,10 +94,14 @@ def run_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
             # last-writer-wins on re-delivery; this sink is first-writer-
             # wins, which is identical for byte-identical re-deliveries
             # (the idempotency case that actually occurs).
+            # lock=True: file_inventory is also written by the experiment
+            # stream — two concurrent foreachBatch cycles must serialize.
             upsert_append(
                 inv,
                 os.path.join(warehouse, "file_inventory"),
                 FILE_INVENTORY_KEYS,
+                lock=True,
+                lock_wait_s=600.0,
             )
         finally:
             valid.unpersist()
@@ -123,10 +127,13 @@ def experiment_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = Non
                 file_inventory_from_experiment_manifests(valid, now=now)
             )
             _write_quarantine(bad_ck, warehouse, "experiment.json/files")
+            # lock=True: shared with the run stream's file_inventory sink
             upsert_append(
                 inv,
                 os.path.join(warehouse, "file_inventory"),
                 FILE_INVENTORY_KEYS,
+                lock=True,
+                lock_wait_s=600.0,
             )
         finally:
             valid.unpersist()

@@ -161,6 +161,34 @@ def test_experiments_and_exp_files(spark, lake):
             assert r["modified_at"] == _py_parse_ts(f.get("modified", ""))
 
 
+def test_regex_metachar_lake_root_strips_keys_cleanly(spark, tmp_path):
+    """A lake root containing regex metacharacters must still yield clean
+    bucket-relative s3_keys (root is stripped by length, not regexp —
+    ADVICE r1)."""
+    from fixtures.generate import generate
+
+    root = str(tmp_path / "lake+v2 (prod)")
+    generate(root, instruments=1, days=1, runs_per_day=1)
+    runs = read_run_manifests(spark, root)
+    keys = [r["s3_key"] for r in runs.select("s3_key").collect()]
+    assert keys
+    for k in keys:
+        assert k.startswith("raw/"), k
+        assert "(" not in k.split("raw/", 1)[0]
+
+
+def test_regex_metachar_root_in_storage_listing(spark, tmp_path):
+    from agf_data_ingestion_spark.operators.reconcile import list_storage_keys
+    from fixtures.generate import generate
+
+    root = str(tmp_path / "lake+v2 (prod)")
+    generate(root, instruments=1, days=1, runs_per_day=1)
+    keys = [r["key"] for r in list_storage_keys(spark, root).collect()]
+    assert keys
+    for k in keys:
+        assert k.startswith("raw/"), k
+
+
 def test_invalid_rows_quarantined_not_fatal(spark, tmp_path):
     """Corrupt JSON, bad path, and missing required fields are isolated
     (OP-STRM-ERR / OP-SINK-DLQ) — the batch never fails."""

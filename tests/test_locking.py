@@ -61,6 +61,78 @@ def test_stale_lock_is_broken(tmp_path):
     assert not os.path.exists(lockdir)
 
 
+def test_release_leaves_foreign_lock_untouched(tmp_path):
+    """If the holder's lock is broken (TTL) and re-acquired by another writer
+    while the holder is still working, the holder's release must NOT delete
+    the new holder's lock (ADVICE r1: owner-token verification)."""
+    import shutil
+
+    from agf_data_ingestion_spark.operators.locking import LockBrokenWarning
+
+    table = str(tmp_path / "t")
+    lockdir = _lock_dir(table)
+    with pytest.warns(LockBrokenWarning):
+        with table_lock(table):
+            # simulate a stale-break + foreign re-acquisition mid-hold
+            shutil.rmtree(lockdir)
+            os.mkdir(lockdir)
+            with open(os.path.join(lockdir, "owner.json"), "w") as fh:
+                json.dump({"token": "someone-else", "acquired_at": time.time()}, fh)
+    # the foreign lock survives the original holder's release
+    assert os.path.isdir(lockdir)
+    with open(os.path.join(lockdir, "owner.json")) as fh:
+        assert json.load(fh)["token"] == "someone-else"
+
+
+def test_token_guarded_removal_spares_fresh_lock(tmp_path):
+    """_remove_if_token only deletes the exact lock instance it was aimed at:
+    a lock whose token changed hands since the stale read is restored intact
+    (ADVICE r1: stale-break race)."""
+    from agf_data_ingestion_spark.operators.locking import _remove_if_token
+
+    table = str(tmp_path / "t")
+    lockdir = _lock_dir(table)
+    os.mkdir(lockdir)
+    with open(os.path.join(lockdir, "owner.json"), "w") as fh:
+        json.dump({"token": "fresh-holder", "acquired_at": time.time()}, fh)
+    assert _remove_if_token(lockdir, "stale-holder") is False
+    assert os.path.isdir(lockdir)
+    with open(os.path.join(lockdir, "owner.json")) as fh:
+        assert json.load(fh)["token"] == "fresh-holder"
+    assert _remove_if_token(lockdir, "fresh-holder") is True
+    assert not os.path.exists(lockdir)
+
+
+def test_no_empty_lockdir_window_during_acquire(tmp_path, monkeypatch):
+    """Acquisition lands the lock directory WITH owner.json in one rename —
+    the lock path itself is never mkdir'd, and at the moment of every rename
+    onto the lock path the staged source already contains owner.json."""
+    table = str(tmp_path / "t")
+    lockdir = _lock_dir(table)
+
+    real_mkdir, real_rename = os.mkdir, os.rename
+    mkdirs_of_lockdir = []
+    renames_without_owner = []
+
+    def spy_mkdir(path, *a, **kw):
+        if str(path) == lockdir:
+            mkdirs_of_lockdir.append(path)
+        return real_mkdir(path, *a, **kw)
+
+    def spy_rename(src, dst, *a, **kw):
+        if str(dst) == lockdir and not os.path.exists(os.path.join(src, "owner.json")):
+            renames_without_owner.append(src)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "mkdir", spy_mkdir)
+    monkeypatch.setattr(os, "rename", spy_rename)
+    for _ in range(20):
+        with table_lock(table, wait_s=2.0):
+            pass
+    assert not mkdirs_of_lockdir, "lock dir must only appear via atomic rename"
+    assert not renames_without_owner, "lock must carry owner.json when published"
+
+
 def test_locked_upsert_stays_idempotent(spark, tmp_path):
     table = str(tmp_path / "inv")
     df = spark.createDataFrame(

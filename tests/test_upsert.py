@@ -54,6 +54,22 @@ def test_new_keys_append_existing_skip(spark, tmp_path):
     assert got == {"a": 1, "b": 2, "c": 3}  # first writer wins for b
 
 
+def test_aborted_first_write_dir_treated_as_missing(spark, tmp_path):
+    """A target directory holding only _temporary debris (aborted first
+    write) must count as not-exists: the next upsert recovers by writing
+    fresh instead of failing on an unreadable existing side (ADVICE r1)."""
+    import os
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "_temporary", "0"))
+    df = spark.createDataFrame([("e1", "a.csv", 1)], ["experiment_id", "file_path", "n"])
+    upsert_append(df, table, ["experiment_id", "file_path"])
+    assert spark.read.parquet(table).count() == 1
+    # and stays idempotent afterwards
+    upsert_append(df, table, ["experiment_id", "file_path"])
+    assert spark.read.parquet(table).count() == 1
+
+
 def test_latest_versions_window(spark):
     df = spark.createDataFrame(
         [("e1", 10, "old"), ("e1", 20, "new"), ("e2", 5, "only")],
