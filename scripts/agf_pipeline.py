@@ -110,7 +110,19 @@ def cmd_reconcile(args) -> int:
         list_storage_keys(spark, args.lake, cutoff=cutoff),
         tracked_keys(tables, cutoff=cutoff),
     )
-    print(format_report(res, dt.datetime.now(dt.timezone.utc).isoformat()))
+    # reference delivery semantics (SNS → SES → print): CLI deployments get
+    # the terminal channel; cloud channels are prepended by deployment glue
+    from agf_data_ingestion_spark.operators.notify import (
+        NotificationChain,
+        print_notifier,
+        reconciliation_subject,
+    )
+
+    chain = NotificationChain([print_notifier()])
+    chain.notify(
+        reconciliation_subject(res.orphaned_in_storage, res.orphaned_in_db),
+        format_report(res, dt.datetime.now(dt.timezone.utc).isoformat()),
+    )
     return 0 if res.status == "in_sync" else 2
 
 

@@ -65,6 +65,51 @@ def test_stream_ingests_new_files_incrementally(spark, tmp_path):
     assert spark.read.parquet(os.path.join(wh, "file_inventory")).count() == 4
 
 
+def test_failing_then_retried_batch_yields_identical_tables(spark, tmp_path, monkeypatch):
+    """OP-STRM-RETRY evidence (reference ``backfill_s3_data.py:24-39`` retry
+    loop; delegated here to Spark's task/epoch retries): a foreachBatch
+    invocation that crashes partway through — after one table's write
+    completed and after PART of the next table's rows landed — and is then
+    re-delivered must leave tables identical to a clean single run: the
+    idempotent first-writer-wins sink absorbs the partial first attempt."""
+    import agf_data_ingestion_spark.streaming.ingest_stream as mod
+    from agf_data_ingestion_spark.sources.manifests import read_run_manifests
+
+    lake = str(tmp_path / "lake")
+    for day, rid in [(1, "r1"), (2, "r2"), (3, "r3")]:
+        _write_run(lake, "instA", day, rid)
+    batch = read_run_manifests(spark, lake)  # the frame a micro-batch sees
+
+    wh_flaky = str(tmp_path / "wh_flaky")
+    wh_clean = str(tmp_path / "wh_clean")
+    real_upsert = mod.upsert_append
+    calls = {"n": 0}
+
+    def flaky_upsert(df, path, keys, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1st call = sync_runs (completes); 2nd = file_inventory
+            real_upsert(df.limit(2), path, keys, **kw)  # partial rows committed…
+            raise RuntimeError("injected failure mid-write")  # …then the task dies
+        return real_upsert(df, path, keys, **kw)
+
+    monkeypatch.setattr(mod, "upsert_append", flaky_upsert)
+    with pytest.raises(RuntimeError, match="injected"):
+        mod.run_ingest_batch_fn(wh_flaky, now=NOW)(batch, 0)
+    monkeypatch.setattr(mod, "upsert_append", real_upsert)
+    mod.run_ingest_batch_fn(wh_flaky, now=NOW)(batch, 0)  # at-least-once re-delivery
+
+    mod.run_ingest_batch_fn(wh_clean, now=NOW)(batch, 0)  # clean reference run
+
+    for table in ("sync_runs", "file_inventory"):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(os.path.join(wh_flaky, table)).collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(os.path.join(wh_clean, table)).collect()
+        )
+        assert got == want, table
+
+
 def test_backfill_equals_streaming(spark, lake, tmp_path):
     """Same input ⇒ identical tables whether ingested as a stream of events
     or replayed as a backfill (Structured Streaming unification, §3.3)."""
