@@ -103,8 +103,11 @@ _PRIORITY = [
     "docs_frame_samples",
     "docs_presigned_urls",
     "docs_export_zip",
-    # plans changed this round — re-certify under the driver
+    # new this round — need first driver certification
     "docs_neardup_verified",
+    "docs_span_dedup",
+    "docs_boilerplate_ratio",
+    # plans changed this round — re-certify under the driver
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_ngram_jaccard",

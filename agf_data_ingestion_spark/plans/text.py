@@ -415,43 +415,35 @@ def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n-gram Jaccard; VERDICT.md r1 "Next round" #6).
 
     MinHash-LSH proposes candidate pairs; each candidate is then re-scored
-    with exact 3-gram Jaccard.  Only shingles of candidate documents are
-    joined (the candidate join semi-reduces the shingle table), so the
-    exact verification costs O(|candidates| × shingles/doc), never O(n²).
-    All joins are shuffle joins on doc ids — nothing corpus-sized is
-    broadcast.  A zero-overlap candidate (band collision) keeps a row with
-    jaccard 0.0 via the left join.
+    with exact 3-gram Jaccard.  Each document's DISTINCT shingle set is one
+    array row (no explode), so verification is two shuffle hash joins of
+    the candidate pairs against a one-row-per-doc table plus a codegen'd
+    ``array_intersect`` — cost O(|candidates| × shingles/doc), never O(n²),
+    and nothing corpus-sized is broadcast.  A zero-overlap candidate (band
+    collision) keeps a row with jaccard 0.0 (intersect of disjoint sets).
     """
     est = docs_minhash_lsh(spark, sf_dir)
-    sh = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_shingles()).alias("s")
+    sets = t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset"))
+    seta = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        F.size("sset").alias("sz_a"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    # the indicator column comes from the RIGHT side: in a left join the
-    # output "s" join key is always the left value, so count("s") would
-    # count every doc_a shingle, matched or not.  est_jaccard rides through
-    # the groupBy (functionally dependent on the pair) so the LSH pipeline
-    # is planned once, not re-joined.
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s", F.lit(1).alias("hit"))
-    inter = (
-        est.join(sh_a.hint("shuffle_hash"), "doc_a")
-        .join(sh_b.hint("shuffle_hash"), ["doc_b", "s"], "left")
-        .groupBy("doc_a", "doc_b", "est_jaccard")
-        .agg(F.count("hit").alias("inter"))
+    setb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        F.size("sset").alias("sz_b"),
     )
-    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
     return (
-        inter.join(sza.hint("shuffle_hash"), "doc_a")
-        .join(szb.hint("shuffle_hash"), "doc_b")
+        est.join(seta.hint("shuffle_hash"), "doc_a")
+        .join(setb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "est_jaccard",
             (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
             ).alias("jaccard"),
         )
     )

@@ -350,9 +350,154 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (OP-X-DEDUP-NEAR, substring-dedup shape):
+# the "Deduplicating Training Data Makes Language Models Better" pass —
+# find word spans repeated across documents, score each doc by how much of
+# it is cross-corpus duplicated text.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 6  # span width in words (real pipelines: 50-token substrings)
+
+
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-duplication profile: every positional
+    ``_SPAN_N``-word span is hashed; a span is *duplicated* when its hash
+    occurs in ≥ 2 distinct documents; each doc reports total spans,
+    duplicated spans, and the duplicated fraction.
+
+    Scale shape: explode is map-only; span *hashes* (16 hex chars), never
+    span text, go through the two shuffles (distinct + groupBy); the
+    span→frequency join is a shuffle hash join on the hash — both sides are
+    corpus-sized, nothing is broadcast.  The exact analog of suffix-array
+    substring dedup, restricted to fixed width so it stays one relational
+    pass.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1))
+    gram = lambda i: F.array_join(F.slice("w", i, _SPAN_N), " ")  # noqa: E731
+    spans = d.filter(F.size("w") >= _SPAN_N).select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))).alias(
+            "sh"
+        ),
+    )
+    span_docs = spans.distinct().groupBy("sh").agg(F.count("*").alias("ndocs"))
+    return (
+        spans.join(span_docs.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_span_ratio"
+            ),
+        )
+    )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, substr(md5(array_to_string(w[i:i+{_SPAN_N - 1}], ' ')), 1, 16) AS sh
+  FROM w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS t(i)
+  WHERE len(w) >= {_SPAN_N}
+),
+span_docs AS (
+  SELECT sh, COUNT(*) AS ndocs FROM (SELECT DISTINCT doc_id, sh FROM spans) GROUP BY sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_span_ratio
+FROM spans JOIN span_docs USING (sh)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate scoring (OP-X-TEXT): RefinedWeb-style —
+# tokens that appear in most documents are boilerplate; a doc dominated by
+# them carries little signal.
+# ---------------------------------------------------------------------------
+
+_BOILER_DF_FRAC = 0.5  # token is boilerplate when present in > 50% of docs
+
+
+def docs_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's token OCCURRENCES whose token appears in
+    more than ``_BOILER_DF_FRAC`` of all documents.
+
+    Scale shape: the document-frequency table reduces to one row per
+    distinct token (map-side partial agg), is cut to boilerplate tokens
+    only, and that small set broadcasts back onto the token stream — the
+    corpus is exploded map-only and aggregated once per doc; exactly the
+    TF-IDF df pass reused as a filter.
+    """
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny driver-side scalar, pinned into the plan
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    boiler = (
+        tokens.distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > int(_BOILER_DF_FRAC * n_docs))
+        .select("token", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        tokens.join(F.broadcast(boiler), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_boiler_tokens",
+            (F.col("n_boiler_tokens").cast("double") / F.col("n_tokens")).alias(
+                "boiler_ratio"
+            ),
+        )
+    )
+
+
+_BOILER_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+boiler AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
+  ) WHERE df > CAST({_BOILER_DF_FRAC} * (SELECT COUNT(*) FROM documents) AS BIGINT)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN b.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_tokens,
+       CAST(SUM(CASE WHEN b.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS boiler_ratio
+FROM tokens t LEFT JOIN boiler b ON t.token = b.token
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_stratified_sample": QuerySpec(
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
+    ),
+    "docs_span_dedup": QuerySpec(
+        docs_span_dedup, _SPAN_DEDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-TEXT")
+    ),
+    "docs_boilerplate_ratio": QuerySpec(
+        docs_boilerplate_ratio, _BOILER_SQL, ("OP-X-TEXT",)
     ),
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
     "docs_repetition_stats": QuerySpec(
