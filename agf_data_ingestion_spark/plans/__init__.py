@@ -21,9 +21,11 @@ import dataclasses as _dc
 from agf_data_ingestion_spark.plans.base import QuerySpec
 from agf_data_ingestion_spark.plans import (
     analytics,
+    behavior,
     ingest_queries,
     media,
     similarity,
+    sketches,
     text,
     tpch_extra,
     tpch_more,
@@ -57,6 +59,8 @@ for _mod in (
     media,
     windows,
     training_data,
+    sketches,
+    behavior,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -107,25 +111,23 @@ _PRIORITY = [
     "docs_neardup_verified",
     "docs_span_dedup",
     "docs_boilerplate_ratio",
+    "events_kmv_distinct",
+    "events_kmv_merged",
+    "events_funnel_stages",
+    "events_retention_cohorts",
+    "events_alarm_transitions",
+    "docs_chunked",
+    "docs_mix_weights",
     # plans changed this round — re-certify under the driver
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_ngram_jaccard",
-    # flagship subset of the r01-green suite
+    # flagship subset of the r01-green suite (rest stays local-replica-covered)
     "q1_pricing_summary",
     "q9_product_profit",
-    "q18_large_orders",
     "q21_sole_blame_supplier",
     "emb_cosine_topk",
     "docs_dedup_exact",
-    "docs_simhash",
-    "docs_token_topk",
-    "docs_text_stats",
-    "docs_lang_id",
-    "docs_tfidf_topterms",
-    "docs_fingerprint",
-    "events_latest_per_user",
-    "events_daily_rollup",
 ]
 
 QUERIES: dict[str, QuerySpec] = {}

@@ -1,0 +1,239 @@
+"""User-behavior analytics over the event stream: ordered funnels, cohort
+retention, and threshold-alarm state machines.
+
+The alarm query is reference parity: the reference's CloudWatch alarms
+(`cloudformation/agf-monitoring-alarms.yaml:52-155`) evaluate an error
+metric per fixed period and enter ALARM only after N consecutive breaching
+periods (`EvaluationPeriods`); `operators/alarms.py` implements the
+evaluator over arbitrary counters, and ``events_alarm_transitions`` is the
+same semantics as a declarative plan with a DuckDB oracle.  Funnel and
+retention have no reference counterpart (§2.9 extension surface — the
+queries any event-stream engine is expected to answer).
+
+Scale shapes:
+* funnel — each stage is filter → per-user min (map-side partial) → join on
+  ``user_id``; every join is co-keyed on the same column so one hash
+  partitioning serves the whole chain, and stage tables shrink
+  monotonically.  No broadcast of anything corpus-sized, no windows over
+  the raw stream.
+* retention — one distinct on (user, day) (map-side reduced), one per-user
+  min, one co-keyed join, then a tiny (cohort × offset) aggregate.
+* alarm — one tumbling-bucket aggregate (map-side partial) leaves ≤ one row
+  per period; the lag window over periods is metadata-scale by construction.
+
+Cross-engine: timestamps flow as ``ts_us`` BIGINTs (plans/base.py), dates
+are emitted as strings, rates are BIGINT/BIGINT → DOUBLE (identical IEEE
+division both engines), and stage counts use CASE-sum not boolean casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (OP-X-FUNNEL): signup → view → click → purchase
+# ---------------------------------------------------------------------------
+
+_STAGES = ("signup", "view", "click", "purchase")
+
+
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user strictly-ordered funnel: the first ``signup``, then the
+    first ``view`` after it, the first ``click`` after that view, and the
+    first ``purchase`` after that click; ``stages_reached`` counts the
+    prefix completed.  Users with no signup are not in the funnel."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    out = (
+        e.filter(F.col("event_type") == _STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias(f"t_{_STAGES[0]}"))
+    )
+    prev = f"t_{_STAGES[0]}"
+    for stage in _STAGES[1:]:
+        nxt = (
+            e.filter(F.col("event_type") == stage)
+            .join(out.select("user_id", prev), "user_id")
+            .filter(F.col("ts_us") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(f"t_{stage}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+        prev = f"t_{stage}"
+    reached = F.lit(1)
+    for stage in _STAGES[1:]:
+        reached = reached + F.when(F.col(f"t_{stage}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        "user_id",
+        *[f"t_{s}" for s in _STAGES],
+        reached.cast("long").alias("stages_reached"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_view
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t_signup GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t_view GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t_click GROUP BY e.user_id
+)
+SELECT s1.user_id, t_signup, t_view, t_click, t_purchase,
+       CAST(1 + (CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS stages_reached
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+LEFT JOIN s4 USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (OP-X-RETENTION)
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity date;
+    ``n_users`` = how many of that cohort were active ``day_offset`` days
+    later (offset 0 = the cohort's size on day one)."""
+    e = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    active = e.distinct()
+    first = active.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_date FROM active GROUP BY user_id)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+       CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Threshold-alarm state machine (OP-X-ALARM; reference alarm semantics)
+# ---------------------------------------------------------------------------
+
+_ALARM_WIN_S = 21600  # 6-hour evaluation period
+_ALARM_RATE = 0.25  # error-rate threshold
+_ALARM_MIN_N = 20  # ignore starved periods (CloudWatch "treat missing data")
+_EVAL_PERIODS = 2  # consecutive breaching periods before ALARM
+
+
+def events_alarm_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate alarm over tumbling evaluation periods with CloudWatch
+    EvaluationPeriods=2 semantics: a period *breaches* when its error rate
+    exceeds the threshold (given enough traffic); the state is ALARM only
+    when the current AND previous recorded periods breach; ``transition``
+    marks state changes ('ALARM'/'OK'/'STEADY').
+
+    Docstring parity: threshold + consecutive-period evaluation per
+    `cloudformation/agf-monitoring-alarms.yaml:52-155`; the generic counter
+    evaluator is operators/alarms.py.
+    """
+    e = t(spark, sf_dir, "events")
+    per = (
+        e.groupBy(
+            F.expr(f"ts_us div 1000000 div {_ALARM_WIN_S} * {_ALARM_WIN_S}").alias(
+                "win_start_s"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "win_start_s",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_events")).alias("error_rate"),
+        )
+    )
+    breach = (F.col("error_rate") > _ALARM_RATE) & (F.col("n_events") >= _ALARM_MIN_N)
+    w = Window.orderBy("win_start_s")  # one row per period: metadata-scale
+    st = per.select("*", breach.alias("breach")).select(
+        "*",
+        (
+            F.col("breach")
+            & F.coalesce(F.lag("breach", _EVAL_PERIODS - 1).over(w), F.lit(False))
+        ).alias("in_alarm"),
+    )
+    prev_alarm = F.coalesce(F.lag("in_alarm").over(w), F.lit(False))
+    return st.select(
+        "*",
+        F.when(F.col("in_alarm") & ~prev_alarm, "ALARM")
+        .when(~F.col("in_alarm") & prev_alarm, "OK")
+        .otherwise("STEADY")
+        .alias("transition"),
+    )
+
+
+_ALARM_SQL = f"""
+WITH per AS (
+  SELECT (epoch_us(ts) // 1000000) // {_ALARM_WIN_S} * {_ALARM_WIN_S} AS win_start_s,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT *, CAST(n_errors AS DOUBLE) / n_events AS error_rate,
+         (CAST(n_errors AS DOUBLE) / n_events > {_ALARM_RATE} AND n_events >= {_ALARM_MIN_N})
+           AS breach
+  FROM per
+),
+st AS (
+  SELECT win_start_s, n_events, n_errors, error_rate, breach,
+         (breach AND COALESCE(lag(breach, {_EVAL_PERIODS - 1})
+                              OVER (ORDER BY win_start_s), FALSE)) AS in_alarm
+  FROM b
+)
+SELECT *,
+       CASE WHEN in_alarm AND NOT COALESCE(lag(in_alarm) OVER (ORDER BY win_start_s), FALSE)
+              THEN 'ALARM'
+            WHEN NOT in_alarm AND COALESCE(lag(in_alarm) OVER (ORDER BY win_start_s), FALSE)
+              THEN 'OK'
+            ELSE 'STEADY' END AS transition
+FROM st
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_funnel_stages": QuerySpec(
+        events_funnel_stages, _FUNNEL_SQL, ("OP-X-FUNNEL", "OP-JOIN-ENRICH")
+    ),
+    "events_retention_cohorts": QuerySpec(
+        events_retention_cohorts, _RETENTION_SQL, ("OP-X-RETENTION", "OP-AGG-SETUNION")
+    ),
+    "events_alarm_transitions": QuerySpec(
+        events_alarm_transitions, _ALARM_SQL, ("OP-X-ALARM", "OP-SINK-METRICS")
+    ),
+}

@@ -1,0 +1,166 @@
+"""Deterministic distinct-count sketches (OP-X-APPROX, oracle-backed).
+
+``approx_count_distinct`` (HLL) cannot be oracle-checked — its register
+layout is engine-specific.  The KMV (k-minimum-values) sketch can: keep the
+``k`` smallest values of a uniform hash of the key; the k-th smallest hash
+``h_(k)`` estimates the distinct count as ``(k-1) / (h_(k) / 2^60)``.  With
+md5-derived hashes the sketch is bit-identical in Spark and DuckDB, so the
+driver's value-hash gate applies to an *approximate* operator — the same
+trick the catalog uses everywhere else (md5-derived integers, never engine
+``hash()``).
+
+Why KMV and not HLL here: both are mergeable one-pass sketches, but KMV is
+expressible as plain relational algebra (distinct → per-group k smallest →
+max), which keeps the whole plan inside whole-stage codegen and makes the
+estimate reproducible across engines.  Standard construction after
+Bar-Yossef et al., "Counting distinct elements in a data stream" (RANDOM
+2002) — public algorithm, no reference-repo counterpart (§2.9 extension).
+
+Scale shape (100 TB): the per-key md5 is map-side; ``distinct`` reduces
+map-side to one row per (group, hash); the two-level k-min bounds the final
+per-group shuffle to ``16·k`` rows per group no matter how many distinct
+keys exist (k-min of per-bucket k-mins ≡ k-min of the union — the sketch's
+merge property, which is also what a 1000-executor tree-reduction would
+exploit).  Nothing is ever broadcast or collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+_K = 64  # sketch size; relative error ~ 1/sqrt(k) ≈ 12.5%
+_SALTS = 16  # level-1 fan-out for the two-level k-min
+_HASH_HEX = 15  # 15 hex digits = 60-bit hash space (fits BIGINT exactly)
+_HASH_SPACE = float(1 << 60)
+
+
+def _user_hashes(e: DataFrame) -> DataFrame:
+    """Distinct (event_type, 60-bit md5 hash of user_id) pairs."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, _HASH_HEX), 16, 10
+    ).cast("long")
+    return e.select("event_type", h.alias("h")).distinct()
+
+
+def _k_min(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Keep the ``_K`` smallest ``h`` per partition (hash values are unique
+    within a partition after ``distinct``, so the order is total)."""
+    w = Window.partitionBy(*partition_cols).orderBy("h")
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _K).drop("rn")
+
+
+def _estimate() -> F.Column:
+    """KMV estimator over (n_kept, kth_hash): exact below k, else
+    (k-1)·2^60/h_(k).  2^60 is exact in binary64 and the BIGINT→DOUBLE
+    conversion rounds to nearest identically in both engines."""
+    return F.when(F.col("n_kept") < _K, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(_K - 1)) * F.lit(_HASH_SPACE) / F.col("kth_hash").cast("double")
+    )
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via a KMV sketch, with the
+    exact count alongside (what you'd dashboard: estimate + ground truth).
+
+    Two-level k-min: level 1 partitions each group into ``_SALTS`` hash
+    buckets and keeps k per bucket (parallel, bounds data), level 2 merges
+    — the result is exactly the global k smallest, so the single-level
+    oracle computes the identical sketch.
+    """
+    e = t(spark, sf_dir, "events")
+    hashes = _user_hashes(e)
+    lvl1 = _k_min(
+        hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(_SALTS))),
+        ["event_type", "salt"],
+    ).drop("salt")
+    kept = _k_min(lvl1, ["event_type"])
+    sk = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_kept", "kth_hash", _estimate().alias("est_users"), "exact_users"
+    )
+
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash
+  FROM r WHERE rn <= {_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+)
+SELECT event_type, n_kept, kth_hash,
+       CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_K - 1)} * {_HASH_SPACE} / CAST(kth_hash AS DOUBLE) END AS est_users,
+       exact_users
+FROM sk JOIN ex USING (event_type)
+"""
+
+
+def events_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE: the global distinct-user estimate derived purely from
+    the per-type sketches — union their kept hashes (dedup: a user active
+    in two types contributes one hash) and re-take the k smallest.  k-min
+    of a union of k-min sketches equals the k-min of the full union, so
+    this is exactly what a scale-out rollup does: combine tiny per-shard
+    sketches without rescanning 100 TB.
+
+    The post-sketch data is O(k·groups) rows (≤320 here), so the final
+    unpartitioned window is driver-scale by construction.
+    """
+    e = t(spark, sf_dir, "events")
+    per_type = _k_min(_user_hashes(e), ["event_type"]).select("h").distinct()
+    kept = _k_min(per_type.withColumn("g", F.lit(1)), ["g"]).drop("g")
+    sk = kept.agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return sk.crossJoin(exact).select(
+        "n_kept", "kth_hash", _estimate().alias("est_users"), "exact_users"
+    )
+
+
+_KMV_MERGED_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+merged AS (SELECT DISTINCT h FROM r WHERE rn <= {_K}),
+g AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM merged),
+sk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash FROM g WHERE rn <= {_K}
+),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events)
+SELECT n_kept, kth_hash,
+       CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_K - 1)} * {_HASH_SPACE} / CAST(kth_hash AS DOUBLE) END AS est_users,
+       exact_users
+FROM sk, ex
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_kmv_distinct": QuerySpec(
+        events_kmv_distinct, _KMV_SQL, ("OP-X-APPROX", "OP-AGG-SETUNION")
+    ),
+    "events_kmv_merged": QuerySpec(
+        events_kmv_merged, _KMV_MERGED_SQL, ("OP-X-APPROX", "OP-SET-UNION")
+    ),
+}

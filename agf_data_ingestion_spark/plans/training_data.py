@@ -489,6 +489,107 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Overlapping-chunk extraction (OP-X-CHUNK): RAG / context-window prep
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 120  # chars per chunk (real pipelines: ~512-2048 tokens)
+_CHUNK_STRIDE = 90  # 25% overlap
+
+
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding fixed-width chunks with overlap — the retrieval/training prep
+    pass that turns documents into context-window-sized pieces.  Emits the
+    chunk's position, length, and content hash (not the text: at 100 TB the
+    chunk table should carry offsets + hashes, with text re-sliced lazily
+    from the source at consumption time).
+
+    Shape: pure map-only explode — no shuffle at all; chunk count per doc is
+    ``floor((len-1)/stride)+1`` so every char is covered and the last chunk
+    may run short.  Guard: the chunk-index sequence uses ``greatest(len-1,0)``
+    because Spark's ``sequence(0, n)`` with negative ``n`` counts DOWN
+    (DuckDB's ``range`` would be empty — see module traps in CLAUDE.md).
+    """
+    d = t(spark, sf_dir, "documents")
+    n_ids = F.expr(f"greatest(length(text) - 1, 0) div {_CHUNK_STRIDE}")
+    c = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_ids)).alias("chunk_id")
+    )
+    start = (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("long")
+    chunk = F.substring(F.col("text"), start.cast("int"), F.lit(_CHUNK_LEN))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+        F.substring(F.md5(chunk), 1, 16).alias("chunk_hash"),
+    )
+
+
+_CHUNKED_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN})) AS BIGINT)
+         AS chunk_chars,
+       substr(md5(substr(text, i * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN})), 1, 16)
+         AS chunk_hash
+FROM documents,
+     unnest(range(0, greatest(length(text) - 1, 0) // {_CHUNK_STRIDE} + 1)) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights (OP-X-MIX): temperature-sampled source shares
+# ---------------------------------------------------------------------------
+
+
+def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a training mixture, temperature-
+    flattened with alpha = 0.5: ``w = n_tokens^0.5``, share = ``w / Σw``
+    (the multilingual-sampling trick — small sources are upweighted
+    relative to proportional sampling).
+
+    alpha is 0.5 specifically because ``sqrt`` is IEEE-correctly-rounded
+    (bit-identical across engines) while ``pow(x, 0.7)`` is libm-dependent;
+    the share denominator goes through the module's exact decimal-sum so
+    the 3-5-row total is accumulation-order-independent.
+    """
+    d = t(spark, sf_dir, "documents")
+    tokens = F.size(F.split("text", " ")).cast("long")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(tokens).alias("n_tokens")
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    total = (
+        F.sum(w.cast("decimal(25,6)"))
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("double")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        w.alias("sqrt_tokens"),
+        (w / total).alias("mix_share"),
+    )
+
+
+_MIX_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       sqrt(CAST(n_tokens AS DOUBLE)) AS sqrt_tokens,
+       sqrt(CAST(n_tokens AS DOUBLE)) /
+         CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(25,6))) OVER ()
+              AS DOUBLE) AS mix_share
+FROM per
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_stratified_sample": QuerySpec(
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
@@ -510,4 +611,6 @@ QUERIES: dict[str, QuerySpec] = {
         docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
     ),
     "emb_quantize_int8": QuerySpec(emb_quantize_int8, _QUANT_SQL, ("OP-X-QUANT", "OP-ARR-SUM")),
+    "docs_chunked": QuerySpec(docs_chunked, _CHUNKED_SQL, ("OP-X-CHUNK", "OP-X-TEXT")),
+    "docs_mix_weights": QuerySpec(docs_mix_weights, _MIX_SQL, ("OP-X-MIX", "OP-X-SAMPLE")),
 }

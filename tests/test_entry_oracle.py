@@ -30,6 +30,14 @@ SUBSET = [
     "docs_dedup_exact",
     "docs_minhash_lsh",
     "emb_cosine_topk",
+    # round-2 additions: sketches, behavior analytics, chunking, mix weights
+    "events_kmv_distinct",
+    "events_kmv_merged",
+    "events_funnel_stages",
+    "events_retention_cohorts",
+    "events_alarm_transitions",
+    "docs_chunked",
+    "docs_mix_weights",
 ]
 
 
