@@ -118,15 +118,15 @@ _PRIORITY = [
     "events_alarm_transitions",
     "docs_chunked",
     "docs_mix_weights",
+    "events_quantile_sketch",
+    "docs_bm25_search",
+    "events_daily_full_outer",
     # plans changed this round — re-certify under the driver
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_ngram_jaccard",
     # flagship subset of the r01-green suite (rest stays local-replica-covered)
     "q1_pricing_summary",
-    "q9_product_profit",
-    "q21_sole_blame_supplier",
-    "emb_cosine_topk",
     "docs_dedup_exact",
 ]
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from agf_data_ingestion_spark.plans.base import QuerySpec, t
+from agf_data_ingestion_spark.plans.base import QuerySpec, dsum, o_dsum, t
 
 # ---------------------------------------------------------------------------
 # Ordered funnel (OP-X-FUNNEL): signup → view → click → purchase
@@ -52,15 +52,18 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts_us").alias(f"t_{_STAGES[0]}"))
     )
     prev = f"t_{_STAGES[0]}"
+    # every per-user stage table is corpus-sized at scale (one row per
+    # user) — pin shuffle joins so small-sf statistics can't statically
+    # plan broadcasts; all joins share the user_id hash partitioning
     for stage in _STAGES[1:]:
         nxt = (
             e.filter(F.col("event_type") == stage)
-            .join(out.select("user_id", prev), "user_id")
+            .join(out.select("user_id", prev).hint("shuffle_hash"), "user_id")
             .filter(F.col("ts_us") > F.col(prev))
             .groupBy("user_id")
             .agg(F.min("ts_us").alias(f"t_{stage}"))
         )
-        out = out.join(nxt, "user_id", "left")
+        out = out.join(nxt.hint("shuffle_hash"), "user_id", "left")
         prev = f"t_{stage}"
     reached = F.lit(1)
     for stage in _STAGES[1:]:
@@ -116,8 +119,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
     active = e.distinct()
     first = active.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    # first-touch table is one row per user — corpus-sized, shuffle join
     return (
-        active.join(first, "user_id")
+        active.join(first.hint("shuffle_hash"), "user_id")
         .groupBy(
             F.col("cohort_date").cast("string").alias("cohort_date"),
             F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
@@ -226,6 +230,66 @@ FROM st
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-outer daily comparison (OP-X-FULLOUTER): two series, neither dominant
+# ---------------------------------------------------------------------------
+
+
+def events_daily_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click vs purchase volume as a FULL OUTER join on day — days
+    present in only one series survive zero-filled (the reconciliation
+    report generalized from key sets to measures).  The join key is
+    re-derived with an explicit ``coalesce`` on both engines because
+    USING-key semantics in outer joins are an established cross-engine trap
+    (CLAUDE.md): the surviving key column must be the coalesced value, not
+    one side's.
+
+    Scale shape: both sides pre-aggregate to one row per day before the
+    join, so the full-outer shuffle is calendar-sized, not event-sized.
+    """
+    e = t(spark, sf_dir, "events")
+
+    def daily(ev_type: str, n_name: str, v_name: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(F.count("*").alias(n_name), dsum(F.col("value")).alias(v_name))
+        )
+
+    c = daily("click", "n_clicks", "click_value")
+    p = daily("purchase", "n_purchases", "purchase_value")
+    return (
+        c.join(p, c["d"] == p["d"], "full_outer")
+        .select(
+            F.coalesce(c["d"], p["d"]).cast("string").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_value", F.lit(0.0)).alias("click_value"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+_FULL_OUTER_SQL = f"""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         {o_dsum('value')} AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         {o_dsum('value')} AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(COALESCE(c.d, p.d) AS VARCHAR) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(click_value, 0.0) AS click_value,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(purchase_value, 0.0) AS purchase_value
+FROM c FULL OUTER JOIN p ON c.d = p.d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_funnel_stages": QuerySpec(
         events_funnel_stages, _FUNNEL_SQL, ("OP-X-FUNNEL", "OP-JOIN-ENRICH")
@@ -235,5 +299,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_alarm_transitions": QuerySpec(
         events_alarm_transitions, _ALARM_SQL, ("OP-X-ALARM", "OP-SINK-METRICS")
+    ),
+    "events_daily_full_outer": QuerySpec(
+        events_daily_full_outer, _FULL_OUTER_SQL, ("OP-X-FULLOUTER", "OP-SET-UNION")
     ),
 }

@@ -45,11 +45,11 @@ def _user_hashes(e: DataFrame) -> DataFrame:
     return e.select("event_type", h.alias("h")).distinct()
 
 
-def _k_min(df: DataFrame, partition_cols: list[str]) -> DataFrame:
-    """Keep the ``_K`` smallest ``h`` per partition (hash values are unique
+def _k_min(df: DataFrame, partition_cols: list[str], k: int = _K) -> DataFrame:
+    """Keep the ``k`` smallest ``h`` per partition (hash values are unique
     within a partition after ``distinct``, so the order is total)."""
     w = Window.partitionBy(*partition_cols).orderBy("h")
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _K).drop("rn")
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
 def _estimate() -> F.Column:
@@ -156,11 +156,107 @@ FROM sk, ex
 """
 
 
+# ---------------------------------------------------------------------------
+# Sampling-based quantile sketch (OP-X-APPROX): deterministic bottom-k sample
+# ---------------------------------------------------------------------------
+
+_QK = 256  # sample size per group
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from a deterministic uniform
+    sample: the ``_QK`` events with the smallest md5(event_id) hash ARE a
+    uniform random sample (md5 is uniform, event_id is unique), and like
+    KMV the bottom-k-by-hash sample is mergeable — the bottom-k of a union
+    of per-shard bottom-k samples is the global bottom-k, so shards combine
+    without rescanning.  ``percentile_approx`` (t-digest-ish) can't be
+    oracle-checked; this can.
+
+    Quantile convention: lower-value at index ``floor((n-1)·q)`` of the
+    (value, event_id)-sorted sample — exact integer arithmetic, no
+    interpolation, so both engines select the identical element.  The exact
+    q50 over the full data (same convention) rides along as ground truth.
+    """
+    e = t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, _HASH_HEX), 16, 10)
+    base = e.select("event_type", "event_id", "value", h.cast("long").alias("h"))
+
+    def _q_cols(df: DataFrame, qs: dict[str, float]) -> DataFrame:
+        wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            "value",
+            F.row_number().over(wv).alias("vrn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        aggs = [
+            F.max(
+                F.when(
+                    F.col("vrn") == F.floor((F.col("n") - 1) * F.lit(q)) + 1,
+                    F.col("value"),
+                )
+            ).alias(name)
+            for name, q in qs.items()
+        ]
+        return ranked.groupBy("event_type").agg(F.max("n").alias("n_rows"), *aggs)
+
+    sample = _k_min(base, ["event_type"], k=_QK)
+    est = _q_cols(sample, {"q25_est": 0.25, "q50_est": 0.5, "q75_est": 0.75}).select(
+        "event_type", F.col("n_rows").alias("n_sampled"), "q25_est", "q50_est", "q75_est"
+    )
+    exact = _q_cols(base, {"q50_exact": 0.5}).select("event_type", "q50_exact")
+    return est.join(exact, "event_type")
+
+
+_QUANTILE_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
+  FROM events
+),
+sample AS (
+  SELECT event_type, event_id, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM base)
+  WHERE rn <= {_QK}
+),
+sranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM sample
+),
+est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sampled,
+         MAX(CASE WHEN vrn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1 THEN value END) AS q25_est,
+         MAX(CASE WHEN vrn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN value END) AS q50_est,
+         MAX(CASE WHEN vrn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1 THEN value END) AS q75_est
+  FROM sranked GROUP BY event_type
+),
+franked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+ex AS (
+  SELECT event_type,
+         MAX(CASE WHEN vrn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN value END) AS q50_exact
+  FROM franked GROUP BY event_type
+)
+SELECT event_type, n_sampled, q25_est, q50_est, q75_est, q50_exact
+FROM est JOIN ex USING (event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_kmv_distinct": QuerySpec(
         events_kmv_distinct, _KMV_SQL, ("OP-X-APPROX", "OP-AGG-SETUNION")
     ),
     "events_kmv_merged": QuerySpec(
         events_kmv_merged, _KMV_MERGED_SQL, ("OP-X-APPROX", "OP-SET-UNION")
+    ),
+    "events_quantile_sketch": QuerySpec(
+        events_quantile_sketch, _QUANTILE_SQL, ("OP-X-APPROX",)
     ),
 }

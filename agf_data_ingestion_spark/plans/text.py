@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from agf_data_ingestion_spark.plans.base import QuerySpec, t
+from agf_data_ingestion_spark.plans.base import QuerySpec, dsum, o_dsum, t
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _N_PERMS = 16
@@ -507,6 +507,95 @@ SELECT doc_id, token, tfidf, CAST(rn AS INT) AS term_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (OP-X-TEXT + OP-SORT-LIMIT): full-text search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")  # the "user query"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_BM25_TOPK`` documents for a term query under BM25 scoring with
+    the rational (log-free) idf ``(N - df + 0.5)/(df + 0.5)`` — same reason
+    as docs_tfidf_topterms: ln() is libm-dependent, every operation here is
+    IEEE-identical across engines.  Term scores are summed through the
+    module's exact decimal accumulator so per-doc totals are
+    accumulation-order-independent.
+
+    Scale shape: the token stream is filtered to query terms *before* the
+    tf aggregation (a 3-term query reduces the explode output by ~|vocab|×
+    map-side); df and the corpus-level (N, total_len) stats are one-row /
+    per-term tables and broadcast; the only corpus-sized shuffle is the
+    doc-length join, keyed on doc_id and carrying 16 bytes/row.  The final
+    top-k is TakeOrderedAndProject (per-partition heads, no global sort).
+    """
+    k1p1 = _BM25_K1 + 1.0
+    omb = 1.0 - _BM25_B
+    d = t(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_words()).alias("token"))
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("tot_dl"), F.count("*").alias("n_docs"))
+    tf = (
+        tokens.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    ts = (
+        idf
+        * (F.col("tf") * F.lit(k1p1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1) * (F.lit(omb) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    # dl (and tf, for common terms) is one row per document — corpus-sized,
+    # so the doc-length join must stay a shuffle join: small-sf statistics
+    # would statically plan a broadcast that cannot exist at 10^9 docs
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", ts.alias("ts"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms_matched"), dsum(F.col("ts"), "decimal(25,9)").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+_BM25_SQL = f"""
+WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot_dl, COUNT(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens WHERE token IN {_BM25_TERMS!r}
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT doc_id,
+         ((n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {_BM25_K1 + 1.0!r})
+           / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl
+                / (CAST(tot_dl AS DOUBLE) / n_docs))) AS ts
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       {o_dsum('ts', 'DECIMAL(25,9)')} AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over the LSH candidate graph
 # ---------------------------------------------------------------------------
 
@@ -613,6 +702,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_lang_id": QuerySpec(docs_lang_id, _LANG_ID_SQL, ("OP-X-TEXT",)),
     "docs_fingerprint": QuerySpec(docs_fingerprint, _FINGERPRINT_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")),
     "docs_tfidf_topterms": QuerySpec(docs_tfidf_topterms, _TFIDF_SQL, ("OP-X-TEXT",)),
+    "docs_bm25_search": QuerySpec(
+        docs_bm25_search, _BM25_SQL, ("OP-X-TEXT", "OP-SORT-LIMIT")
+    ),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, _NGRAM_JACCARD_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_minhash_lsh": QuerySpec(docs_minhash_lsh, _MINHASH_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_neardup_verified": QuerySpec(

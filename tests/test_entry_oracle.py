@@ -38,6 +38,9 @@ SUBSET = [
     "events_alarm_transitions",
     "docs_chunked",
     "docs_mix_weights",
+    "events_quantile_sketch",
+    "docs_bm25_search",
+    "events_daily_full_outer",
 ]
 
 

@@ -49,3 +49,45 @@ def test_grouping_sets_single_expand(spark):
     # one Expand feeding hash aggregation — not one pass per grouping set
     assert plan.count("Expand") >= 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_kmv_sketch_truncates_before_exchange(spark):
+    # the two-level k-min must plan WindowGroupLimit with a Partial phase —
+    # map tasks truncate to their local top-k BEFORE the shuffle, which is
+    # what bounds the exchange at any key cardinality (SCALE.md "Sketches")
+    plan = _plan(spark, "events_kmv_distinct")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    # only the two narrow columns may be read
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    plan = _plan(spark, "docs_chunked")
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark):
+    plan = _plan(spark, "docs_bm25_search")
+    # df/stats side broadcast; the corpus-sized doc-length join must be a
+    # pinned shuffle join (same rule as the LSH estimate joins)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # top-k must be TakeOrderedAndProject, not a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_joins_stay_on_user_id(spark):
+    plan = _plan(spark, "events_funnel_stages")
+    # per-user stage tables are corpus-sized: no broadcast anywhere, and
+    # every exchange in the chain is hash-partitioning on user_id
+    assert "BroadcastHashJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_retention_first_touch_is_shuffle_join(spark):
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
