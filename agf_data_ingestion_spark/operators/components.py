@@ -9,10 +9,16 @@ vertex ends with the minimum vertex id reachable in its component —
 deterministic, so the result is oracle-checkable against a recursive-CTE
 transitive closure.
 
-Scale: each round is one shuffle on vertex id; rounds needed = graph
-diameter (candidate-pair graphs from LSH are shallow — hub-shaped, a few
-rounds).  For planet-scale graphs you'd switch to large-star/small-star
-(alternating optimizations of the same fixpoint); the API is the same.
+Scale: the propagation loop runs ONLY over vertices that appear in an edge
+— every other vertex is a singleton (component = its own id) and is unioned
+back at the end without ever entering a round.  Near-dup candidate graphs
+are sparse (≪ 1% of a deduplicated corpus), so this cuts the per-round
+shuffle from |V| to |edge endpoints|: at 10⁹ docs with 10⁷ candidate-pair
+endpoints, each round moves 10⁷ rows, not 10⁹.  Each round is one shuffle
+on vertex id; rounds needed = graph diameter (LSH candidate graphs are
+shallow — hub-shaped, a few rounds).  For planet-scale graphs you'd switch
+to large-star/small-star (alternating optimizations of the same fixpoint);
+the API is the same.
 """
 
 from __future__ import annotations
@@ -38,9 +44,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
-    ).localCheckpoint(eager=True)
+    # und is symmetric, so column "a" alone covers every edge endpoint
+    endpoints = und.select(F.col("a").alias("id")).distinct()
+    labels = endpoints.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
 
     from pyspark.sql import Observation
 
@@ -52,7 +60,8 @@ def connected_components(
         )
         # the convergence check rides the checkpoint job as an Observation
         # (one job per round, not two: the old separate join+count doubled
-        # the per-round latency)
+        # the per-round latency); coalesce guards the empty-graph case
+        # (sum over zero rows is NULL, which must read as converged)
         obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
@@ -65,11 +74,19 @@ def connected_components(
             )
             .observe(
                 obs,
-                F.sum((F.col("component") != F.col("_prev")).cast("long")).alias("changed"),
+                F.coalesce(
+                    F.sum((F.col("component") != F.col("_prev")).cast("long")), F.lit(0)
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
         labels = new_labels.drop("_prev")
         if obs.get["changed"] == 0:
             break
-    return labels
+
+    singletons = (
+        vertices.select(F.col(vertex_col).alias("id"))
+        .join(endpoints, "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels.unionByName(singletons)
