@@ -121,13 +121,14 @@ _PRIORITY = [
     "events_quantile_sketch",
     "docs_bm25_search",
     "events_daily_full_outer",
+    "events_time_range_sum",
+    "events_unpivot_long",
     # plans changed this round — re-certify under the driver
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_ngram_jaccard",
-    # flagship subset of the r01-green suite (rest stays local-replica-covered)
-    "q1_pricing_summary",
-    "docs_dedup_exact",
+    # (the rest of the r01-driver-green suite stays local-replica-covered;
+    # q1 is additionally smoke-checked every round via entry())
 ]
 
 QUERIES: dict[str, QuerySpec] = {}

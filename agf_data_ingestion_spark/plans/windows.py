@@ -319,6 +319,78 @@ FROM events GROUP BY event_type
 """
 
 
+def events_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (the one frame type rows-frames can't fake):
+    per user, the trailing-10-minute value sum and event count at every
+    event.  RANGE BETWEEN includes *peers* (equal timestamps), so both
+    engines aggregate the identical row set even with ts collisions; the
+    sum is decimal-exact, so within-frame accumulation order can't matter.
+
+    Scale: one shuffle on user_id, then a sorted streaming frame per
+    partition — state is the open 10-minute window, not the history.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trail_10m_value"),
+        F.count("*").over(w).cast("long").alias("trail_10m_n"),
+    )
+
+
+_TIME_RANGE_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER wr AS DOUBLE) AS trail_10m_value,
+       CAST(COUNT(*) OVER wr AS BIGINT) AS trail_10m_n
+FROM events
+WHERE user_id < 30
+WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip (OP-X-UNPIVOT): per-day counts pivoted
+    wide over a FIXED type list (determinism: never let pivot infer its
+    columns from data), then melted back to long form with zero-fill — the
+    densified (day × type) matrix, including combinations absent from the
+    input."""
+    e = t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", list(_TYPES))
+        .count()
+    )
+    long = wide.unpivot("day", list(_TYPES), "event_type", "n")
+    return long.select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+_UNPIVOT_SQL = """
+WITH days AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events),
+types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+counts AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -350,4 +422,10 @@ QUERIES: dict[str, QuerySpec] = {
         events_salted_type_counts, _SALTED_SQL, ("OP-X-SKEW", "OP-AGG-SUM")
     ),
     "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
+    "events_time_range_sum": QuerySpec(
+        events_time_range_sum, _TIME_RANGE_SQL, ("OP-X-WINFRAME",)
+    ),
+    "events_unpivot_long": QuerySpec(
+        events_unpivot_long, _UNPIVOT_SQL, ("OP-X-UNPIVOT", "OP-AGG-CONDCOUNT")
+    ),
 }
