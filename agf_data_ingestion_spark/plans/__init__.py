@@ -23,6 +23,7 @@ from agf_data_ingestion_spark.plans import (
     analytics,
     behavior,
     ingest_queries,
+    iterative,
     media,
     similarity,
     sketches,
@@ -61,6 +62,7 @@ for _mod in (
     training_data,
     sketches,
     behavior,
+    iterative,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -127,6 +129,13 @@ _PRIORITY = [
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_ngram_jaccard",
+    # new this round, batch 2 (past the ~50-row driver window these stay
+    # local-replica-covered until a later round rotates them forward)
+    "docs_domain_caps",
+    "docs_best_of_cluster",
+    "events_scd2_intervals",
+    "graph_pagerank",
+    "emb_pca_power",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

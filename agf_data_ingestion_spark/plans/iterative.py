@@ -1,0 +1,253 @@
+"""Iterative graph/linear-algebra operators (§2.9 extension surface):
+PageRank and power-iteration PCA.
+
+Both are driver-loop algorithms (like operators/components.py): a fixed
+number of rounds, each round one Catalyst plan, lineage truncated with
+``localCheckpoint``.  Both are EXACT-INTEGER so every round is independent
+of accumulation order and bit-identical to a DuckDB oracle that unrolls the
+same rounds as chained CTEs:
+
+* PageRank keeps ranks as BIGINTs scaled by 1e12; the damping update is
+  ``(15*base + 85*contrib) DIV 100`` — Spark ``DIV`` and DuckDB ``//`` both
+  truncate toward zero, and integer sums commute, so partial aggregation
+  order can't change the result (a float PageRank would differ in the last
+  ulp between engines).
+* PCA quantizes embeddings by ``floor(x * 64.0)`` — 64 is a power of two,
+  so the multiply is a mantissa shift (exact for every float), and floor of
+  an exact product is engine-independent.  The covariance accumulation and
+  the matvec rounds are integer arithmetic end to end.
+
+Scale shapes:
+* PageRank: per round, ONE shuffle of the edge list on src (join ranks) and
+  one on dst (contribution sum) — |E| rows each, the standard web-graph
+  pattern; ranks/outdeg co-partition on node id so AQE can reuse the
+  exchange.  The synthetic modular-arithmetic link graph stands in for a
+  crawl's hyperlink table (the driver testdata has no real links); swap
+  ``_edge_formulas`` for a real (src, dst) table and nothing else changes.
+* PCA: the only corpus-sized pass is the covariance aggregation — explode
+  to (row, dim, q) then a self-join on row id and a (i, j) grouBy: d²-per-row
+  map-side work with full partial aggregation, one shuffle of d² partials
+  per partition.  The d×d result (64×64 = 4 KiB) is driver-resident by
+  design — like k-means centroids, it is O(d²) REGARDLESS of corpus size, so
+  the power iteration itself runs in exact unbounded Python ints on the
+  driver (no per-round cluster jobs for a 4096-row matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+# ---------------------------------------------------------------------------
+# PageRank (OP-X-GRAPH): damped, integer-scaled, fixed rounds
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 8
+# deterministic synthetic link graph: (multiplier, offset, modulus-filter)
+_EDGE_FORMULAS = ((7, 3, None), (13, 5, None), (31, 11, 3))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85) over a deterministic synthetic link graph on
+    the documents table, ``_PR_ITERS`` synchronous rounds, ranks as BIGINTs
+    scaled by 1e12.  The training-data use case: graph-quality weighting of
+    a crawl (rank mass ∝ how linked-to a page is) feeding sampling weights.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # driver scalar, like a centroid count — O(1)
+    base = _PR_SCALE // n
+
+    parts = []
+    for mult, off, modf in _EDGE_FORMULAS:
+        e = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + off) % n).alias("dst"),
+        )
+        if modf is not None:
+            e = e.filter(F.col("src") % modf == 0)
+        parts.append(e)
+    edges = (
+        parts[0]
+        .union(parts[1])
+        .union(parts[2])
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # edge list + outdeg fused once; every round reuses this checkpointed table
+    ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = d.select(
+        F.col("doc_id").alias("node"), F.lit(base).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(
+                ranks.select(F.col("node").alias("src"), "rank").hint("shuffle_hash"),
+                "src",
+            )
+            .select("dst", F.expr("rank DIV outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            d.select(F.col("doc_id").alias("node"))
+            .join(
+                contrib.select(F.col("dst").alias("node"), "contrib").hint(
+                    "shuffle_hash"
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"(CAST({15 * base} AS BIGINT)"
+                    " + 85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def _pagerank_sql() -> str:
+    e_parts = []
+    for mult, off, modf in _EDGE_FORMULAS:
+        where = f" WHERE node % {modf} = 0" if modf is not None else ""
+        e_parts.append(
+            f"SELECT node AS src, (node*{mult}+{off}) % (SELECT n FROM nn) AS dst"
+            f" FROM nodes{where}"
+        )
+    e_raw = "\n  UNION ALL ".join(e_parts)
+    ctes = [
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"bb AS (SELECT {_PR_SCALE} // n AS b FROM nn)",
+        f"e_raw AS (\n  {e_raw}\n)",
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e_raw WHERE src <> dst)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, (SELECT b FROM bb) AS rank FROM nodes)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         (15 * (SELECT b FROM bb) + 85 * COALESCE(c.contrib, 0)) // 100 AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst, SUM(r.rank // o.outdeg) AS contrib
+    FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c ON c.dst = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (OP-X-PCA): top principal direction of the embeddings
+# ---------------------------------------------------------------------------
+
+_PCA_QUANT = 64.0  # power of two → exact float multiply on every engine
+_PCA_XSCALE = 10**6
+_PCA_ITERS = 6
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (quantized, uncentered) embedding
+    second-moment matrix via ``_PCA_ITERS`` power-iteration rounds, returned
+    as (dim_idx, pc_scaled) with components scaled to max|x| = 1e6.
+
+    Training-data use: the leading direction of an embedding collection
+    drives whitening / anisotropy diagnostics ("all-but-the-top") before
+    cosine retrieval.  The corpus-sized work — the d² second-moment
+    aggregation — is fully distributed with map-side partials; the 64×64
+    matrix is then collected (4 KiB, size independent of corpus) and the
+    matvec rounds run in unbounded-precision Python ints, normalizing by
+    max|y| with truncating division each round exactly like the DuckDB
+    oracle's unrolled hugeint CTEs."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id", "i", F.floor(F.col("x") * F.lit(_PCA_QUANT)).cast("long").alias("q")
+    )
+    qb = q.select(F.col("vec_id").alias("vid"), F.col("i").alias("j"), F.col("q").alias("qj"))
+    cov = (
+        q.join(qb.hint("shuffle_hash"), q.vec_id == qb.vid)
+        .select("i", "j", (F.col("q") * F.col("qj")).alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("v"))
+    )
+    mat = {(r["i"], r["j"]): r["v"] for r in cov.collect()}
+    dim = 1 + max(i for i, _ in mat)
+
+    x = [_PCA_XSCALE] * dim
+    for _ in range(_PCA_ITERS):
+        y = [
+            sum(mat.get((i, j), 0) * x[j] for j in range(dim)) for i in range(dim)
+        ]
+        m = max(abs(v) for v in y)
+        # sign-split // truncates toward zero — same as DuckDB's hugeint //
+        x = [
+            (v * _PCA_XSCALE) // m if v >= 0 else -((-v * _PCA_XSCALE) // m)
+            for v in y
+        ]
+    return spark.createDataFrame(
+        [(i, x[i]) for i in range(dim)], "dim_idx INT, pc_scaled BIGINT"
+    )
+
+
+def _pca_sql() -> str:
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS i,
+         CAST(FLOOR(x * {_PCA_QUANT}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)""",
+        """cov AS MATERIALIZED (
+  SELECT a.i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS v
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+)""",
+        f"""x0 AS (SELECT DISTINCT i AS j, CAST({_PCA_XSCALE} AS HUGEINT) AS xv FROM q)""",
+    ]
+    for k in range(_PCA_ITERS):
+        ctes.append(
+            f"""y{k} AS MATERIALIZED (
+  SELECT cov.i, SUM(cov.v * x{k}.xv) AS yv
+  FROM cov JOIN x{k} ON cov.j = x{k}.j
+  GROUP BY cov.i
+)"""
+        )
+        ctes.append(f"m{k} AS MATERIALIZED (SELECT MAX(ABS(yv)) AS m FROM y{k})")
+        ctes.append(
+            f"""x{k + 1} AS MATERIALIZED (
+  SELECT i AS j,
+         CASE WHEN yv >= 0 THEN (yv * {_PCA_XSCALE}) // (SELECT m FROM m{k})
+              ELSE -((-yv * {_PCA_XSCALE}) // (SELECT m FROM m{k})) END AS xv
+  FROM y{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(j AS INT) AS dim_idx, CAST(xv AS BIGINT) AS pc_scaled"
+        f" FROM x{_PCA_ITERS}"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_pagerank": QuerySpec(graph_pagerank, _pagerank_sql(), ("OP-X-GRAPH",)),
+    "emb_pca_power": QuerySpec(emb_pca_power, _pca_sql(), ("OP-X-PCA", "OP-ARR-SUM")),
+}

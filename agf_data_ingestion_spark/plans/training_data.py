@@ -126,6 +126,111 @@ WHERE c.doc_id = c.cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Per-domain caps (OP-X-SAMPLE + OP-SORT-LIMIT): bound any one source's share
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15  # max docs kept per source
+
+
+def docs_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source/domain at ``_DOMAIN_CAP`` documents, keeping the
+    highest-quality ones (CommonCrawl-style per-domain rate limiting — stops
+    one boilerplate-heavy domain from dominating the training mix).
+
+    Quality rank is exact-integer (word count desc, doc_id asc tiebreak) so
+    both engines pick identical survivors.  Scale shape: ONE hash-partition
+    window on source — no global sort, no driver state; a pathological
+    mega-domain only skews its own partition and is exactly the case AQE
+    skew-split handles (the window itself is bounded: rank K+1 rows stream
+    through rank() and are dropped immediately)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", n_words.alias("n_words"))
+        .withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("src_rank") <= _DOMAIN_CAP)
+    )
+
+
+_DOMAIN_CAPS_SQL = f"""
+SELECT doc_id, source, n_words, CAST(src_rank AS INT) AS src_rank FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(len(string_split(text, ' ')) AS INT) DESC,
+                                     doc_id ASC) AS src_rank
+  FROM documents
+) WHERE src_rank <= {_DOMAIN_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Best-of-cluster dedup (OP-X-DEDUP-NEAR end-to-end, quality-ranked keeper)
+# ---------------------------------------------------------------------------
+
+
+def docs_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup that keeps the BEST document of each duplicate cluster
+    instead of the arbitrary minimum id — the policy real pipelines want
+    (of N mirrors of a page, keep the longest / highest-quality copy).
+
+    Composes the LSH → connected-components cluster labels with an exact
+    integer quality rank (word count desc, doc_id asc).  Scale shape: the
+    ranking adds ONE window over cluster_id to the existing cluster
+    pipeline; cluster sizes are bounded by near-dup group sizes (small), so
+    the window partitions are tiny."""
+    from agf_data_ingestion_spark.plans.text import docs_dup_clusters
+
+    clusters = docs_dup_clusters(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    labeled = clusters.join(d.hint("shuffle_hash"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "n_words", "cluster_size")
+    )
+
+
+def _best_of_cluster_sql() -> str:
+    from agf_data_ingestion_spark.plans.text import _CLUSTER_THRESHOLD, _MINHASH_CTES
+
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+e2 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM est WHERE est_jaccard >= {_CLUSTER_THRESHOLD}
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.dst, reach.root FROM reach JOIN e2 ON e2.src = reach.node
+),
+clusters AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT c.cluster_id, d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS INT) AS n_words
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, kept_doc_id, n_words, cluster_size FROM (
+  SELECT cluster_id, doc_id AS kept_doc_id, n_words,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_words DESC, doc_id ASC) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM labeled
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Repetition stats (OP-X-TEXT): Gopher-style rep-removal signals
 # ---------------------------------------------------------------------------
 
@@ -609,6 +714,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_deduped_corpus": QuerySpec(
         docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
+    ),
+    "docs_domain_caps": QuerySpec(
+        docs_domain_caps, _DOMAIN_CAPS_SQL, ("OP-X-SAMPLE", "OP-SORT-LIMIT")
+    ),
+    "docs_best_of_cluster": QuerySpec(
+        docs_best_of_cluster, _best_of_cluster_sql(), ("OP-X-DEDUP-NEAR", "OP-WIN-DEDUPNAME")
     ),
     "emb_quantize_int8": QuerySpec(emb_quantize_int8, _QUANT_SQL, ("OP-X-QUANT", "OP-ARR-SUM")),
     "docs_chunked": QuerySpec(docs_chunked, _CHUNKED_SQL, ("OP-X-CHUNK", "OP-X-TEXT")),

@@ -391,6 +391,80 @@ LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (OP-X-SCD2): change events → validity intervals
+# ---------------------------------------------------------------------------
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's event
+    stream into (attribute, valid_from, valid_to, version) rows — one row
+    per *change* of event_type, open-ended current row (valid_to NULL).
+
+    The warehouse-standard change-capture pattern: lag() detects change
+    points, a running count assigns versions, lead() closes each interval.
+    Timestamps are epoch-µs BIGINTs (cross-engine faithful, see
+    plans/base.py).  Scale shape: everything is ONE hash partition by
+    user_id — the three window functions share a single (user_id, ts_us)
+    sort, no extra shuffle (check: one Exchange in the plan)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    d = e.select("user_id", "event_type", "ts_us", "event_id").withColumn(
+        "chg", changed
+    )
+    d = d.withColumn(
+        "version",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = d.filter(F.col("chg") == 1).select(
+        "user_id", "event_type", F.col("ts_us").alias("valid_from"), "version"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("version").cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+WITH d AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+v AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM d
+),
+runs AS (
+  SELECT user_id, event_type, ts_us AS valid_from, version
+  FROM v WHERE chg = 1
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(version AS BIGINT) AS version,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -422,6 +496,9 @@ QUERIES: dict[str, QuerySpec] = {
         events_salted_type_counts, _SALTED_SQL, ("OP-X-SKEW", "OP-AGG-SUM")
     ),
     "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
+    "events_scd2_intervals": QuerySpec(
+        events_scd2_intervals, _SCD2_SQL, ("OP-X-SCD2", "OP-X-WINFRAME")
+    ),
     "events_time_range_sum": QuerySpec(
         events_time_range_sum, _TIME_RANGE_SQL, ("OP-X-WINFRAME",)
     ),

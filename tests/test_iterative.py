@@ -1,0 +1,145 @@
+"""Property tests for the iterative operators (plans/iterative.py) and the
+round-2 curation queries: PageRank invariants, PCA vs a float eigensolver,
+SCD2 interval laws, per-domain caps, best-of-cluster dedup policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pagerank_mass_and_positivity(spark):
+    from agf_data_ingestion_spark.plans.iterative import _PR_SCALE, graph_pagerank
+
+    pr = graph_pagerank(spark, SF_SMOKE).toPandas()
+    assert len(pr) == 500
+    assert (pr.rank_scaled > 0).all()
+    # damped-PageRank mass is conserved up to truncation loss: every DIV
+    # truncates at most 1 unit per row per round
+    total = pr.rank_scaled.sum()
+    assert 0.97 * _PR_SCALE < total <= _PR_SCALE
+
+
+def test_pagerank_in_degree_monotonicity(spark):
+    """A node receiving more in-edges than another (with identical-shape
+    sources) should never rank lower — spot-check: the max-rank node has
+    above-average in-degree."""
+    from agf_data_ingestion_spark.plans.iterative import _EDGE_FORMULAS, graph_pagerank
+
+    pr = graph_pagerank(spark, SF_SMOKE).toPandas()
+    n = len(pr)
+    indeg = {}
+    for i in range(n):
+        for mult, off, modf in _EDGE_FORMULAS:
+            if modf is not None and i % modf != 0:
+                continue
+            d = (i * mult + off) % n
+            if d != i:
+                indeg[d] = indeg.get(d, 0) + 1
+    top = pr.sort_values("rank_scaled").iloc[-1]["node"]
+    assert indeg.get(top, 0) >= np.mean(list(indeg.values()))
+
+
+def test_pca_matches_float_power_iteration(spark):
+    """The exact-integer power iteration must follow the same trajectory as a
+    float power iteration with identical rounds/normalization (the embeddings
+    are near-isotropic, so K rounds are NOT converged to the eigensolver's
+    top vector — the correctness claim is about the distributed second-moment
+    matrix + the iteration arithmetic, not about spectral convergence), and
+    each round must improve the Rayleigh quotient."""
+    from agf_data_ingestion_spark.plans.iterative import (
+        _PCA_ITERS,
+        _PCA_QUANT,
+        emb_pca_power,
+    )
+
+    pc = (
+        emb_pca_power(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("dim_idx")["pc_scaled"]
+        .to_numpy()
+        .astype(float)
+    )
+    assert pc.max() == 10**6 or -pc.min() == 10**6  # normalized to max|x|=1e6
+
+    emb = np.stack(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    q = np.floor(emb * _PCA_QUANT)
+    cov = q.T @ q
+
+    def rayleigh(v):
+        return (v @ cov @ v) / (v @ v)
+
+    x = np.ones(cov.shape[0])
+    r_prev = rayleigh(x)
+    for _ in range(_PCA_ITERS):
+        x = cov @ x
+        x = x / np.abs(x).max()
+        r = rayleigh(x)
+        assert r >= r_prev * (1 - 1e-12)  # power iteration is monotone
+        r_prev = r
+    cos = abs(pc @ x) / (np.linalg.norm(pc) * np.linalg.norm(x))
+    assert cos > 0.999
+    # and the integer iterate's Rayleigh quotient matches the float one
+    assert rayleigh(pc) == pytest.approx(r_prev, rel=1e-6)
+
+
+def test_scd2_interval_laws(spark):
+    from agf_data_ingestion_spark.plans.windows import events_scd2_intervals
+
+    df = events_scd2_intervals(spark, SF_SMOKE).toPandas()
+    assert (df.groupby("user_id").is_current.sum() == 1).all()
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values("version")
+        assert list(g.version) == list(range(1, len(g) + 1))
+        # each interval closes exactly where the next opens
+        assert (
+            g.valid_to.iloc[:-1].to_numpy() == g.valid_from.iloc[1:].to_numpy()
+        ).all()
+        assert g.valid_to.iloc[-1] is None or np.isnan(g.valid_to.iloc[-1])
+        # consecutive versions always change attribute value
+        assert (g.event_type.iloc[:-1].to_numpy() != g.event_type.iloc[1:].to_numpy()).all()
+
+
+def test_domain_caps_bound_every_source(spark):
+    from agf_data_ingestion_spark.plans.training_data import _DOMAIN_CAP, docs_domain_caps
+
+    df = docs_domain_caps(spark, SF_SMOKE).toPandas()
+    per = df.groupby("source").size()
+    assert (per <= _DOMAIN_CAP).all()
+    # survivors within a source are its word-count top-K
+    full = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", F.size(F.split("text", " ")).alias("n_words"))
+        .toPandas()
+    )
+    src = full[full.source == "src0"].sort_values(
+        ["n_words", "doc_id"], ascending=[False, True]
+    )
+    expect = set(src.head(_DOMAIN_CAP).doc_id)
+    assert set(df[df.source == "src0"].doc_id) == expect
+
+
+def test_best_of_cluster_keeps_longest(spark):
+    from agf_data_ingestion_spark.plans.text import docs_dup_clusters
+    from agf_data_ingestion_spark.plans.training_data import docs_best_of_cluster
+
+    best = docs_best_of_cluster(spark, SF_SMOKE).toPandas()
+    clusters = docs_dup_clusters(spark, SF_SMOKE).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .toPandas()
+    )
+    merged = clusters.merge(docs, on="doc_id")
+    # one keeper per cluster, and it attains the cluster's max word count
+    assert len(best) == merged.cluster_id.nunique()
+    gmax = merged.groupby("cluster_id").n_words.max()
+    for _, r in best[best.cluster_size > 1].iterrows():
+        assert r.n_words == gmax[r.cluster_id]
