@@ -136,6 +136,7 @@ _PRIORITY = [
     "events_scd2_intervals",
     "graph_pagerank",
     "emb_pca_power",
+    "emb_kmeans_train",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

@@ -35,7 +35,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import QuerySpec, t
@@ -247,7 +247,144 @@ def _pca_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Lloyd's k-means training (OP-X-KMEANS): learn IVF cells, not just use them
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = 1 << 20  # power of two — exact float multiply before floor
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embeddings (K=``_KM_K``, ``_KM_ITERS``
+    synchronous rounds), returning the final assignment (vec_id, cell,
+    dist_q).  This is the TRAINING loop emb_ivf_topk's coarse quantizer
+    assumes pre-exists — seeds are the first K vectors, each round is
+    assign-to-nearest + integer-mean update.
+
+    Exact-integer end to end: embeddings quantize to ``floor(x · 2^20)``
+    longs, distances are integer sums of squared diffs (commutative —
+    partial-agg order can't change them), centroid updates are
+    ``SUM(q) DIV count`` with both engines truncating toward zero, ties on
+    equal distance break to the lower cell id.  Empty cells keep their
+    previous centroid (same COALESCE rule in the oracle).
+
+    Scale shape: per round ONE broadcast-map assignment pass over the corpus
+    (centroid table is K×d ≈ KiB — driver-resident by design, like every
+    k-means implementation) and ONE groupBy(cell, dim) mean with map-side
+    partials bounded by K·d rows per partition.  No corpus-sized shuffle at
+    any round; cost is rounds × one scan.  Cite: the reference has no ANN
+    training path at all (its closest analog is the static label layout,
+    agf_ingestion_lambda.py:179-248)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _KM_Q).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    seeds = q.filter(F.col("vec_id") < _KM_K).collect()
+    cents = {int(r["vec_id"]): list(r["qv"]) for r in seeds}
+
+    def assign_df():
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(c, v) for c, v in sorted(cents.items())],
+                "cell INT, cv ARRAY<BIGINT>",
+            )
+        )
+        dist = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
+        return (
+            q.crossJoin(cent_df)
+            .select("vec_id", "qv", "cell", dist.alias("dist_q"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(_KM_ITERS):
+        a = assign_df()
+        means = (
+            a.select("cell", F.posexplode("qv").alias("i", "qc"))
+            .groupBy("cell", "i")
+            .agg(F.expr("sum(qc) DIV count(*)").alias("c"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(int(r["cell"]), [0] * len(next(iter(cents.values()))))[
+                r["i"]
+            ] = int(r["c"])
+        for c in cents:  # empty cells keep their previous centroid
+            if c not in new:
+                new[c] = cents[c]
+        cents = new
+
+    return assign_df().select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "dist_q"
+    )
+
+
+def _kmeans_sql() -> str:
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS i, CAST(FLOOR(x * {_KM_Q}) AS BIGINT) AS qv
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)""",
+        f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cell, i, qv AS cv"
+        f" FROM q WHERE vec_id < {_KM_K})",
+    ]
+    for k in range(_KM_ITERS + 1):
+        last = k == _KM_ITERS
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT q.vec_id, c.cell, SUM(CAST((q.qv - c.cv) AS HUGEINT) * (q.qv - c.cv)) AS dist_q
+  FROM q JOIN c{k} c ON q.i = c.i
+  GROUP BY q.vec_id, c.cell
+)""",
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT vec_id, cell, dist_q FROM (
+    SELECT vec_id, cell, dist_q,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cell ASC) AS rn
+    FROM d{k}
+  ) WHERE rn = 1
+)"""
+        )
+        if last:
+            break
+        ctes.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT c.cell, c.i,
+         COALESCE(m.c, c.cv) AS cv
+  FROM c{k} c LEFT JOIN (
+    SELECT a.cell, q.i, SUM(q.qv) // COUNT(*) AS c
+    FROM a{k} a JOIN q ON a.vec_id = q.vec_id
+    GROUP BY a.cell, q.i
+  ) m ON m.cell = c.cell AND m.i = c.i
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist_q AS BIGINT) AS dist_q"
+        f" FROM a{_KM_ITERS}"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, _pagerank_sql(), ("OP-X-GRAPH",)),
     "emb_pca_power": QuerySpec(emb_pca_power, _pca_sql(), ("OP-X-PCA", "OP-ARR-SUM")),
+    "emb_kmeans_train": QuerySpec(
+        emb_kmeans_train, _kmeans_sql(), ("OP-X-KMEANS", "OP-X-SIM-TOPK")
+    ),
 }

@@ -90,6 +90,71 @@ def test_pca_matches_float_power_iteration(spark):
     assert rayleigh(pc) == pytest.approx(r_prev, rel=1e-6)
 
 
+def test_kmeans_matches_integer_lloyd_twin(spark):
+    """The distributed k-means must agree row-for-row with a numpy/Python
+    re-implementation of the same integer Lloyd rounds (quantize → assign by
+    integer distance with low-cell tiebreak → integer-mean update), and its
+    inertia must be monotone non-increasing across rounds."""
+    from agf_data_ingestion_spark.plans.iterative import (
+        _KM_ITERS,
+        _KM_K,
+        _KM_Q,
+        emb_kmeans_train,
+    )
+
+    got = (
+        emb_kmeans_train(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q = np.floor(np.stack(emb.embedding.to_numpy()).astype(np.float64) * _KM_Q).astype(
+        object  # python ints — exact, like Spark longs
+    )
+    cents = {k: q[k].copy() for k in range(_KM_K)}
+    inertia_prev = None
+
+    def assign():
+        out = []
+        for row in q:
+            best = min(
+                (sum(int(a - b) ** 2 for a, b in zip(row, cents[c])), c)
+                for c in sorted(cents)
+            )
+            out.append(best)
+        return out
+
+    for it in range(_KM_ITERS):
+        a = assign()
+        inertia = sum(d for d, _ in a)
+        if inertia_prev is not None:
+            assert inertia <= inertia_prev
+        inertia_prev = inertia
+        new = {}
+        for c in sorted(cents):
+            members = [q[i] for i, (_, ci) in enumerate(a) if ci == c]
+            if members:
+                cnt = len(members)
+                new[c] = np.array(
+                    [int(sum(int(v[j]) for v in members)) // cnt if sum(int(v[j]) for v in members) >= 0
+                     else -((-sum(int(v[j]) for v in members)) // cnt)
+                     for j in range(len(members[0]))],
+                    dtype=object,
+                )
+            else:
+                new[c] = cents[c]
+        cents = new
+    final = assign()
+    assert list(got.cell) == [c for _, c in final]
+    assert list(got.dist_q) == [d for d, _ in final]
+
+
 def test_scd2_interval_laws(spark):
     from agf_data_ingestion_spark.plans.windows import events_scd2_intervals
 
