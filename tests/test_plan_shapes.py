@@ -91,3 +91,37 @@ def test_retention_first_touch_is_shuffle_join(spark):
     plan = _plan(spark, "events_retention_cohorts")
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_domain_caps_truncates_before_exchange(spark):
+    # per-source rank-K must plan a Partial WindowGroupLimit: map tasks keep
+    # their local top-K per source BEFORE the shuffle, bounding the exchange
+    # at K rows per source per task even under a mega-domain
+    plan = _plan(spark, "docs_domain_caps")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # column pruning: the window needs only (doc_id, text, source)
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+
+
+def test_kmeans_broadcasts_centroids_not_corpus(spark):
+    # the final assignment pass: centroid table broadcast (tiny, K rows),
+    # corpus never broadcast or sort-merge-joined, argmin truncated map-side
+    plan = _plan(spark, "emb_kmeans_train")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_scd2_single_exchange(spark):
+    # lag-change-capture + version sum + closing lead must share ONE
+    # (user_id) exchange — three windows, one shuffle
+    plan = _plan(spark, "events_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_best_of_cluster_shuffle_joins_corpus_side(spark):
+    # the quality join onto cluster labels is corpus-sized on both sides —
+    # must stay a shuffle join (broadcast would OOM at 1e9 docs)
+    plan = _plan(spark, "docs_best_of_cluster")
+    assert "ShuffledHashJoin" in plan, plan
