@@ -137,6 +137,8 @@ _PRIORITY = [
     "graph_pagerank",
     "emb_pca_power",
     "emb_kmeans_train",
+    "docs_weighted_sample",
+    "docs_bpe_pairs",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

@@ -695,6 +695,110 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture-weighted sampling (OP-X-MIX → OP-X-SAMPLE): apply the mix as a draw
+# ---------------------------------------------------------------------------
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the sqrt-token mixture as an actual corpus draw: each
+    source's acceptance rate is its sqrt-token share scaled so the largest
+    source keeps 100%, and each document's accept/reject is the same
+    md5-derived bucket used by docs_stratified_sample (content-stable,
+    partitioning-independent).
+
+    Exactness: the rate is ``(100 · sqrt_tokens_src) DIV max_sqrt_tokens``
+    computed on exact integer token sums — no float share ever decides a
+    row's fate, so both engines keep identical documents.  Scale shape: the
+    20-row per-source rate table is filter-first broadcast; the corpus is
+    scanned once, map-only."""
+    d = t(spark, sf_dir, "documents")
+    tokens = F.size(F.split("text", " "))
+    per = d.groupBy("source").agg(F.sum(tokens).alias("n_tokens"))
+    # integer sqrt via floor(sqrt(double)) is exact for n < 2^52
+    sq = per.select(
+        "source", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).alias("sq")
+    )
+    mx = sq.agg(F.max("sq").alias("mx"))
+    rates = sq.crossJoin(F.broadcast(mx)).select(
+        "source", F.expr("(100 * sq) DIV mx").alias("rate_pct")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long") % 100
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_pct"))
+        .select("doc_id", "source", F.col("rate_pct").cast("long").alias("rate_pct"))
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (SELECT source, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sq FROM per),
+rates AS (
+  SELECT source, (100 * sq) // (SELECT MAX(sq) FROM sq) AS rate_pct FROM sq
+)
+SELECT d.doc_id, d.source, CAST(r.rate_pct AS BIGINT) AS rate_pct
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 < r.rate_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair stats (OP-X-TEXT): top adjacent-token pairs, one merge round
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting kernel of one BPE merge round: frequency of every
+    adjacent token pair across the corpus, top-``_BPE_TOPK`` (the next merge
+    candidates).  Tokens are the module's BPE-ish stream (letter runs, digit
+    runs, single punctuation).
+
+    Guard: Spark's ``sequence(1, n)`` counts DOWN for n ≤ 0 (DuckDB range is
+    empty) — single-token docs are filtered before pairing.  Scale shape:
+    explode → count is one shuffle of (pair, partial-count) with map-side
+    combine; the top-K is a single TakeOrdered."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_stratified_sample": QuerySpec(
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
@@ -724,4 +828,10 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_quantize_int8": QuerySpec(emb_quantize_int8, _QUANT_SQL, ("OP-X-QUANT", "OP-ARR-SUM")),
     "docs_chunked": QuerySpec(docs_chunked, _CHUNKED_SQL, ("OP-X-CHUNK", "OP-X-TEXT")),
     "docs_mix_weights": QuerySpec(docs_mix_weights, _MIX_SQL, ("OP-X-MIX", "OP-X-SAMPLE")),
+    "docs_weighted_sample": QuerySpec(
+        docs_weighted_sample, _WEIGHTED_SAMPLE_SQL, ("OP-X-MIX", "OP-X-SAMPLE")
+    ),
+    "docs_bpe_pairs": QuerySpec(
+        docs_bpe_pairs, _BPE_PAIRS_SQL, ("OP-X-TEXT", "OP-SORT-LIMIT")
+    ),
 }

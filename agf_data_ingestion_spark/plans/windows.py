@@ -402,40 +402,16 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per *change* of event_type, open-ended current row (valid_to NULL).
 
     The warehouse-standard change-capture pattern: lag() detects change
-    points, a running count assigns versions, lead() closes each interval.
-    Timestamps are epoch-µs BIGINTs (cross-engine faithful, see
-    plans/base.py).  Scale shape: everything is ONE hash partition by
-    user_id — the three window functions share a single (user_id, ts_us)
-    sort, no extra shuffle (check: one Exchange in the plan)."""
-    e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    changed = (
-        F.lag("event_type").over(w).isNull()
-        | (F.col("event_type") != F.lag("event_type").over(w))
-    ).cast("int")
-    d = e.select("user_id", "event_type", "ts_us", "event_id").withColumn(
-        "chg", changed
-    )
-    d = d.withColumn(
-        "version",
-        F.sum("chg").over(
-            Window.partitionBy("user_id")
-            .orderBy("ts_us", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    runs = d.filter(F.col("chg") == 1).select(
-        "user_id", "event_type", F.col("ts_us").alias("valid_from"), "version"
-    )
-    w2 = Window.partitionBy("user_id").orderBy("version")
-    return runs.select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.col("version").cast("long").alias("version"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
-    )
+    points, a running count assigns versions, lead() closes each interval
+    (shared builder: operators/scd2.py; the streaming maintainer in
+    streaming/scd2.py derives the same table incrementally).  Timestamps
+    are epoch-µs BIGINTs (cross-engine faithful, see plans/base.py).
+    Scale shape: everything is ONE hash partition by user_id — the three
+    window functions share a single (user_id, ts_us) sort, no extra
+    shuffle (check: one Exchange in the plan)."""
+    from agf_data_ingestion_spark.operators.scd2 import scd2_intervals
+
+    return scd2_intervals(t(spark, sf_dir, "events"))
 
 
 _SCD2_SQL = """
