@@ -31,11 +31,28 @@ def asof_join(
     right_time: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
-    """For each left row: latest right row with right_time <= left_time,
+    """For each left row: nearest right row at-or-before (``direction=
+    'backward'``, default) or at-or-after (``'forward'``) its timestamp,
     equi-matched on ``on``.  Right payload columns arrive as
-    ``<col><suffix>`` (None when nothing precedes the left row).
-    """
+    ``<col><suffix>`` (None when no match).
+
+    ``tolerance`` (same units as the time columns) bounds the match
+    distance, like pandas ``merge_asof``: a carried right row further than
+    ``tolerance`` from the left timestamp is nulled out.  The forward
+    variant is the same one-shuffle window plan with the sort reversed —
+    direction changes ORDER BY, never the join strategy.
+
+    ``tiebreak`` names a right column that totally orders right rows
+    sharing a timestamp (without it the winner among equal timestamps is
+    partition-order-dependent): the max of it wins going backward, the min
+    going forward — i.e. always the row nearest the left one in the scan
+    direction."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -49,17 +66,38 @@ def asof_join(
     )
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{right_time}{suffix}"]
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows sort before coincident left rows (_side 0 < 1) so an
-    # exactly-equal timestamp is visible to the left row — ASOF tie rule
+    # right rows sort "before" coincident left rows (side order flips with
+    # direction) so an exactly-equal timestamp is visible to the left row —
+    # the ASOF tie rule in both directions
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+        if tiebreak is not None:
+            order.append(F.col(f"{tiebreak}{suffix}").asc_nulls_last())
+    else:
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+        if tiebreak is not None:
+            order.append(F.col(f"{tiebreak}{suffix}").desc_nulls_last())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
     )
-    out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"_f_{c}").alias(c) for c in carried
-    ]
+    matched_t = F.col(f"_f_{right_time}{suffix}")
+    if tolerance is not None:
+        dist = (
+            (F.col("_t") - matched_t)
+            if direction == "backward"
+            else (matched_t - F.col("_t"))
+        )
+        within = matched_t.isNotNull() & (dist <= F.lit(tolerance))
+        out_cols = [F.col(c) for c in left.columns] + [
+            F.when(within, F.col(f"_f_{c}")).alias(c) for c in carried
+        ]
+    else:
+        out_cols = [F.col(c) for c in left.columns] + [
+            F.col(f"_f_{c}").alias(c) for c in carried
+        ]
     return filled.filter(F.col("_side") == 1).select(*out_cols)

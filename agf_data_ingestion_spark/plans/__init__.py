@@ -139,6 +139,7 @@ _PRIORITY = [
     "emb_kmeans_train",
     "docs_weighted_sample",
     "docs_bpe_pairs",
+    "events_asof_next_purchase",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

@@ -392,6 +392,66 @@ LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of with tolerance (OP-X-ASOF): click → next purchase ≤ 1 h away
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance: each click's NEXT purchase by
+    the same user within one hour (attribution-window semantics).  Same
+    one-shuffle window plan as the backward as-of — direction only flips
+    the sort; ``tiebreak`` pins equal-timestamp winners so the result is
+    deterministic under any partitioning.  Oracle: LATERAL nearest-row
+    lookup (DuckDB's ASOF JOIN has no tolerance)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_ts")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="c_ts",
+        right_time="p_ts",
+        direction="forward",
+        tolerance=_ASOF_TOL_US,
+        tiebreak="purchase_id",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "c_ts",
+        F.col("purchase_id_asof").alias("next_purchase_id"),
+        F.col("p_ts_asof").alias("next_purchase_ts"),
+    )
+
+
+_ASOF_FWD_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, c.c_ts,
+       p.purchase_id AS next_purchase_id, p.p_ts AS next_purchase_ts
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT purchase_id, p_ts FROM purch p
+  WHERE p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    AND p.p_ts - c.c_ts <= {_ASOF_TOL_US}
+  ORDER BY p.p_ts ASC, purchase_id ASC LIMIT 1
+) p ON TRUE
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension build (OP-X-SCD2): change events → validity intervals
 # ---------------------------------------------------------------------------
 
@@ -474,6 +534,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
     "events_scd2_intervals": QuerySpec(
         events_scd2_intervals, _SCD2_SQL, ("OP-X-SCD2", "OP-X-WINFRAME")
+    ),
+    "events_asof_next_purchase": QuerySpec(
+        events_asof_next_purchase, _ASOF_FWD_SQL, ("OP-X-ASOF",)
     ),
     "events_time_range_sum": QuerySpec(
         events_time_range_sum, _TIME_RANGE_SQL, ("OP-X-WINFRAME",)

@@ -51,3 +51,35 @@ def test_approx_stats_bounded(spark):
         rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel_err < 0.1, f"{r['event_type']}: {rel_err}"
         assert r["approx_median_value"] is not None
+
+
+def test_asof_forward_tolerance_tiebreak(spark):
+    from agf_data_ingestion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 500, "b"), (2, 100, "c")], "k long, lt long, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 100, 11), (1, 250, 12), (2, 900, 13)],
+        "k long, rt long, rid int",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        direction="forward", tolerance=200, tiebreak="rid",
+    )
+    rows = {r["lbl"]: (r["rid_asof"], r["rt_asof"]) for r in out.collect()}
+    # equal timestamp matches forward too; min rid wins the tie
+    assert rows["a"] == (10, 100)
+    # nearest >= 500 is 900 but beyond tolerance 200 -> no match
+    assert rows["b"] == (None, None)
+    # 900 - 100 = 800 > 200 -> no match for the other key either
+    assert rows["c"] == (None, None)
+
+    back = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        direction="backward", tiebreak="rid",
+    )
+    brows = {r["lbl"]: (r["rid_asof"], r["rt_asof"]) for r in back.collect()}
+    assert brows["a"] == (11, 100)  # max rid wins backward ties
+    assert brows["b"] == (12, 250)
+    assert brows["c"] == (None, None)  # nothing at-or-before 100
