@@ -452,6 +452,91 @@ FROM clicks c LEFT JOIN LATERAL (
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout keys (OP-X-ZORDER): 2-D clustering for file-level pruning
+# ---------------------------------------------------------------------------
+
+_Z_TS_BUCKET_US = 3_600_000_000  # 1-hour time buckets
+
+
+_Z_NORM_BITS = 16
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, hour-bucket): the write-side layout key
+    that makes parquet min/max stats selective on user AND time at once
+    (functions/zorder.py).  Both dimensions are min-max normalized onto 16
+    bits BEFORE interleaving — interleaving raw values lets the
+    wider-magnitude column dominate the sort (a 19-bit hour bucket against
+    a 4-bit user id degrades to a plain time sort), which is why every
+    production Z-ORDER normalizes first.  Emits each event's zkey plus its
+    256-way layout bucket — the file-group it would land in if the table
+    were written sorted by zkey.  tests/test_zorder.py measures the
+    locality win vs single-column sorts.  Scale shape: the min/max bounds
+    are one scalar aggregate (broadcast), the key itself is pure
+    whole-stage-codegen bit math — map-only at any corpus size."""
+    from agf_data_ingestion_spark.functions.zorder import (
+        _interleave_expr,
+        norm_expr,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"ts_us div {_Z_TS_BUCKET_US}").alias("hour_bucket"),
+    )
+    bounds = e.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("hour_bucket").alias("hlo"),
+        F.max("hour_bucket").alias("hhi"),
+    )
+    na = norm_expr("user_id", "ulo", "uhi", _Z_NORM_BITS)
+    nb = norm_expr("hour_bucket", "hlo", "hhi", _Z_NORM_BITS)
+    z = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "hour_bucket",
+        F.expr(_interleave_expr(f"({na})", f"({nb})", _Z_NORM_BITS)).alias("zkey"),
+    )
+    return z.select(
+        "event_id",
+        "user_id",
+        "hour_bucket",
+        "zkey",
+        F.expr(f"zkey >> {2 * _Z_NORM_BITS - 8}").cast("int").alias("z_bucket"),
+    )
+
+
+def _zorder_sql() -> str:
+    from agf_data_ingestion_spark.functions.zorder import (
+        _interleave_expr,
+        norm_expr,
+    )
+
+    na = norm_expr("user_id", "ulo", "uhi", _Z_NORM_BITS)
+    nb = norm_expr("hour_bucket", "hlo", "hhi", _Z_NORM_BITS)
+    z = _interleave_expr(f"({na})", f"({nb})", _Z_NORM_BITS)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // {_Z_TS_BUCKET_US} AS hour_bucket
+  FROM events
+),
+b AS (
+  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         MIN(hour_bucket) AS hlo, MAX(hour_bucket) AS hhi
+  FROM e
+),
+z AS (
+  SELECT event_id, user_id, hour_bucket, {z} AS zkey
+  FROM e CROSS JOIN b
+)
+SELECT event_id, user_id, hour_bucket, zkey,
+       CAST(zkey >> {2 * _Z_NORM_BITS - 8} AS INT) AS z_bucket
+FROM z
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension build (OP-X-SCD2): change events → validity intervals
 # ---------------------------------------------------------------------------
 
@@ -537,6 +622,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_asof_next_purchase": QuerySpec(
         events_asof_next_purchase, _ASOF_FWD_SQL, ("OP-X-ASOF",)
+    ),
+    "events_zorder_layout": QuerySpec(
+        events_zorder_layout, _zorder_sql(), ("OP-X-ZORDER",)
     ),
     "events_time_range_sum": QuerySpec(
         events_time_range_sum, _TIME_RANGE_SQL, ("OP-X-WINFRAME",)
