@@ -1,0 +1,214 @@
+"""Snapshot table format: atomic commits, time travel, and compaction over
+plain parquet — the minimal slice of a transactional table format
+(Delta/Iceberg-style) the 100 TB sink story needs, with no external
+dependency.
+
+Layout::
+
+    table/
+      data/<commit-uuid>/part-*.parquet   immutable data files
+      _snapshots/v-00000001.json          manifest: the file list of v1
+      _snapshots/CURRENT                  pointer file (atomic rename swap)
+
+Why a manifest format (and not directory listing):
+
+* **Atomic commits** — a commit is one ``rename`` of the CURRENT pointer;
+  readers see the old file list or the new one, never a half-written
+  table.  This retires the read-then-overwrite race the plain sink handles
+  with localCheckpoint, and makes upsert batches all-or-nothing.
+* **Time travel** — every manifest is immutable; ``snapshot_read(...,
+  version=N)`` reproduces any past state exactly (audit/debug/replay — the
+  reference's immutable-S3 assumption, agf_reconciliation_lambda.py:266,
+  promoted to a first-class guarantee).
+* **O(files) planning, no listing** — at 100 TB a recursive object-store
+  listing is minutes; a manifest read is one small JSON GET.  Spark then
+  opens exactly the listed files.
+* **Compaction without downtime** — streaming ingest produces small files;
+  ``snapshot_compact`` rewrites them into target-sized ones and commits a
+  new manifest, while every reader pinned to an older version keeps its
+  exact file list (immutability makes this safe).
+
+Writers serialize on the existing atomic-mkdir table lock
+(operators/locking.py) — manifest version allocation is then race-free.
+Concurrent READERS need no lock at any time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from agf_data_ingestion_spark.operators.locking import table_lock
+
+_SNAP_DIR = "_snapshots"
+_CURRENT = "CURRENT"
+
+
+class NoSuchVersionError(ValueError):
+    pass
+
+
+def _snap_path(table: str) -> str:
+    return os.path.join(table, _SNAP_DIR)
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_snap_path(table), f"v-{version:08d}.json")
+
+
+def current_version(table: str) -> int:
+    """The committed version (0 = empty table, no commits yet)."""
+    try:
+        with open(os.path.join(_snap_path(table), _CURRENT)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def read_manifest(table: str, version: int | None = None) -> dict:
+    v = current_version(table) if version is None else version
+    if v == 0:
+        return {"version": 0, "files": [], "parent": None}
+    try:
+        with open(_manifest_path(table, v)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
+
+
+def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
+    """Write manifest v(parent+1) then atomically swap CURRENT to it."""
+    version = parent + 1
+    os.makedirs(_snap_path(table), exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "committed_at": time.time(),
+        "files": files,
+    }
+    mpath = _manifest_path(table, version)
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(mpath + ".tmp", mpath)
+    cur, tmp = os.path.join(_snap_path(table), _CURRENT), os.path.join(
+        _snap_path(table), f"{_CURRENT}.tmp-{uuid.uuid4()}"
+    )
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.rename(tmp, cur)  # the atomic commit point
+    return version
+
+
+def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+    """Write ``df`` as immutable parquet files under a fresh commit dir."""
+    commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(commit_dir)
+    files = []
+    for name in sorted(os.listdir(commit_dir)):
+        if name.endswith(".parquet"):
+            p = os.path.join(commit_dir, name)
+            files.append({"path": p, "bytes": os.path.getsize(p)})
+    return files
+
+
+def snapshot_write(df: DataFrame, table: str, *, mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
+    file list; ``'overwrite'`` logically replaces it (old files stay on
+    disk for time travel until expired).  Returns the committed version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    with table_lock(table):
+        parent = current_version(table)
+        new_files = _write_data_files(df, table)
+        base = read_manifest(table)["files"] if mode == "append" else []
+        return _commit(table, base + new_files, parent, mode)
+
+
+def snapshot_read(
+    spark: SparkSession, table: str, *, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: current).  Empty tables read
+    as an empty frame only when a schema-bearing snapshot exists."""
+    m = read_manifest(table, version)
+    paths = [f["path"] for f in m["files"]]
+    if not paths:
+        raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
+    return spark.read.parquet(*paths)
+
+
+def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
+    """Idempotent keyed append AS ONE ATOMIC COMMIT: the anti-join against
+    the current snapshot and the manifest swap happen under the same lock,
+    so concurrent upserts can never double-insert a key (the plain-Parquet
+    sink needs lock=True *and* still exposes readers to partial appends;
+    here readers only ever see committed manifests)."""
+    spark = df.sparkSession
+    with table_lock(table):
+        parent = current_version(table)
+        if parent > 0:
+            existing = snapshot_read(spark, table)
+            fresh = df.join(
+                existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
+            )
+        else:
+            fresh = df
+        # materialize before commit: the plan reads the files the manifest
+        # references, never files this commit writes
+        if fresh.isEmpty():
+            return parent
+        new_files = _write_data_files(fresh, table)
+        return _commit(table, read_manifest(table)["files"] + new_files, parent, "upsert")
+
+
+def snapshot_compact(
+    spark: SparkSession, table: str, *, small_bytes: int = 8 << 20
+) -> int:
+    """Rewrite every file smaller than ``small_bytes`` into consolidated
+    files and commit the swap.  Readers pinned to older versions keep
+    their exact file lists (immutability).  At 100 TB this is the
+    steady-state answer to streaming ingest's small-file problem: compact
+    touches only the small tail, never the already-right-sized bulk."""
+    with table_lock(table):
+        parent = current_version(table)
+        m = read_manifest(table)
+        small = [f for f in m["files"] if f["bytes"] < small_bytes]
+        keep = [f for f in m["files"] if f["bytes"] >= small_bytes]
+        if len(small) <= 1:
+            return parent
+        df = spark.read.parquet(*[f["path"] for f in small])
+        total = sum(f["bytes"] for f in small)
+        target_files = max(1, total // small_bytes)
+        new_files = _write_data_files(df.coalesce(int(target_files)), table)
+        return _commit(table, keep + new_files, parent, "compact")
+
+
+def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` versions and delete
+    data files no retained manifest references.  Returns deleted paths."""
+    with table_lock(table):
+        cur = current_version(table)
+        retained_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+        referenced: set[str] = set()
+        for v in retained_versions:
+            referenced.update(f["path"] for f in read_manifest(table, v)["files"])
+        deleted = []
+        data_root = os.path.join(table, "data")
+        if os.path.isdir(data_root):
+            for sub in os.listdir(data_root):
+                d = os.path.join(data_root, sub)
+                for name in os.listdir(d):
+                    p = os.path.join(d, name)
+                    if name.endswith(".parquet") and p not in referenced:
+                        os.remove(p)
+                        deleted.append(p)
+        for v in range(1, max(1, cur - keep_last + 1)):
+            mp = _manifest_path(table, v)
+            if os.path.exists(mp):
+                os.remove(mp)
+                deleted.append(mp)
+        return deleted

@@ -1,0 +1,98 @@
+"""Snapshot table format (sources/snapshots.py): atomic commits, time
+travel, idempotent upsert-as-a-commit, compaction invariance, and snapshot
+expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from agf_data_ingestion_spark.sources.snapshots import (
+    NoSuchVersionError,
+    current_version,
+    expire_snapshots,
+    read_manifest,
+    snapshot_compact,
+    snapshot_read,
+    snapshot_upsert,
+    snapshot_write,
+)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    v2 = snapshot_write(spark.createDataFrame([(2, "b")], "k long, v string"), tbl)
+    assert (v1, v2) == (1, 2)
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a"), (2, "b")]
+    assert _rows(snapshot_read(spark, tbl, version=1)) == [(1, "a")]
+
+    v3 = snapshot_write(
+        spark.createDataFrame([(9, "z")], "k long, v string"), tbl, mode="overwrite"
+    )
+    assert v3 == 3 and current_version(tbl) == 3
+    assert _rows(snapshot_read(spark, tbl)) == [(9, "z")]
+    # overwrite does not disturb history
+    assert _rows(snapshot_read(spark, tbl, version=2)) == [(1, "a"), (2, "b")]
+    with pytest.raises(NoSuchVersionError):
+        snapshot_read(spark, tbl, version=7)
+
+
+def test_upsert_is_idempotent_single_commit(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = snapshot_upsert(batch, tbl, keys=["k"])
+    v_again = snapshot_upsert(batch, tbl, keys=["k"])
+    # full re-delivery commits NOTHING (no empty snapshot, no new version)
+    assert (v1, v_again) == (1, 1)
+    mixed = spark.createDataFrame([(2, "dup"), (3, "c")], "k long, v string")
+    v2 = snapshot_upsert(mixed, tbl, keys=["k"])
+    assert v2 == 2
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_compaction_preserves_rows_and_history(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for i in range(5):  # five tiny commits = five small files at least
+        snapshot_write(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(1), tbl
+        )
+    before = _rows(snapshot_read(spark, tbl))
+    files_before = len(read_manifest(tbl)["files"])
+    v = snapshot_compact(spark, tbl, small_bytes=8 << 20)
+    assert v == 6
+    assert _rows(snapshot_read(spark, tbl)) == before
+    assert len(read_manifest(tbl)["files"]) < files_before
+    # a reader pinned to v5 still sees the PRE-compaction file list, intact
+    assert _rows(snapshot_read(spark, tbl, version=5)) == before
+    assert len(read_manifest(tbl, 5)["files"]) == files_before
+
+
+def test_expiry_drops_unreferenced_files_keeps_current(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):
+        snapshot_write(
+            spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1), tbl
+        )
+    snapshot_write(
+        spark.createDataFrame([(99, "y")], "k long, v string"), tbl, mode="overwrite"
+    )
+    deleted = expire_snapshots(tbl, keep_last=1)
+    assert deleted  # the three pre-overwrite data files + old manifests
+    assert _rows(snapshot_read(spark, tbl)) == [(99, "y")]
+    with pytest.raises(NoSuchVersionError):
+        snapshot_read(spark, tbl, version=2)
+    # no orphaned parquet files left outside the retained manifest
+    retained = {f["path"] for f in read_manifest(tbl)["files"]}
+    on_disk = set()
+    for sub in os.listdir(os.path.join(tbl, "data")):
+        d = os.path.join(tbl, "data", sub)
+        on_disk.update(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+    assert on_disk == retained
