@@ -150,13 +150,14 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
     spark = df.sparkSession
     with table_lock(table):
         parent = current_version(table)
+        batch = df.dropDuplicates(keys)  # same within-batch rule as upsert_append
         if parent > 0:
             existing = snapshot_read(spark, table)
-            fresh = df.join(
+            fresh = batch.join(
                 existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
         else:
-            fresh = df
+            fresh = batch
         # materialize before commit: the plan reads the files the manifest
         # references, never files this commit writes
         if fresh.isEmpty():

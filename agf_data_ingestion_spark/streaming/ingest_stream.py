@@ -70,16 +70,39 @@ def _write_quarantine(bad: DataFrame, warehouse: str, source: str) -> None:
     )
 
 
-def run_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
+def _sink_for(sink: str):
+    """Dispatch the keyed idempotent write: ``parquet`` = plain-Parquet
+    upsert (lock-serialized where two queries share a table), ``snapshot``
+    = the manifest table format (sources/snapshots.py) where the anti-join
+    + append is ONE atomic commit and readers only ever see committed
+    manifests — the lock is built into every snapshot writer, so the
+    shared-table flag disappears."""
+    if sink == "parquet":
+        def write(df, path, keys, shared=False):
+            upsert_append(df, path, keys, lock=shared, lock_wait_s=600.0)
+    elif sink == "snapshot":
+        from agf_data_ingestion_spark.sources.snapshots import snapshot_upsert
+
+        def write(df, path, keys, shared=False):
+            snapshot_upsert(df, path, keys)
+    else:
+        raise ValueError(f"sink must be parquet|snapshot, got {sink!r}")
+    return write
+
+
+def run_ingest_batch_fn(
+    warehouse: str, *, now: _dt.datetime | None = None, sink: str = "parquet"
+):
     """foreachBatch function for run.json manifests → sync_runs +
     file_inventory, with DLQ quarantine (OP-SINK-DLQ)."""
+    write = _sink_for(sink)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         valid, bad = split_valid(batch, required=RUN_REQUIRED)
         valid = valid.persist()
         try:
             _write_quarantine(bad, warehouse, "run.json")
-            upsert_append(
+            write(
                 sync_runs_from_run_manifests(valid, now=now),
                 os.path.join(warehouse, "sync_runs"),
                 SYNC_RUNS_KEYS,
@@ -94,14 +117,13 @@ def run_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
             # last-writer-wins on re-delivery; this sink is first-writer-
             # wins, which is identical for byte-identical re-deliveries
             # (the idempotency case that actually occurs).
-            # lock=True: file_inventory is also written by the experiment
+            # shared=True: file_inventory is also written by the experiment
             # stream — two concurrent foreachBatch cycles must serialize.
-            upsert_append(
+            write(
                 inv,
                 os.path.join(warehouse, "file_inventory"),
                 FILE_INVENTORY_KEYS,
-                lock=True,
-                lock_wait_s=600.0,
+                shared=True,
             )
         finally:
             valid.unpersist()
@@ -109,16 +131,19 @@ def run_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
     return fn
 
 
-def experiment_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = None):
+def experiment_ingest_batch_fn(
+    warehouse: str, *, now: _dt.datetime | None = None, sink: str = "parquet"
+):
     """foreachBatch function for experiment.json manifests → experiments +
     file_inventory."""
+    write = _sink_for(sink)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         valid, bad = split_valid(batch, required=EXP_REQUIRED)
         valid = valid.persist()
         try:
             _write_quarantine(bad, warehouse, "experiment.json")
-            upsert_append(
+            write(
                 experiments_from_manifests(valid, now=now),
                 os.path.join(warehouse, "experiments"),
                 EXPERIMENTS_KEYS,
@@ -127,13 +152,12 @@ def experiment_ingest_batch_fn(warehouse: str, *, now: _dt.datetime | None = Non
                 file_inventory_from_experiment_manifests(valid, now=now)
             )
             _write_quarantine(bad_ck, warehouse, "experiment.json/files")
-            # lock=True: shared with the run stream's file_inventory sink
-            upsert_append(
+            # shared=True: shared with the run stream's file_inventory sink
+            write(
                 inv,
                 os.path.join(warehouse, "file_inventory"),
                 FILE_INVENTORY_KEYS,
-                lock=True,
-                lock_wait_s=600.0,
+                shared=True,
             )
         finally:
             valid.unpersist()
@@ -150,10 +174,11 @@ def start_run_ingest(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     now: _dt.datetime | None = None,
+    sink: str = "parquet",
 ) -> StreamingQuery:
     stream = stream_run_manifests(spark, lake_root, max_files_per_trigger=max_files_per_trigger)
     writer = (
-        stream.writeStream.foreachBatch(run_ingest_batch_fn(warehouse, now=now))
+        stream.writeStream.foreachBatch(run_ingest_batch_fn(warehouse, now=now, sink=sink))
         .option("checkpointLocation", os.path.join(checkpoint, "runs"))
         .outputMode("update")
     )
@@ -171,12 +196,13 @@ def start_experiment_ingest(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     now: _dt.datetime | None = None,
+    sink: str = "parquet",
 ) -> StreamingQuery:
     stream = stream_experiment_manifests(
         spark, lake_root, max_files_per_trigger=max_files_per_trigger
     )
     writer = (
-        stream.writeStream.foreachBatch(experiment_ingest_batch_fn(warehouse, now=now))
+        stream.writeStream.foreachBatch(experiment_ingest_batch_fn(warehouse, now=now, sink=sink))
         .option("checkpointLocation", os.path.join(checkpoint, "experiments"))
         .outputMode("update")
     )
@@ -193,6 +219,7 @@ def backfill(
     *,
     now: _dt.datetime | None = None,
     file_type: str = "all",
+    sink: str = "parquet",
 ) -> None:
     """Batch replay of the whole lake (reference ``backfill_s3_data.py``).
 
@@ -206,9 +233,9 @@ def backfill(
     """
     if file_type in ("all", "run"):
         start_run_ingest(
-            spark, lake_root, warehouse, checkpoint, available_now=True, now=now
+            spark, lake_root, warehouse, checkpoint, available_now=True, now=now, sink=sink
         ).awaitTermination()
     if file_type in ("all", "experiment"):
         start_experiment_ingest(
-            spark, lake_root, warehouse, checkpoint, available_now=True, now=now
+            spark, lake_root, warehouse, checkpoint, available_now=True, now=now, sink=sink
         ).awaitTermination()
