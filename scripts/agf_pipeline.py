@@ -54,13 +54,23 @@ def cmd_backfill(args) -> int:
         print(f"DRY RUN: would process {n_run} run.json + {n_exp} experiment.json manifests")
         return 0
     chk = args.checkpoint or os.path.join(args.warehouse, "_checkpoints")
-    backfill(spark, args.lake, args.warehouse, chk, file_type=args.file_type, now=now)
-    from agf_data_ingestion_spark.sources.tables import load_table
-
+    backfill(
+        spark, args.lake, args.warehouse, chk,
+        file_type=args.file_type, now=now, sink=args.sink,
+    )
     counts = {}
     for name in ("sync_runs", "experiments", "file_inventory"):
         path = os.path.join(args.warehouse, name)
-        counts[name] = load_table(spark, args.warehouse, name).count() if os.path.exists(path) else 0
+        if not os.path.exists(path):
+            counts[name] = 0
+        elif args.sink == "snapshot":
+            from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+            counts[name] = snapshot_read(spark, path).count()
+        else:
+            from agf_data_ingestion_spark.sources.tables import load_table
+
+            counts[name] = load_table(spark, args.warehouse, name).count()
     print(f"backfill complete: {counts}")
     return 0
 
@@ -76,10 +86,12 @@ def cmd_stream(args) -> int:
     q1 = start_run_ingest(
         spark, args.lake, args.warehouse, chk,
         max_files_per_trigger=args.max_files_per_trigger, available_now=args.available_now,
+        sink=args.sink,
     )
     q2 = start_experiment_ingest(
         spark, args.lake, args.warehouse, chk,
         max_files_per_trigger=args.max_files_per_trigger, available_now=args.available_now,
+        sink=args.sink,
     )
     q1.awaitTermination()
     q2.awaitTermination()
@@ -159,6 +171,7 @@ def main() -> int:
     b.add_argument("--dry-run", action="store_true")
     b.add_argument("--now")
     b.add_argument("--checkpoint")
+    b.add_argument("--sink", choices=["parquet", "snapshot"], default="parquet")
     b.set_defaults(fn=cmd_backfill)
 
     s = sub.add_parser("stream")
@@ -167,6 +180,7 @@ def main() -> int:
     s.add_argument("--checkpoint")
     s.add_argument("--max-files-per-trigger", type=int)
     s.add_argument("--available-now", action="store_true")
+    s.add_argument("--sink", choices=["parquet", "snapshot"], default="parquet")
     s.set_defaults(fn=cmd_stream)
 
     r = sub.add_parser("reconcile")
