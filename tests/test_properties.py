@@ -104,3 +104,64 @@ class TestValidatorProperties:
         names = [_ref_basename(p) for p in paths]
         got_ext = _eval(spark, names, file_extension)
         assert got_ext == [_ref_ext(n) for n in names]
+
+
+# --- as-of join vs pandas merge_asof (the reference implementation) --------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # time
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_asof_rows, right=_asof_rows,
+       direction=st.sampled_from(["backward", "forward"]),
+       tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=20)))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tolerance):
+    """asof_join must agree with pandas.merge_asof (allow_exact_matches
+    semantics, both directions, with and without tolerance) on arbitrary
+    inputs.  Right rows get unique ids; equal-timestamp ties are broken the
+    same way merge_asof breaks them (backward: last such row, forward:
+    first), which is exactly the operator's tiebreak rule."""
+    import pandas as pd
+
+    from agf_data_ingestion_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, lt long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)], "k long, rt long, rid long"
+    )
+    got = asof_join(
+        ldf, rdf, on=["k"], left_time="lt", right_time="rt",
+        direction=direction, tolerance=tolerance, tiebreak="rid",
+    ).toPandas()
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left)],
+                      columns=["k", "lt", "lid"]).sort_values("lt", kind="mergesort")
+    # merge_asof picks the LAST right row among equal timestamps going
+    # backward and the FIRST going forward, provided the frame is sorted;
+    # sort by (rt, rid) so that row is max-rid backward / min-rid forward —
+    # the operator's documented tiebreak
+    rp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(right)],
+                      columns=["k", "rt", "rid"]).sort_values(["rt", "rid"],
+                                                              kind="mergesort")
+    want = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction=direction,
+        tolerance=None if tolerance is None else tolerance,
+        allow_exact_matches=True,
+    )
+    want_map = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid),
+                             None if pd.isna(r.rt) else int(r.rt))
+                for r in want.itertuples()}
+    got_map = {int(r.lid): (None if pd.isna(r.rid_asof) else int(r.rid_asof),
+                            None if pd.isna(r.rt_asof) else int(r.rt_asof))
+               for r in got.itertuples()}
+    assert got_map == want_map
