@@ -188,6 +188,33 @@ def snapshot_compact(
         return _commit(table, keep + new_files, parent, "compact")
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    *,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions: each result row
+    carries ``_change ∈ {insert, delete}`` (an update appears as a delete of
+    the old row + insert of the new).  CDC-by-time-travel — both versions
+    are immutable file lists, so the diff is a null-safe multiset
+    difference (``exceptAll``) each way and needs no change-tracking
+    metadata at write time.
+
+    Scale shape: one hash shuffle per side; for append-only tables the two
+    file lists overlap almost entirely and a smarter planner would scan
+    only the file-list delta — noted as the optimization, the semantics
+    here are the contract."""
+    old = snapshot_read(spark, table, version=v_from)
+    new = snapshot_read(spark, table, version=v_to)
+    from pyspark.sql import functions as F
+
+    inserted = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    deleted = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return inserted.unionByName(deleted)
+
+
 def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
     data files no retained manifest references.  Returns deleted paths."""

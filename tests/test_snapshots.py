@@ -141,3 +141,24 @@ def test_streaming_ingest_into_snapshot_sink(spark, lake, tmp_path):
     backfill(spark, lake["root"], wh_s, str(tmp_path / "ck_s2"), now=now, sink="snapshot")
     for t, v in versions.items():
         assert current_version(os.path.join(wh_s, t)) == v, t
+
+
+def test_snapshot_diff_is_row_level_cdc(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
+    # v2 = update k=2 (delete+insert), insert k=3 (overwrite with new state)
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, v string"),
+        tbl, mode="overwrite",
+    )
+    d = snapshot_diff(spark, tbl, v_from=1, v_to=2)
+    changes = sorted((r["_change"], r["k"], r["v"]) for r in d.collect())
+    assert changes == [
+        ("delete", 2, "b"),
+        ("insert", 2, "B"),
+        ("insert", 3, "c"),
+    ]
+    # self-diff is empty
+    assert snapshot_diff(spark, tbl, v_from=2, v_to=2).count() == 0
