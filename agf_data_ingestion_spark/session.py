@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime row-group filtering for selective shuffle joins: the
+        # filtered side's join keys become a bloom filter applied to the
+        # unfiltered side's scan — at 100 TB this prunes most of a fact
+        # scan joined against a filtered dimension when neither side
+        # broadcasts (tests/test_plan_shapes.py pins the injection)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
         .config("spark.driver.memory", os.environ.get("AGF_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -125,3 +125,35 @@ def test_best_of_cluster_shuffle_joins_corpus_side(spark):
     # must stay a shuffle join (broadcast would OOM at 1e9 docs)
     plan = _plan(spark, "docs_best_of_cluster")
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    # with broadcasts off (both sides "big"), a selective filter on one
+    # join side must inject a runtime bloom filter into the other side's
+    # scan — the 100 TB fact-scan pruner when nothing broadcasts; thresholds
+    # lowered because testdata is tiny (session.py enables the feature)
+    from pyspark.sql import functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
