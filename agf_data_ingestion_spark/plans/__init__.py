@@ -141,6 +141,7 @@ _PRIORITY = [
     "docs_bpe_pairs",
     "events_asof_next_purchase",
     "events_zorder_layout",
+    "events_kmv_setops",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

@@ -249,9 +249,127 @@ FROM est JOIN ex USING (event_type)
 """
 
 
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET-OPERATION estimates per event-type pair: union, intersection
+    and Jaccard of the user sets, derived purely from the per-type sketches
+    (Beyer et al., SIGMOD'07 construction: take the k smallest of the union
+    of two sketches — that IS the union sketch; the fraction of its members
+    present in both input sketches estimates Jaccard; intersection =
+    ρ · est_union).  Exact values ride along for the dashboard.
+
+    Scale shape: everything after the base per-type sketch is O(k·pairs)
+    rows — set arithmetic over 100 TB collapses to joins between ≤64-row
+    sketches, which is the entire point of mergeable sketches."""
+    e = t(spark, sf_dir, "events")
+    K = _k_min(_user_hashes(e), ["event_type"])  # ≤ k rows per type
+    types = K.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    sides = pairs.join(
+        F.broadcast(K), (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb"))
+    ).select(
+        "ta",
+        "tb",
+        "h",
+        (F.col("event_type") == F.col("ta")).cast("int").alias("in_a"),
+        (F.col("event_type") == F.col("tb")).cast("int").alias("in_b"),
+    )
+    uni = sides.groupBy("ta", "tb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    topk = uni.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _K)
+    sk = topk.groupBy("ta", "tb").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both_in_k"),
+    )
+    est_union = _estimate()
+    rho = F.col("both_in_k").cast("double") / F.col("n_kept").cast("double")
+    ua = e.select("event_type", "user_id").distinct()
+    ex = (
+        ua.select(F.col("event_type").alias("ta"), "user_id")
+        .join(ua.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        sk.join(ex, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "n_kept",
+            "both_in_k",
+            est_union.alias("est_union"),
+            (rho * est_union).alias("est_inter"),
+            rho.alias("est_jaccard"),
+            "exact_inter",
+        )
+    )
+
+
+_KMV_SETOPS_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS h
+  FROM events
+),
+K AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {_K}
+),
+types AS (SELECT DISTINCT event_type FROM K),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a CROSS JOIN types b WHERE a.event_type < b.event_type
+),
+uni AS (
+  SELECT p.ta, p.tb, K.h,
+         MAX(CASE WHEN K.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN K.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN K ON K.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, K.h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM uni
+  ) WHERE rn <= {_K}
+),
+sk AS (
+  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS both_in_k
+  FROM topk GROUP BY ta, tb
+),
+ua AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT ta, tb, n_kept, both_in_k,
+       CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_K - 1)} * {_HASH_SPACE} / CAST(kth_hash AS DOUBLE) END AS est_union,
+       (CAST(both_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+       CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_K - 1)} * {_HASH_SPACE} / CAST(kth_hash AS DOUBLE) END AS est_inter,
+       CAST(both_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE) AS est_jaccard,
+       exact_inter
+FROM sk JOIN ex USING (ta, tb)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_kmv_distinct": QuerySpec(
         events_kmv_distinct, _KMV_SQL, ("OP-X-APPROX", "OP-AGG-SETUNION")
+    ),
+    "events_kmv_setops": QuerySpec(
+        events_kmv_setops, _KMV_SETOPS_SQL, ("OP-X-APPROX", "OP-SET-UNION")
     ),
     "events_kmv_merged": QuerySpec(
         events_kmv_merged, _KMV_MERGED_SQL, ("OP-X-APPROX", "OP-SET-UNION")

@@ -63,3 +63,21 @@ def test_kmv_merged_matches_direct_global_sketch(spark):
     )
     assert merged.n_kept == direct.n_kept
     assert merged.kth_hash == direct.kth_hash
+
+
+def test_kmv_setops_estimates_track_exact(spark):
+    """Intersection/Jaccard estimates from merged sketches must stay within
+    KMV error (~1/sqrt(k) per sketch, compounded by the ratio estimator) of
+    the exact values — and be exact when the union fits inside k."""
+    from tests.conftest import SF_SMOKE
+
+    from agf_data_ingestion_spark.plans.sketches import events_kmv_setops
+
+    df = events_kmv_setops(spark, SF_SMOKE).toPandas()
+    assert len(df) == 10  # C(5,2) event-type pairs
+    for r in df.itertuples():
+        assert r.est_union > 0 and 0.0 <= r.est_jaccard <= 1.0
+        if r.n_kept < 64:  # union fit in the sketch: estimator is exact
+            assert r.est_inter == r.exact_inter
+        else:  # generous 3-sigma-ish bound for k=64 ratio estimators
+            assert abs(r.est_inter - r.exact_inter) / max(r.exact_inter, 1) < 0.75
