@@ -142,6 +142,7 @@ _PRIORITY = [
     "events_asof_next_purchase",
     "events_zorder_layout",
     "events_kmv_setops",
+    "events_mad_outliers",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

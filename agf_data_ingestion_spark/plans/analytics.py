@@ -609,6 +609,127 @@ FROM mid GROUP BY event_type
 """
 
 
+_MAD_CUTOFF = 3.0 * 1.4826  # 3σ-equivalent under normality
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median absolute deviation
+    (MAD), the 3σ-equivalent cutoff ``3·1.4826·MAD``, and the count of
+    values beyond it — the rep-filtering shape a training-data pipeline
+    uses where mean/stddev would let one extreme value hide others
+    (breakdown point 50% vs 0%).
+
+    Exactness: both medians use the row_number midpoint trick with a
+    decimal-exact two-row average (same as events_median_value); every
+    deviation is the same IEEE double in both engines.  Scale shape: two
+    chained windows on the same event_type partitioning + one broadcast of
+    the 5-row median table — two shuffles total, both on the group key."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    is_mid = ((F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))) | (
+        (F.col("n") % 2 == 0)
+        & ((F.col("rn") == F.expr("n div 2")) | (F.col("rn") == F.expr("n div 2 + 1")))
+    )
+    med = (
+        ranked.filter(is_mid)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count("*")
+            ).alias("med")
+        )
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    is_mid2 = ((F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))) | (
+        (F.col("n") % 2 == 0)
+        & ((F.col("rn") == F.expr("n div 2")) | (F.col("rn") == F.expr("n div 2 + 1")))
+    )
+    mad = (
+        dranked.filter(is_mid2)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("d").cast("decimal(25,6)")).cast("double") / F.count("*")
+            ).alias("mad")
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("d") > F.lit(_MAD_CUTOFF) * F.col("mad")).cast("int").alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad"),
+        F.sum("is_outlier").alias("n_outliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_MAD_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS med
+  FROM ranked
+  WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+     OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med, ABS(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         CAST(SUM(CAST(d AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mad
+  FROM dranked
+  WHERE (n % 2 = 1 AND rn = (n + 1) // 2)
+     OR (n % 2 = 0 AND (rn = n // 2 OR rn = n // 2 + 1))
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       MIN(d.med) AS median_value,
+       MIN(a.mad) AS mad,
+       CAST(SUM(CASE WHEN d.d > {_MAD_CUTOFF} * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Row-level set operations (INTERSECT / EXCEPT)
 # ---------------------------------------------------------------------------
@@ -667,6 +788,7 @@ _PIVOT_NATIVE_SQL = "SELECT user_id, " + ", ".join(
 
 QUERIES: dict[str, QuerySpec] = {
     "events_median_value": QuerySpec(events_median_value, _MEDIAN_SQL, ("OP-X-APPROX", "OP-WIN-DEDUPNAME")),
+    "events_mad_outliers": QuerySpec(events_mad_outliers, _MAD_SQL, ("OP-X-ANOMALY", "OP-WIN-DEDUPNAME")),
     "custkey_setops": QuerySpec(custkey_setops, _SETOPS_SQL, ("OP-SET-UNION", "OP-JOIN-SEMI", "OP-JOIN-ANTI-S3")),
     "events_pivot_native": QuerySpec(events_pivot_native, _PIVOT_NATIVE_SQL, ("OP-AGG-CONDCOUNT",)),
     "q1_pricing_summary": QuerySpec(
