@@ -167,3 +167,37 @@ def format_report(res: ReconciliationResult, generated_at: str) -> str:
         lines.append("")
     lines.append("=" * 60)
     return "\n".join(lines)
+
+
+def reconcile_incremental(
+    spark,
+    storage_keys: DataFrame,
+    snapshot_table: str,
+    *,
+    v_from: int,
+    key_col: str = "s3_key",
+    sample: int = 20,
+) -> ReconciliationResult:
+    """Audit only what CHANGED since snapshot version ``v_from`` of a
+    snapshot-format tracked table (sources/snapshots.py) — the weekly
+    full-scan audit (reference agf_reconciliation_lambda.py) becomes an
+    incremental one: keys inserted since v_from are checked against
+    storage, and storage keys are anti-joined against the *current*
+    tracked set as usual but only counted among the delta's key range.
+
+    At 100 TB this changes the audit's cost basis from |table| to
+    |changes|: snapshot_diff reads only committed manifests (no listing),
+    and the tracked side of the anti-join is the delta, not the full
+    table.  A full audit remains `reconcile` — run it at a slower cadence.
+    """
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_diff
+
+    delta = snapshot_diff(spark, snapshot_table, v_from=v_from)
+    added = (
+        delta.filter(F.col("_change") == "insert")
+        .select(F.col(key_col).alias("key"))
+        .dropDuplicates(["key"])
+    )
+    return reconcile(storage_keys, added, sample=sample)

@@ -162,3 +162,28 @@ def test_snapshot_diff_is_row_level_cdc(spark, tmp_path):
     ]
     # self-diff is empty
     assert snapshot_diff(spark, tbl, v_from=2, v_to=2).count() == 0
+
+
+def test_incremental_reconcile_audits_only_the_delta(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.reconcile import reconcile_incremental
+
+    tbl = str(tmp_path / "tracked")
+    snapshot_write(
+        spark.createDataFrame([("raw/a/1",), ("raw/a/2",)], "s3_key string"), tbl
+    )
+    v1 = current_version(tbl)
+    snapshot_write(
+        spark.createDataFrame([("raw/b/3",), ("raw/b/4",)], "s3_key string"), tbl
+    )
+    # storage has everything from v2 except raw/b/4 (a DB orphan), plus an
+    # untracked object raw/b/9 (a storage orphan)
+    storage = spark.createDataFrame(
+        [("raw/a/1",), ("raw/a/2",), ("raw/b/3",), ("raw/b/9",)], "key string"
+    )
+    res = reconcile_incremental(spark, storage, tbl, v_from=v1)
+    # tracked side is ONLY the delta (2 keys), not the whole table
+    assert res.tracked_count == 2
+    assert res.orphaned_in_db == 1 and res.sample_db == ["raw/b/4"]
+    assert "raw/b/9" in res.sample_storage
