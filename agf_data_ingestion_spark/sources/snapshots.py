@@ -167,13 +167,23 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
 
 
 def snapshot_compact(
-    spark: SparkSession, table: str, *, small_bytes: int = 8 << 20
+    spark: SparkSession,
+    table: str,
+    *,
+    small_bytes: int = 8 << 20,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite every file smaller than ``small_bytes`` into consolidated
     files and commit the swap.  Readers pinned to older versions keep
     their exact file lists (immutability).  At 100 TB this is the
     steady-state answer to streaming ingest's small-file problem: compact
-    touches only the small tail, never the already-right-sized bulk."""
+    touches only the small tail, never the already-right-sized bulk.
+
+    ``sort_by`` clusters the rewritten rows (``OPTIMIZE ... ZORDER BY``
+    equivalent when passed a Morton key column built with
+    functions/zorder.py): a range repartition + within-file sort, so each
+    rewritten file covers a tight key range and parquet min/max stats
+    prune multi-dimensional predicates."""
     with table_lock(table):
         parent = current_version(table)
         m = read_manifest(table)
@@ -183,8 +193,14 @@ def snapshot_compact(
             return parent
         df = spark.read.parquet(*[f["path"] for f in small])
         total = sum(f["bytes"] for f in small)
-        target_files = max(1, total // small_bytes)
-        new_files = _write_data_files(df.coalesce(int(target_files)), table)
+        target_files = int(max(1, total // small_bytes))
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(target_files)
+        new_files = _write_data_files(df, table)
         return _commit(table, keep + new_files, parent, "compact")
 
 

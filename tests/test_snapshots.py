@@ -187,3 +187,35 @@ def test_incremental_reconcile_audits_only_the_delta(spark, tmp_path):
     assert res.tracked_count == 2
     assert res.orphaned_in_db == 1 and res.sample_db == ["raw/b/4"]
     assert "raw/b/9" in res.sample_storage
+
+
+def test_compaction_with_zorder_clustering(spark, tmp_path):
+    """compact(sort_by=zkey) must produce files covering disjoint tight key
+    ranges (the min/max-stat pruning contract) while preserving rows."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.functions.zorder import zorder2
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("a"), (F.col("id") * 7 % 400).alias("b")
+        ).coalesce(1)
+        snapshot_write(df.withColumn("zkey", zorder2("a", "b")), tbl)
+    before = sorted(r["a"] for r in snapshot_read(spark, tbl).collect())
+
+    snapshot_compact(spark, tbl, small_bytes=8 << 20, sort_by=["zkey"])
+    after_df = snapshot_read(spark, tbl)
+    assert sorted(r["a"] for r in after_df.collect()) == before
+
+    # per-file zkey ranges must be non-overlapping (range repartition)
+    files = read_manifest(tbl)["files"]
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f["path"]).agg(
+            F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
+        ).collect()[0]
+        ranges.append((pdf["lo"], pdf["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
