@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 _BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01 UTC
@@ -63,8 +68,49 @@ class SynthEventsReader(DataSourceReader):
             )
 
 
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded variant: each micro-batch emits the next ``batchSize`` ids.
+
+    Offsets are plain dicts ``{"id": next_id}`` — exactly-once replay comes
+    free because row content is a pure function of the id: re-reading any
+    offset range (``readBetweenOffsets``, used on recovery) regenerates
+    bit-identical rows, which is the replayable-source contract Structured
+    Streaming's checkpointing needs (no buffering, no external cursor)."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batchSize", 100))
+        self.seed = int(options.get("seed", 42))
+        self.users = int(options.get("users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST, not a generator: the runtime pickles the prefetched rows
+        # into the micro-batch plan, and generators cannot pickle
+        return [
+            (
+                i,
+                _BASE_TS_US + _h(self.seed, i, "ts") % (14 * 86_400_000_000),
+                _h(self.seed, i, "user") % self.users,
+                _EVENT_TYPES[_h(self.seed, i, "type") % len(_EVENT_TYPES)],
+                (_h(self.seed, i, "value") % 10_000_000) / 1000.0,
+            )
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        end = {"id": start["id"] + self.batch}
+        return self._rows(start["id"], end["id"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["id"], end["id"])
+
+
 class SynthEventsSource(DataSource):
-    """Register with ``spark.dataSource.register(SynthEventsSource)``."""
+    """Register with ``spark.dataSource.register(SynthEventsSource)``; then
+    ``spark.read.format("agf_synth")`` (batch) or
+    ``spark.readStream.format("agf_synth")`` (unbounded micro-batches)."""
 
     @classmethod
     def name(cls):
@@ -78,3 +124,6 @@ class SynthEventsSource(DataSource):
 
     def reader(self, schema):
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)

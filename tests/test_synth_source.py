@@ -59,3 +59,44 @@ def test_synth_source_feeds_catalog_operators(spark):
     assert gaps.count() == 2000 - 50  # every user has a full lag chain
     per_user = e.groupBy("user_id").count()
     assert per_user.count() == 50
+
+
+def test_synth_stream_reader_delivers_deterministic_batches(spark, tmp_path):
+    """The streaming side must deliver consecutive id ranges whose rows are
+    bit-identical to the batch reader's for the same ids (the replayable-
+    source contract: recovery re-reads regenerate the same rows)."""
+    import time
+
+    spark.dataSource.register(SynthEventsSource)
+    out: list = []
+
+    def sink(batch, bid):
+        out.extend(tuple(r) for r in batch.collect())
+
+    q = (
+        spark.readStream.format("agf_synth")
+        .option("batchSize", 50)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while len(out) < 150 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(out) >= 150
+    got = sorted(out)[:150]
+    ids = [r[0] for r in got]
+    assert ids == list(range(150))  # consecutive ranges, no gaps or dups
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("agf_synth")
+        .option("rows", 150)
+        .option("users", 100)  # match the stream reader's default
+        .load()
+        .collect()
+    )
+    assert got == want  # stream rows ≡ batch rows for the same ids
