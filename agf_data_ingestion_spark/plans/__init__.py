@@ -143,6 +143,7 @@ _PRIORITY = [
     "events_zorder_layout",
     "events_kmv_setops",
     "events_mad_outliers",
+    "events_session_window_native",
     # (the rest of the r01-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]

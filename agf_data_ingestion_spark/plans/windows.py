@@ -391,6 +391,51 @@ LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
 """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (the streaming-capable session
+    operator — dynamic-gap merging inside the aggregation, no explicit lag
+    chain), checked against a gap-islands oracle.  Boundary semantics
+    differ from events_sessionize by design: session_window merges events
+    whose [ts, ts+gap) windows OVERLAP, so a successor exactly ``gap``
+    later starts a NEW session (strict <), while the lag formulation keeps
+    it (<=) — the oracle encodes the strict rule.  Scale shape: one
+    shuffle on user_id; in streaming the same expression runs with a
+    watermark and merging session state."""
+    e = t(spark, sf_dir, "events")
+    gap_s = _GAP_US // 1_000_000
+    return (
+        e.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start"),
+            F.unix_micros("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_NATIVE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, MIN(ts_us) AS session_start,
+       MAX(ts_us) + {_GAP_US} AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 # ---------------------------------------------------------------------------
 # Forward as-of with tolerance (OP-X-ASOF): click → next purchase ≤ 1 h away
 # ---------------------------------------------------------------------------
@@ -625,6 +670,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_zorder_layout": QuerySpec(
         events_zorder_layout, _zorder_sql(), ("OP-X-ZORDER",)
+    ),
+    "events_session_window_native": QuerySpec(
+        events_session_window_native, _SESSION_NATIVE_SQL, ("OP-X-SESSION", "OP-STRM-LATE")
     ),
     "events_time_range_sum": QuerySpec(
         events_time_range_sum, _TIME_RANGE_SQL, ("OP-X-WINFRAME",)
