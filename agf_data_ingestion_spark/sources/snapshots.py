@@ -133,12 +133,17 @@ def snapshot_read(
     spark: SparkSession, table: str, *, version: int | None = None
 ) -> DataFrame:
     """The table as of ``version`` (default: current).  Empty tables read
-    as an empty frame only when a schema-bearing snapshot exists."""
+    as an empty frame only when a schema-bearing snapshot exists.
+
+    ``mergeSchema`` is always on: a table whose commits span a column
+    addition (schema evolution) reads as the union schema, with nulls for
+    files written before the column existed — old snapshots keep their
+    narrower schema because their manifests never reference newer files."""
     m = read_manifest(table, version)
     paths = [f["path"] for f in m["files"]]
     if not paths:
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:

@@ -219,3 +219,20 @@ def test_compaction_with_zorder_clustering(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A commit adding a column evolves the current schema (nulls backfill
+    older files); time-traveling to a pre-evolution version keeps the
+    narrow schema."""
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_write(
+        spark.createDataFrame([(2, "b", "extra")], "k long, v string, note string"), tbl
+    )
+    cur = snapshot_read(spark, tbl)
+    assert set(f.name for f in cur.schema.fields) == {"k", "v", "note"}
+    rows = {r["k"]: r["note"] for r in cur.collect()}
+    assert rows == {1: None, 2: "extra"}
+    old = snapshot_read(spark, tbl, version=1)
+    assert [f.name for f in old.schema.fields] == ["k", "v"]
