@@ -366,6 +366,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"),
         F.array(*[F.col(f"m{i}") for i in dim_idx]).alias("cvec"),
     ).withColumn("cnrm", F.sqrt(_sq_norm(F.col("cvec"))))
+    # The centroid table is tiny (one row per label) but aggregates the whole
+    # corpus; checkpoint it so both consumers below read the materialized
+    # result instead of each re-running the corpus-wide HashAggregate
+    # (VERDICT.md r2 "What's wrong" #2).
+    cent = cent.localCheckpoint()
 
     v = e.select(
         "vec_id",
@@ -373,22 +378,33 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
     )
     cos_c = _dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
-    ranked = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cell", cos_c.alias("cos_c"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-            ),
+
+    def _rank_cells(side: DataFrame) -> DataFrame:
+        # broadcast-map centroid pass + a vec_id-partitioned rank; only the
+        # (vec_id, cell, cos_c) triple crosses the window shuffle.
+        return (
+            side.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cell", cos_c.alias("cos_c"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+                ),
+            )
         )
+
+    assign = (
+        _rank_cells(v)
+        .filter(F.col("crank") == 1)
+        .select(F.col("cell"), F.col("vec_id").alias("neighbor_id"))
     )
-    assign = ranked.filter(F.col("crank") == 1).select(
-        F.col("cell"), F.col("vec_id").alias("neighbor_id")
+    # probes only need cell ranks for the query slice — ranking the full
+    # corpus a second time here would double the corpus × centroid pass.
+    probes = (
+        _rank_cells(v.filter(F.col("vec_id") < _N_QUERIES))
+        .filter(F.col("crank") <= _IVF_NPROBE)
+        .select(F.col("cell"), F.col("vec_id").alias("query_id"))
     )
-    probes = ranked.filter(
-        (F.col("crank") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
-    ).select(F.col("cell"), F.col("vec_id").alias("query_id"))
 
     cands = (
         assign.join(F.broadcast(probes), "cell")
@@ -406,9 +422,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_n"),
     )
     sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    # corpus side must never be broadcast (CLAUDE.md invariant) — shuffle
+    # hash join on neighbor_id, mirroring the LSH-ANN scoring join above.
     scored = (
         cands.join(F.broadcast(qe), "query_id")
-        .join(ne, "neighbor_id")
+        .join(ne.hint("shuffle_hash"), "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
