@@ -69,82 +69,76 @@ for _mod in (
 
 # The driver records correctness for only the first ~50 catalog entries, so
 # dict order is the witness budget (VERDICT.md r1 "Next round" #2).  Front-load
-# (a) every query the round-1 driver did NOT record — above all the ingest_*
-# reference-parity path — and (b) queries whose plans changed this round, so
-# the driver re-certifies them.  Everything else was driver-green in r01 and
+# (a) the 13 round-2 additions the driver has never recorded (VERDICT.md r2
+# "Next round" #2), then (b) queries whose plans changed this round so the
+# driver re-certifies them.  Everything else was driver-green in r01/r02 and
 # keeps local-replica coverage via scripts/check_oracle.py.
 _PRIORITY = [
-    # reference-parity ingest path (agf_ingestion_lambda.py semantics)
+    # round-2 additions with no driver CORRECTNESS row yet — these MUST land
+    # inside the ~50-row sample this round
+    "emb_kmeans_train",
+    "emb_pca_power",
+    "graph_pagerank",
+    "events_scd2_intervals",
+    "events_session_window_native",
+    "events_zorder_layout",
+    "events_mad_outliers",
+    "events_kmv_setops",
+    "events_asof_next_purchase",
+    "docs_best_of_cluster",
+    "docs_bpe_pairs",
+    "docs_domain_caps",
+    "docs_weighted_sample",
+    # plans changed this round (round 3) — re-certify under the driver
+    "emb_ivf_topk",
+    "docs_dup_clusters",
+    "docs_deduped_corpus",
+    "docs_minhash_lsh",
     "ingest_sync_runs",
-    "ingest_file_inventory_run",
     "ingest_experiments",
+    "ingest_quarantine_stats",
+    # round-3 additions — need first driver certification (appended below as
+    # they are built; keep them ahead of the long-green tail)
+    # reference-parity ingest path (agf_ingestion_lambda.py semantics)
+    "ingest_file_inventory_run",
     "ingest_file_inventory_exp",
     "ingest_enriched_inventory",
-    "ingest_quarantine_stats",
     "ingest_reconcile_orphans",
-    # unwitnessed relational / window / streaming-twin queries
-    "lineitem_rollup",
-    "orders_cube",
-    "lineitem_grouping_sets",
-    "events_asof_click",
-    "events_interval_join",
-    "events_value_bands",
-    "events_sessionize",
-    "events_tumbling_windows",
-    "events_window_funcs",
-    "events_salted_type_counts",
-    "events_approx_stats",
-    # unwitnessed similarity / training-data / media queries
-    "emb_ivf_topk",
+    # driver-green r01/r02 rotation: similarity + training-data family
     "emb_ann_lsh_topk",
     "emb_neardup_by_label",
     "emb_quantize_int8",
+    "emb_cosine_topk",
+    "emb_array_fold",
+    "docs_neardup_verified",
+    "docs_ngram_jaccard",
     "docs_stratified_sample",
     "docs_token_packing",
-    "docs_repetition_stats",
     "docs_contamination",
-    "docs_deduped_corpus",
+    "docs_mix_weights",
+    "docs_chunked",
+    "docs_span_dedup",
+    "docs_boilerplate_ratio",
+    "docs_bm25_search",
     "docs_multimodal_meta",
     "docs_media_features",
     "docs_frame_samples",
     "docs_presigned_urls",
     "docs_export_zip",
-    # new this round — need first driver certification
-    "docs_neardup_verified",
-    "docs_span_dedup",
-    "docs_boilerplate_ratio",
+    # driver-green rotation: events / sketches / windows
     "events_kmv_distinct",
     "events_kmv_merged",
+    "events_quantile_sketch",
     "events_funnel_stages",
     "events_retention_cohorts",
     "events_alarm_transitions",
-    "docs_chunked",
-    "docs_mix_weights",
-    "events_quantile_sketch",
-    "docs_bm25_search",
-    "events_daily_full_outer",
-    "events_time_range_sum",
-    "events_unpivot_long",
-    # plans changed this round — re-certify under the driver
-    "docs_minhash_lsh",
-    "docs_dup_clusters",
-    "docs_ngram_jaccard",
-    # new this round, batch 2 (past the ~50-row driver window these stay
-    # local-replica-covered until a later round rotates them forward)
-    "docs_domain_caps",
-    "docs_best_of_cluster",
-    "events_scd2_intervals",
-    "graph_pagerank",
-    "emb_pca_power",
-    "emb_kmeans_train",
-    "docs_weighted_sample",
-    "docs_bpe_pairs",
-    "events_asof_next_purchase",
-    "events_zorder_layout",
-    "events_kmv_setops",
-    "events_mad_outliers",
-    "events_session_window_native",
-    # (the rest of the r01-driver-green suite stays local-replica-covered;
+    "events_sessionize",
+    "events_tumbling_windows",
+    "events_window_funcs",
+    "events_asof_click",
+    "events_interval_join",
+    "events_median_value",
+    # (the rest of the r01/r02-driver-green suite stays local-replica-covered;
     # q1 is additionally smoke-checked every round via entry())
 ]
 
