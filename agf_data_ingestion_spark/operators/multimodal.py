@@ -76,6 +76,21 @@ def _fake_dims(content: bytes) -> tuple[int, int, int]:
     return 1 + int(h[:4], 16) % 1024, 1 + int(h[4:8], 16) % 1024, 3
 
 
+def _pil_dims(content: bytes) -> tuple[int, int, int]:
+    """Real header parse via Pillow (same (width, height, n_channels)
+    contract as the fake backend).  Imported lazily INSIDE the executor
+    task — the driver gate in decode_image_meta already verified the
+    library exists before shipping the plan."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(content)) as im:
+        w, h = im.size
+        n = len(im.getbands())
+    return w, h, n
+
+
 def decode_image_meta(df: DataFrame, *, backend: str = "fake") -> DataFrame:
     """media struct → per-image metadata columns via ``mapInPandas``.
 
@@ -102,11 +117,13 @@ def decode_image_meta(df: DataFrame, *, backend: str = "fake") -> DataFrame:
         + IMAGE_META_FIELDS
     )
 
+    dims_fn = _pil_dims if backend == "pil" else _fake_dims
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             media = pdf["media"]
             dims = [
-                _fake_dims(bytes(m["content"])) if m is not None and m["content"] is not None
+                dims_fn(bytes(m["content"])) if m is not None and m["content"] is not None
                 else (None, None, None)
                 for m in media
             ]

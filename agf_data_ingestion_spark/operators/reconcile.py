@@ -110,17 +110,15 @@ class ReconciliationResult:
         )
 
 
-def reconcile(
-    storage_keys: DataFrame, tracked: DataFrame, *, sample: int = 20
+def _audit(
+    s: DataFrame,
+    t: DataFrame,
+    orphan_s: DataFrame,
+    orphan_t: DataFrame,
+    sample: int,
 ) -> ReconciliationResult:
-    """Anti-joins both directions (OP-JOIN-ANTI-S3 / OP-JOIN-ANTI-DB) +
-    ordered samples (OP-SORT-LIMIT, reference :229-243)."""
-    s = storage_keys.select("key")
-    t = tracked.select("key")
-    orphan_s = s.join(t, "key", "left_anti")
-    orphan_t = t.join(s, "key", "left_anti")
-
-    # one pass per side: count + top-`sample` sorted keys
+    """Counts + top-``sample`` sorted keys per side (OP-SORT-LIMIT,
+    reference :229-243); one extra count only when the sample overflows."""
     cnt_s, cnt_t = s.count(), t.count()
     o_s = orphan_s.orderBy("key").limit(sample + 1).collect()
     o_t = orphan_t.orderBy("key").limit(sample + 1).collect()
@@ -134,6 +132,18 @@ def reconcile(
         sample_storage=[r["key"] for r in o_s[:sample]],
         sample_db=[r["key"] for r in o_t[:sample]],
     )
+
+
+def reconcile(
+    storage_keys: DataFrame, tracked: DataFrame, *, sample: int = 20
+) -> ReconciliationResult:
+    """Anti-joins both directions (OP-JOIN-ANTI-S3 / OP-JOIN-ANTI-DB) +
+    ordered samples (OP-SORT-LIMIT, reference :229-243)."""
+    s = storage_keys.select("key")
+    t = tracked.select("key")
+    orphan_s = s.join(t, "key", "left_anti")
+    orphan_t = t.join(s, "key", "left_anti")
+    return _audit(s, t, orphan_s, orphan_t, sample)
 
 
 def format_report(res: ReconciliationResult, generated_at: str) -> str:
@@ -181,18 +191,28 @@ def reconcile_incremental(
     """Audit only what CHANGED since snapshot version ``v_from`` of a
     snapshot-format tracked table (sources/snapshots.py) — the weekly
     full-scan audit (reference agf_reconciliation_lambda.py) becomes an
-    incremental one: keys inserted since v_from are checked against
-    storage, and storage keys are anti-joined against the *current*
-    tracked set as usual but only counted among the delta's key range.
+    incremental one.
 
-    At 100 TB this changes the audit's cost basis from |table| to
-    |changes|: snapshot_diff reads only committed manifests (no listing),
-    and the tracked side of the anti-join is the delta, not the full
-    table.  A full audit remains `reconcile` — run it at a slower cadence.
+    Two asymmetric anti-joins:
+
+    * **DB side** (tracked → storage): only keys *inserted since v_from*
+      are checked against storage — cost basis |changes|, not |table|.
+    * **storage side** (storage → tracked): anti-joined against the FULL
+      current tracked key set.  Using the delta here would flag every
+      object tracked before v_from as orphaned (a false positive on a
+      perfectly in-sync table); the current set is read via
+      ``snapshot_read``, which plans from committed manifests — no
+      storage listing, and min/max-pruned scans of the key column only.
+
+    ``tracked_count`` reports the delta size (what this audit verified),
+    ``storage_count`` the supplied storage listing.  Callers typically
+    pass a cutoff-filtered listing (``list_storage_keys(cutoff=...)``)
+    aligned to v_from's commit time so both sides stay |changes|-sized.
+    A full audit remains `reconcile` — run it at a slower cadence.
     """
     from pyspark.sql import functions as F
 
-    from agf_data_ingestion_spark.sources.snapshots import snapshot_diff
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_diff, snapshot_read
 
     delta = snapshot_diff(spark, snapshot_table, v_from=v_from)
     added = (
@@ -200,4 +220,13 @@ def reconcile_incremental(
         .select(F.col(key_col).alias("key"))
         .dropDuplicates(["key"])
     )
-    return reconcile(storage_keys, added, sample=sample)
+    current = (
+        snapshot_read(spark, snapshot_table)
+        .select(F.col(key_col).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .dropDuplicates(["key"])
+    )
+    s = storage_keys.select("key")
+    orphan_s = s.join(current, "key", "left_anti")
+    orphan_t = added.join(s, "key", "left_anti")
+    return _audit(s, added, orphan_s, orphan_t, sample)

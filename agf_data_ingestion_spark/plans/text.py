@@ -601,6 +601,34 @@ ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPK}
 
 _CLUSTER_THRESHOLD = 0.25
 
+#: cluster labels per (applicationId, sf_dir): the LSH → connected-components
+#: pipeline is consumed by THREE catalog queries (docs_dup_clusters,
+#: docs_deduped_corpus, docs_best_of_cluster) — compute it once per session
+#: and hand each consumer the same localCheckpointed (doc_id, cluster_id)
+#: frame.  The checkpoint is |docs| (long, long) pairs — tiny relative to
+#: the corpus at any scale, and already the iterative-operator state shape.
+_CLUSTER_LABEL_CACHE: dict = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from agf_data_ingestion_spark.operators.components import connected_components
+
+    pairs = docs_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
+    )
+    vertices = t(spark, sf_dir, "documents").select("doc_id")
+    labels = (
+        connected_components(vertices, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b")
+        .select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    _CLUSTER_LABEL_CACHE[key] = labels
+    return labels
+
 
 def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster ids for near-duplicate groups: LSH candidate pairs above the
@@ -608,16 +636,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id reachable (iterative min-label propagation, operators/
     components.py).  Oracle: a recursive-CTE transitive closure computes
     the identical fixpoint."""
-    from agf_data_ingestion_spark.operators.components import connected_components
-
-    pairs = docs_minhash_lsh(spark, sf_dir).filter(
-        F.col("est_jaccard") >= _CLUSTER_THRESHOLD
-    )
-    vertices = t(spark, sf_dir, "documents").select("doc_id")
-    labels = connected_components(
-        vertices, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b"
-    )
-    return labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    return _cluster_labels(spark, sf_dir)
 
 
 _CLUSTERS_SQL = f"""

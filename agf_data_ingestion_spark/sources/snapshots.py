@@ -104,15 +104,70 @@ def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
     return version
 
 
+def _json_stat_value(v):
+    """Footer stat → JSON-storable value, or None when not representable.
+
+    datetimes/dates become ISO strings (ISO order == chronological order,
+    so string comparison stays a valid pruning comparison); NaN floats are
+    rejected (a NaN bound proves nothing)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return None if v != v else v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    return None
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file {col: [min, max]} from the parquet footer's row-group
+    statistics — the data-skipping index Iceberg keeps in manifests and
+    Delta in the transaction log.  Costs one footer read at commit time;
+    saves opening the file at all when a predicate disproves the range.
+
+    Only top-level columns with usable min/max in EVERY row group are
+    recorded (a single stats-less row group makes the file unprunable for
+    that column)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested leaves: skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = _json_stat_value(st.min), _json_stat_value(st.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins if c not in dead}
+
+
 def _write_data_files(df: DataFrame, table: str) -> list[dict]:
-    """Write ``df`` as immutable parquet files under a fresh commit dir."""
+    """Write ``df`` as immutable parquet files under a fresh commit dir,
+    recording per-file column min/max stats in the manifest entry."""
     commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
     df.write.mode("error").parquet(commit_dir)
     files = []
     for name in sorted(os.listdir(commit_dir)):
         if name.endswith(".parquet"):
             p = os.path.join(commit_dir, name)
-            files.append({"path": p, "bytes": os.path.getsize(p)})
+            files.append(
+                {"path": p, "bytes": os.path.getsize(p), "stats": _file_stats(p)}
+            )
     return files
 
 
@@ -129,21 +184,93 @@ def snapshot_write(df: DataFrame, table: str, *, mode: str = "append") -> int:
         return _commit(table, base + new_files, parent, mode)
 
 
+#: predicate op → (file survives pruning given its [lo, hi] stat range)
+_PRUNE_OPS = {
+    ">=": lambda lo, hi, v: hi >= v,
+    ">": lambda lo, hi, v: hi > v,
+    "<=": lambda lo, hi, v: lo <= v,
+    "<": lambda lo, hi, v: lo < v,
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "=": lambda lo, hi, v: lo <= v <= hi,
+}
+
+
+def plan_files(
+    table: str,
+    *,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> list[dict]:
+    """The manifest file entries a read of ``where`` must open: every file
+    whose recorded [min, max] could satisfy ALL predicate triples
+    ``(col, op, value)``; op ∈ {==, <, <=, >, >=}.  Files with no stats
+    for a predicate column are conservatively kept.  This is the
+    data-skipping step — at 100 TB a pruned plan opens the handful of
+    files whose ranges overlap the predicate instead of the whole table
+    (and is what makes Z-order clustering pay off at the reader)."""
+    m = read_manifest(table, version)
+    files = m["files"]
+    for col, op, value in where or []:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r}")
+        keep = _PRUNE_OPS[op]
+        files = [
+            f
+            for f in files
+            if col not in f.get("stats", {})
+            or keep(f["stats"][col][0], f["stats"][col][1], value)
+        ]
+    return files
+
+
 def snapshot_read(
-    spark: SparkSession, table: str, *, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    *,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: current).  Empty tables read
     as an empty frame only when a schema-bearing snapshot exists.
+
+    ``where`` (optional ANDed ``(col, op, value)`` triples) enables
+    manifest-level data skipping via the per-file stats recorded at commit
+    time: files whose min/max disprove a predicate are never opened, and
+    the predicates are still applied to the returned frame so results are
+    exact even where stats are absent or ranges merely overlap.  For
+    timestamp/date columns pass ISO-formatted strings (stats are stored
+    that way; ISO order == chronological order).
 
     ``mergeSchema`` is always on: a table whose commits span a column
     addition (schema evolution) reads as the union schema, with nulls for
     files written before the column existed — old snapshots keep their
     narrower schema because their manifests never reference newer files."""
+    from pyspark.sql import functions as F
+
     m = read_manifest(table, version)
-    paths = [f["path"] for f in m["files"]]
-    if not paths:
+    if not m["files"]:
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    kept = plan_files(table, version=version, where=where)
+    # all files pruned: keep one for the schema — the residual filter
+    # below returns its (provably empty) matching subset
+    paths = [f["path"] for f in kept] or [m["files"][0]["path"]]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for col, op, value in where or []:
+        c = F.col(col)
+        # timestamp/date stats are ISO strings; compare in the same domain
+        v = F.lit(value)
+        if dict(df.dtypes).get(col) in ("timestamp", "date"):
+            c = c.cast("string")
+        cond = {
+            ">=": c >= v,
+            ">": c > v,
+            "<=": c <= v,
+            "<": c < v,
+            "==": c == v,
+            "=": c == v,
+        }[op]
+        df = df.filter(cond)
+    return df
 
 
 def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
@@ -163,8 +290,10 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
             )
         else:
             fresh = batch
-        # materialize before commit: the plan reads the files the manifest
-        # references, never files this commit writes
+        # materialize the anti-join ONCE: isEmpty() and the file write must
+        # not each re-run the full join against the current snapshot (that
+        # doubles the scan held under the table lock)
+        fresh = fresh.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return parent
         new_files = _write_data_files(fresh, table)

@@ -72,9 +72,23 @@ def scd2_batch_fn(
     return fn
 
 
-def read_dimension(spark, warehouse: str) -> DataFrame:
-    """The current Type-2 dimension table (empty-safe for fresh warehouses)."""
+def read_dimension(
+    spark,
+    warehouse: str,
+    *,
+    key: str = "user_id",
+    attr: str = "event_type",
+) -> DataFrame:
+    """The current Type-2 dimension table (empty-safe for fresh warehouses:
+    before any batch has committed, returns an empty frame with the
+    dimension schema instead of raising PATH_NOT_FOUND)."""
     dim_path = os.path.join(warehouse, "scd2_dim")
+    if not _table_exists(spark, dim_path):
+        schema = (
+            f"{key} bigint, {attr} string, valid_from bigint, "
+            "valid_to bigint, version bigint, is_current boolean"
+        )
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(dim_path)
 
 

@@ -51,6 +51,38 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    *,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "8 days",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Native ``session_window`` aggregation — the streaming twin of the
+    batch catalog query ``events_session_window_native``
+    (plans/windows.py): events of a key whose [ts, ts+gap) windows overlap
+    merge into one session; a successor exactly ``gap`` later starts a new
+    one (strict boundary, pinned by that query's gap-islands oracle).
+
+    Works identically on batch and streaming frames (unified model).
+    Under streaming append mode a session emits exactly once, when the
+    watermark passes its end; merging-session state is evicted then too,
+    so state is O(open sessions), not O(stream).
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(*group_cols, F.session_window(time_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     *,

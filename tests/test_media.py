@@ -162,3 +162,27 @@ def test_presigned_url_contract(spark):
     )
     assert row["url"].startswith("https://bkt.s3.example/raw/k.txt?X-Amz-Expires=3600")
     assert len(row["url"].rsplit("=", 1)[-1]) == 16
+
+
+def test_decode_pil_backend_real_decode(spark):
+    """Real-decoder branch (conditionally, where Pillow exists): pil-backend
+    dims must be the image's TRUE dimensions, under the same output-schema
+    contract as the fake backend."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    df = attach_media(
+        spark.createDataFrame([(1,)], ["id"]),
+        path=F.lit("m/real.png"),
+        mime=F.lit("image/png"),
+        content=F.lit(png),
+    )
+    real = decode_image_meta(df, backend="pil")
+    fake = decode_image_meta(df, backend="fake")
+    assert real.schema == fake.schema  # identical plumbing contract
+    row = real.collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (37, 21, 3)

@@ -112,3 +112,14 @@ def test_redelivery_is_idempotent_and_as_of_reads(spark, tmp_path):
     assert [r["event_type"] for r in as_of(dim, 150).collect()] == ["A"]
     assert [r["event_type"] for r in as_of(dim, 250).collect()] == ["B"]
     assert as_of(dim, 50).count() == 0
+
+
+def test_read_dimension_empty_safe_for_fresh_warehouse(spark, tmp_path):
+    # no batch has ever run: must return an empty, schema-correct frame,
+    # not raise PATH_NOT_FOUND
+    dim = read_dimension(spark, str(tmp_path / "never_written"))
+    assert dim.count() == 0
+    assert set(dim.columns) == {
+        "user_id", "event_type", "valid_from", "valid_to", "version", "is_current"
+    }
+    assert as_of(dim, 123).count() == 0

@@ -186,7 +186,20 @@ def test_incremental_reconcile_audits_only_the_delta(spark, tmp_path):
     # tracked side is ONLY the delta (2 keys), not the whole table
     assert res.tracked_count == 2
     assert res.orphaned_in_db == 1 and res.sample_db == ["raw/b/4"]
-    assert "raw/b/9" in res.sample_storage
+    # storage side is checked against the FULL current tracked set:
+    # raw/a/* were tracked before v_from and must NOT be false positives
+    assert res.orphaned_in_storage == 1
+    assert res.sample_storage == ["raw/b/9"]
+    # a fully in-sync table yields in_sync even when storage predates v_from
+    in_sync = reconcile_incremental(
+        spark,
+        spark.createDataFrame(
+            [("raw/a/1",), ("raw/a/2",), ("raw/b/3",), ("raw/b/4",)], "key string"
+        ),
+        tbl,
+        v_from=v1,
+    )
+    assert in_sync.status == "in_sync"
 
 
 def test_compaction_with_zorder_clustering(spark, tmp_path):
@@ -236,3 +249,72 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert rows == {1: None, 2: "extra"}
     old = snapshot_read(spark, tbl, version=1)
     assert [f.name for f in old.schema.fields] == ["k", "v"]
+
+
+def test_manifest_stats_prune_file_opens(spark, tmp_path):
+    """A predicate read must OPEN only the files whose min/max stats admit
+    the predicate — the manifest-level data-skipping contract."""
+    from agf_data_ingestion_spark.sources.snapshots import plan_files
+
+    tbl = str(tmp_path / "tbl")
+    # 4 single-file commits with disjoint k-ranges: [0,100), [100,200), ...
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id as k", "concat('v', id) as v"
+        ).coalesce(1)
+        snapshot_write(df, tbl)
+
+    m = read_manifest(tbl)
+    assert len(m["files"]) == 4
+    assert all("stats" in f and "k" in f["stats"] for f in m["files"])
+
+    # point predicate: exactly one file planned and opened
+    planned = plan_files(tbl, where=[("k", "==", 150)])
+    assert len(planned) == 1
+    df = snapshot_read(spark, tbl, where=[("k", "==", 150)])
+    assert len(df.inputFiles()) == 1
+    assert [r["k"] for r in df.collect()] == [150]
+
+    # range predicate spanning two files
+    df2 = snapshot_read(spark, tbl, where=[("k", ">=", 150), ("k", "<", 250)])
+    assert len(df2.inputFiles()) == 2
+    assert sorted(r["k"] for r in df2.collect()) == list(range(150, 250))
+
+    # predicate outside every range: zero matching rows, schema intact
+    df3 = snapshot_read(spark, tbl, where=[("k", ">", 10_000)])
+    assert df3.count() == 0
+    assert df3.columns == ["k", "v"]
+
+    # string-column stats prune too
+    df4 = snapshot_read(spark, tbl, where=[("v", "==", "v0")])
+    assert len(df4.inputFiles()) == 1
+
+    # results are EXACT where ranges merely overlap: unpruned-but-filtered
+    full = sorted(
+        r["k"] for r in snapshot_read(spark, tbl).filter("k >= 150 and k < 250").collect()
+    )
+    assert sorted(r["k"] for r in df2.collect()) == full
+
+
+def test_zorder_compaction_enables_stat_pruning(spark, tmp_path):
+    """After compact(sort_by=zkey) the reader must prune on the clustered
+    zkey bounds — the point of the Z-order layout."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.functions.zorder import zorder2
+    from agf_data_ingestion_spark.sources.snapshots import plan_files
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("a"), (F.col("id") * 7 % 400).alias("b")
+        ).coalesce(1)
+        snapshot_write(df.withColumn("zkey", zorder2("a", "b")), tbl)
+    snapshot_compact(spark, tbl, small_bytes=8 << 20, sort_by=["zkey"])
+
+    files = read_manifest(tbl)["files"]
+    assert all("zkey" in f["stats"] for f in files)
+    if len(files) > 1:
+        lo = min(f["stats"]["zkey"][0] for f in files)
+        planned = plan_files(tbl, where=[("zkey", "<=", lo)])
+        assert len(planned) < len(files)

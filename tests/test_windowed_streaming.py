@@ -204,3 +204,56 @@ def test_observe_metrics(spark):
     m = obs.get
     assert m["processed"] == 10
     assert m["errors"] == 4  # ids 0,3,6,9
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming F.session_window twin (OP-STRM-LATE + OP-X-SESSION): late
+    merge before finalization, exactly-once emit after, and batch
+    equivalence through the same function (unified model)."""
+    from agf_data_ingestion_spark.streaming.windowed import session_counts
+
+    src, chk = str(tmp_path / "src_sw"), str(tmp_path / "chk_sw")
+    fn = lambda s: session_counts(  # noqa: E731
+        s, gap="10 minutes", watermark="10 minutes", group_cols=("k",)
+    )
+    # round 1: two overlapping events for k=a (one session), nothing emits
+    # (watermark has not passed the session end)
+    _write(src, "a.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "x", "k": "a"},
+        {"ts": "2024-01-01 10:05:00", "event_type": "x", "k": "a"},
+    ])
+    assert _run_stream(spark, src, chk, fn).count() == 0
+
+    # round 2: a MERGING event extends the still-open session; a far-future
+    # event advances the watermark past its end -> one merged session emits
+    _write(src, "b.json", [
+        {"ts": "2024-01-01 10:12:00", "event_type": "x", "k": "a"},
+        {"ts": "2024-01-01 13:00:00", "event_type": "x", "k": "z"},
+    ])
+    out2 = _run_stream(spark, src, chk, fn)
+    rows = {
+        (r["k"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in out2.collect()
+    }
+    assert rows[("a", "2024-01-01 10:00:00")] == ("2024-01-01 10:22:00", 3)
+
+    # round 3: a straggler behind the watermark is dropped — the emitted
+    # session is not re-emitted or extended
+    _write(src, "c.json", [
+        {"ts": "2024-01-01 10:06:00", "event_type": "x", "k": "a"},
+    ])
+    out3 = _run_stream(spark, src, chk, fn)
+    a_rows = [r for r in out3.collect() if r["k"] == "a"]
+    assert len(a_rows) == 1 and a_rows[0]["n_events"] == 3
+
+    # unified model: the same function over the batch read sees everything,
+    # with the strict-boundary merge semantics of the catalog oracle
+    batch = spark.read.schema(SCHEMA).json(src).select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    brows = {
+        (r["k"], str(r["session_start"])): r["n_events"]
+        for r in fn(batch).collect()
+    }
+    assert brows[("a", "2024-01-01 10:00:00")] == 4  # straggler included
+    assert brows[("z", "2024-01-01 13:00:00")] == 1
