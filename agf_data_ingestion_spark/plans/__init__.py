@@ -74,6 +74,16 @@ for _mod in (
 # driver re-certifies them.  Everything else was driver-green in r01/r02 and
 # keeps local-replica coverage via scripts/check_oracle.py.
 _PRIORITY = [
+    # Stage-warming order within the witness window: the MinHash/cluster
+    # family runs base-first (sigs cache → cluster-label cache → consumers)
+    # so each query's bench time reflects ITS stage, not whichever family
+    # member happens to run first absorbing the whole shared build
+    # (BENCH r3: docs_best_of_cluster cold = 12-14 s vs 5.6 warm).
+    "docs_minhash_lsh",
+    "docs_dup_clusters",
+    "docs_deduped_corpus",
+    "docs_best_of_cluster",
+    "docs_incremental_neardup",
     # round-2 additions with no driver CORRECTNESS row yet — these MUST land
     # inside the ~50-row sample this round
     "emb_kmeans_train",
@@ -85,20 +95,18 @@ _PRIORITY = [
     "events_mad_outliers",
     "events_kmv_setops",
     "events_asof_next_purchase",
-    "docs_best_of_cluster",
     "docs_bpe_pairs",
     "docs_domain_caps",
     "docs_weighted_sample",
     # plans changed this round (round 3) — re-certify under the driver
     "emb_ivf_topk",
-    "docs_dup_clusters",
-    "docs_deduped_corpus",
-    "docs_minhash_lsh",
     "ingest_sync_runs",
     "ingest_experiments",
     "ingest_quarantine_stats",
-    # round-3 additions — need first driver certification (appended below as
-    # they are built; keep them ahead of the long-green tail)
+    # round-3 additions — need first driver certification (kept ahead of the
+    # long-green tail)
+    "docs_quality_gate",
+    "emb_sq_adc_topk",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -37,19 +37,27 @@ class QuerySpec:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as a nanosecond BIGINT and expose a
-    µs-truncated TimestampType ``ts`` for calendar operations plus an
-    epoch-µs BIGINT ``ts_us`` (DuckDB's parquet reader also truncates
-    TIMESTAMP_NS to µs, so this is the cross-engine-faithful value).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read as a nanosecond BIGINT via
+    ``nanosAsLong``) and, since the round-3 regeneration, as plain
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  Both layouts normalize to
+    the same two columns: a µs TimestampType ``ts`` for calendar
+    operations plus an epoch-µs BIGINT ``ts_us`` (DuckDB's reader also
+    lands on µs for either layout, so this is the cross-engine-faithful
+    value).  Sessions are pinned UTC (session.py / _pinned_session), so
+    the NTZ→timestamp cast is wall-clock-identity.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) layout
+            us = F.expr("ts div 1000")
+        else:  # TIMESTAMP(MICROS), read as (ntz) timestamp
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
         return raw.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.expr("ts div 1000").alias("ts_us"),
+            F.timestamp_micros(us).alias("ts"),
+            us.alias("ts_us"),
             "user_id",
             "event_type",
             "value",

@@ -490,10 +490,130 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Scalar-quantized ADC top-k (OP-X-SIM-TOPK, int8 shortlist + exact re-rank)
+# ---------------------------------------------------------------------------
+
+_SQ_SCALE = 64.0  # power-of-two scale: floor(x * 64) is exact for float x
+_SQ_SHORTLIST = 4 * _TOPK
+
+
+def emb_sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via scalar quantization: shortlist neighbors by an integer
+    dot product over int8-range codes, then re-rank the shortlist with the
+    exact float cosine (the IVF-ADC refinement step, Jégou et al. 2011,
+    with a scalar codebook).
+
+    Scale story: the quantized corpus is 4× smaller than float32 on the
+    wire (codes fit int8; carried as BIGINT in-flight only for the exact
+    integer arithmetic), the shortlist pass is pure integer codegen, and
+    the expensive float fold runs on ``_SQ_SHORTLIST`` rows per query
+    instead of the corpus.  Queries are filtered-then-broadcast; the
+    corpus-sided re-rank join keeps ``shuffle_hash`` (CLAUDE.md: corpus
+    must never be broadcast).
+
+    Determinism: codes are ``floor(x · 64)`` BIGINTs (exact power-of-two
+    scaling), the shortlist score is an exact integer fold, and the
+    re-rank cosine is the module's sequential double fold — bit-identical
+    in both engines, with (score, id) tiebreakers at every window.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * _SQ_SCALE).cast("long")
+        ).alias("code"),
+    )
+    qc = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("code_q")
+    )
+    nc = codes.select(F.col("vec_id").alias("neighbor_id"), F.col("code").alias("code_n"))
+    int_dot = F.aggregate(
+        F.zip_with("code_q", "code_n", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    shortlist = (
+        nc.join(F.broadcast(qc))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", int_dot.alias("adc"))
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("srank") <= _SQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    v = e.select("vec_id", "embedding", F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"))
+    qe = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q"), F.col("nrm").alias("nrm_q")
+    )
+    ne = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n"), F.col("nrm").alias("nrm_n")
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    scored = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ne.hint("shuffle_hash"), "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _o_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, {_DIM} + 1), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+_SQ_ADC_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_SQ_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_o_int_dot('q.code', 'c.code')} DESC, c.vec_id ASC
+           ) AS srank
+    FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE srank <= {_SQ_SHORTLIST}
+),
+v AS (
+  SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM shortlist s
+  JOIN v q ON s.query_id = q.vec_id
+  JOIN v n ON s.neighbor_id = n.vec_id
+) WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, None, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
+    "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT")),
 }

@@ -312,23 +312,11 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs with MinHash-estimated Jaccard.
-
-    16 permutations in 4 bands × 4 rows; docs sharing any full band
-    signature become candidates; estimate = fraction of matching minhashes.
-    Only the tiny (doc_id, band, sig) projection is ever shuffled; the
-    estimate comes from comparing the two signature arrays directly.  The
-    signature table is consumed three times (banding + both sides of the
-    estimate join) → cache it so the hash fold runs once.
-
-    The estimate join is a SHUFFLE hash join on doc_id, never a broadcast:
-    the signature table is one row per *document* (corpus-sized — >100 GB at
-    10^9 docs), so broadcasting it would OOM the driver at scale, while
-    shuffling 16 longs/doc is cheap (VERDICT.md r1 "What's wrong" #1).
-    """
-    sigs = _minhash_sigs(spark, sf_dir).cache()
-    bands = sigs.select(
+def _lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig): each signature cut into ``_N_PERMS/_BAND_ROWS``
+    bands, the band's minhashes joined into one string key.  This tiny
+    projection (4 short rows/doc) is the ONLY thing LSH ever shuffles."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -346,6 +334,25 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bsig")
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with MinHash-estimated Jaccard.
+
+    16 permutations in 4 bands × 4 rows; docs sharing any full band
+    signature become candidates; estimate = fraction of matching minhashes.
+    Only the tiny (doc_id, band, sig) projection is ever shuffled; the
+    estimate comes from comparing the two signature arrays directly.  The
+    signature table is consumed three times (banding + both sides of the
+    estimate join) → cache it so the hash fold runs once.
+
+    The estimate join is a SHUFFLE hash join on doc_id, never a broadcast:
+    the signature table is one row per *document* (corpus-sized — >100 GB at
+    10^9 docs), so broadcasting it would OOM the driver at scale, while
+    shuffling 16 longs/doc is cheap (VERDICT.md r1 "What's wrong" #1).
+    """
+    sigs = _minhash_sigs(spark, sf_dir).cache()
+    bands = _lsh_bands(sigs)
     # the band bucket-join is corpus-sized on BOTH sides (4 rows/doc) —
     # force the shuffle plan; small-sf size estimates would statically
     # pick a broadcast that cannot exist at 10^9 docs
@@ -372,10 +379,9 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: shared CTE block: documents → shingles → KM hashes → signatures → LSH
-#: bands → candidate pairs → estimated jaccard (composed by the minhash
-#: query and the connected-components cluster oracle)
-_MINHASH_CTES = f"""sh AS (
+#: documents → shingles → KM hashes → signatures → LSH bands (shared by the
+#: within-corpus queries below AND the incremental new-batch-vs-corpus query)
+_SIG_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
 ),
 hashed AS (
@@ -393,7 +399,12 @@ bands AS (
   SELECT doc_id, CAST(floor(p / {_BAND_ROWS}) AS INT) AS band,
          string_agg(CAST(mh AS VARCHAR), '|' ORDER BY p) AS sig
   FROM sigs GROUP BY doc_id, CAST(floor(p / {_BAND_ROWS}) AS INT)
-),
+)"""
+
+#: shared CTE block: documents → shingles → KM hashes → signatures → LSH
+#: bands → candidate pairs → estimated jaccard (composed by the minhash
+#: query and the connected-components cluster oracle)
+_MINHASH_CTES = f"""{_SIG_CTES},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -710,6 +721,161 @@ FROM votes GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs existing corpus (OP-X-DEDUP-NEAR)
+# ---------------------------------------------------------------------------
+
+_INC_JACCARD_MIN = 0.2  # exact-Jaccard floor for flagging a new doc as a dup
+
+
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: which NEW documents near-duplicate the
+    EXISTING corpus?  (``doc_id % 5 == 0`` plays the new batch — 20% of any
+    scale factor — and the rest the corpus.)
+
+    The asymmetric LSH join is the increment's whole cost profile: the new
+    batch is hashed/banded fresh, the corpus side reuses the same banding
+    (in production: precomputed at ingest and bucket-stored by (band, bsig),
+    so each increment shuffles only NEW-batch-sized data against co-located
+    corpus buckets — no corpus rehash, no corpus broadcast, cost
+    O(|new| + collisions) independent of |corpus|).  Candidates are then
+    exact-verified with 3-gram Jaccard and each new doc keeps its single
+    best corpus match (row_number, jaccard-desc with doc_id tiebreaker).
+
+    Corpus-sided tables keep the ``shuffle_hash`` hint (CLAUDE.md: corpus
+    must never be broadcast; small-sf stats would statically plan one).
+    """
+    is_new = F.col("doc_id") % 5 == 0
+    sigs = _minhash_sigs(spark, sf_dir).cache()
+    bands = _lsh_bands(sigs)
+    nb = bands.filter(is_new).alias("n")
+    cb = bands.filter(~is_new).hint("shuffle_hash").alias("c")
+    cands = (
+        nb.join(cb, (F.col("n.band") == F.col("c.band")) & (F.col("n.bsig") == F.col("c.bsig")))
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sets = t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset"))
+    sn = sets.select(F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n"), F.size("sset").alias("sz_n"))
+    sc = sets.select(F.col("doc_id").alias("dup_of"), F.col("sset").alias("set_c"), F.size("sset").alias("sz_c"))
+    inter = F.size(F.array_intersect("set_n", "set_c"))
+    scored = (
+        cands.join(sn.hint("shuffle_hash"), "new_id")
+        .join(sc.hint("shuffle_hash"), "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("jaccard") >= _INC_JACCARD_MIN))
+        .select("new_id", "dup_of", "jaccard")
+    )
+
+
+_INCREMENTAL_NEARDUP_SQL = f"""
+WITH {_SIG_CTES},
+xcands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.new_id, x.dup_of, COUNT(sb.s) AS inter
+  FROM xcands x
+  JOIN sh sa ON x.new_id = sa.doc_id
+  LEFT JOIN sh sb ON x.dup_of = sb.doc_id AND sa.s = sb.s
+  GROUP BY x.new_id, x.dup_of
+),
+scored AS (
+  SELECT i.new_id, i.dup_of,
+         CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.new_id = sa.doc_id
+  JOIN sizes sb ON i.dup_of = sb.doc_id
+),
+best AS (
+  SELECT new_id, dup_of, jaccard,
+         row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, dup_of ASC) AS rn
+  FROM scored
+)
+SELECT new_id, dup_of, jaccard FROM best WHERE rn = 1 AND jaccard >= {_INC_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (OP-X-TEXT): Gopher-style keep/drop rules
+# ---------------------------------------------------------------------------
+
+
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: ordered Gopher-style rules, each doc
+    keeps the FIRST failing rule as its drop reason (MassiveText filtering,
+    Rae et al. 2021 — re-expressed as pure codegen column expressions).
+
+    All ratios are integer-derived IEEE doubles (int/int division is
+    correctly rounded, so both engines agree bit-for-bit); the whole gate
+    is one map-only projection — no shuffle, no UDF, prunes to the three
+    columns it reads at the scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    awl = (n_chars - (n_words - 1)).cast("double") / n_words
+    stopr = n_stop.cast("double") / n_words
+    uniqr = n_uniq.cast("double") / n_words
+    reason = (
+        F.when(n_words < 30, "too_short")
+        .when((awl < 3.0) | (awl > 10.0), "word_length")
+        .when(stopr < 0.05, "low_stopword")
+        .when(uniqr < 0.4, "repetitive")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        awl.alias("avg_word_len"),
+        stopr.alias("stopword_ratio"),
+        uniqr.alias("uniq_ratio"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+_QUALITY_GATE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_word_len,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+),
+r AS (
+  SELECT *,
+         CASE WHEN n_words < 30 THEN 'too_short'
+              WHEN avg_word_len < 3.0 OR avg_word_len > 10.0 THEN 'word_length'
+              WHEN stopword_ratio < 0.05 THEN 'low_stopword'
+              WHEN uniq_ratio < 0.4 THEN 'repetitive'
+              ELSE 'ok' END AS reason
+  FROM m
+)
+SELECT doc_id, n_words, avg_word_len, stopword_ratio, uniq_ratio,
+       reason = 'ok' AS keep, reason
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_dedup_exact": QuerySpec(
         docs_dedup_exact, _DEDUP_EXACT_SQL, ("OP-X-DEDUP-EXACT", "OP-DEDUP-KEY")
@@ -733,4 +899,8 @@ QUERIES: dict[str, QuerySpec] = {
         docs_dup_clusters, _CLUSTERS_SQL, ("OP-X-DEDUP-NEAR", "OP-X-ITER")
     ),
     "docs_simhash": QuerySpec(docs_simhash, _SIMHASH_SQL, ("OP-X-DEDUP-NEAR",)),
+    "docs_incremental_neardup": QuerySpec(
+        docs_incremental_neardup, _INCREMENTAL_NEARDUP_SQL, ("OP-X-DEDUP-NEAR",)
+    ),
+    "docs_quality_gate": QuerySpec(docs_quality_gate, _QUALITY_GATE_SQL, ("OP-X-TEXT",)),
 }

@@ -93,3 +93,98 @@ def kmv_sink(
         merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (frequent-items sketch, mergeable)
+# ---------------------------------------------------------------------------
+
+_MG_K = 32
+
+
+def mg_summary(df: DataFrame, *, key_col: str, k: int = _MG_K) -> tuple[DataFrame, int]:
+    """Misra–Gries summary of ``df``: ≤ ``k`` (key, cnt) rows where cnt is a
+    LOWER BOUND on the key's true count, plus the decrement ``err`` applied
+    (true_count ≤ cnt + total accumulated err; Misra & Gries 1982, and the
+    mergeable-summaries compression of Agarwal et al., PODS'12).
+
+    Exact per-input counts come from one map-side-combined groupBy; the
+    compression subtracts the (k+1)-th largest count from every counter and
+    drops the non-positive ones — at most k keys can exceed that pivot, so
+    the summary is ≤ k rows by construction.  The pivot lookup is a
+    distributed TakeOrderedAndProject (limit k+1), never a global sort.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return _mg_compress(counts, k=k)
+
+
+def _mg_compress(counts: DataFrame, *, k: int) -> tuple[DataFrame, int]:
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1).collect()
+    if len(top) <= k:
+        return counts, 0
+    pivot = int(top[k].cnt)
+    kept = counts.select("key", (F.col("cnt") - pivot).alias("cnt")).filter(F.col("cnt") > 0)
+    return kept, pivot
+
+
+def mg_merge(
+    a: DataFrame, b: DataFrame, *, k: int = _MG_K
+) -> tuple[DataFrame, int]:
+    """Merge two summaries: add counters keyed-outer, re-compress.  The
+    combined guarantee is the sum of both sides' errs plus the new
+    compression's decrement."""
+    u = (
+        a.select("key", F.col("cnt").alias("ca"))
+        .join(b.select("key", F.col("cnt").alias("cb")), "key", "full_outer")
+        .select(
+            "key",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+        )
+    )
+    return _mg_compress(u, k=k)
+
+
+def mg_sink(spark: SparkSession, table_dir: str, *, key_col: str, k: int = _MG_K):
+    """``foreachBatch`` function maintaining a persistent heavy-hitters
+    summary at ``table_dir`` (parquet ≤ k rows) with its cumulative error
+    bound in ``<table_dir>/_mg_err`` — the same bounded-state-forever sink
+    shape as ``kmv_sink``: per-batch counts are summarized, merged with the
+    stored summary, and atomically rewritten.  Total err after any prefix
+    of the stream is ≤ N_seen/(k+1), so every key with true count above
+    that is guaranteed present."""
+    import json as _json
+
+    err_path = os.path.join(table_dir + "_meta", "err.json")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        new, err_new = mg_summary(batch, key_col=key_col, k=k)
+        err = err_new
+        if os.path.isdir(table_dir):
+            try:
+                cur = spark.read.parquet(table_dir)
+            except Exception:
+                cur = None
+            if cur is not None:
+                new, err_merge = mg_merge(cur, new, k=k)
+                err += err_merge
+                with open(err_path) as fh:
+                    err += _json.load(fh)["err"]
+        rows = new.collect()  # bounded: ≤ k rows by the summary contract
+        merged = spark.createDataFrame(rows, schema="key string, cnt long")
+        merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
+        os.makedirs(os.path.dirname(err_path), exist_ok=True)
+        with open(err_path, "w") as fh:
+            _json.dump({"err": err}, fh)
+
+    return sink
+
+
+def mg_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, int]:
+    """(summary DataFrame, cumulative err bound) for a persisted sink."""
+    import json as _json
+
+    with open(os.path.join(table_dir + "_meta", "err.json")) as fh:
+        err = _json.load(fh)["err"]
+    return spark.read.parquet(table_dir), err

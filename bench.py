@@ -90,6 +90,13 @@ def main() -> None:
 
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_warm(col("id"))).localCheckpoint(eager=True).count()
+    # ... and the heavy plan *shapes* at the tiny sf so the first catalog
+    # query measures its plan, not residual first-use costs (md5/conv
+    # codegen, interpreted higher-order folds, shuffle-hash join paths,
+    # window-group-limit — observed: the first catalog query pays ~4-5 s
+    # regardless of which one it is).
+    for _wname in ("docs_minhash_lsh", "emb_ivf_topk"):
+        QUERIES[_wname].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

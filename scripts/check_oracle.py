@@ -5,7 +5,12 @@ Runs every catalog query in Spark AND its DuckDB oracle on the same
 testdata, compares row count, column names, and an order-insensitive value
 hash.  Usage::
 
-    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py [sf_dir] [query ...] [--json OUT.json]
+
+``--json`` additionally writes a driver-shaped correctness artifact (the
+CORRECTNESS_r0N.json row format) so rounds can commit local-replica
+evidence for queries outside the driver's ~50-row witness window
+(ADVICE r2).
 """
 
 from __future__ import annotations
@@ -34,8 +39,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
 
@@ -63,16 +75,19 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = _row(None, None, None, None, None, f"spark: {exc}"[:200])
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            results[name] = _row(None, None, None, len(sdf), None, "no_oracle")
             n_pass += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            results[name] = _row(None, None, None, len(sdf), None, f"duckdb: {exc}"[:200])
             n_fail += 1
             continue
         problems = []
@@ -89,6 +104,13 @@ def main() -> int:
                     f"row {i}: spark={cs.loc[i].to_dict()} duck={cd.loc[i].to_dict()}" for i in idx
                 ]
                 problems.append(f"{int(neq.sum())} mismatched rows; " + " | ".join(detail))
+        rows_ok = len(sdf) == len(ddf)
+        schema_ok = sorted(sdf.columns) == sorted(ddf.columns)
+        hash_ok = rows_ok and schema_ok and not problems
+        results[name] = _row(
+            rows_ok, schema_ok, hash_ok, len(sdf), len(ddf),
+            "; ".join(problems)[:200] or None,
+        )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -96,7 +118,23 @@ def main() -> int:
             print(f"PASS {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
     return 1 if n_fail else 0
+
+
+def _row(rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": spark_rows,
+        "oracle_rows": oracle_rows,
+        "err": err,
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,109 @@
+"""Misra–Gries heavy-hitters sink: the lower-bound/err contract and the
+guaranteed-presence property for true heavy hitters, across micro-batches.
+
+Claims under test (streaming/sketches.py):
+* summary counts are LOWER bounds: cnt ≤ true count;
+* true count ≤ cnt + err (err = cumulative decrements, reported by the sink);
+* err after the whole stream ≤ N/(k+1);
+* every key with true count > err is present in the summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from agf_data_ingestion_spark.streaming.sketches import (
+    mg_merge,
+    mg_read,
+    mg_sink,
+    mg_summary,
+)
+
+SCHEMA = StructType([StructField("token", StringType())])
+
+_K = 8
+
+
+def _zipfish_rows(lo: int, hi: int) -> list[dict]:
+    """Deterministic skewed tokens: token t_j appears when j divides i —
+    small j are heavy (t_1 in every row), large j rare."""
+    rows = []
+    for i in range(lo, hi):
+        for j in (1, 2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            if i % j == 0:
+                rows.append({"token": f"t{j}"})
+    return rows
+
+
+def _true_counts(rows: list[dict]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for r in rows:
+        out[r["token"]] = out.get(r["token"], 0) + 1
+    return out
+
+
+def _write(dirpath: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _assert_mg_contract(summary_rows, err, rows):
+    true = _true_counts(rows)
+    n = len(rows)
+    est = {r.key: r.cnt for r in summary_rows}
+    assert len(est) <= _K
+    assert err <= n // (_K + 1) + 1, (err, n)
+    for key, cnt in est.items():
+        assert cnt <= true[key], (key, cnt, true[key])
+        assert true[key] <= cnt + err, (key, cnt, err, true[key])
+    for key, tc in true.items():
+        if tc > err:
+            assert key in est, (key, tc, err, sorted(est))
+
+
+def test_mg_summary_batch_contract(spark):
+    rows = _zipfish_rows(0, 2000)
+    df = spark.createDataFrame(rows, SCHEMA)
+    summary, err = mg_summary(df, key_col="token", k=_K)
+    _assert_mg_contract(summary.collect(), err, rows)
+
+
+def test_mg_merge_keeps_contract(spark):
+    rows = _zipfish_rows(0, 3000)
+    df = spark.createDataFrame(rows, SCHEMA)
+    parts = [df.filter(F.crc32(F.col("token")) % 3 == i) for i in range(3)]
+    merged, err = mg_summary(parts[0], key_col="token", k=_K)
+    for p in parts[1:]:
+        s, e1 = mg_summary(p, key_col="token", k=_K)
+        merged, e2 = mg_merge(merged, s, k=_K)
+        err += e1 + e2
+    _assert_mg_contract(merged.collect(), err, rows)
+
+
+def test_mg_streaming_sink_contract(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    table = str(tmp_path / "mg")
+    all_rows = []
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        rows = _zipfish_rows(lo, hi)
+        all_rows.extend(rows)
+        _write(src, f"{i}.json", rows)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        stream.writeStream.foreachBatch(mg_sink(spark, table, key_col="token", k=_K))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored, err = mg_read(spark, table)
+    _assert_mg_contract(stored.collect(), err, all_rows)
