@@ -40,6 +40,33 @@ from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import QuerySpec, t
 
+
+def _int_sqdist_fn(a, b):
+    """Arrow-batched squared L2 distance over ARRAY<BIGINT> codes.
+
+    Integer sums are commutative and int64 numpy arithmetic is exact
+    (diffs² ≤ 2^44 · 64 dims < 2^63), so ANY evaluation order gives the
+    identical BIGINT — no fold-order discipline needed, unlike the float
+    paths in plans/similarity.py.  Replaces an interpreted higher-order
+    ``aggregate`` in the k-means hot loop (~rounds × corpus × K folds)."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.stack(a.to_numpy()).astype(np.int64)
+    B = np.stack(b.to_numpy()).astype(np.int64)
+    d = A - B
+    return pd.Series((d * d).sum(axis=1))
+
+
+_SQDIST_CACHE: list = []
+
+
+def _int_sqdist(a, b):
+    # lazy: pandas_udf parses its DDL type against the active session
+    if not _SQDIST_CACHE:
+        _SQDIST_CACHE.append(F.pandas_udf(_int_sqdist_fn, "long"))
+    return _SQDIST_CACHE[0](a, b)
+
 # ---------------------------------------------------------------------------
 # PageRank (OP-X-GRAPH): damped, integer-scaled, fixed rounds
 # ---------------------------------------------------------------------------
@@ -295,11 +322,7 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell INT, cv ARRAY<BIGINT>",
             )
         )
-        dist = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        dist = _int_sqdist(F.col("qv"), F.col("cv"))
         w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
         return (
             q.crossJoin(cent_df)
