@@ -296,6 +296,13 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
+    return _sigs_of(d)
+
+
+def _sigs_of(d: DataFrame) -> DataFrame:
+    """MinHash signatures of an arbitrary (doc_id, text) frame — the
+    building block the incremental path hashes a NEW batch with, without
+    touching the corpus."""
     h = F.md5("s")
     hashed = d.select("doc_id", F.explode(_shingles(distinct=False)).alias("s")).select(
         "doc_id",
