@@ -1,0 +1,136 @@
+"""Streaming incremental near-duplicate detection: the continuous-ingestion
+twin of ``plans/text.py:docs_incremental_neardup``.
+
+Each micro-batch of documents is MinHash-banded (``_sigs_of`` — only the
+batch is ever hashed), probed against the persisted corpus band store for
+candidates, exact-verified with 3-gram Jaccard against the persisted
+shingle store, and then appended to both stores.  A document's flagged
+duplicate is its best match among all STRICTLY EARLIER documents (earlier
+batches, or same batch with a smaller doc_id) — which makes the stream
+result independent of how the input is chopped into batches: running one
+batch with everything, or N batches in arrival order, yields the identical
+dup table (asserted by tests/test_neardup_stream.py).
+
+Scale shape (the measured r3 claim in SCALE.md): per batch the work is
+hash(|batch|) + band-probe(|batch| × collisions) + verify(|candidates|).
+The stores are corpus-sized but are parquet appends — nothing corpus-sized
+is shuffled, collected, or broadcast; the band-store probe side carries a
+``shuffle_hash`` hint per the never-broadcast-the-corpus invariant.  At
+scale the band store would be bucket-stored by (band, bsig) so the probe
+co-locates (sources/bucketed.py); the parquet-append store here keeps the
+same join shape.
+
+Reference lineage: the at-least-once re-delivery tolerance mirrors the
+reference's idempotent conditional writes (agf_ingestion_lambda.py:226-236)
+— re-processing a batch re-derives the same (doc_id, band, bsig) rows, and
+the dup table is keyed by new_id so re-appends are dropped by the reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.text import _lsh_bands, _shingles, _sigs_of
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def neardup_sink(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    threshold: float = 0.2,
+):
+    """``foreachBatch`` function maintaining band/shingle stores and a dup
+    table under ``store_dir`` (``bands/``, ``sets/``, ``dups/``)."""
+    bands_dir = os.path.join(store_dir, "bands")
+    sets_dir = os.path.join(store_dir, "sets")
+    dups_dir = os.path.join(store_dir, "dups")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        # stabilize the batch plan: sigs/bands/sets all re-consume it
+        batch = batch.localCheckpoint(eager=True)
+        bands = _lsh_bands(_sigs_of(batch)).localCheckpoint(eager=True)
+        sets_ = (
+            batch.select("doc_id", _shingles().alias("sset"))
+            .withColumn("sz", F.size("sset"))
+            .localCheckpoint(eager=True)
+        )
+
+        # candidate pairs (new_id > dup_of so "earlier" always wins):
+        # within-batch self-join + batch-vs-store probe
+        nb = bands.alias("n")
+        wb = bands.alias("c")
+        cands = nb.join(
+            wb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bsig") == F.col("c.bsig"))
+            & (F.col("n.doc_id") > F.col("c.doc_id")),
+        ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+        stored_bands = _read_or_none(spark, bands_dir)
+        if stored_bands is not None:
+            sb = stored_bands.hint("shuffle_hash").alias("c")
+            cands = cands.unionByName(
+                nb.join(
+                    sb,
+                    (F.col("n.band") == F.col("c.band"))
+                    & (F.col("n.bsig") == F.col("c.bsig")),
+                ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+            )
+        cands = cands.distinct()
+
+        # exact verify: new side = batch sets; dup side = batch ∪ stored sets
+        dup_side = sets_
+        stored_sets = _read_or_none(spark, sets_dir)
+        if stored_sets is not None:
+            dup_side = dup_side.unionByName(stored_sets)
+        sn = sets_.select(
+            F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n"), F.col("sz").alias("sz_n")
+        )
+        sc = dup_side.select(
+            F.col("doc_id").alias("dup_of"), F.col("sset").alias("set_c"), F.col("sz").alias("sz_c")
+        )
+        inter = F.size(F.array_intersect("set_n", "set_c"))
+        scored = (
+            cands.join(sn.hint("shuffle_hash"), "new_id")
+            .join(sc.hint("shuffle_hash"), "dup_of")
+            .select(
+                "new_id",
+                "dup_of",
+                (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
+            )
+        )
+        w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+        flagged = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("jaccard") >= threshold))
+            .select("new_id", "dup_of", "jaccard")
+        )
+        flagged.write.mode("append").parquet(dups_dir)
+        # append the batch to the stores AFTER flagging (a doc never
+        # matches itself; same-batch earlier docs were handled above)
+        bands.write.mode("append").parquet(bands_dir)
+        sets_.write.mode("append").parquet(sets_dir)
+
+    return sink
+
+
+def read_dups(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accumulated dup table; keyed by new_id (re-deliveries dropped,
+    keeping the best-jaccard/lowest-dup_of row like the sink's window)."""
+    d = spark.read.parquet(os.path.join(store_dir, "dups"))
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

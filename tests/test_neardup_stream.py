@@ -1,0 +1,117 @@
+"""Streaming incremental near-dup: batch-chop independence.
+
+The sink's contract (streaming/neardup_stream.py): each doc's flagged dup
+is its best match among strictly earlier docs, so the dup table is the
+SAME whether the corpus arrives as one batch or as N micro-batches in
+arrival order.  The reference result is computed here with plain batch
+DataFrame ops (global band join with new_id > dup_of), i.e. the stream is
+checked against independently-derived semantics, not against itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from agf_data_ingestion_spark.plans.base import t
+from agf_data_ingestion_spark.plans.text import _lsh_bands, _shingles, _sigs_of
+from agf_data_ingestion_spark.streaming.neardup_stream import neardup_sink, read_dups
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+_THR = 0.2
+
+
+@pytest.fixture(scope="module")
+def docs_rows(spark):
+    return [
+        (r["doc_id"], r["text"])
+        for r in t(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    ]
+
+
+def _expected(spark, docs_df):
+    bands = _lsh_bands(_sigs_of(docs_df))
+    a, b = bands.alias("n"), bands.alias("c")
+    cands = (
+        a.join(
+            b,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bsig") == F.col("c.bsig"))
+            & (F.col("n.doc_id") > F.col("c.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sets_ = docs_df.select("doc_id", _shingles().alias("sset")).withColumn("sz", F.size("sset"))
+    sn = sets_.select(F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n"), F.col("sz").alias("sz_n"))
+    sc = sets_.select(F.col("doc_id").alias("dup_of"), F.col("sset").alias("set_c"), F.col("sz").alias("sz_c"))
+    inter = F.size(F.array_intersect("set_n", "set_c"))
+    scored = (
+        cands.join(sn, "new_id")
+        .join(sc, "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("jaccard") >= _THR))
+        .select("new_id", "dup_of", "jaccard")
+    )
+
+
+def _run_stream(spark, tmp_path, slices):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(slices):
+        with open(os.path.join(src, f"{i:02d}.json"), "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        stream.writeStream.foreachBatch(neardup_sink(spark, store, threshold=_THR))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.new_id, r.dup_of): r.jaccard for r in read_dups(spark, store).collect()
+    }
+
+
+def test_stream_in_three_batches_equals_batch_semantics(spark, tmp_path):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    expected = {
+        (r.new_id, r.dup_of): r.jaccard for r in _expected(spark, docs).collect()
+    }
+    assert expected, "fixture must contain near-duplicates"
+
+    rows = sorted(
+        [(r["doc_id"], r["text"]) for r in docs.collect()], key=lambda x: x[0]
+    )
+    third = len(rows) // 3
+    slices = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    got = _run_stream(spark, tmp_path, slices)
+    assert got == expected
+
+
+def test_single_batch_stream_matches_too(spark, tmp_path, docs_rows):
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    expected = {
+        (r.new_id, r.dup_of): r.jaccard for r in _expected(spark, docs).collect()
+    }
+    got = _run_stream(spark, tmp_path, [sorted(docs_rows, key=lambda x: x[0])])
+    assert got == expected
