@@ -144,3 +144,25 @@ def test_ivf_recall_vs_brute(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sq_adc_recall_vs_brute(spark):
+    from agf_data_ingestion_spark.plans.similarity import (
+        emb_cosine_topk,
+        emb_sq_adc_topk,
+    )
+
+    brute = {}
+    for r in emb_cosine_topk(spark, SF).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc = {}
+    for r in emb_sq_adc_topk(spark, SF).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # int8 codes rank a 4k shortlist, exact cosine re-ranks: near-perfect
+    # recall expected (quantization only perturbs the shortlist boundary)
+    hits = sum(len(brute[q] & adc.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert total > 0
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    for q, ns in adc.items():
+        assert q not in ns
