@@ -9,6 +9,8 @@
         [--days N]
     python scripts/agf_pipeline.py export    --warehouse <dir> --out <dir>
         [--group-col instrument_id]
+    python scripts/agf_pipeline.py curate    --out <dir>
+        [--docs <dir with documents.parquet>]
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -160,6 +162,65 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation: quality gate → exact dedup → near-dup
+    cluster representatives, composed from the same oracle-checked catalog
+    plans (docs_quality_gate, docs_dedup_exact, docs_dup_clusters).  Writes
+    the surviving documents as parquet and prints ONE JSON funnel line.
+
+    Every stage is a semi-join of the corpus against a (doc_id)-shaped
+    survivor frame — at 100 TB the corpus text is scanned once for the
+    final write; the gates themselves move only ids, hashes, signatures.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.plans.base import t
+    from agf_data_ingestion_spark.plans.text import (
+        docs_dedup_exact,
+        docs_dup_clusters,
+        docs_quality_gate,
+    )
+
+    spark = _spark()
+    sf_dir = args.docs
+    docs = t(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    gate = docs_quality_gate(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    survivors = docs.join(gate, "doc_id", "left_semi")
+    n_quality = survivors.count()
+
+    exact = docs_dedup_exact(spark, sf_dir).select("doc_id")
+    survivors = survivors.join(exact, "doc_id", "left_semi")
+    n_exact = survivors.count()
+
+    # cluster_id is the min reachable doc_id — that member represents the
+    # near-dup cluster; everyone else in the cluster is dropped
+    reps = (
+        docs_dup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    survivors = survivors.join(reps, "doc_id", "left_semi")
+    n_final = survivors.count()
+
+    survivors.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "input": n_input,
+                "after_quality_gate": n_quality,
+                "after_exact_dedup": n_exact,
+                "after_neardup": n_final,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -194,6 +255,11 @@ def main() -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--group-col", default="instrument_id")
     e.set_defaults(fn=cmd_export)
+
+    c = sub.add_parser("curate")
+    c.add_argument("--docs", default="/root/testdata/sf0.01", help="dir containing documents.parquet")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args()
     return args.fn(args)
