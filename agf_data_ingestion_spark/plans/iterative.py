@@ -52,6 +52,8 @@ def _int_sqdist_fn(a, b):
     import numpy as np
     import pandas as pd
 
+    if len(a) == 0:  # np.stack rejects empty batches
+        return pd.Series([], dtype=np.int64)
     A = np.stack(a.to_numpy()).astype(np.int64)
     B = np.stack(b.to_numpy()).astype(np.int64)
     d = A - B

@@ -49,6 +49,8 @@ def _vec_fold_dot(a, b):
     exact, and float64 ``*``/``+`` are identical IEEE ops in numpy, the
     JVM, and DuckDB, so results stay bit-identical (verified by every
     emb_* oracle and pinned by tests/test_similarity.py)."""
+    if len(a) == 0:  # np.stack rejects empty batches
+        return pd.Series([], dtype=np.float64)
     A = np.stack(a.to_numpy()).astype(np.float64)
     B = np.stack(b.to_numpy()).astype(np.float64)
     acc = np.zeros(A.shape[0])

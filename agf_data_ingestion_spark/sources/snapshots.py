@@ -214,12 +214,20 @@ def plan_files(
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op {op!r}")
         keep = _PRUNE_OPS[op]
-        files = [
-            f
-            for f in files
-            if col not in f.get("stats", {})
-            or keep(f["stats"][col][0], f["stats"][col][1], value)
-        ]
+
+        def _admits(f, keep=keep, col=col, value=value):
+            if col not in f.get("stats", {}):
+                return True  # no stats → cannot prune
+            lo, hi = f["stats"][col]
+            try:
+                return keep(lo, hi, value)
+            except TypeError:
+                # predicate value not comparable with the stored stat type
+                # (e.g. numeric vs ISO string) — pruning proves nothing,
+                # keep the file; the residual filter stays exact
+                return True
+
+        files = [f for f in files if _admits(f)]
     return files
 
 
