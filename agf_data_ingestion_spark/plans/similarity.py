@@ -662,5 +662,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, None, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
-    "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT")),
+    "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
 }

@@ -907,7 +907,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_simhash": QuerySpec(docs_simhash, _SIMHASH_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_incremental_neardup": QuerySpec(
-        docs_incremental_neardup, _INCREMENTAL_NEARDUP_SQL, ("OP-X-DEDUP-NEAR",)
+        docs_incremental_neardup, _INCREMENTAL_NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-DEDUP-INC")
     ),
-    "docs_quality_gate": QuerySpec(docs_quality_gate, _QUALITY_GATE_SQL, ("OP-X-TEXT",)),
+    "docs_quality_gate": QuerySpec(docs_quality_gate, _QUALITY_GATE_SQL, ("OP-X-TEXT", "OP-X-QUALITY")),
 }
