@@ -145,6 +145,8 @@ def main() -> None:
         "emb_cosine_topk",
         "emb_ivf_topk",
         "emb_ann_lsh_topk",
+        "emb_sq_adc_topk",
+        "docs_incremental_neardup",
         "ingest_backfill_180",
         "reconcile_60k_keys",
     ]
