@@ -398,12 +398,20 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data size — and the (label, dim) partials map-side combine, so the
     # exchange carries |labels|·_DIM rows regardless of corpus size.
     ex = e.select(F.col("label"), F.posexplode(F.col("embedding")).alias("i", "x"))
-    comp = ex.groupBy("label", "i").agg(
-        (
-            F.sum(F.floor(F.col("x").cast("double") * _IVF_Q).cast("long")).cast("double")
-            / F.count("*")
-            / _IVF_Q
-        ).alias("m")
+    # divide by ROWS PER LABEL (a one-column count pass, broadcast back) —
+    # the oracle's COUNT(*) denominator — not by elements per (label, i):
+    # the two only differ if a row's array is short, but parity must not
+    # depend on that regularity (testdata layouts change between rounds)
+    nrows = e.groupBy("label").agg(F.count("*").alias("n"))
+    comp = (
+        ex.groupBy("label", "i")
+        .agg(F.sum(F.floor(F.col("x").cast("double") * _IVF_Q).cast("long")).alias("s"))
+        .join(F.broadcast(nrows), "label")
+        .select(
+            "label",
+            "i",
+            (F.col("s").cast("double") / F.col("n") / _IVF_Q).alias("m"),
+        )
     )
     cent = comp.groupBy("label").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]).alias(

@@ -735,6 +735,49 @@ FROM votes GROUP BY doc_id
 _INC_JACCARD_MIN = 0.2  # exact-Jaccard floor for flagging a new doc as a dup
 
 
+def best_jaccard_matches(
+    cands: DataFrame,
+    sets_new: DataFrame,
+    sets_dup: DataFrame,
+    *,
+    threshold: float = _INC_JACCARD_MIN,
+) -> DataFrame:
+    """Exact-verify candidate pairs and keep each new doc's best match.
+
+    ``cands``: (new_id, dup_of); ``sets_new``/``sets_dup``: (doc_id, sset)
+    with DISTINCT shingle arrays.  Returns (new_id, dup_of, jaccard) with
+    jaccard ≥ ``threshold``, one row per new_id (jaccard-desc, dup_of-asc
+    tiebreak).  Shared by the catalog query and the streaming sink so the
+    verify/tiebreak semantics cannot drift apart.  Both set tables are
+    one-row-per-doc (corpus-shaped) → ``shuffle_hash`` pinned."""
+    sn = sets_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sset").alias("set_n"),
+        F.size("sset").alias("sz_n"),
+    )
+    sc = sets_dup.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sset").alias("set_c"),
+        F.size("sset").alias("sz_c"),
+    )
+    inter = F.size(F.array_intersect("set_n", "set_c"))
+    scored = (
+        cands.join(sn.hint("shuffle_hash"), "new_id")
+        .join(sc.hint("shuffle_hash"), "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("jaccard") >= threshold))
+        .select("new_id", "dup_of", "jaccard")
+    )
+
+
 def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion dedup: which NEW documents near-duplicate the
     EXISTING corpus?  (``doc_id % 5 == 0`` plays the new batch — 20% of any
@@ -753,8 +796,11 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must never be broadcast; small-sf stats would statically plan one).
     """
     is_new = F.col("doc_id") % 5 == 0
-    sigs = _minhash_sigs(spark, sf_dir).cache()
-    bands = _lsh_bands(sigs)
+    # no .cache() here: sigs has exactly one consumer (the banding) — when
+    # docs_minhash_lsh ran earlier in the session its cached identical plan
+    # is reused anyway, and pinning a corpus-sized table for zero reuse
+    # would only pressure executor storage in a standalone run
+    bands = _lsh_bands(_minhash_sigs(spark, sf_dir))
     nb = bands.filter(is_new).alias("n")
     cb = bands.filter(~is_new).hint("shuffle_hash").alias("c")
     cands = (
@@ -763,23 +809,8 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sets = t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset"))
-    sn = sets.select(F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n"), F.size("sset").alias("sz_n"))
-    sc = sets.select(F.col("doc_id").alias("dup_of"), F.col("sset").alias("set_c"), F.size("sset").alias("sz_c"))
-    inter = F.size(F.array_intersect("set_n", "set_c"))
-    scored = (
-        cands.join(sn.hint("shuffle_hash"), "new_id")
-        .join(sc.hint("shuffle_hash"), "dup_of")
-        .select(
-            "new_id",
-            "dup_of",
-            (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
-        )
-    )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("jaccard") >= _INC_JACCARD_MIN))
-        .select("new_id", "dup_of", "jaccard")
+    return best_jaccard_matches(
+        cands, sets.filter(is_new), sets.filter(~is_new), threshold=_INC_JACCARD_MIN
     )
 
 

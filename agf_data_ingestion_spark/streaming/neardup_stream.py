@@ -33,16 +33,30 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from agf_data_ingestion_spark.plans.text import _lsh_bands, _shingles, _sigs_of
+from agf_data_ingestion_spark.plans.text import (
+    _lsh_bands,
+    _shingles,
+    _sigs_of,
+    best_jaccard_matches,
+)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Absent store → None; CORRUPT store → raise.  Swallowing a read
+    error here would silently skip corpus dedup for every later batch
+    (the store would look absent forever) — only the two analyzer errors
+    that genuinely mean "nothing committed yet" map to None."""
     if not os.path.isdir(path):
         return None
     try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+        df = spark.read.parquet(path)
+        df.schema  # force analysis
+        return df
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
 
 
 def neardup_sink(
@@ -82,6 +96,15 @@ def neardup_sink(
         ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
         stored_bands = _read_or_none(spark, bands_dir)
         if stored_bands is not None:
+            # At-least-once tolerance: a re-delivered batch finds its OWN
+            # rows in the store (the prior attempt appended them before the
+            # checkpoint commit failed).  Those are not "earlier" documents
+            # — without this anti-join a doc would match itself with
+            # jaccard 1.0 and shadow its real duplicates.  Within-batch
+            # pairs are already handled by the self-join above.
+            stored_bands = stored_bands.join(
+                batch.select("doc_id"), "doc_id", "left_anti"
+            )
             sb = stored_bands.hint("shuffle_hash").alias("c")
             cands = cands.unionByName(
                 nb.join(
@@ -92,32 +115,15 @@ def neardup_sink(
             )
         cands = cands.distinct()
 
-        # exact verify: new side = batch sets; dup side = batch ∪ stored sets
+        # exact verify: new side = batch sets; dup side = batch ∪ stored
+        # sets — via the SAME helper as the catalog query, so the
+        # verify/tiebreak semantics cannot drift between batch and stream
         dup_side = sets_
         stored_sets = _read_or_none(spark, sets_dir)
         if stored_sets is not None:
             dup_side = dup_side.unionByName(stored_sets)
-        sn = sets_.select(
-            F.col("doc_id").alias("new_id"), F.col("sset").alias("set_n"), F.col("sz").alias("sz_n")
-        )
-        sc = dup_side.select(
-            F.col("doc_id").alias("dup_of"), F.col("sset").alias("set_c"), F.col("sz").alias("sz_c")
-        )
-        inter = F.size(F.array_intersect("set_n", "set_c"))
-        scored = (
-            cands.join(sn.hint("shuffle_hash"), "new_id")
-            .join(sc.hint("shuffle_hash"), "dup_of")
-            .select(
-                "new_id",
-                "dup_of",
-                (inter.cast("double") / (F.col("sz_n") + F.col("sz_c") - inter)).alias("jaccard"),
-            )
-        )
-        w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
-        flagged = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("jaccard") >= threshold))
-            .select("new_id", "dup_of", "jaccard")
+        flagged = best_jaccard_matches(
+            cands, sets_, dup_side.drop("sz"), threshold=threshold
         )
         flagged.write.mode("append").parquet(dups_dir)
         # append the batch to the stores AFTER flagging (a doc never

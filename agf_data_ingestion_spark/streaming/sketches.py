@@ -148,43 +148,49 @@ def mg_merge(
 
 def mg_sink(spark: SparkSession, table_dir: str, *, key_col: str, k: int = _MG_K):
     """``foreachBatch`` function maintaining a persistent heavy-hitters
-    summary at ``table_dir`` (parquet ≤ k rows) with its cumulative error
-    bound in ``<table_dir>/_mg_err`` — the same bounded-state-forever sink
-    shape as ``kmv_sink``: per-batch counts are summarized, merged with the
-    stored summary, and atomically rewritten.  Total err after any prefix
-    of the stream is ≤ N_seen/(k+1), so every key with true count above
-    that is guaranteed present."""
-    import json as _json
+    summary at ``table_dir`` — the same bounded-state-forever sink shape as
+    ``kmv_sink``: per-batch counts are summarized, merged with the stored
+    summary, and atomically rewritten.  Total err after any prefix of the
+    stream is ≤ N_seen/(k+1), so every key with true count above that is
+    guaranteed present.
 
-    err_path = os.path.join(table_dir + "_meta", "err.json")
+    The cumulative err bound and the last-applied batch id live in META
+    rows of the SAME parquet (``meta`` column non-null), so the state is a
+    single atomic artifact — a crash can never separate the counters from
+    their error bound.  Unlike ``kmv_sink`` (hash-set union, naturally
+    idempotent), Misra–Gries counter ADDITION is not: re-applying a
+    delivered-again batch would double-count and break the ``cnt ≤ true``
+    lower-bound contract, so the sink skips any batch_id it has already
+    applied (foreachBatch re-delivers under the same batch_id)."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         new, err_new = mg_summary(batch, key_col=key_col, k=k)
         err = err_new
         if os.path.isdir(table_dir):
             try:
-                cur = spark.read.parquet(table_dir)
+                stored = spark.read.parquet(table_dir)
             except Exception:
-                cur = None
-            if cur is not None:
+                stored = None
+            if stored is not None:
+                meta = {r.key: r.cnt for r in stored.filter(F.col("meta").isNotNull()).collect()}
+                if meta.get("batch", -1) >= batch_id:
+                    return  # re-delivered batch: already applied
+                cur = stored.filter(F.col("meta").isNull()).select("key", "cnt")
                 new, err_merge = mg_merge(cur, new, k=k)
-                err += err_merge
-                with open(err_path) as fh:
-                    err += _json.load(fh)["err"]
-        rows = new.collect()  # bounded: ≤ k rows by the summary contract
-        merged = spark.createDataFrame(rows, schema="key string, cnt long")
+                err += err_merge + int(meta.get("err", 0))
+        rows = [(r.key, int(r.cnt), None) for r in new.collect()]  # ≤ k rows
+        rows += [("err", int(err), "m"), ("batch", int(batch_id), "m")]
+        merged = spark.createDataFrame(rows, schema="key string, cnt long, meta string")
         merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
-        os.makedirs(os.path.dirname(err_path), exist_ok=True)
-        with open(err_path, "w") as fh:
-            _json.dump({"err": err}, fh)
 
     return sink
 
 
 def mg_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, int]:
     """(summary DataFrame, cumulative err bound) for a persisted sink."""
-    import json as _json
-
-    with open(os.path.join(table_dir + "_meta", "err.json")) as fh:
-        err = _json.load(fh)["err"]
-    return spark.read.parquet(table_dir), err
+    stored = spark.read.parquet(table_dir)
+    err_rows = stored.filter((F.col("meta").isNotNull()) & (F.col("key") == "err")).collect()
+    return (
+        stored.filter(F.col("meta").isNull()).select("key", "cnt"),
+        int(err_rows[0].cnt) if err_rows else 0,
+    )

@@ -174,14 +174,11 @@ def cmd_curate(args) -> int:
     """
     import json
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from agf_data_ingestion_spark.plans.base import t
-    from agf_data_ingestion_spark.plans.text import (
-        docs_dedup_exact,
-        docs_dup_clusters,
-        docs_quality_gate,
-    )
+    from agf_data_ingestion_spark.plans.text import docs_dup_clusters, docs_quality_gate
 
     spark = _spark()
     sf_dir = args.docs
@@ -192,18 +189,29 @@ def cmd_curate(args) -> int:
     survivors = docs.join(gate, "doc_id", "left_semi")
     n_quality = survivors.count()
 
-    exact = docs_dedup_exact(spark, sf_dir).select("doc_id")
-    survivors = survivors.join(exact, "doc_id", "left_semi")
+    # Dedup representatives are chosen AMONG SURVIVORS of the prior stage —
+    # keying them off the full corpus would drop a whole dup-group whenever
+    # its global representative had already been gated out, vanishing
+    # content that has a perfectly good quality-passing copy.
+    w_exact = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy(F.asc("doc_id"))
+    survivors = (
+        survivors.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     n_exact = survivors.count()
 
-    # cluster_id is the min reachable doc_id — that member represents the
-    # near-dup cluster; everyone else in the cluster is dropped
-    reps = (
-        docs_dup_clusters(spark, sf_dir)
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id")
+    # near-dup cluster labels come from the full-corpus LSH graph (edges
+    # through gated-out members still connect their surviving neighbors);
+    # the kept member is the lowest-id SURVIVOR of each cluster
+    labels = docs_dup_clusters(spark, sf_dir)
+    w_near = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
+    survivors = (
+        survivors.join(labels, "doc_id")
+        .withColumn("_rn", F.row_number().over(w_near))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster_id")
     )
-    survivors = survivors.join(reps, "doc_id", "left_semi")
     n_final = survivors.count()
 
     survivors.write.mode("overwrite").parquet(args.out)

@@ -27,22 +27,26 @@ def test_curate_funnel(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     from agf_data_ingestion_spark.plans.base import t
-    from agf_data_ingestion_spark.plans.text import (
-        docs_dedup_exact,
-        docs_dup_clusters,
-        docs_quality_gate,
-    )
+    from agf_data_ingestion_spark.plans.text import docs_dup_clusters, docs_quality_gate
 
     docs = t(spark, SF, "documents")
     assert report["input"] == docs.count()
     gate_ids = {r.doc_id for r in docs_quality_gate(spark, SF).filter(F.col("keep")).collect()}
     assert report["after_quality_gate"] == len(gate_ids)
-    exact_ids = {r.doc_id for r in docs_dedup_exact(spark, SF).collect()}
-    rep_ids = {
-        r.doc_id
-        for r in docs_dup_clusters(spark, SF).filter(F.col("doc_id") == F.col("cluster_id")).collect()
-    }
-    expected_final = gate_ids & exact_ids & rep_ids
+
+    # representatives are chosen among survivors, not the full corpus
+    texts = {r.doc_id: r.text.lower() for r in docs.collect()}
+    by_hash: dict[str, int] = {}
+    for d in sorted(gate_ids):
+        by_hash.setdefault(texts[d], d)
+    exact_ids = set(by_hash.values())
+    assert report["after_exact_dedup"] == len(exact_ids)
+
+    cluster_of = {r.doc_id: r.cluster_id for r in docs_dup_clusters(spark, SF).collect()}
+    by_cluster: dict[int, int] = {}
+    for d in sorted(exact_ids):
+        by_cluster.setdefault(cluster_of[d], d)
+    expected_final = set(by_cluster.values())
     assert report["after_neardup"] == len(expected_final)
 
     written = {r.doc_id for r in spark.read.parquet(out).collect()}

@@ -107,3 +107,22 @@ def test_mg_streaming_sink_contract(spark, tmp_path):
 
     stored, err = mg_read(spark, table)
     _assert_mg_contract(stored.collect(), err, all_rows)
+
+
+def test_mg_sink_redelivery_is_idempotent(spark, tmp_path):
+    """Re-running a foreachBatch under the same batch_id must not
+    double-count (MG counter addition is not naturally idempotent)."""
+    from agf_data_ingestion_spark.streaming.sketches import mg_sink, mg_read
+
+    table = str(tmp_path / "mg")
+    rows = _zipfish_rows(0, 1000)
+    batch = spark.createDataFrame(rows, SCHEMA)
+    sink = mg_sink(spark, table, key_col="token", k=_K)
+    sink(batch, 0)
+    once = sorted(map(tuple, mg_read(spark, table)[0].collect()))
+    sink(batch, 0)  # re-delivery
+    again = sorted(map(tuple, mg_read(spark, table)[0].collect()))
+    assert again == once
+    sink(batch, 1)  # a genuinely new batch still applies
+    after = dict(map(tuple, mg_read(spark, table)[0].collect()))
+    assert after["t1"] > dict(map(tuple, once))["t1"]

@@ -115,3 +115,18 @@ def test_single_batch_stream_matches_too(spark, tmp_path, docs_rows):
     }
     got = _run_stream(spark, tmp_path, [sorted(docs_rows, key=lambda x: x[0])])
     assert got == expected
+
+
+def test_redelivered_batch_adds_no_self_matches(spark, tmp_path, docs_rows):
+    """At-least-once: re-running a batch whose stores were already appended
+    must not flag a doc as its own duplicate (jaccard-1.0 self-match)."""
+    store = str(tmp_path / "store")
+    rows = sorted(docs_rows, key=lambda x: x[0])[:60]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    sink = neardup_sink(spark, store, threshold=_THR)
+    sink(batch, 0)
+    once = {(r.new_id, r.dup_of): r.jaccard for r in read_dups(spark, store).collect()}
+    sink(batch, 0)  # re-delivery: stores already contain this batch
+    twice = {(r.new_id, r.dup_of): r.jaccard for r in read_dups(spark, store).collect()}
+    assert twice == once
+    assert all(n != d for (n, d) in twice)
