@@ -194,3 +194,119 @@ def mg_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, int]:
         stored.filter(F.col("meta").isNull()).select("key", "cnt"),
         int(err_rows[0].cnt) if err_rows else 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group Misra–Gries ("top tokens per domain"): bounded counters per group
+# ---------------------------------------------------------------------------
+
+
+def mg_group_summary(
+    df: DataFrame, *, group_col: str, key_col: str, k: int = _MG_K
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group Misra–Gries: (grp, key, cnt) with ≤ k counters per group,
+    plus (grp, err) decrements.  Unlike the global variant there is no
+    driver collect anywhere in the compress — the per-group (k+1)-th
+    largest count comes from a row_number window that Spark executes as
+    WindowGroupLimit (map-side truncation to k+1 rows per group before the
+    exchange), so the whole summary is one shuffle on (grp, key) plus one
+    on grp, both bounded."""
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return _mg_group_compress(counts, k=k)
+
+
+def _mg_group_compress(counts: DataFrame, *, k: int) -> tuple[DataFrame, DataFrame]:
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k + 1)
+    pivot = ranked.filter(F.col("rn") == k + 1).select("grp", F.col("cnt").alias("pivot"))
+    kept = (
+        ranked.filter(F.col("rn") <= k)
+        .join(pivot, "grp", "left")
+        .select(
+            "grp",
+            "key",
+            (F.col("cnt") - F.coalesce("pivot", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    err = pivot.select("grp", F.col("pivot").alias("err"))
+    return kept, err
+
+
+def _err_add(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(grp, err) ⊕ (grp, err): keyed-outer sum."""
+    return (
+        a.select("grp", F.col("err").alias("ea"))
+        .join(b.select("grp", F.col("err").alias("eb")), "grp", "full_outer")
+        .select("grp", (F.coalesce("ea", F.lit(0)) + F.coalesce("eb", F.lit(0))).alias("err"))
+    )
+
+
+def mg_group_merge(
+    a: DataFrame, b: DataFrame, *, k: int = _MG_K
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two per-group summaries (counter rows only): keyed-outer add,
+    re-compress.  Returned err is the NEW compression's decrements — the
+    caller adds it to both sides' accumulated errs (``_err_add``)."""
+    u = (
+        a.select("grp", "key", F.col("cnt").alias("ca"))
+        .join(b.select("grp", "key", F.col("cnt").alias("cb")), ["grp", "key"], "full_outer")
+        .select(
+            "grp",
+            "key",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+        )
+    )
+    return _mg_group_compress(u, k=k)
+
+
+def mg_group_sink(
+    spark: SparkSession, table_dir: str, *, group_col: str, key_col: str, k: int = _MG_K
+):
+    """``foreachBatch`` sink: ≤ k counters + one err row per group, and the
+    last-applied batch id, all in ONE parquet (meta column distinguishes
+    row kinds) — atomic, idempotent under re-delivery, O(k·groups) state
+    forever.  The bounded driver materialization is the same contract as
+    ``kmv_sink``: ≤ (k+1) × groups rows by construction."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        new, err = mg_group_summary(batch, group_col=group_col, key_col=key_col, k=k)
+        if os.path.isdir(table_dir):
+            try:
+                stored = spark.read.parquet(table_dir)
+            except Exception:
+                stored = None
+            if stored is not None:
+                last = stored.filter(
+                    (F.col("meta") == "m") & (F.col("grp").isNull())
+                ).collect()
+                if last and int(last[0].cnt) >= batch_id:
+                    return  # re-delivered batch: already applied
+                cur = stored.filter(F.col("meta").isNull()).select("grp", "key", "cnt")
+                cur_err = (
+                    stored.filter((F.col("meta") == "m") & (F.col("grp").isNotNull()))
+                    .select("grp", F.col("cnt").alias("err"))
+                )
+                new, merge_err = mg_group_merge(cur, new, k=k)
+                err = _err_add(_err_add(cur_err, err), merge_err)
+        rows = [(r.grp, r.key, int(r.cnt), None) for r in new.collect()]
+        rows += [(r.grp, None, int(r.err), "m") for r in err.collect()]
+        rows += [(None, None, int(batch_id), "m")]
+        merged = spark.createDataFrame(
+            rows, schema="grp string, key string, cnt long, meta string"
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
+
+    return sink
+
+
+def mg_group_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, dict]:
+    """(counter DataFrame (grp, key, cnt), {grp: err}) for a persisted sink."""
+    stored = spark.read.parquet(table_dir)
+    errs = {
+        r.grp: int(r.cnt)
+        for r in stored.filter((F.col("meta") == "m") & (F.col("grp").isNotNull())).collect()
+    }
+    return stored.filter(F.col("meta").isNull()).select("grp", "key", "cnt"), errs

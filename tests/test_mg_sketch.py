@@ -126,3 +126,69 @@ def test_mg_sink_redelivery_is_idempotent(spark, tmp_path):
     sink(batch, 1)  # a genuinely new batch still applies
     after = dict(map(tuple, mg_read(spark, table)[0].collect()))
     assert after["t1"] > dict(map(tuple, once))["t1"]
+
+
+def test_mg_group_summary_contract(spark):
+    """Per-group variant: bounds hold independently per group, with no
+    driver collect inside the compress."""
+    from pyspark.sql.types import StructType, StructField, StringType
+    from agf_data_ingestion_spark.streaming.sketches import mg_group_summary
+
+    schema = StructType([StructField("grp", StringType()), StructField("token", StringType())])
+    rows = [{"grp": f"g{i % 3}", "token": r["token"]} for i, r in enumerate(_zipfish_rows(0, 2000))]
+    df = spark.createDataFrame(rows, schema)
+    summary, err = mg_group_summary(df, group_col="grp", key_col="token", k=_K)
+    errs = {r.grp: r.err for r in err.collect()}
+    est = {}
+    for r in summary.collect():
+        est.setdefault(r.grp, {})[r.key] = r.cnt
+    true = {}
+    for r in rows:
+        true.setdefault(r["grp"], {}).setdefault(r["token"], 0)
+        true[r["grp"]][r["token"]] += 1
+    for g, tc in true.items():
+        e = errs.get(g, 0)
+        n_g = sum(tc.values())
+        assert e <= n_g // (_K + 1) + 1, (g, e, n_g)
+        assert len(est.get(g, {})) <= _K
+        for key, cnt in est.get(g, {}).items():
+            assert cnt <= tc[key] <= cnt + e, (g, key)
+        for key, c in tc.items():
+            if c > e:
+                assert key in est.get(g, {}), (g, key, c, e)
+
+
+def test_mg_group_sink_stream_and_redelivery(spark, tmp_path):
+    from pyspark.sql.types import StructType, StructField, StringType
+    from agf_data_ingestion_spark.streaming.sketches import (
+        mg_group_read,
+        mg_group_sink,
+        mg_group_summary,
+    )
+
+    schema = StructType([StructField("grp", StringType()), StructField("token", StringType())])
+    table = str(tmp_path / "mgg")
+    sink = mg_group_sink(spark, table, group_col="grp", key_col="token", k=_K)
+    all_rows = []
+    for bid, (lo, hi) in enumerate([(0, 800), (800, 1600), (1600, 2400)]):
+        rows = [{"grp": f"g{i % 3}", "token": r["token"]} for i, r in enumerate(_zipfish_rows(lo, hi))]
+        all_rows.extend(rows)
+        sink(spark.createDataFrame(rows, schema), bid)
+        sink(spark.createDataFrame(rows, schema), bid)  # re-delivery: no-op
+
+    summary, errs = mg_group_read(spark, table)
+    true = {}
+    for r in all_rows:
+        true.setdefault(r["grp"], {}).setdefault(r["token"], 0)
+        true[r["grp"]][r["token"]] += 1
+    est = {}
+    for r in summary.collect():
+        est.setdefault(r.grp, {})[r.key] = r.cnt
+    for g, tc in true.items():
+        e = errs.get(g, 0)
+        assert e <= sum(tc.values()) // (_K + 1) + 1
+        for key, cnt in est.get(g, {}).items():
+            assert cnt <= tc[key] <= cnt + e, (g, key, cnt, e, tc[key])
+        for key, c in tc.items():
+            if c > e:
+                assert key in est.get(g, {}), (g, key, c, e)
