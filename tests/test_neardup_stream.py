@@ -74,10 +74,19 @@ def _expected(spark, docs_df):
 def _run_stream(spark, tmp_path, slices):
     src = str(tmp_path / "src")
     os.makedirs(src, exist_ok=True)
+    import time
+
+    now = time.time()
     for i, rows in enumerate(slices):
-        with open(os.path.join(src, f"{i:02d}.json"), "w") as fh:
+        path = os.path.join(src, f"{i:02d}.json")
+        with open(path, "w") as fh:
             for doc_id, text in rows:
                 fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        # the contract is "best match among docs from EARLIER batches";
+        # arrival order must therefore be unambiguous: the file source
+        # orders by modification time, and sub-second writes can tie (and
+        # then order arbitrarily), so pin strictly increasing mtimes
+        os.utime(path, (now - len(slices) + i, now - len(slices) + i))
     store = str(tmp_path / "store")
     stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
     q = (
