@@ -14,9 +14,10 @@ Scale design:
   baseline.
 * The ANN variant buckets vectors by random-hyperplane LSH signs so only
   same-bucket pairs are scored — the 100 TB path (probes scale with bucket
-  size, not corpus size).  Hyperplanes are seeded, so results are
-  reproducible run-to-run; recall vs the brute-force baseline is asserted
-  in tests (no SQL oracle — rows-only check).
+  size, not corpus size).  Hyperplanes are md5-derived integer vectors and
+  sign bits are exact integer dot products (r3), so even the bucketing is
+  oracle-checked bit-for-bit; recall vs the brute-force baseline is
+  additionally asserted in tests.
 """
 
 from __future__ import annotations
@@ -283,26 +284,49 @@ _ANN_TABLES = 8
 _ANN_BITS = 4
 
 
+def _md5_planes() -> np.ndarray:
+    """Integer hyperplanes derived from md5 — the SAME integers any engine
+    derives from the same hex, so the bucketing is SQL-expressible:
+    ``p[t,b,d] = int(md5(f"{t}:{b}:{d}")[:10], 16) % 2001 - 1000``."""
+    import hashlib
+
+    planes = np.empty((_ANN_TABLES, _ANN_BITS, _DIM), dtype=np.int64)
+    for ti in range(_ANN_TABLES):
+        for b in range(_ANN_BITS):
+            for d in range(_DIM):
+                h = int(hashlib.md5(f"{ti}:{b}:{d}".encode()).hexdigest()[:10], 16)
+                planes[ti, b, d] = h % 2001 - 1000
+    return planes
+
+
+#: Spark/DuckDB-shared quantization for the sign bits: floor(x·64) is exact
+_ANN_CODE_SCALE = 64.0
+
+
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN: ``_ANN_TABLES`` independent
     hash tables of ``_ANN_BITS`` sign bits each; a (query, vector) pair is
     a candidate if ANY table buckets them together (recall compounds as
     1-(1-p^bits)^tables), candidates are deduped before exact scoring so
-    each pair is scored once.  Seeded hyperplanes → deterministic output.
+    each pair is scored once.
+
+    Fully oracle-checked (r3 — was rows-only): hyperplanes are md5-derived
+    INTEGER vectors and embeddings quantize to ``floor(x·64)`` BIGINTs, so
+    each sign bit is the sign of an exact integer dot product — identical
+    in numpy int64, the JVM, and DuckDB, with no float-rounding ambiguity
+    at the sign boundary.  The exact re-rank stays the module's
+    bit-faithful float fold.
 
     Probe cost ~ tables × bucket-size, independent of corpus size when bits
-    scale with log(corpus) — the 100 TB path.  Non-SQL-expressible (seeded
-    hyperplane generation); the driver records a rows-only check and
-    tests/test_similarity.py asserts recall vs the brute-force baseline.
-
-    The 32 plane dots per vector are one numpy matmul inside an Arrow-
-    batched pandas_udf (no per-row interpreted folds — this projection is
-    the query's hot spot: |corpus| × tables × bits dot products).
+    scale with log(corpus) — the 100 TB path.  The 32 plane dots per
+    vector are one int64 numpy matmul inside an Arrow-batched pandas_udf
+    (this projection is the query's hot spot: |corpus| × tables × bits dot
+    products); tests/test_similarity.py additionally asserts recall vs the
+    brute-force baseline.
     """
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.RandomState(42)
-    planes = rng.randn(_ANN_TABLES, _ANN_BITS, _DIM)  # deterministic
+    planes = _md5_planes()
     plane_mat = planes.reshape(_ANN_TABLES * _ANN_BITS, _DIM).T  # (dim, 32)
     bit_weights = 1 << np.arange(_ANN_BITS)
     e = t(spark, sf_dir, "embeddings")
@@ -310,7 +334,8 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("array<string>")
     def table_buckets(emb: pd.Series) -> pd.Series:
         V = np.vstack(emb.to_numpy())  # (n, dim) float32
-        signs = (V.astype(np.float64) @ plane_mat) >= 0  # (n, tables*bits)
+        codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
+        signs = (codes @ plane_mat) >= 0  # exact int64 dots: order-free
         ints = (signs.reshape(len(V), _ANN_TABLES, _ANN_BITS) * bit_weights).sum(axis=2)
         return pd.Series([[f"{ti}:{row[ti]}" for ti in range(_ANN_TABLES)] for row in ints])
 
@@ -359,6 +384,55 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+_ANN_LSH_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ANN_CODE_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+planes AS (
+  SELECT t, b, d,
+         (('0x' || substr(md5(t::VARCHAR || ':' || b::VARCHAR || ':' || d::VARCHAR), 1, 10))::BIGINT
+          % 2001) - 1000 AS p
+  FROM (SELECT unnest(range(0, {_ANN_TABLES})) AS t),
+       (SELECT unnest(range(0, {_ANN_BITS})) AS b),
+       (SELECT unnest(range(0, {_DIM})) AS d)
+),
+bits AS (
+  SELECT c.vec_id, pl.t, pl.b,
+         CASE WHEN SUM(c.code[pl.d + 1] * pl.p) >= 0 THEN 1 ELSE 0 END AS s
+  FROM codes c CROSS JOIN planes pl
+  GROUP BY c.vec_id, pl.t, pl.b
+),
+buckets AS (
+  SELECT vec_id, t, CAST(SUM(s * (1 << b)) AS BIGINT) AS bkt
+  FROM bits GROUP BY vec_id, t
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bkt = c.bkt AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+v AS (
+  SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM cands s
+  JOIN v q ON s.query_id = q.vec_id
+  JOIN v n ON s.neighbor_id = n.vec_id
+) WHERE rank <= {_TOPK}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -668,7 +742,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
-    "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, None, ("OP-X-SIM-TOPK",)),
+    "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, _ANN_LSH_SQL, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
 }
