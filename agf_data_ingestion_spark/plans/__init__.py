@@ -107,6 +107,8 @@ _PRIORITY = [
     # long-green tail)
     "docs_quality_gate",
     "emb_sq_adc_topk",
+    "q8_national_market_share",
+    "q11_important_parts",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from agf_data_ingestion_spark.plans.base import QuerySpec, davg, dsum, o_davg, o_dsum, t
+from agf_data_ingestion_spark.plans.base import (
+    DEC_MONEY,
+    QuerySpec,
+    davg,
+    dsum,
+    o_davg,
+    o_dsum,
+    t,
+)
 
 # ---------------------------------------------------------------------------
 # Q4-style: order-priority checking via EXISTS (late-shipment semi-join)
@@ -361,6 +369,132 @@ JOIN nation ON s_nationkey = n_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Q8-style: national market share inside a region
+# ---------------------------------------------------------------------------
+
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_7's share of ECONOMY-part revenue sold to ASIA-region
+    customers, per order year (TPC-H Q8 verbatim shape — every table it
+    needs exists in the driver schema).  The nation axis is the SUPPLIER's
+    nation; the region filter applies to the CUSTOMER's nation.  All five
+    dimension joins broadcast, so the fact scan reaches the final
+    (o_year) aggregation with zero pre-shuffles; the share is one IEEE
+    double division of two order-independent decimal sums."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").alias("n1")  # customer side → region
+    n2 = t(spark, sf_dir, "nation").alias("n2")  # supplier side → share axis
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_MONEY)
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey, "left_semi")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("n2.n_name") == "NATION_7", vol).otherwise(F.lit(0).cast(DEC_MONEY))).cast("double").alias("nation_volume"),
+        F.sum(vol).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_7' THEN vol ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+       / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS vol,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+) shares
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: important stock (per-part value above a global-share threshold)
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue from AMERICA-region suppliers exceeds 1/2000 of
+    that market's total (TPC-H Q11's HAVING-against-a-scalar-subquery
+    shape; the schema has no partsupp, so ps_supplycost*ps_availqty
+    becomes lineitem revenue).  One shuffle on l_partkey; the global total
+    is a 1-row aggregate broadcast back as a cross join.  The threshold
+    compare runs in EXACT decimal arithmetic on both engines
+    (part_value * 2000 > total — no division, no rounding), so the
+    kept-set is bit-stable; only the output column is cast to double."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    l = t(spark, sf_dir, "lineitem")
+    amer_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey, "left_semi")
+        .select("s_suppkey")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_MONEY)
+    per_part = (
+        l.join(F.broadcast(amer_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).alias("v_dec"))
+    )
+    total = per_part.agg(F.sum("v_dec").alias("t_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("v_dec") * F.lit(2000) > F.col("t_dec"))
+        .select("l_partkey", F.col("v_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS v_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE v_dec * 2000 > (SELECT SUM(v_dec) FROM pv)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q21-style: the one supplier to blame per multi-supplier order
 # ---------------------------------------------------------------------------
 
@@ -422,8 +556,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q4_priority_late_ship": QuerySpec(
         q4_priority_late_ship, _Q4_SQL, ("OP-JOIN-SEMI", "OP-AGG-COUNT", "OP-FIL-TIME")
     ),
+    "q8_national_market_share": QuerySpec(
+        q8_national_market_share, _Q8_SQL, ("OP-JOIN-ENRICH", "OP-AGG-SUM", "OP-MATH")
+    ),
     "q9_product_profit": QuerySpec(
         q9_product_profit, _Q9_SQL, ("OP-JOIN-ENRICH", "OP-AGG-SUM")
+    ),
+    "q11_important_parts": QuerySpec(
+        q11_important_parts, _Q11_SQL, ("OP-AGG-SUM", "OP-JOIN-SEMI", "OP-SORT-LIMIT")
     ),
     "q12_late_lines_by_status": QuerySpec(
         q12_late_lines_by_status, _Q12_SQL, ("OP-AGG-CONDCOUNT", "OP-JOIN-ENRICH")
