@@ -109,6 +109,10 @@ _PRIORITY = [
     "emb_sq_adc_topk",
     "q8_national_market_share",
     "q11_important_parts",
+    "docs_bloom_contamination",
+    "docs_dataset_split",
+    "docs_pmi_bigrams",
+    "events_countmin_err",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

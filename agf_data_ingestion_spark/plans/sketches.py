@@ -364,7 +364,112 @@ FROM sk JOIN ex USING (ta, tb)
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (OP-X-CMS): frequency estimation with one-sided error
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4  # d independent hash rows; P(over-err > ε) ≤ e^-d... per row
+_CM_WIDTH = 256  # w counters per row; ε ≈ e/w of the stream length
+_CM_PROBE = 20  # report the sketch estimate for the top-N exact users
+
+
+def events_countmin_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) over
+    per-user event counts, evaluated against exact truth: build the d×w
+    counter matrix in ONE (row, col) aggregation, then report
+    ``est = min_r counter[r][h_r(key)]`` for the top-``{probe}`` exact
+    users.  Count-Min never underestimates, so ``overcount ≥ 0`` is part
+    of the checked result.  Complements the KMV sketch (distinct counts)
+    and Misra–Gries (guaranteed heavy hitters) with point-frequency
+    estimates; all three are mergeable one-pass summaries.
+
+    Scale shape: the sketch build is a map-side-combining groupBy on
+    (row, col) — d·w = 1024 cells TOTAL regardless of stream length or key
+    cardinality, so the shuffle is constant-size and the merged sketch
+    broadcasts back for probing.  Hashes are md5-derived (never engine
+    ``hash()``), so the counter matrix — and the estimates — are
+    bit-identical across engines.
+    """
+    e = t(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CM_DEPTH)])).alias("r")
+    col_of = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                _HASH_HEX,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH
+    )
+    sketch = (
+        e.select(F.col("user_id"), rows)
+        .withColumn("col", col_of)
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CM_PROBE)
+    )
+    probes = exact.select("user_id", "exact_n", rows).withColumn("col", col_of)
+    return (
+        probes.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+events_countmin_err.__doc__ = events_countmin_err.__doc__.format(probe=_CM_PROBE)
+
+
+_CMS_SQL = f"""
+WITH cells AS (
+  SELECT user_id, r,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)),
+                         1, {_HASH_HEX}))::BIGINT % {_CM_WIDTH} AS col
+  FROM events, unnest(range(0, {_CM_DEPTH})) AS u(r)
+),
+sketch AS (
+  SELECT r, col, COUNT(*) AS cnt FROM cells GROUP BY r, col
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT {_CM_PROBE}
+),
+probes AS (
+  SELECT e.user_id, e.exact_n, u.r,
+         ('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || '#' || CAST(u.r AS VARCHAR)),
+                         1, {_HASH_HEX}))::BIGINT % {_CM_WIDTH} AS col
+  FROM exact e, unnest(range(0, {_CM_DEPTH})) AS u(r)
+)
+SELECT p.user_id, p.exact_n, MIN(s.cnt) AS est_n,
+       MIN(s.cnt) - p.exact_n AS overcount
+FROM probes p JOIN sketch s ON p.r = s.r AND p.col = s.col
+GROUP BY p.user_id, p.exact_n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_countmin_err": QuerySpec(
+        events_countmin_err, _CMS_SQL, ("OP-X-CMS", "OP-X-APPROX")
+    ),
     "events_kmv_distinct": QuerySpec(
         events_kmv_distinct, _KMV_SQL, ("OP-X-APPROX", "OP-AGG-SETUNION")
     ),

@@ -113,6 +113,103 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
 """
 
 
+_PMI_MIN_COUNT = 5  # drop noise bigrams before any join
+
+
+def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations (adjacent word bigrams) ranked by PMI lift — the
+    standard phrase-mining signal p(xy)/(p(x)·p(y)) — computed WITHOUT any
+    logarithm or float accumulation so both engines agree bit-for-bit:
+    ``lift_ppm = (n_xy · N² · 10⁶) div (B · n_x · n_y)`` in exact decimal
+    integer arithmetic (Spark ``DIV`` ≡ DuckDB ``//``, both truncate; the
+    products stay < 10³⁸).  N = corpus tokens, B = corpus bigrams.
+
+    Scale shape: bigram extraction is one map-only transform+explode per
+    doc (no self-join on position); counts reduce map-side.  The two
+    vocabulary joins are keyed shuffles — the vocabulary is corpus-derived
+    and therefore NEVER broadcast (CLAUDE.md invariant) — and the ≥{min}
+    count filter shrinks the bigram side before either join.  The 1-row
+    totals frame broadcasts.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = d.select(_words().alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    bg = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> named_struct('w1', w[i], 'w2', w[i+1]))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+    )
+    totals = uni.agg(
+        F.sum("n").alias("n_tokens"),
+        # bigrams per doc = words - 1; summing over uni would overcount, so
+        # derive B from the doc-level sizes in one extra tiny aggregate
+    ).crossJoin(
+        w.agg(
+            F.sum(
+                F.when(F.size("w") >= 2, F.size("w") - 1).otherwise(F.lit(0))
+            ).alias("n_bigrams")
+        )
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_w2"))
+    lift = F.expr(
+        "CAST((CAST(n_xy AS DECIMAL(38,0)) * n_tokens * n_tokens * 1000000)"
+        " DIV (CAST(n_bigrams AS DECIMAL(38,0)) * n_w1 * n_w2) AS BIGINT)"
+    )
+    return (
+        bg.join(u1.hint("shuffle_hash"), "w1")
+        .join(u2.hint("shuffle_hash"), "w2")
+        .join(F.broadcast(totals))
+        .select("w1", "w2", "n_xy", "n_w1", "n_w2", lift.alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+docs_pmi_bigrams.__doc__ = docs_pmi_bigrams.__doc__.format(min=_PMI_MIN_COUNT)
+
+
+_PMI_SQL = f"""
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT u.word, COUNT(*) AS n
+  FROM w, unnest(w.w) AS u(word) GROUP BY u.word
+),
+bg AS (
+  SELECT w.w[i] AS w1, w.w[i+1] AS w2, COUNT(*) AS n_xy
+  FROM w, unnest(range(1, len(w.w))) AS t(i)
+  WHERE len(w.w) >= 2
+  GROUP BY w.w[i], w.w[i+1]
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS n_tokens,
+         (SELECT CAST(SUM(len(w.w) - 1) AS BIGINT) FROM w WHERE len(w.w) >= 2) AS n_bigrams
+)
+SELECT w1, w2, n_xy, u1.n AS n_w1, u2.n AS n_w2,
+       CAST((CAST(n_xy AS HUGEINT) * n_tokens * n_tokens * 1000000)
+            // (CAST(n_bigrams AS HUGEINT) * u1.n * u2.n) AS BIGINT) AS lift_ppm
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.word
+JOIN uni u2 ON bg.w2 = u2.word, tot
+ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT 30
+"""
+
+
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics: word/token counts, word length, stopword & alpha
     ratios, and a composite quality score — all integer-derived doubles so
@@ -920,6 +1017,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_token_topk": QuerySpec(
         docs_token_topk, _TOKEN_TOPK_SQL, ("OP-X-TEXT", "OP-EXPLODE-RUN", "OP-SORT-LIMIT")
+    ),
+    "docs_pmi_bigrams": QuerySpec(
+        docs_pmi_bigrams, _PMI_SQL, ("OP-X-PMI", "OP-X-TEXT", "OP-SORT-LIMIT")
     ),
     "docs_text_stats": QuerySpec(docs_text_stats, _TEXT_STATS_SQL, ("OP-X-TEXT",)),
     "docs_lang_id": QuerySpec(docs_lang_id, _LANG_ID_SQL, ("OP-X-TEXT",)),

@@ -50,6 +50,78 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 <
 
 
 # ---------------------------------------------------------------------------
+# Deterministic dataset split (OP-X-SPLIT): train/val/test by content hash
+# ---------------------------------------------------------------------------
+
+_SPLITS = (("train", 90), ("val", 5), ("test", 5))  # percent, cumulative order
+
+
+def docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test (90/5/5) by a salted md5
+    bucket of its doc_id, then report the per-(split, source) manifest a
+    training run records: document count, token count, character volume.
+
+    The salt (``split:``) decorrelates the split hash from the sampling
+    hash (:func:`docs_stratified_sample`) — a doc sampled-in is not thereby
+    biased toward any split.  Hash-assignment is the scale story: no
+    global shuffle or sort decides membership, any executor can answer
+    "which split is this doc in?" stateless-ly, and the split is stable
+    under corpus growth (adding docs never reassigns existing ones —
+    unlike ``randomSplit``, which reshuffles everything).  One aggregation
+    shuffle on the tiny (split, source) key space produces the manifest.
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < _SPLITS[0][1], F.lit("train"))
+        .when(bucket < _SPLITS[0][1] + _SPLITS[1][1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN b < 90 THEN 'train'
+           WHEN b < 95 THEN 'val'
+           ELSE 'test' END AS split,
+         source,
+         len(string_split(text, ' ')) AS n_tokens,
+         n_chars
+  FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 AS b,
+               source, text, n_chars
+        FROM documents)
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token-budget packing (OP-X-PACK): bin documents into ~fixed token budgets
 # ---------------------------------------------------------------------------
 
@@ -398,6 +470,131 @@ SELECT c.doc_id,
        COUNT(DISTINCT b.bench_doc_id) AS n_bench_docs_hit
 FROM corpus c JOIN bench b USING (sh)
 GROUP BY c.doc_id
+"""
+
+
+# --- Bloom-filter decontamination (OP-X-BLOOM) ------------------------------
+
+_BLOOM_BITS = 65536  # m: filter size in bits (power of two)
+_BLOOM_WORD = 32  # bits per word — staying < 2^31 keeps every shift/mask
+# positive in both engines (no sign-bit traps in BIGINT << / >> / &)
+_BLOOM_K = 4  # hash functions; FP rate ≈ (1 - e^{-k·n/m})^k
+
+
+def docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a deterministic Bloom filter: the
+    benchmark shingle set is folded into an ``m = 65536``-bit filter
+    (2048 × 32-bit words built with one ``bit_or`` aggregation), and every
+    corpus shingle probes the filter map-side.  Output: corpus docs with
+    ≥1 maybe-contaminated shingle, their shingle counts, and the hit rate.
+
+    This is the 100 TB shape of :func:`docs_contamination`: the exact
+    semi-join shuffles corpus shingle hashes to meet the benchmark set,
+    while the Bloom pass broadcasts O(m) bits — INDEPENDENT of benchmark
+    size for a fixed FP budget — and the corpus is probed without any
+    shuffle before the final per-doc aggregation.  False positives are
+    one-sided (never misses a real collision), so the filter safely
+    prefilters for the exact join.  All k positions come from md5
+    arithmetic (never engine ``hash()``), so the filter content — and
+    therefore the result — is bit-identical across engines.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
+    gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
+    sh = (
+        d.filter(F.size("w") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("sh"), F.lit(":"), F.col("j"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_BITS
+    )
+    positioned = lambda df: (  # noqa: E731
+        df.select(*df.columns, js)
+        .withColumn("pos", pos)
+        .withColumn("word", F.expr(f"pos DIV {_BLOOM_WORD}"))
+        .withColumn("bit", (F.col("pos") % _BLOOM_WORD).cast("int"))
+    )
+    words = (
+        positioned(sh.filter(F.col("doc_id") < _BENCH_DOCS).select("sh").distinct())
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+    )
+    probes = positioned(sh.filter(F.col("doc_id") >= _BENCH_DOCS)).join(
+        F.broadcast(words), "word", "left"
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.expr("(shiftright(bits, bit) & CAST(1 AS BIGINT))") == 1),
+        1,
+    ).otherwise(0)
+    per_shingle = probes.groupBy("doc_id", "sh").agg(F.min(hit).alias("maybe"))
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("maybe").alias("n_maybe_contaminated"),
+        )
+        .filter(F.col("n_maybe_contaminated") > 0)
+        .withColumn(
+            "hit_rate",
+            F.col("n_maybe_contaminated").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+_BLOOM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM w, unnest(range(1, len(w) - {_CONTAM_N - 2})) AS t(i)
+),
+pos AS (
+  SELECT doc_id, sh, j,
+         (('0x' || substr(md5(sh || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT)
+           % {_BLOOM_BITS} AS pos
+  FROM sh, unnest(range(0, {_BLOOM_K})) AS u(j)
+),
+cells AS (
+  SELECT doc_id, sh, (pos // {_BLOOM_WORD}) AS word,
+         (pos % {_BLOOM_WORD}) AS bit
+  FROM pos
+),
+words AS (
+  SELECT word, bit_or(((1::BIGINT) << (bit))) AS bits
+  FROM (SELECT DISTINCT sh, word, bit FROM cells WHERE doc_id < {_BENCH_DOCS})
+  GROUP BY word
+),
+per_shingle AS (
+  SELECT c.doc_id, c.sh,
+         MIN(CASE WHEN w.bits IS NOT NULL
+                   AND (((w.bits >> (c.bit)) & (1::BIGINT)) = 1)
+              THEN 1 ELSE 0 END) AS maybe
+  FROM cells c LEFT JOIN words w ON c.word = w.word
+  WHERE c.doc_id >= {_BENCH_DOCS}
+  GROUP BY c.doc_id, c.sh
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe_contaminated,
+       CAST(SUM(maybe) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+FROM per_shingle
+GROUP BY doc_id
+HAVING CAST(SUM(maybe) AS BIGINT) > 0
 """
 
 
@@ -812,6 +1009,12 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
     "docs_repetition_stats": QuerySpec(
         docs_repetition_stats, _REPETITION_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")
+    ),
+    "docs_dataset_split": QuerySpec(
+        docs_dataset_split, _SPLIT_SQL, ("OP-X-SPLIT", "OP-X-SAMPLE")
+    ),
+    "docs_bloom_contamination": QuerySpec(
+        docs_bloom_contamination, _BLOOM_SQL, ("OP-X-BLOOM", "OP-JOIN-SEMI", "OP-X-TEXT")
     ),
     "docs_contamination": QuerySpec(
         docs_contamination, _CONTAM_SQL, ("OP-X-TEXT", "OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
