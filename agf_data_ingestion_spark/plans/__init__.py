@@ -113,6 +113,8 @@ _PRIORITY = [
     "docs_dataset_split",
     "docs_pmi_bigrams",
     "events_countmin_err",
+    "docs_editdist_neardup",
+    "events_value_corr",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

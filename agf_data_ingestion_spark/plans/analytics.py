@@ -730,6 +730,80 @@ GROUP BY d.event_type
 """
 
 
+def events_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation + sample covariance of (value,
+    hour-of-day) per event_type, from EXACT moment sums — never
+    ``F.corr`` (whose float accumulation is partial-order-dependent).
+    The five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    decimals/longs — order-free — in ONE map-side-combining aggregation;
+    the final corr/cov are a fixed IEEE expression over the five scalars
+    (binary64 ``sqrt`` is correctly rounded per IEEE-754, unlike ln —
+    which is why the catalog can have a corr query but rational TF-IDF).
+
+    Scale: single shuffle on event_type, five extra bytes-ish per partial
+    — the textbook distributed-moments pattern a 1000-executor cluster
+    tree-reduces; no second pass, no centering pass."""
+    e = t(spark, sf_dir, "events")
+    hour = F.expr("(ts_us DIV 3600000000) % 24")
+    stats = (
+        e.select("event_type", F.col("value").alias("x"), hour.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(25,6)")).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(25,6)")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_num = nd * F.col("sxy") - F.col("sx") * syd
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * syyd - syd * syd
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        cov_num / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        corr.alias("corr_value_hour"),
+        (cov_num / (nd * (nd - F.lit(1.0)))).alias("cov_value_hour"),
+    )
+
+
+_CORR_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(value * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (SELECT event_type, value,
+               (epoch_us(ts) // 3600000000) % 24 AS y
+        FROM events)
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_rows,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - sx * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_value_hour,
+       (CAST(n AS DOUBLE) * sxy - sx * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_value_hour
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # Row-level set operations (INTERSECT / EXCEPT)
 # ---------------------------------------------------------------------------
@@ -789,6 +863,9 @@ _PIVOT_NATIVE_SQL = "SELECT user_id, " + ", ".join(
 QUERIES: dict[str, QuerySpec] = {
     "events_median_value": QuerySpec(events_median_value, _MEDIAN_SQL, ("OP-X-APPROX", "OP-WIN-DEDUPNAME")),
     "events_mad_outliers": QuerySpec(events_mad_outliers, _MAD_SQL, ("OP-X-ANOMALY", "OP-WIN-DEDUPNAME")),
+    "events_value_corr": QuerySpec(
+        events_value_corr, _CORR_SQL, ("OP-X-STATS", "OP-AGG-SUM", "OP-MATH")
+    ),
     "custkey_setops": QuerySpec(custkey_setops, _SETOPS_SQL, ("OP-SET-UNION", "OP-JOIN-SEMI", "OP-JOIN-ANTI-S3")),
     "events_pivot_native": QuerySpec(events_pivot_native, _PIVOT_NATIVE_SQL, ("OP-AGG-CONDCOUNT",)),
     "q1_pricing_summary": QuerySpec(

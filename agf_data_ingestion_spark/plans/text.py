@@ -583,6 +583,78 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 """
 
 
+_EDIT_PREFIX = 256  # chars compared — bounds the O(n²) DP per pair
+_EDIT_MIN_EST = 0.25  # LSH-estimate prefilter before the quadratic verifier
+
+
+def docs_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: LSH candidates whose MinHash
+    estimate clears {min_est} are re-scored with Levenshtein edit distance
+    over the first {prefix} (ASCII-sanitized) characters — the
+    fuzzy-match verifier for templated/boilerplate text where token-set
+    Jaccard (:func:`docs_neardup_verified`) is blind to ordering.
+
+    Scale shape: the O(len²) DP never runs on the corpus cross-product —
+    candidates come from LSH bands, the estimate prefilter shrinks them
+    again, and the per-pair cost is capped by the {prefix}-char prefix.
+    Text joins in are shuffle-hash (corpus-sized side never broadcast).
+    Cross-engine note: Spark's levenshtein counts codepoints, DuckDB's
+    counts bytes — identical on ASCII, so non-ASCII is stripped BEFORE
+    comparing (the sanitize also makes the metric printable-text-stable).
+    ``sim = 1 - dist/max(len)`` is a single IEEE division.
+    """
+    est = docs_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _EDIT_MIN_EST
+    )
+    pref = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, _EDIT_PREFIX
+    )
+    texts = t(spark, sf_dir, "documents").select("doc_id", pref.alias("pref"))
+    ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pref_a"))
+    tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pref_b"))
+    dist = F.levenshtein("pref_a", "pref_b")
+    longest = F.greatest(F.length("pref_a"), F.length("pref_b"))
+    sim = F.when(longest == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / longest.cast("double")
+    )
+    return (
+        est.join(ta.hint("shuffle_hash"), "doc_a")
+        .join(tb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            dist.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+    )
+
+
+docs_editdist_neardup.__doc__ = docs_editdist_neardup.__doc__.format(
+    min_est=_EDIT_MIN_EST, prefix=_EDIT_PREFIX
+)
+
+
+_EDITDIST_SQL = f"""
+WITH {_MINHASH_CTES},
+flt AS (SELECT * FROM est WHERE est_jaccard >= {_EDIT_MIN_EST}),
+pref AS (
+  SELECT doc_id,
+         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, {_EDIT_PREFIX}) AS pref
+  FROM documents
+)
+SELECT f.doc_a, f.doc_b, f.est_jaccard,
+       levenshtein(pa.pref, pb.pref) AS edit_dist,
+       CASE WHEN greatest(len(pa.pref), len(pb.pref)) = 0 THEN 1.0
+            ELSE 1.0 - CAST(levenshtein(pa.pref, pb.pref) AS DOUBLE)
+                       / CAST(greatest(len(pa.pref), len(pb.pref)) AS DOUBLE)
+       END AS edit_sim
+FROM flt f
+JOIN pref pa ON f.doc_a = pa.doc_id
+JOIN pref pb ON f.doc_b = pb.doc_id
+"""
+
+
 def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf·(N/df) — the rational
     (log-free) TF-IDF variant so both engines compute exact integer-derived
@@ -1020,6 +1092,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_pmi_bigrams": QuerySpec(
         docs_pmi_bigrams, _PMI_SQL, ("OP-X-PMI", "OP-X-TEXT", "OP-SORT-LIMIT")
+    ),
+    "docs_editdist_neardup": QuerySpec(
+        docs_editdist_neardup, _EDITDIST_SQL, ("OP-X-DEDUP-NEAR", "OP-X-TEXT")
     ),
     "docs_text_stats": QuerySpec(docs_text_stats, _TEXT_STATS_SQL, ("OP-X-TEXT",)),
     "docs_lang_id": QuerySpec(docs_lang_id, _LANG_ID_SQL, ("OP-X-TEXT",)),

@@ -443,14 +443,17 @@ GROUP BY o_year
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose revenue from AMERICA-region suppliers exceeds 1/2000 of
-    that market's total (TPC-H Q11's HAVING-against-a-scalar-subquery
-    shape; the schema has no partsupp, so ps_supplycost*ps_availqty
-    becomes lineitem revenue).  One shuffle on l_partkey; the global total
-    is a 1-row aggregate broadcast back as a cross join.  The threshold
-    compare runs in EXACT decimal arithmetic on both engines
-    (part_value * 2000 > total — no division, no rounding), so the
-    kept-set is bit-stable; only the output column is cast to double."""
+    """Parts whose revenue from AMERICA-region suppliers exceeds twice the
+    MEAN per-part share of that market (TPC-H Q11's
+    HAVING-against-a-scalar-subquery shape; the schema has no partsupp,
+    so ps_supplycost*ps_availqty becomes lineitem revenue, and the
+    original's 0.0001/SF fraction becomes the scale-free 2/n_parts — the
+    kept-set stays non-trivial at every sf).  One shuffle on l_partkey;
+    the global (total, n_parts) is a 1-row aggregate broadcast back as a
+    cross join.  The threshold compare runs in EXACT decimal/integer
+    arithmetic on both engines (v·n_parts > 2·total — no division, no
+    rounding), so the kept-set is bit-stable; only the output column is
+    cast to double."""
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
@@ -466,10 +469,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(vol).alias("v_dec"))
     )
-    total = per_part.agg(F.sum("v_dec").alias("t_dec"))
+    total = per_part.agg(
+        F.sum("v_dec").alias("t_dec"), F.count("*").alias("n_parts")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("v_dec") * F.lit(2000) > F.col("t_dec"))
+        .filter(F.col("v_dec") * F.col("n_parts") > F.col("t_dec") * F.lit(2))
         .select("l_partkey", F.col("v_dec").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -489,7 +494,7 @@ WITH pv AS (
 )
 SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
 FROM pv
-WHERE v_dec * 2000 > (SELECT SUM(v_dec) FROM pv)
+WHERE v_dec * (SELECT COUNT(*) FROM pv) > (SELECT SUM(v_dec) FROM pv) * 2
 ORDER BY part_value DESC, l_partkey ASC
 """
 
