@@ -56,6 +56,27 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 <
 _SPLITS = (("train", 90), ("val", 5), ("test", 5))  # percent, cumulative order
 
 
+def split_assignment(doc_id_col: str = "doc_id") -> F.Column:
+    """The train/val/test assignment column (salted md5 bucket) — shared by
+    the catalog query and the curate CLI so every consumer assigns
+    identically."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col(doc_id_col).cast("string"))), 1, 10
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < _SPLITS[0][1], F.lit("train"))
+        .when(bucket < _SPLITS[0][1] + _SPLITS[1][1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document to train/val/test (90/5/5) by a salted md5
     bucket of its doc_id, then report the per-(split, source) manifest a
@@ -71,22 +92,9 @@ def docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the tiny (split, source) key space produces the manifest.
     """
     d = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 10),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < _SPLITS[0][1], F.lit("train"))
-        .when(bucket < _SPLITS[0][1] + _SPLITS[1][1], F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         d.select(
-            split.alias("split"),
+            split_assignment().alias("split"),
             "source",
             F.size(F.split("text", " ")).alias("n_tokens"),
             "n_chars",

@@ -10,7 +10,7 @@
     python scripts/agf_pipeline.py export    --warehouse <dir> --out <dir>
         [--group-col instrument_id]
     python scripts/agf_pipeline.py curate    --out <dir>
-        [--docs <dir with documents.parquet>]
+        [--docs <dir with documents.parquet>] [--decontaminate] [--split]
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -164,13 +164,20 @@ def cmd_export(args) -> int:
 
 def cmd_curate(args) -> int:
     """Training-corpus curation: quality gate → exact dedup → near-dup
-    cluster representatives, composed from the same oracle-checked catalog
-    plans (docs_quality_gate, docs_dedup_exact, docs_dup_clusters).  Writes
-    the surviving documents as parquet and prints ONE JSON funnel line.
+    cluster representatives — optionally followed by benchmark
+    decontamination (``--decontaminate``) and deterministic train/val/test
+    assignment (``--split``) — composed from the same oracle-checked
+    catalog plans (docs_quality_gate, docs_dedup_exact, docs_dup_clusters,
+    docs_contamination, docs_dataset_split).  Writes the surviving
+    documents as parquet and prints ONE JSON funnel line.
 
     Every stage is a semi-join of the corpus against a (doc_id)-shaped
     survivor frame — at 100 TB the corpus text is scanned once for the
     final write; the gates themselves move only ids, hashes, signatures.
+    Decontamination note: the exact shingle join is the truth here; at
+    benchmark sets too large to broadcast, run the Bloom pass
+    (docs_bloom_contamination — one-sided, never misses) as the map-side
+    prefilter and exact-verify only its candidates.
     """
     import json
 
@@ -179,6 +186,10 @@ def cmd_curate(args) -> int:
 
     from agf_data_ingestion_spark.plans.base import t
     from agf_data_ingestion_spark.plans.text import docs_dup_clusters, docs_quality_gate
+    from agf_data_ingestion_spark.plans.training_data import (
+        docs_contamination,
+        split_assignment,
+    )
 
     spark = _spark()
     sf_dir = args.docs
@@ -214,18 +225,28 @@ def cmd_curate(args) -> int:
     )
     n_final = survivors.count()
 
+    report = {
+        "input": n_input,
+        "after_quality_gate": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_neardup": n_final,
+    }
+
+    if getattr(args, "decontaminate", False):
+        contaminated = docs_contamination(spark, sf_dir).select("doc_id")
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
+        report["after_decontamination"] = survivors.count()
+
+    if getattr(args, "split", False):
+        survivors = survivors.withColumn("split", split_assignment())
+        report["splits"] = {
+            r["split"]: r["n"]
+            for r in survivors.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
     survivors.write.mode("overwrite").parquet(args.out)
-    print(
-        json.dumps(
-            {
-                "input": n_input,
-                "after_quality_gate": n_quality,
-                "after_exact_dedup": n_exact,
-                "after_neardup": n_final,
-                "out": args.out,
-            }
-        )
-    )
+    report["out"] = args.out
+    print(json.dumps(report))
     return 0
 
 
@@ -267,6 +288,10 @@ def main() -> int:
     c = sub.add_parser("curate")
     c.add_argument("--docs", default="/root/testdata/sf0.01", help="dir containing documents.parquet")
     c.add_argument("--out", required=True)
+    c.add_argument("--decontaminate", action="store_true",
+                   help="drop docs sharing shingles with the benchmark slice")
+    c.add_argument("--split", action="store_true",
+                   help="add deterministic train/val/test assignment column")
     c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args()

@@ -59,3 +59,32 @@ def test_curate_funnel(spark, tmp_path, capsys):
         >= report["after_neardup"]
         > 0
     )
+
+
+def test_curate_decontaminate_and_split(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated_full")
+    rc = _mod.cmd_curate(
+        argparse.Namespace(docs=SF, out=out, decontaminate=True, split=True)
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from agf_data_ingestion_spark.plans.training_data import docs_contamination
+
+    contaminated = {r.doc_id for r in docs_contamination(spark, SF).collect()}
+    written = spark.read.parquet(out)
+    ids = {r.doc_id for r in written.select("doc_id").collect()}
+    # decontamination stage removed every flagged doc
+    assert not (ids & contaminated)
+    assert report["after_decontamination"] == len(ids)
+    assert report["after_decontamination"] <= report["after_neardup"]
+    # split column present, matches the catalog assignment, totals add up
+    assert set(report["splits"]) <= {"train", "val", "test"}
+    assert sum(report["splits"].values()) == len(ids)
+    from agf_data_ingestion_spark.plans.training_data import split_assignment
+    from pyspark.sql import functions as F
+
+    mismatch = written.withColumn("expect", split_assignment()).filter(
+        F.col("split") != F.col("expect")
+    )
+    assert mismatch.count() == 0
