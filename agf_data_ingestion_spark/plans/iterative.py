@@ -35,39 +35,18 @@ Scale shapes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import QuerySpec, t
 
 
-def _int_sqdist_fn(a, b):
-    """Arrow-batched squared L2 distance over ARRAY<BIGINT> codes.
-
-    Integer sums are commutative and int64 numpy arithmetic is exact
-    (diffs² ≤ 2^44 · 64 dims < 2^63), so ANY evaluation order gives the
-    identical BIGINT — no fold-order discipline needed, unlike the float
-    paths in plans/similarity.py.  Replaces an interpreted higher-order
-    ``aggregate`` in the k-means hot loop (~rounds × corpus × K folds)."""
-    import numpy as np
-    import pandas as pd
-
-    if len(a) == 0:  # np.stack rejects empty batches
-        return pd.Series([], dtype=np.int64)
-    A = np.stack(a.to_numpy()).astype(np.int64)
-    B = np.stack(b.to_numpy()).astype(np.int64)
-    d = A - B
-    return pd.Series((d * d).sum(axis=1))
-
-
-_SQDIST_CACHE: list = []
-
-
-def _int_sqdist(a, b):
-    # lazy: pandas_udf parses its DDL type against the active session
-    if not _SQDIST_CACHE:
-        _SQDIST_CACHE.append(F.pandas_udf(_int_sqdist_fn, "long"))
-    return _SQDIST_CACHE[0](a, b)
+# Integer-distance rule used throughout this module: int64 numpy
+# arithmetic is exact (diffs² ≤ 2^44 · 64 dims < 2^63) and integer sums
+# are commutative, so ANY evaluation order gives the identical BIGINT —
+# no fold-order discipline needed, unlike the float paths in
+# plans/similarity.py.
 
 # ---------------------------------------------------------------------------
 # PageRank (OP-X-GRAPH): damped, integer-scaled, fixed rounds
@@ -318,19 +297,40 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = {int(r["vec_id"]): list(r["qv"]) for r in seeds}
 
     def assign_df():
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                [(c, v) for c, v in sorted(cents.items())],
-                "cell INT, cv ARRAY<BIGINT>",
-            )
-        )
-        dist = _int_sqdist(F.col("qv"), F.col("cv"))
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
-        return (
-            q.crossJoin(cent_df)
-            .select("vec_id", "qv", "cell", dist.alias("dist_q"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+        # ONE map-only Arrow pass: the K×d centroid matrix rides in the UDF
+        # closure (the "broadcast" of a table that is KiB-sized by
+        # construction), every vector computes all K integer distances and
+        # takes the argmin in-batch — no crossJoin row blowup, no window
+        # shuffle, the corpus is never exchanged.  Integer arithmetic is
+        # order-free, so numpy vectorization is bit-safe here (same rule as
+        # _int_sqdist); np.argmin ties break to the FIRST index = lowest
+        # cell id because rows are ordered by cell.
+        cells = sorted(cents)
+        cent_mat = np.array([cents[c] for c in cells], dtype=np.int64)
+        cell_arr = np.array(cells, dtype=np.int32)
+
+        def assign_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                diff = Q[:, None, :] - cent_mat[None, :, :]
+                D = (diff * diff).sum(axis=2)
+                amin = D.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "qv": pdf["qv"],
+                        "cell": cell_arr[amin],
+                        "dist_q": D[np.arange(len(amin)), amin],
+                    }
+                )
+
+        return q.mapInPandas(
+            assign_batches,
+            "vec_id bigint, qv array<bigint>, cell int, dist_q bigint",
         )
 
     for _ in range(_KM_ITERS):

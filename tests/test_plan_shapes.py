@@ -105,12 +105,15 @@ def test_domain_caps_truncates_before_exchange(spark):
 
 
 def test_kmeans_broadcasts_centroids_not_corpus(spark):
-    # the final assignment pass: centroid table broadcast (tiny, K rows),
-    # corpus never broadcast or sort-merge-joined, argmin truncated map-side
+    # the final assignment pass is ONE map-only Arrow stage: the K×d
+    # centroid matrix rides in the UDF closure, so the plan has NO join of
+    # any kind, no window, and no exchange between the scan and the argmin
+    # (r3 rewrite: the previous crossJoin+window shape shipped every vector
+    # K times through Arrow and sorted N·K rows per round)
     plan = _plan(spark, "emb_kmeans_train")
-    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+    for node in ("Join", "Window", "Exchange"):
+        assert node not in plan, plan
 
 
 def test_scd2_single_exchange(spark):
