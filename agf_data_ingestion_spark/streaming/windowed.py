@@ -108,6 +108,7 @@ def interval_join(
     right_time: str = "ts",
     max_delay: str = "15 minutes",
     watermark: str = "8 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs with
     right events of the same key that happen in ``[left_time, left_time +
@@ -119,7 +120,16 @@ def interval_join(
     their join horizon — state is O(events inside the horizon), not O(the
     stream).  On batch inputs the same function is a plain range join
     (unified model; the batch twin is the oracle-checked catalog query).
+
+    ``how="left_outer"`` adds the unconverted-left rows (the funnel-drop
+    side of attribution): a left event with no match emits ONCE with null
+    right columns, only after the watermark passes its join horizon —
+    before that the engine cannot know no match is coming.  Outer
+    stream-stream joins REQUIRE the time-bound condition for exactly this
+    reason (unbounded state could never emit a definitive null).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type for interval_join: {how!r}")
     l = left.withWatermark(left_time, watermark).alias("l")
     r = right.withWatermark(right_time, watermark).alias("r")
     cond = (
@@ -127,7 +137,7 @@ def interval_join(
         & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
         & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def observed(df: DataFrame, name: str = "ingest") -> tuple[DataFrame, Observation]:

@@ -257,3 +257,75 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     }
     assert brows[("a", "2024-01-01 10:00:00")] == 4  # straggler included
     assert brows[("z", "2024-01-01 13:00:00")] == 1
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer stream-stream join contract: an unmatched left event emits
+    exactly once, with null right columns, and only AFTER the global
+    watermark passes its join horizon (before that the engine cannot rule
+    out a future match)."""
+    from agf_data_ingestion_spark.streaming.windowed import interval_join
+
+    vsrc, csrc = str(tmp_path / "views_o"), str(tmp_path / "clicks_o")
+    chk, out_dir = str(tmp_path / "chk_oj"), str(tmp_path / "out_oj")
+    _write(vsrc, "v1.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "view", "k": "u1"},
+        {"ts": "2024-01-01 10:00:00", "event_type": "view", "k": "u3"},  # never clicks
+    ])
+    _write(csrc, "c1.json", [
+        {"ts": "2024-01-01 10:05:00", "event_type": "click", "k": "u1"},
+    ])
+
+    def read(src):
+        return (
+            spark.readStream.schema(SCHEMA).json(src)
+            .select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        )
+
+    def run_round():
+        joined = interval_join(
+            read(vsrc), read(csrc), key="k",
+            max_delay="15 minutes", watermark="10 minutes", how="left_outer",
+        ).select(
+            F.col("l.k").alias("k"),
+            F.col("l.ts").alias("view_ts"),
+            F.col("r.ts").alias("click_ts"),
+        )
+
+        def sink(batch, batch_id):
+            if batch.count():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    got1 = sorted(
+        (r["k"], str(r["click_ts"]))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # inner match emits; the unmatched u3 must NOT have emitted yet
+    assert got1 == [("u1", "2024-01-01 10:05:00")]
+
+    # advance the watermark on BOTH inputs (global watermark = min) far
+    # past u3's join horizon -> the definitive null row emits
+    _write(vsrc, "v2.json", [
+        {"ts": "2024-01-01 13:00:00", "event_type": "view", "k": "zz"},
+    ])
+    _write(csrc, "c2.json", [
+        {"ts": "2024-01-01 13:00:00", "event_type": "click", "k": "zz"},
+    ])
+    run_round()
+    got2 = sorted(
+        (r["k"], str(r["click_ts"]))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert ("u3", "None") in got2
+    assert got2.count(("u3", "None")) == 1  # exactly once
+    assert ("u1", "2024-01-01 10:05:00") in got2
