@@ -263,13 +263,23 @@ def snapshot_read(
     # below returns its (provably empty) matching subset
     paths = [f["path"] for f in kept] or [m["files"][0]["path"]]
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cond = _where_condition(df, where)
+    return df.filter(cond) if cond is not None else df
+
+
+def _where_condition(df: DataFrame, where: list[tuple] | None):
+    """ANDed Column for ``(col, op, value)`` triples, or None when empty —
+    the exact residual twin of the manifest-stat pruning (timestamp/date
+    columns compare as ISO strings, the domain the stats are stored in)."""
+    from pyspark.sql import functions as F
+
+    cond = None
     for col, op, value in where or []:
         c = F.col(col)
-        # timestamp/date stats are ISO strings; compare in the same domain
         v = F.lit(value)
         if dict(df.dtypes).get(col) in ("timestamp", "date"):
             c = c.cast("string")
-        cond = {
+        clause = {
             ">=": c >= v,
             ">": c > v,
             "<=": c <= v,
@@ -277,8 +287,8 @@ def snapshot_read(
             "==": c == v,
             "=": c == v,
         }[op]
-        df = df.filter(cond)
-    return df
+        cond = clause if cond is None else (cond & clause)
+    return cond
 
 
 def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
@@ -306,6 +316,49 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
             return parent
         new_files = _write_data_files(fresh, table)
         return _commit(table, read_manifest(table)["files"] + new_files, parent, "upsert")
+
+
+def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
+    """Copy-on-write predicate DELETE as one atomic commit — the
+    right-to-be-forgotten primitive a training-data lake cannot ship
+    without.  ``where`` is the same ANDed ``(col, op, value)`` triple form
+    as ``snapshot_read``; rows matching ALL triples are removed.
+
+    Scale shape: the manifest stats decide which files COULD contain a
+    matching row (``plan_files``); every other file is carried into the
+    new version untouched — at 100 TB a clustered delete rewrites the
+    handful of overlapping files, never the table (this is why Z-order
+    compaction and stats-skipping pay off at the writer too, not just the
+    reader).  Old versions still reference the pre-delete files: time
+    travel sees the data until ``expire_snapshots`` drops it — run expiry
+    to make a deletion PHYSICAL, exactly the Iceberg/Delta operational
+    model.
+    """
+    if not where:
+        raise ValueError("snapshot_delete requires a non-empty predicate")
+    import pyarrow.parquet as pq
+
+    with table_lock(table):
+        parent = current_version(table)
+        m = read_manifest(table)
+        touched = plan_files(table, where=where)
+        touched_paths = {f["path"] for f in touched}
+        untouched = [f for f in m["files"] if f["path"] not in touched_paths]
+        new_files = []
+        if touched:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(touched_paths)
+            )
+            survivors = df.filter(~_where_condition(df, where))
+            written = _write_data_files(survivors, table)
+            # an all-deleted rewrite leaves empty part files — keep the
+            # manifest free of them (cheap footer check, no data read)
+            new_files = [
+                f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+            ]
+        if not new_files and not touched:
+            return parent  # stats prove nothing matched: no-op, no commit
+        return _commit(table, untouched + new_files, parent, "delete")
 
 
 def snapshot_compact(

@@ -318,3 +318,48 @@ def test_zorder_compaction_enables_stat_pruning(spark, tmp_path):
         lo = min(f["stats"]["zkey"][0] for f in files)
         planned = plan_files(tbl, where=[("zkey", "<=", lo)])
         assert len(planned) < len(files)
+
+
+def test_snapshot_delete_copy_on_write(spark, tmp_path):
+    """Predicate DELETE: matching rows gone from the new version, history
+    intact, files whose stats exclude the predicate carried over UNTOUCHED
+    (copy-on-write rewrites only overlapping files), stats-proven no-op
+    deletes commit nothing."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = str(tmp_path / "del_tbl")
+    lo = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    hi = spark.range(100, 200).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    v1 = snapshot_write(lo.coalesce(1), tbl)
+    v2 = snapshot_write(hi.coalesce(1), tbl)
+    hi_paths = {
+        f["path"]
+        for f in read_manifest(tbl, v2)["files"]
+        if f["stats"]["k"][0] >= 100
+    }
+    assert hi_paths, "the second commit's files must carry k >= 100 stats"
+
+    v3 = snapshot_delete(spark, tbl, [("k", "<", 50)])
+    assert v3 == 3 and current_version(tbl) == 3
+    got = sorted(r["k"] for r in snapshot_read(spark, tbl).collect())
+    assert got == list(range(50, 200))
+    # history unaffected (physical removal is expiry's job)
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl, version=v2).collect()) == list(range(200))
+    # copy-on-write: the non-overlapping files were reused verbatim
+    new_paths = {f["path"] for f in read_manifest(tbl, v3)["files"]}
+    assert hi_paths <= new_paths
+    # the rewritten file(s) are new paths, not edits of old ones
+    lo_paths = {f["path"] for f in read_manifest(tbl, v2)["files"]} - hi_paths
+    assert not (lo_paths & new_paths)
+
+    # stats prove no file overlaps -> no-op, version unchanged
+    assert snapshot_delete(spark, tbl, [("k", ">", 10_000)]) == v3
+    assert current_version(tbl) == v3
+
+    # delete everything that remains in the low file: empty rewrite leaves
+    # no empty part files in the manifest
+    v4 = snapshot_delete(spark, tbl, [("k", "<", 100)])
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == list(range(100, 200))
+    assert all(
+        f["stats"]["k"][0] >= 100 for f in read_manifest(tbl, v4)["files"]
+    )
