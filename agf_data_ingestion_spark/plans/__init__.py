@@ -115,6 +115,8 @@ _PRIORITY = [
     "events_countmin_err",
     "docs_editdist_neardup",
     "events_value_corr",
+    "orders_profile",
+    "emb_semdedup",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

