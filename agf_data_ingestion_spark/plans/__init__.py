@@ -117,6 +117,7 @@ _PRIORITY = [
     "events_value_corr",
     "orders_profile",
     "emb_semdedup",
+    "events_pit_enrich",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -631,6 +631,98 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal-validity) join — the feature-store
+    correctness primitive: each 'click' fact is enriched with the
+    dimension state that was valid AT its event time, never a later one
+    (no feature leakage).  The dimension is a Type-2 history of each
+    user's spending band (low/mid/high by event value) built with the
+    shared SCD2 builder; the join predicate is the half-open interval
+    ``valid_from ≤ ts < valid_to`` (open current row ⇒ no upper bound),
+    which matches EXACTLY ONE version per fact because consecutive
+    intervals tile the user's timeline.
+
+    Scale shape: both sides key on user_id — one co-keyed shuffle join
+    with the interval test as a residual; the dimension side is rows per
+    user per CHANGE (≪ events).  As-of joins (events_asof_click) answer
+    "latest before"; this answers "valid during" — the SCD2 twin."""
+    from agf_data_ingestion_spark.operators.scd2 import scd2_intervals
+
+    e = t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 100.0, F.lit("low"))
+        .when(F.col("value") < 300.0, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    dim = scd2_intervals(e.withColumn("event_type", band)).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("band"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    facts = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    cond = (
+        (facts.user_id == dim.d_user)
+        & (dim.valid_from <= facts.ts_us)
+        & (dim.valid_to.isNull() | (facts.ts_us < dim.valid_to))
+    )
+    return (
+        facts.join(dim.hint("shuffle_hash"), cond)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "band",
+            F.col("version").alias("band_version"),
+            F.col("valid_from").alias("band_since_us"),
+        )
+    )
+
+
+_PIT_SQL = """
+WITH banded AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN value < 100.0 THEN 'low'
+              WHEN value < 300.0 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM events
+),
+d AS (
+  SELECT user_id, band, ts_us, event_id,
+         CASE WHEN lag(band) OVER w IS NULL
+                OR band <> lag(band) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM banded
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+v AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM d
+),
+runs AS (
+  SELECT user_id, band, ts_us AS valid_from, version
+  FROM v WHERE chg = 1
+),
+dim AS (
+  SELECT user_id, band, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+         CAST(version AS BIGINT) AS version
+  FROM runs
+)
+SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us, m.band,
+       m.version AS band_version, m.valid_from AS band_since_us
+FROM events f
+JOIN dim m ON f.user_id = m.user_id
+          AND m.valid_from <= epoch_us(f.ts)
+          AND (m.valid_to IS NULL OR epoch_us(f.ts) < m.valid_to)
+WHERE f.event_type = 'click'
+"""
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -664,6 +756,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
     "events_scd2_intervals": QuerySpec(
         events_scd2_intervals, _SCD2_SQL, ("OP-X-SCD2", "OP-X-WINFRAME")
+    ),
+    "events_pit_enrich": QuerySpec(
+        events_pit_enrich, _PIT_SQL, ("OP-X-PIT", "OP-X-SCD2", "OP-X-RANGE")
     ),
     "events_asof_next_purchase": QuerySpec(
         events_asof_next_purchase, _ASOF_FWD_SQL, ("OP-X-ASOF",)

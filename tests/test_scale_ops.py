@@ -109,3 +109,24 @@ def test_semdedup_survivors_have_no_close_pair(spark):
                 # strict float check is the oracle's job; allow an epsilon
                 # here since this recomputation is plain numpy
                 assert cos(a, b) < _SD_TAU + 1e-9, (a, b)
+
+
+def test_pit_enrich_matches_exactly_one_version_per_fact(spark):
+    """Temporal-validity law: the SCD2 intervals tile each user's timeline,
+    so every click fact matches exactly one dimension version, and the
+    matched band equals the band of that user's latest event at-or-before
+    the click."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.plans.windows import events_pit_enrich
+
+    enriched = events_pit_enrich(spark, SF_SMOKE)
+    n_clicks = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert enriched.count() == n_clicks
+    assert enriched.select("event_id").distinct().count() == n_clicks
+    # the regime never starts after the fact it annotates
+    assert enriched.filter(F.col("band_since_us") > F.col("ts_us")).count() == 0
