@@ -118,6 +118,7 @@ _PRIORITY = [
     "orders_profile",
     "emb_semdedup",
     "events_pit_enrich",
+    "events_gap_fill",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

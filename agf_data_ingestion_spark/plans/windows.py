@@ -723,6 +723,90 @@ WHERE f.event_type = 'click'
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill — the densification pass
+    feature pipelines run before windowed models: each user's daily
+    activity series is made DENSE from their first to their last active
+    day (``sequence`` + explode — no calendar table, no driver loop),
+    missing days get additive identities (0 events, 0.0 value), and the
+    day's closing event_type is carried forward across gaps with
+    ``last(..., ignorenulls=True)`` over the per-user day order.
+
+    Determinism: "closing" event per day = max (ts_us, event_id) via a
+    row_number window (unique tiebreak); value sums are decimal-cast;
+    days render as strings (DATE comparison domains differ across
+    engines).  Scale shape: one (user_id, day) aggregation, one
+    per-user sequence explode (output rows bounded by user lifespan),
+    one (user_id) window — every stage keys on user_id so a single
+    partitioning serves the chain."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    w_last = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    daily = (
+        e.select("user_id", day.alias("day"), "ts_us", "event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("value_sum"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("closing_type"),
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = dense.join(daily, ["user_id", "day"], "left")
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        F.last("closing_type", ignorenulls=True).over(w_ff).alias("carried_type"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS closing_type
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+dense AS (
+  SELECT s.user_id, CAST(g.day AS DATE) AS day
+  FROM span s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(day)
+)
+SELECT d.user_id, CAST(d.day AS VARCHAR) AS day,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.value_sum, 0.0) AS value_sum,
+       last_value(a.closing_type IGNORE NULLS) OVER (
+         PARTITION BY d.user_id ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type,
+       a.n_events IS NULL AS is_gap
+FROM dense d LEFT JOIN daily a ON d.user_id = a.user_id AND d.day = a.day
+"""
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -759,6 +843,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_pit_enrich": QuerySpec(
         events_pit_enrich, _PIT_SQL, ("OP-X-PIT", "OP-X-SCD2", "OP-X-RANGE")
+    ),
+    "events_gap_fill": QuerySpec(
+        events_gap_fill, _GAP_FILL_SQL, ("OP-X-GAPFILL", "OP-X-WINFRAME", "OP-DATE-FMT")
     ),
     "events_asof_next_purchase": QuerySpec(
         events_asof_next_purchase, _ASOF_FWD_SQL, ("OP-X-ASOF",)
