@@ -54,3 +54,30 @@ def test_spans_reconstruct_source_slices():
         for idx, start, end, sent in _sentence_spans_impl(text):
             assert text[start:end].strip() == sent
             assert 0 <= start < end <= len(text)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" .!?abcdef", max_size=80))
+def test_span_laws_fuzz(text):
+    """Fuzzed invariants of the segmentation: spans are in-order and
+    non-overlapping, indices are valid, every non-space non-terminator
+    character of the input is covered by exactly one span, and sentence
+    text reconstructs from the original string."""
+    spans = list(_sentence_spans_impl(text))
+    prev_end = -1
+    covered = set()
+    for idx, (i, start, end, sent) in enumerate(spans):
+        assert i == idx
+        assert 0 <= start < end <= len(text)
+        assert start > prev_end or idx == 0 or start >= prev_end
+        assert text[start:end].strip() == sent
+        assert sent != ""
+        prev_end = end
+        covered.update(range(start, end))
+    for pos, ch in enumerate(text):
+        if ch not in " .!?":
+            assert pos in covered, (pos, ch, spans)
