@@ -23,6 +23,10 @@ TEST_COVERED = {
         "functions/udtfs.py (Spark 4 Python UDTF: sentence segmentation with source offsets, LATERAL join shape, lazy handle; JVM-native twin is the production path)",
         "tests/test_udtf.py (UDTF ≡ native twin on corpus + adversarial edge cases; span-offset reconstruction)",
     ),
+    "OP-X-MV": (
+        "operators/mv.py (incremental materialized-view maintenance: CDC-delta aggregation with sign, decimal-exact keyed merge, bookmark rides the atomic view commit)",
+        "tests/test_mv.py (incremental == full recompute across appends + deletes; zero-count group drop; idempotent no-op refresh)",
+    ),
     "OP-X-TWS": (
         "streaming/tws_kmv.py (Spark 4 transformWithStateInPandas: per-group KMV in engine-managed RocksDB ListState; JVM-side md5 hash prep)",
         "tests/test_tws_kmv.py (processor merge logic vs batch estimator; e2e stream gated on protobuf availability)",

@@ -1,0 +1,85 @@
+"""Incremental materialized-view maintenance (operators/mv.py): after any
+sequence of fact appends and deletes, the incrementally-maintained view
+must equal a full recompute — exactly, because measures are decimal —
+and refresh must be idempotent when nothing changed."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.operators.mv import mv_last_applied, mv_read, mv_refresh
+from agf_data_ingestion_spark.sources.snapshots import (
+    current_version,
+    snapshot_delete,
+    snapshot_write,
+)
+
+
+def _recompute(spark, fact):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    return {
+        (r["g"], r["_cnt"], r["val_sum"])
+        for r in snapshot_read(spark, fact)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("v").cast("decimal(25,6)")).cast("decimal(25,6)").alias("val_sum"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, mv):
+    return {(r["g"], r["_cnt"], r["val_sum"]) for r in mv_read(spark, mv).collect()}
+
+
+def test_mv_incremental_equals_recompute(spark, tmp_path):
+    fact, mv = str(tmp_path / "fact"), str(tmp_path / "mv")
+
+    rows1 = [(i, f"g{i % 3}", float(i) + 0.25) for i in range(30)]
+    snapshot_write(
+        spark.createDataFrame(rows1, "k long, g string, v double").coalesce(1), fact
+    )
+    v = mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    assert v == 1 and mv_last_applied(mv) == 1
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+    # append a second commit — refresh applies ONLY the delta
+    rows2 = [(100 + i, f"g{i % 4}", 1000.0 + i) for i in range(20)]
+    snapshot_write(
+        spark.createDataFrame(rows2, "k long, g string, v double").coalesce(1), fact
+    )
+    v = mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    assert v == 2 and mv_last_applied(mv) == 2
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+    # delete a slice — CDC deletes subtract EXACTLY (decimal, not float)
+    snapshot_delete(spark, fact, [("k", "<", 10)])
+    v = mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    assert v == 3
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+    # nothing changed: refresh is a no-op, the view's history is untouched
+    mv_ver = current_version(mv)
+    assert mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"}) == 3
+    assert current_version(mv) == mv_ver
+
+
+def test_mv_drops_groups_that_reach_zero(spark, tmp_path):
+    fact, mv = str(tmp_path / "fact0"), str(tmp_path / "mv0")
+    rows = [(1, "only", Decimal("2.5")), (2, "keep", Decimal("1.0"))]
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, g, float(x)) for k, g, x in rows], "k long, g string, v double"
+        ).coalesce(1),
+        fact,
+    )
+    mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    snapshot_delete(spark, fact, [("k", "<", 2)])  # removes group 'only' entirely
+    mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    got = _view(spark, mv)
+    assert {g for g, _, _ in got} == {"keep"}
+    assert _view(spark, mv) == _recompute(spark, fact)
