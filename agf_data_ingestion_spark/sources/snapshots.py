@@ -413,14 +413,33 @@ def snapshot_diff(
     difference (``exceptAll``) each way and needs no change-tracking
     metadata at write time.
 
-    Scale shape: one hash shuffle per side; for append-only tables the two
-    file lists overlap almost entirely and a smarter planner would scan
-    only the file-list delta — noted as the optimization, the semantics
-    here are the contract."""
-    old = snapshot_read(spark, table, version=v_from)
-    new = snapshot_read(spark, table, version=v_to)
+    Scale shape: the exceptAll runs over ONLY the file-list delta — files
+    present in both manifests contribute identical row multisets to both
+    sides and therefore cancel, so skipping them provably cannot change
+    the result.  An append of 1 GB to a 100 TB table diffs 1 GB; a
+    compaction (same rows, new files) diffs the rewritten slice and nets
+    to zero rows."""
     from pyspark.sql import functions as F
 
+    mf = read_manifest(table, v_from)
+    mt = read_manifest(table, v_to)
+    pf = {f["path"] for f in mf["files"]}
+    pt = {f["path"] for f in mt["files"]}
+    only_old = sorted(pf - pt)
+    only_new = sorted(pt - pf)
+    schema_hint = sorted(pf | pt)
+    if not schema_hint:
+        raise NoSuchVersionError(f"{table}: both versions have no data files")
+
+    def _read(paths):
+        if paths:
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*schema_hint).limit(0)
+
+    old = _read(only_old)
+    new = _read(only_new)
+    if set(old.columns) == set(new.columns) and old.columns != new.columns:
+        new = new.select(*old.columns)  # mergeSchema order can differ per side
     inserted = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deleted = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return inserted.unionByName(deleted)

@@ -363,3 +363,25 @@ def test_snapshot_delete_copy_on_write(spark, tmp_path):
     assert all(
         f["stats"]["k"][0] >= 100 for f in read_manifest(tbl, v4)["files"]
     )
+
+
+def test_snapshot_diff_scans_only_file_delta(spark, tmp_path):
+    """CDC over the file-list delta: an append's diff is exactly its rows,
+    and a compaction (same rows, new files) nets to ZERO changes — both
+    provable because unchanged files cancel in the multiset difference."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "cdc_tbl")
+    snapshot_write(
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v").coalesce(4), tbl
+    )
+    snapshot_write(
+        spark.range(50, 60).selectExpr("id AS k", "id * 2 AS v").coalesce(1), tbl
+    )
+    d12 = snapshot_diff(spark, tbl, v_from=1, v_to=2)
+    rows = [(r["k"], r["_change"]) for r in d12.collect()]
+    assert sorted(rows) == [(k, "insert") for k in range(50, 60)]
+
+    v3 = snapshot_compact(spark, tbl, small_bytes=1 << 30)  # force full rewrite
+    assert v3 == 3
+    assert snapshot_diff(spark, tbl, v_from=2, v_to=3).count() == 0
