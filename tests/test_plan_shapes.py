@@ -160,3 +160,36 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_profile_scans_column_prune_and_avoid_expand(spark):
+    # per-column branches: each scan reads exactly ONE column, and the
+    # multi-distinct Expand/global-SortAggregate shape must not return
+    # (r3 rewrite: 5x; SCALE.md "Late round-3 additions")
+    plan = _plan(spark, "orders_profile")
+    assert "Expand" not in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_pit_enrich_never_broadcasts_and_keys_on_user(spark):
+    # dimension side is corpus-derived (per-user change history) — must
+    # stay a shuffle join with the interval test as residual
+    plan = _plan(spark, "events_pit_enrich")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_bloom_broadcasts_filter_not_corpus(spark):
+    # exactly one broadcast join, and its build side is the 2048-row words
+    # table (the filter) — the corpus side is probed map-side
+    plan = _plan(spark, "docs_bloom_contamination")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "BuildRight" in plan, plan
+
+
+def test_gap_fill_has_no_cartesian(spark):
+    plan = _plan(spark, "events_gap_fill")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
