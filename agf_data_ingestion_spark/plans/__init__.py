@@ -119,6 +119,7 @@ _PRIORITY = [
     "emb_semdedup",
     "events_pit_enrich",
     "events_gap_fill",
+    "emb_hard_negatives",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

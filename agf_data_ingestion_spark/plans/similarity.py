@@ -293,6 +293,73 @@ SELECT vec_a, vec_b, label, cosine FROM pairs WHERE cosine >= 0.35
 """
 
 
+_NEG_K = 4
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    top-``{k}`` most-similar vectors with a DIFFERENT label — the
+    near-miss negatives that sharpen a contrastive objective (uniform
+    random negatives are mostly trivial; the hard ones live at the
+    decision boundary).  Anchors are the standard query slice.
+
+    Scale shape: identical to the brute-force cosine baseline — anchors
+    filter-then-broadcast, the corpus is scanned map-only, and the
+    per-anchor top-k is a WindowGroupLimit (map-side truncation), so the
+    label-inequality residual adds zero extra shuffle.  At 10⁹ vectors
+    swap the scan for the LSH/IVF candidate generators (same downstream
+    ranking); the label predicate composes with any of them.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("emb_n"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("norm_n"),
+    )
+    anchors = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("emb_q"),
+        F.sqrt(_sq_norm(F.col("embedding"))).alias("norm_q"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("norm_q") * F.col("norm_n"))
+    scored = (
+        corpus.join(F.broadcast(anchors))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select("anchor_id", "neg_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _NEG_K)
+        .select("anchor_id", "neg_id", "rank", "cosine")
+    )
+
+
+emb_hard_negatives.__doc__ = emb_hard_negatives.__doc__.format(k=_NEG_K)
+
+
+_HARD_NEG_SQL = f"""
+WITH norms AS (
+  SELECT vec_id, sqrt({_o_dot('embedding', 'embedding')}) AS nrm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+         {_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm) AS cosine
+  FROM embeddings q
+  JOIN embeddings c ON c.label != q.label
+  JOIN norms nq ON q.vec_id = nq.vec_id
+  JOIN norms nc ON c.vec_id = nc.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_NEG_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup via cluster-blocked cosine (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
@@ -865,6 +932,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_semdedup": QuerySpec(emb_semdedup, _SEMDEDUP_SQL, ("OP-X-SEMDEDUP", "OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
+    "emb_hard_negatives": QuerySpec(emb_hard_negatives, _HARD_NEG_SQL, ("OP-X-NEGSAMPLE", "OP-X-SIM-TOPK")),
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, _ANN_LSH_SQL, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
