@@ -120,6 +120,7 @@ _PRIORITY = [
     "events_pit_enrich",
     "events_gap_fill",
     "emb_hard_negatives",
+    "docs_epoch_order",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -130,6 +130,53 @@ GROUP BY split, source
 
 
 # ---------------------------------------------------------------------------
+# Epoch shuffle (OP-X-SHUFFLE): the data-loader permutation as a query
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+
+
+def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: each epoch is an
+    independent pseudo-random permutation of the corpus, derived from
+    ``md5(epoch:doc_id)`` — reproducible on any cluster, resumable from
+    any position (seek = filter on position), and epochs are mutually
+    decorrelated without any state carried between them.  This is the
+    data-loader shuffle expressed as a query: at 100 TB you materialize
+    (epoch, position, doc_id) once and every trainer rank reads its
+    stripe — no shared-memory shuffle buffer, no coordination.
+
+    One window sort per epoch over (hash) — the engine executes the
+    explode+window as a single ranged shuffle per epoch; ties are
+    impossible (md5 collisions aside) so the order is total.
+    """
+    d = t(spark, sf_dir, "documents")
+    epochs = F.explode(F.array(*[F.lit(i) for i in range(_EPOCHS)])).alias("epoch")
+    h = F.substring(
+        F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))),
+        1,
+        16,
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", epochs)
+        .withColumn("h", h)
+        .withColumn("position", F.row_number().over(w).cast("long") - 1)
+        .select(F.col("epoch").cast("long").alias("epoch"), "position", "doc_id")
+    )
+
+
+_EPOCH_ORDER_SQL = f"""
+SELECT epoch, CAST(row_number() OVER (
+         PARTITION BY epoch
+         ORDER BY substr(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 16),
+                  doc_id) AS BIGINT) - 1 AS position,
+       doc_id
+FROM documents, unnest(range(0, {_EPOCHS})) AS u(epoch)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token-budget packing (OP-X-PACK): bin documents into ~fixed token budgets
 # ---------------------------------------------------------------------------
 
@@ -1017,6 +1064,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
     "docs_repetition_stats": QuerySpec(
         docs_repetition_stats, _REPETITION_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")
+    ),
+    "docs_epoch_order": QuerySpec(
+        docs_epoch_order, _EPOCH_ORDER_SQL, ("OP-X-SHUFFLE", "OP-X-SAMPLE")
     ),
     "docs_dataset_split": QuerySpec(
         docs_dataset_split, _SPLIT_SQL, ("OP-X-SPLIT", "OP-X-SAMPLE")
