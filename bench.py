@@ -147,6 +147,9 @@ def main() -> None:
         "emb_ann_lsh_topk",
         "emb_sq_adc_topk",
         "docs_incremental_neardup",
+        "docs_bloom_contamination",
+        "emb_semdedup",
+        "events_pit_enrich",
         "ingest_backfill_180",
         "reconcile_60k_keys",
     ]
