@@ -90,3 +90,21 @@ def test_oracle_parity(spark, duck, name):
     assert len(sdf) == len(ddf)
     assert sorted(sdf.columns) == sorted(ddf.columns)
     pd.testing.assert_frame_equal(_canon(sdf), _canon(ddf))
+
+
+def test_oracles_contain_no_nondeterministic_constructs():
+    """Static lint: every oracle must avoid engine-varying functions —
+    rand/now/current_*/ln/exp and engine hash() (md5 is the only
+    sanctioned hash; see plans/base.py determinism rules)."""
+    import re
+
+    from agf_data_ingestion_spark.plans import QUERIES
+
+    banned = re.compile(
+        r"\b(rand|random|now|current_timestamp|current_date|ln|exp|log|log2|log10|hash)\s*\(",
+        re.IGNORECASE,
+    )
+    for name, spec in QUERIES.items():
+        if spec.oracle:
+            m = banned.search(spec.oracle)
+            assert m is None, (name, m.group(0))
