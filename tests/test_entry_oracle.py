@@ -108,3 +108,37 @@ def test_oracles_contain_no_nondeterministic_constructs():
         if spec.oracle:
             m = banned.search(spec.oracle)
             assert m is None, (name, m.group(0))
+
+
+def test_canon_compare_is_order_insensitive_and_ulp_strict():
+    """Harness sanity: the driver-replica comparator must ignore row order
+    and column order but catch a SINGLE-ULP float drift — the strictness
+    the whole determinism toolkit is built against."""
+    import importlib.util
+    import math
+    import os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.5], "k": [1, 2, 3]})
+    shuffled = a.iloc[::-1].reset_index(drop=True)[["k", "x"]]
+    assert mod._canon(a).equals(mod._canon(shuffled))
+
+    drift = a.copy()
+    drift.loc[1, "x"] = math.nextafter(2.0, 3.0)  # one ulp
+    assert not mod._canon(a).equals(mod._canon(drift))
+
+    nulled = a.copy().astype({"x": "float64"})
+    nulled.loc[2, "x"] = float("nan")
+    assert not mod._canon(a).equals(mod._canon(nulled))
