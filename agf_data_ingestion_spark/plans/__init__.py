@@ -121,6 +121,7 @@ _PRIORITY = [
     "events_gap_fill",
     "emb_hard_negatives",
     "docs_epoch_order",
+    "graph_triangles",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -58,6 +58,47 @@ _PR_ITERS = 8
 _EDGE_FORMULAS = ((7, 3, None), (13, 5, None), (31, 11, 3))
 
 
+def _synthetic_edges(d: DataFrame, n: int) -> DataFrame:
+    """The deterministic modular-arithmetic link graph shared by the graph
+    queries (stands in for a crawl's hyperlink table; swap for a real
+    (src, dst) table and nothing downstream changes)."""
+    parts = []
+    for mult, off, modf in _EDGE_FORMULAS:
+        e = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + off) % n).alias("dst"),
+        )
+        if modf is not None:
+            e = e.filter(F.col("src") % modf == 0)
+        parts.append(e)
+    return (
+        parts[0]
+        .union(parts[1])
+        .union(parts[2])
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edges_sql_ctes() -> list[str]:
+    """Shared oracle CTEs: nodes, node count, raw formula edges, distinct
+    directed edges — the SQL twin of :func:`_synthetic_edges`."""
+    e_parts = []
+    for mult, off, modf in _EDGE_FORMULAS:
+        where = f" WHERE node % {modf} = 0" if modf is not None else ""
+        e_parts.append(
+            f"SELECT node AS src, (node*{mult}+{off}) % (SELECT n FROM nn) AS dst"
+            f" FROM nodes{where}"
+        )
+    e_raw = "\n  UNION ALL ".join(e_parts)
+    return [
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"e_raw AS (\n  {e_raw}\n)",
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e_raw WHERE src <> dst)",
+    ]
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (d=0.85) over a deterministic synthetic link graph on
     the documents table, ``_PR_ITERS`` synchronous rounds, ranks as BIGINTs
@@ -68,22 +109,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()  # driver scalar, like a centroid count — O(1)
     base = _PR_SCALE // n
 
-    parts = []
-    for mult, off, modf in _EDGE_FORMULAS:
-        e = d.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + off) % n).alias("dst"),
-        )
-        if modf is not None:
-            e = e.filter(F.col("src") % modf == 0)
-        parts.append(e)
-    edges = (
-        parts[0]
-        .union(parts[1])
-        .union(parts[2])
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _synthetic_edges(d, n)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edge list + outdeg fused once; every round reuses this checkpointed table
     ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
@@ -123,20 +149,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql() -> str:
-    e_parts = []
-    for mult, off, modf in _EDGE_FORMULAS:
-        where = f" WHERE node % {modf} = 0" if modf is not None else ""
-        e_parts.append(
-            f"SELECT node AS src, (node*{mult}+{off}) % (SELECT n FROM nn) AS dst"
-            f" FROM nodes{where}"
-        )
-    e_raw = "\n  UNION ALL ".join(e_parts)
-    ctes = [
-        "nodes AS (SELECT doc_id AS node FROM documents)",
-        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+    ctes = _edges_sql_ctes() + [
         f"bb AS (SELECT {_PR_SCALE} // n AS b FROM nn)",
-        f"e_raw AS (\n  {e_raw}\n)",
-        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e_raw WHERE src <> dst)",
         "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "r0 AS MATERIALIZED (SELECT node, (SELECT b FROM bb) AS rank FROM nodes)",
     ]
@@ -157,6 +171,100 @@ def _pagerank_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}"
     )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the (undirected) link graph: the
+    classic cohesion metric — triangle-dense neighborhoods of a crawl are
+    boilerplate farms / link rings, so per-node triangle participation
+    feeds the same sampling-weight pipeline as PageRank.  Top-10 nodes by
+    participation, with the global triangle count alongside.
+
+    Shape: edges canonicalize to ``u < v`` once, then the standard
+    wedge-close algorithm — one self-join on the shared middle vertex
+    builds wedges (a<b<c by construction), one LEFT-SEMI join against the
+    edge table closes them.  Every join keys on a vertex column of the
+    edge table (corpus-sized → ``shuffle_hash``-pinned, never broadcast);
+    cost is O(Σ deg²) wedges, the textbook bound.  All-integer →
+    order-free, bit-identical to the oracle.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    # the modular formula graph alone is triangle-free — add the 2-ring
+    # (a→a+1, a→a+2), whose consecutive chords close (a, a+1, a+2)
+    # triangles everywhere; PageRank keeps the original edge set, so its
+    # driver-green result is untouched
+    ring = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") + 1) % n).alias("dst")
+    ).union(
+        d.select(F.col("doc_id"), ((F.col("doc_id") + 2) % n))
+    )
+    ue = (
+        _synthetic_edges(d, n)
+        .union(ring.filter(F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed three times below
+    )
+    wedges = (
+        ue.alias("e1")
+        .join(ue.hint("shuffle_hash").alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    tris = wedges.join(
+        ue.hint("shuffle_hash").alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    total = tris.agg(F.count("*").alias("total_triangles"))
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        per_node.join(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(10)
+    )
+
+
+_TRIANGLES_SQL = (
+    "WITH "
+    + ",\n".join(_edges_sql_ctes())
+    + """,
+tedges AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node + 2) % (SELECT n FROM nn) AS dst FROM nodes
+),
+uedges AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM tedges WHERE src <> dst
+),
+tris AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM uedges e1 JOIN uedges e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM uedges e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+pn AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY node
+)
+SELECT node, n_triangles, (SELECT COUNT(*) FROM tris) AS total_triangles
+FROM pn
+ORDER BY n_triangles DESC, node ASC LIMIT 10
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +516,9 @@ def _kmeans_sql() -> str:
 
 QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, _pagerank_sql(), ("OP-X-GRAPH",)),
+    "graph_triangles": QuerySpec(
+        graph_triangles, _TRIANGLES_SQL, ("OP-X-GRAPH", "OP-JOIN-SEMI", "OP-SORT-LIMIT")
+    ),
     "emb_pca_power": QuerySpec(emb_pca_power, _pca_sql(), ("OP-X-PCA", "OP-ARR-SUM")),
     "emb_kmeans_train": QuerySpec(
         emb_kmeans_train, _kmeans_sql(), ("OP-X-KMEANS", "OP-X-SIM-TOPK")
