@@ -26,7 +26,7 @@ de-dupers consume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SENTENCE_SCHEMA = "sent_idx int, start_pos int, end_pos int, sentence string"
@@ -130,11 +130,7 @@ def segment_sentences_native(
         (F.col("start_pos") + F.length(body)).alias("end_pos"),
         sent.alias("sentence"),
     ).filter(F.length("sentence") > 0)
-    w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-            "doc_id"
-        ).orderBy("piece_idx")
-    )
+    w = F.row_number().over(Window.partitionBy("doc_id").orderBy("piece_idx"))
     return out.select(
         "doc_id",
         (w - 1).alias("sent_idx"),

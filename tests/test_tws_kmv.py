@@ -131,15 +131,13 @@ def test_tws_kmv_matches_batch_estimator(spark, tmp_path):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
+    from pyspark.sql import Window
+
     emitted = spark.read.parquet(out)
     last = (
         emitted.withColumn(
             "rn",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                    "grp"
-                ).orderBy(F.desc("batch_id"))
-            ),
+            F.row_number().over(Window.partitionBy("grp").orderBy(F.desc("batch_id"))),
         )
         .filter(F.col("rn") == 1)
         .select("grp", "n_kept", "est")
