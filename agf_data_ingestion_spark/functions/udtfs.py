@@ -35,7 +35,13 @@ SENTENCE_SCHEMA = "sent_idx int, start_pos int, end_pos int, sentence string"
 def _sentence_spans_impl(text: str | None):
     """Split on '.', '!', '?' runs; yield (idx, start, end, sentence) with
     end-exclusive character offsets into the ORIGINAL string.  Pure
-    function of the input → deterministic under any partitioning."""
+    function of the input → deterministic under any partitioning.
+
+    Whitespace contract: only the SPACE character delimits (strip/rstrip
+    are space-only) — tabs/newlines are sentence content.  This matches
+    the native twin exactly (Spark's ``trim`` and the ``' +$'`` regexp
+    are space-only too); an all-whitespace convention would silently
+    diverge row-by-row."""
     if not text:
         return
     n = len(text)
@@ -46,7 +52,7 @@ def _sentence_spans_impl(text: str | None):
         if text[i] in ".!?":
             while i < n and text[i] in ".!?":
                 i += 1
-            sent = text[start:i].strip()
+            sent = text[start:i].strip(" ")
             if sent:
                 yield (idx, start, i, sent)
                 idx += 1
@@ -55,8 +61,8 @@ def _sentence_spans_impl(text: str | None):
             start = i
         else:
             i += 1
-    body = text[start:n].rstrip()
-    sent = body.strip()
+    body = text[start:n].rstrip(" ")
+    sent = body.strip(" ")
     if sent:
         yield (idx, start, start + len(body), sent)
 

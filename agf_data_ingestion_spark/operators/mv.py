@@ -89,29 +89,46 @@ def mv_refresh(
         if v_now == applied:
             return applied
         if applied == 0:
-            base = snapshot_read(spark, fact_table).withColumn("_change", F.lit("insert"))
+            # pin the read to v_now: the fact lock is NOT held here, so a
+            # concurrent fact commit between current_version() and the scan
+            # would otherwise be baked into the view yet re-applied as a
+            # delta on the next refresh (double count)
+            base = snapshot_read(spark, fact_table, version=v_now).withColumn(
+                "_change", F.lit("insert")
+            )
             merged = _delta_agg(base, group_cols, measures)
         else:
             delta = snapshot_diff(spark, fact_table, v_from=applied, v_to=v_now)
             d = _delta_agg(delta, group_cols, measures)
             cur = snapshot_read(spark, mv_table)
-            on = group_cols
             cur_r = cur.select(
-                *on,
+                *[F.col(k).alias(f"{k}_a") for k in group_cols],
                 F.col("_cnt").alias("_cnt_a"),
                 *[F.col(m).alias(f"{m}_a") for m in measures],
             )
             d_r = d.select(
-                *on,
+                *[F.col(k).alias(f"{k}_b") for k in group_cols],
                 F.col("_cnt").alias("_cnt_b"),
                 *[F.col(m).alias(f"{m}_b") for m in measures],
             )
+            # NULL group keys are legitimate group values: join null-safely
+            # (a USING join never equates NULL with NULL, which would leave
+            # NULL-group rows unmerged forever)
+            on_cond = None
+            for k in group_cols:
+                clause = F.col(f"{k}_a").eqNullSafe(F.col(f"{k}_b"))
+                on_cond = clause if on_cond is None else (on_cond & clause)
             zero_l = F.lit(0).cast("long")
             zero_d = F.lit(0).cast(_DEC)
             merged = (
-                cur_r.join(d_r, on, "full_outer")
+                cur_r.join(d_r, on_cond, "full_outer")
                 .select(
-                    *on,
+                    *[
+                        F.when(F.col("_cnt_a").isNotNull(), F.col(f"{k}_a"))
+                        .otherwise(F.col(f"{k}_b"))
+                        .alias(k)
+                        for k in group_cols
+                    ],
                     (
                         F.coalesce("_cnt_a", zero_l) + F.coalesce("_cnt_b", zero_l)
                     ).alias("_cnt"),

@@ -17,9 +17,13 @@ branch's parquet scan reads exactly one column.
 
 Determinism: bounds aggregate on the NATIVE column (numeric/temporal
 ordering, never lexicographic) and only the 1-row result is rendered to
-string; float columns render through DECIMAL(25,6) — the one
-float→string path both engines format identically (bare double→string
-differs: Java's Double.toString vs DuckDB's shortest-round-trip).
+string.  Float bounds render via ``floor(x·10⁶)`` integer formatting —
+multiply and floor are the same IEEE ops everywhere, so the text is
+bit-identical BY CONSTRUCTION.  (A DECIMAL(25,6) cast is NOT safe here:
+Spark rounds the shortest round-trip string HALF_UP while DuckDB rounds
+the exact binary expansion, and values sitting a hair under an
+``x.xxxxxx5`` boundary render differently — e.g. 71915.2015645 →
+'71915.201565' vs '71915.201564'.  Bare double→string differs too.)
 
 Reference mapping: generalizes the verification counts the reference's
 deploy script runs against its three tables (DEPLOY_NOW.sh item-count
@@ -34,39 +38,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _render_double_sql(col: str) -> str:
+    """floor(x·10⁶) rendered as '<int>.<6 digits>' — every step (IEEE
+    multiply, floor, truncating DIV/%, lpad) is engine-identical; the
+    DuckDB oracle twin uses the same expression with ``//``."""
+    s = f"CAST(floor(CAST({col} AS DOUBLE) * 1000000.0) AS BIGINT)"
+    return (
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) ELSE "
+        f"concat(CASE WHEN ({s}) < 0 THEN '-' ELSE '' END, "
+        f"CAST(abs({s}) DIV 1000000 AS STRING), '.', "
+        f"lpad(CAST(abs({s}) % 1000000 AS STRING), 6, '0')) END"
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value) for
     each requested column (default: all)."""
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
 
-    def render(c, expr):
-        if dtypes[c] in ("double", "float"):
-            expr = expr.cast("decimal(25,6)")
-        return expr.cast("string")
-
     parts = []
     for c in cols:
+        is_float = dtypes[c] in ("double", "float")
         grouped = df.groupBy(F.col(c).alias("_k")).agg(
             F.count(F.lit(1)).alias("_cnt")
         )
+        stats = grouped.agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), F.col("_cnt"))),
+                F.lit(0).cast("long"),
+            ).alias("n_nulls"),
+            F.count("_k").alias("n_distinct"),
+            F.min("_k").alias("_min_raw"),
+            F.max("_k").alias("_max_raw"),
+        )
+        if is_float:
+            mn = F.expr(_render_double_sql("_min_raw"))
+            mx = F.expr(_render_double_sql("_max_raw"))
+        else:
+            mn, mx = F.col("_min_raw").cast("string"), F.col("_max_raw").cast("string")
         parts.append(
-            grouped.agg(
-                F.sum("_cnt").alias("n_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("_k").isNull(), F.col("_cnt"))),
-                    F.lit(0).cast("long"),
-                ).alias("n_nulls"),
-                F.count("_k").alias("n_distinct"),
-                render(c, F.min("_k")).alias("min_value"),
-                render(c, F.max("_k")).alias("max_value"),
-            ).select(
+            stats.select(
                 F.lit(c).alias("col_name"),
                 "n_rows",
                 "n_nulls",
                 "n_distinct",
-                "min_value",
-                "max_value",
+                mn.alias("min_value"),
+                mx.alias("max_value"),
             )
         )
     return reduce(DataFrame.unionByName, parts)

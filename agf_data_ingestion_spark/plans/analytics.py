@@ -815,6 +815,19 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def _profile_render_double(col: str) -> str:
+    """DuckDB twin of operators/profile.py ``_render_double_sql`` —
+    floor(x·10⁶) integer formatting, never a DECIMAL cast (Spark and
+    DuckDB round double→DECIMAL differently at x.xxxxxx5 boundaries)."""
+    s = f"CAST(floor(CAST({col} AS DOUBLE) * 1000000.0) AS BIGINT)"
+    return (
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS VARCHAR) ELSE "
+        f"(CASE WHEN ({s}) < 0 THEN '-' ELSE '' END) || "
+        f"CAST((abs({s}) // 1000000) AS VARCHAR) || '.' || "
+        f"lpad(CAST((abs({s}) % 1000000) AS VARCHAR), 6, '0') END"
+    )
+
+
 def _profile_sql() -> str:
     cols = {
         "o_orderkey": "int",
@@ -827,8 +840,8 @@ def _profile_sql() -> str:
     parts = []
     for c, kind in cols.items():
         if kind == "float":
-            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(25,6)) AS VARCHAR)"
-            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(25,6)) AS VARCHAR)"
+            mn = _profile_render_double(f"MIN({c})")
+            mx = _profile_render_double(f"MAX({c})")
         else:
             mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
         parts.append(

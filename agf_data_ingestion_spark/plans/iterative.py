@@ -410,8 +410,8 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # construction), every vector computes all K integer distances and
         # takes the argmin in-batch — no crossJoin row blowup, no window
         # shuffle, the corpus is never exchanged.  Integer arithmetic is
-        # order-free, so numpy vectorization is bit-safe here (same rule as
-        # _int_sqdist); np.argmin ties break to the FIRST index = lowest
+        # order-free, so numpy vectorization is bit-safe here (the module's
+        # integer-distance rule); np.argmin ties break to the FIRST index = lowest
         # cell id because rows are ordered by cell.
         cells = sorted(cents)
         cent_mat = np.array([cents[c] for c in cells], dtype=np.int64)

@@ -397,12 +397,16 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane_mat = planes.T  # (dim, bits)
     bit_weights = 1 << np.arange(_SD_BITS)
 
-    @pandas_udf("int")
-    def cell_of(emb: pd.Series) -> pd.Series:
+    # no pd.Series type hints: this module has `from __future__ import
+    # annotations`, under which string hints only resolve by accident
+    # (CLAUDE.md trap) — pass the return type explicitly instead
+    def _cell_fn(emb):
         V = np.vstack(emb.to_numpy())
         codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
         signs = (codes @ plane_mat) >= 0  # exact int64 dots: order-free
         return pd.Series((signs * bit_weights).sum(axis=1).astype(np.int32))
+
+    cell_of = pandas_udf(_cell_fn, "int")
 
     e = t(spark, sf_dir, "embeddings")
     v = e.select(
@@ -520,13 +524,15 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_weights = 1 << np.arange(_ANN_BITS)
     e = t(spark, sf_dir, "embeddings")
 
-    @pandas_udf("array<string>")
-    def table_buckets(emb: pd.Series) -> pd.Series:
+    # explicit returnType, no pd.Series hints (future-annotations trap)
+    def _buckets_fn(emb):
         V = np.vstack(emb.to_numpy())  # (n, dim) float32
         codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
         signs = (codes @ plane_mat) >= 0  # exact int64 dots: order-free
         ints = (signs.reshape(len(V), _ANN_TABLES, _ANN_BITS) * bit_weights).sum(axis=2)
         return pd.Series([[f"{ti}:{row[ti]}" for ti in range(_ANN_TABLES)] for row in ints])
+
+    table_buckets = pandas_udf(_buckets_fn, "array<string>")
 
     v = e.select(
         "vec_id",

@@ -349,7 +349,11 @@ def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
             df = spark.read.option("mergeSchema", "true").parquet(
                 *sorted(touched_paths)
             )
-            survivors = df.filter(~_where_condition(df, where))
+            # DELETE semantics: remove rows where the predicate is TRUE.
+            # A NULL predicate (e.g. a NULL column value) must KEEP the row
+            # — plain ~cond would evaluate NULL and drop it
+            cond = _where_condition(df, where)
+            survivors = df.filter(cond.isNull() | ~cond)
             written = _write_data_files(survivors, table)
             # an all-deleted rewrite leaves empty part files — keep the
             # manifest free of them (cheap footer check, no data read)
@@ -431,13 +435,24 @@ def snapshot_diff(
     if not schema_hint:
         raise NoSuchVersionError(f"{table}: both versions have no data files")
 
-    def _read(paths):
+    def _read(paths, other=None):
         if paths:
             return spark.read.option("mergeSchema", "true").parquet(*paths)
-        return spark.read.option("mergeSchema", "true").parquet(*schema_hint).limit(0)
+        # empty side: take the schema from the populated side (free), or —
+        # only when BOTH sides are empty — from a single file's footer.
+        # Merging footers of every file in both manifests here would cost
+        # O(#files) on each diff and pure appends (the common CDC case)
+        # hit this branch every time.
+        if other is not None:
+            return spark.createDataFrame([], other.schema)
+        return spark.read.parquet(schema_hint[0]).limit(0)
 
-    old = _read(only_old)
-    new = _read(only_new)
+    if only_new:
+        new = _read(only_new)
+        old = _read(only_old, other=new)
+    else:
+        old = _read(only_old)
+        new = _read(only_new, other=old)
     if set(old.columns) == set(new.columns) and old.columns != new.columns:
         new = new.select(*old.columns)  # mergeSchema order can differ per side
     inserted = new.exceptAll(old).withColumn("_change", F.lit("insert"))

@@ -83,3 +83,31 @@ def test_mv_drops_groups_that_reach_zero(spark, tmp_path):
     got = _view(spark, mv)
     assert {g for g, _, _ in got} == {"keep"}
     assert _view(spark, mv) == _recompute(spark, fact)
+
+
+def test_mv_merges_null_group_keys(spark, tmp_path):
+    """NULL is a legitimate group value: incremental deltas must FOLD into
+    the stored NULL-group row (a USING join would never match NULL=NULL
+    and the view would accumulate duplicate NULL rows)."""
+    fact, mv = str(tmp_path / "factn"), str(tmp_path / "mvn")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, None, 1.5), (2, "g", 2.0)], "k long, g string, v double"
+        ).coalesce(1),
+        fact,
+    )
+    mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    snapshot_write(
+        spark.createDataFrame(
+            [(3, None, 3.5), (4, "g", 1.0)], "k long, g string, v double"
+        ).coalesce(1),
+        fact,
+    )
+    mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    got = _view(spark, mv)
+    assert got == _recompute(spark, fact)
+    assert sum(1 for g, _, _ in got if g is None) == 1  # ONE folded NULL row
+    # and deletes of NULL-group rows cancel their inserts
+    snapshot_delete(spark, fact, [("k", "<", 2)])
+    mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+    assert _view(spark, mv) == _recompute(spark, fact)

@@ -385,3 +385,19 @@ def test_snapshot_diff_scans_only_file_delta(spark, tmp_path):
     v3 = snapshot_compact(spark, tbl, small_bytes=1 << 30)  # force full rewrite
     assert v3 == 3
     assert snapshot_diff(spark, tbl, v_from=2, v_to=3).count() == 0
+
+
+def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE removes only rows where the predicate is TRUE: a NULL
+    predicate (NULL column value) must KEEP the row — and the outcome
+    must not depend on whether the row's file was stats-pruned."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = str(tmp_path / "null_del")
+    rows = [(1, 50.0), (2, None), (3, 150.0), (4, None)]
+    snapshot_write(
+        spark.createDataFrame(rows, "k long, v double").coalesce(1), tbl
+    )
+    snapshot_delete(spark, tbl, [("v", ">=", 100.0)])
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(1, 50.0), (2, None), (4, None)]

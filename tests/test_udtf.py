@@ -24,6 +24,8 @@ EDGE_CASES = [
     (7, ""),
     (8, "a. . b"),
     (9, "Tight.Packed.Sentences"),
+    (10, "tab\tinside. and\ttrailing\t"),
+    (11, "newline\nbody. tail\n"),
 ]
 
 
@@ -52,7 +54,7 @@ def test_spans_reconstruct_source_slices():
     the sentence up to surrounding whitespace."""
     for _, text in EDGE_CASES:
         for idx, start, end, sent in _sentence_spans_impl(text):
-            assert text[start:end].strip() == sent
+            assert text[start:end].strip(" ") == sent
             assert 0 <= start < end <= len(text)
 
 
@@ -61,7 +63,7 @@ from hypothesis import strategies as st
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(alphabet=" .!?abcdef", max_size=80))
+@given(st.text(alphabet=" .!?abcdef\t\n", max_size=80))
 def test_span_laws_fuzz(text):
     """Fuzzed invariants of the segmentation: spans are in-order and
     non-overlapping, indices are valid, every non-space non-terminator
@@ -74,10 +76,13 @@ def test_span_laws_fuzz(text):
         assert i == idx
         assert 0 <= start < end <= len(text)
         assert start > prev_end or idx == 0 or start >= prev_end
-        assert text[start:end].strip() == sent
+        assert text[start:end].strip(" ") == sent
         assert sent != ""
         prev_end = end
         covered.update(range(start, end))
     for pos, ch in enumerate(text):
         if ch not in " .!?":
             assert pos in covered, (pos, ch, spans)
+    # space-only whitespace contract: tabs/newlines are sentence content
+    for _, start, end, sent in spans:
+        assert sent == text[start:end].strip(" ")
