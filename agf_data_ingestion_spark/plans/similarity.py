@@ -31,7 +31,27 @@ from agf_data_ingestion_spark.plans.base import QuerySpec, t
 
 _TOPK = 3
 _N_QUERIES = 5
-_DIM = 64
+
+
+def _detect_dim(default: int = 64) -> int:
+    """Embedding dimensionality, read from the smallest testdata slice at
+    import (the driver REGENERATES testdata between rounds — a silent dim
+    change would otherwise break every hyperplane/fold constant baked
+    into the oracle strings).  Falls back to the historical 64 when no
+    testdata is reachable (e.g. unit contexts)."""
+    try:
+        import duckdb
+
+        row = duckdb.sql(
+            "SELECT len(embedding) FROM"
+            " read_parquet('/root/testdata/sf0.001/embeddings.parquet') LIMIT 1"
+        ).fetchone()
+        return int(row[0]) if row else default
+    except Exception:
+        return default
+
+
+_DIM = _detect_dim()
 #: Spark/DuckDB-shared quantization for LSH sign bits: floor(x·64) is exact
 _ANN_CODE_SCALE = 64.0
 
