@@ -142,3 +142,30 @@ def test_canon_compare_is_order_insensitive_and_ulp_strict():
     nulled = a.copy().astype({"x": "float64"})
     nulled.loc[2, "x"] = float("nan")
     assert not mod._canon(a).equals(mod._canon(nulled))
+
+
+def test_catalog_integrity_and_priority_names():
+    """Every QuerySpec is well-formed, and every name in the witness-window
+    priority list actually exists in the catalog — a typo there would
+    SILENTLY drop a query from the driver's ~50-row CORRECTNESS sample
+    (the setdefault fallback hides it)."""
+    import agf_data_ingestion_spark.plans as plans
+
+    for name, spec in plans.QUERIES.items():
+        assert callable(spec.fn), name
+        assert spec.oracle is None or isinstance(spec.oracle, str), name
+        assert spec.ops and all(op.startswith("OP-") for op in spec.ops), name
+    missing = [n for n in plans._PRIORITY if n not in plans.QUERIES]
+    assert not missing, f"priority names not in catalog: {missing}"
+    # the driver samples ~50 rows: the round-3 additions must sit inside
+    order = list(plans.QUERIES)
+    r3_new = [
+        "q8_national_market_share", "q11_important_parts",
+        "docs_bloom_contamination", "docs_dataset_split", "docs_pmi_bigrams",
+        "events_countmin_err", "docs_editdist_neardup", "events_value_corr",
+        "orders_profile", "emb_semdedup", "events_pit_enrich",
+        "events_gap_fill", "emb_hard_negatives", "docs_epoch_order",
+        "graph_triangles",
+    ]
+    late = {n: order.index(n) for n in r3_new if order.index(n) >= 50}
+    assert not late, f"round-3 queries outside the driver witness window: {late}"
