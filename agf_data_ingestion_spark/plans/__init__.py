@@ -122,6 +122,7 @@ _PRIORITY = [
     "emb_hard_negatives",
     "docs_epoch_order",
     "graph_triangles",
+    "docs_datacard",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -129,6 +129,72 @@ GROUP BY split, source
 """
 
 
+def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datacard: the release-stats manifest every dataset ships
+    with, as (section, key, value) rows — volume totals, language and
+    source composition, exact-duplicate rate, and train/val/test sizes —
+    all in a handful of metadata-sized aggregations over ONE logical
+    corpus scan family (each section is a tiny groupBy; the unions cost
+    nothing).  Values are exact BIGINT counts.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    totals = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    ).selectExpr(
+        "stack(3, 'total', 'docs', n_docs, 'total', 'tokens', n_tokens,"
+        " 'total', 'chars', n_chars) AS (section, key, value)"
+    )
+    by_lang = d.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).alias("value")
+    ).select(F.lit("lang").alias("section"), "key", "value")
+    by_source = d.groupBy(F.col("source").alias("key")).agg(
+        F.count(F.lit(1)).alias("value")
+    ).select(F.lit("source").alias("section"), "key", "value")
+    dup = (
+        d.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1).alias("value"))
+        .select(
+            F.lit("dedup").alias("section"),
+            F.lit("exact_dup_docs").alias("key"),
+            F.col("value"),
+        )
+    )
+    splits = (
+        d.select(split_assignment().alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("split").alias("section"), "key", "value")
+    )
+    return totals.unionByName(by_lang).unionByName(by_source).unionByName(dup).unionByName(splits)
+
+
+_DATACARD_SQL = """
+SELECT 'total' AS section, 'docs' AS key, COUNT(*) AS value FROM documents
+UNION ALL
+SELECT 'total', 'tokens', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'total', 'chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'lang', lang, COUNT(*) FROM documents GROUP BY lang
+UNION ALL
+SELECT 'source', source, COUNT(*) FROM documents GROUP BY source
+UNION ALL
+SELECT 'dedup', 'exact_dup_docs', CAST(SUM(n - 1) AS BIGINT)
+FROM (SELECT md5(lower(text)) AS h, COUNT(*) AS n FROM documents GROUP BY md5(lower(text)))
+UNION ALL
+SELECT 'split',
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END,
+       COUNT(*)
+FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 AS b
+      FROM documents)
+GROUP BY CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Epoch shuffle (OP-X-SHUFFLE): the data-loader permutation as a query
 # ---------------------------------------------------------------------------
@@ -1064,6 +1130,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_packing": QuerySpec(docs_token_packing, _PACKING_SQL, ("OP-X-PACK", "OP-X-TEXT")),
     "docs_repetition_stats": QuerySpec(
         docs_repetition_stats, _REPETITION_SQL, ("OP-X-TEXT", "OP-X-DEDUP-EXACT")
+    ),
+    "docs_datacard": QuerySpec(
+        docs_datacard, _DATACARD_SQL, ("OP-X-DATACARD", "OP-X-PROFILE", "OP-SET-UNION")
     ),
     "docs_epoch_order": QuerySpec(
         docs_epoch_order, _EPOCH_ORDER_SQL, ("OP-X-SHUFFLE", "OP-X-SAMPLE")
