@@ -24,6 +24,7 @@ from agf_data_ingestion_spark.plans import (
     behavior,
     ingest_queries,
     iterative,
+    lm,
     media,
     similarity,
     sketches,
@@ -63,6 +64,7 @@ for _mod in (
     sketches,
     behavior,
     iterative,
+    lm,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -123,6 +125,9 @@ _PRIORITY = [
     "docs_epoch_order",
     "graph_triangles",
     "docs_datacard",
+    "docs_bigram_lm_score",
+    "docs_dsir_weights",
+    "docs_dup_span_extract",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

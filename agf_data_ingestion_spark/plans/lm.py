@@ -1,0 +1,351 @@
+"""Corpus language-model statistics for data selection: bigram LM quality
+scoring, DSIR-style importance weights, and exact duplicated-substring span
+extraction.
+
+These extend the reference's quality-filter surface (SURVEY.md §2.9
+OP-X-TEXT / OP-X-SAMPLE; the reference itself filters only on
+path/suffix/size — agf_ingestion_lambda.py:61-77) with the three standard
+LLM-corpus selection passes:
+
+* ``docs_bigram_lm_score`` — an in-corpus bigram language model (the
+  KenLM-filter shape used by CCNet/RedPajama): how predictable is each
+  document under the corpus's own bigram statistics.
+* ``docs_dsir_weights`` — Data Selection via Importance Resampling
+  (Xie et al. 2023): hashed n-gram bucket features, per-bucket
+  target/raw probability ratios, per-document importance weight.
+* ``docs_dup_span_extract`` — the span-extraction half of exact substring
+  deduplication (Lee et al. 2022): merge adjacent duplicated fixed-width
+  shingle positions into maximal removable word ranges.
+
+Cross-engine determinism (plans/base.py rules): all ratios are two-stage
+scaled-BIGINT floor divisions (Spark ``DIV`` ≡ DuckDB ``//``, both
+truncate toward zero) — no ``ln``/``exp`` anywhere, so no float
+transcendental drift; final per-doc averages are a single
+BIGINT/BIGINT → DOUBLE division, the same IEEE op in both engines;
+feature hashing is md5-derived (``conv(substr(md5(x),1,10),16,10)`` ≡
+``('0x' || substr(md5(x),1,10))::BIGINT``), never engine ``hash()``.
+
+Scale shapes (100 TB story):
+* Token/bigram count tables are corpus-sized → every join against them is
+  pinned ``hint("shuffle_hash")`` (never broadcast, CLAUDE.md invariant).
+* The DSIR bucket table is bounded by the constant ``_DSIR_BUCKETS`` →
+  explicitly ``F.broadcast`` (a few KiB at any corpus size).
+* All explodes are map-side; shuffles carry (hash, count) partials or
+  (doc_id, token) pairs, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+_LM_SCALE = 1_000_000  # bigram conditional-probability fixed-point scale
+_DSIR_BUCKETS = 256  # hashed-feature buckets (production: 10k-100k)
+_DSIR_SCALE = 1_000_000  # importance-ratio fixed-point scale
+_SPAN_N = 6  # shingle width for substring-dup extraction (matches
+#              training_data._SPAN_N so span_dedup ratios and these
+#              extracted ranges describe the same shingle stream)
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, w1, w2) — one row per bigram OCCURRENCE, map-only."""
+    d = _words(spark, sf_dir).filter(F.size("w") >= 2)
+    pair = F.explode(
+        F.zip_with(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    return d.select("doc_id", "lang", pair.alias("p")).select(
+        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_bigram_lm_score — in-corpus bigram LM predictability (OP-X-TEXT)
+# ---------------------------------------------------------------------------
+
+
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the average corpus bigram conditional
+    probability of its own bigrams — the CCNet/RedPajama "LM filter"
+    re-expressed with the corpus itself as the model.
+
+    Per bigram type (w1, w2): ``p_micro = (SCALE·c(w1,w2)) div c(w1)``
+    where c(·) are corpus occurrence counts — an exact integer, identical
+    in both engines.  Per document: occurrence-weighted mean of p_micro
+    (high = the doc re-treads common continuations; low = rare/garbled
+    transitions).
+
+    Scale: two (token-keyed) count shuffles build the model; the per-doc
+    bigram table joins it on (w1, w2) / (w1) with pinned shuffle-hash
+    joins — count tables grow with vocabulary, so they are NEVER
+    broadcast.  Text never shuffles: the widest shuffled value is one
+    bigram string.
+    """
+    bg = _bigrams(spark, sf_dir)
+    uni = (
+        bg.groupBy(F.col("w1").alias("w"))
+        .agg(F.count("*").alias("cu"))
+        .withColumnRenamed("w", "w1")
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    scored = (
+        per_doc.join(bi.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni.hint("shuffle_hash"), "w1")
+        .withColumn("p_micro", F.expr(f"({_LM_SCALE} * cb) div cu"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("p_micro")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("s").cast("double") / F.col("n_bigrams")).alias("lm_score_micro"),
+        )
+    )
+
+
+_LM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, unnest(range(1, len(w))) AS t(i)
+),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+per_doc AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM bg GROUP BY doc_id, w1, w2
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(k * (({_LM_SCALE} * cb) // cu)) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(k) AS BIGINT) AS lm_score_micro
+FROM per_doc JOIN bi USING (w1, w2) JOIN uni USING (w1)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_dsir_weights — hashed-ngram importance resampling weights
+# (OP-X-SAMPLE + OP-X-TEXT)
+# ---------------------------------------------------------------------------
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: hashed bigram features, with
+    the English subset (``lang = 'en'``) as the target distribution and
+    the full corpus as the raw distribution (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling").
+
+    Per bucket b (of ``_DSIR_BUCKETS``, add-one smoothed):
+    ``ratio ≈ p_target(b) / p_raw(b)`` computed as TWO chained scaled
+    floor divisions — ``r1 = (SCALE·ct) div cr`` then
+    ``w_micro = (r1·Nr) div Nt`` — each intermediate bounded well inside
+    BIGINT at any realistic corpus size (ct ≤ Nt keeps r1 ≤ SCALE·corpus;
+    never one fused product, which would overflow BIGINT in Spark while
+    DuckDB silently promotes to HUGEINT).  Per document: the
+    occurrence-weighted mean of its buckets' w_micro; resampling keeps
+    docs with weight above a caller-chosen quantile.
+
+    Scale: the bucket table is ≤ ``_DSIR_BUCKETS`` rows at ANY corpus
+    size → explicitly broadcast; the per-doc feature table shuffles
+    (doc_id, bucket, count) only.
+    """
+    feats = _bigrams(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 10), 16, 10
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    buckets = feats.groupBy("b").agg(
+        (F.count("*") + F.lit(1)).alias("cr"),
+        (F.count_if(F.col("lang") == "en") + F.lit(1)).alias("ct"),
+    )
+    # grand totals with the same add-one smoothing mass (+BUCKETS each)
+    totals = buckets.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    weighted = buckets.crossJoin(F.broadcast(totals)).withColumn(
+        "w_micro",
+        F.expr(f"((({_DSIR_SCALE} * ct) div cr) * nr) div nt"),
+    )
+    per_doc = feats.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    return (
+        per_doc.join(F.broadcast(weighted.select("b", "w_micro")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_feats"),
+            F.sum(F.col("k") * F.col("w_micro")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.col("s").cast("double") / F.col("n_feats")).alias("dsir_weight_micro"),
+        )
+    )
+
+
+_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 10))::BIGINT
+           % {_DSIR_BUCKETS} AS b
+  FROM w, unnest(range(1, len(w))) AS t(i)
+),
+buckets AS (
+  SELECT b,
+         CAST(COUNT(*) + 1 AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') + 1 AS BIGINT) AS ct
+  FROM feats GROUP BY b
+),
+totals AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+  FROM buckets
+),
+weighted AS (
+  SELECT b, ((({_DSIR_SCALE} * ct) // cr) * nr) // nt AS w_micro
+  FROM buckets CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k FROM feats GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_feats,
+       CAST(CAST(SUM(k * w_micro) AS BIGINT) AS DOUBLE) / CAST(SUM(k) AS BIGINT)
+         AS dsir_weight_micro
+FROM per_doc JOIN weighted USING (b)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_dup_span_extract — maximal duplicated-substring ranges
+# (OP-X-DEDUP-EXACT + OP-X-TEXT)
+# ---------------------------------------------------------------------------
+
+
+def docs_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removable ranges of exact substring deduplication (Lee et al.
+    2022): every ``_SPAN_N``-word shingle present in ≥ 2 distinct
+    documents marks its start position duplicated; runs of ADJACENT
+    duplicated positions merge (gap-islands: ``i - row_number()``) into
+    one maximal span per document, emitted as inclusive word ranges.
+
+    Complements ``docs_span_dedup`` (which reports only per-doc dup
+    *ratios*): this is the operator a scrubber actually consumes —
+    ``substring-remove(doc, span_start..span_end)``.
+
+    Scale: identical shuffle profile to ``docs_span_dedup`` (shingle
+    hashes, never text, through two shuffles + one shuffle-hash join),
+    plus one window partitioned by doc_id over only the *duplicated*
+    positions (a small fraction of the corpus; partition = one doc's
+    dup positions, bounded by doc length).
+    """
+    d = _words(spark, sf_dir).filter(F.size("w") >= _SPAN_N)
+    idx = F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1))
+    pos = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice("w", i, _SPAN_N), " ")), 1, 16
+                ),
+            )
+        ).alias("p0", "sh"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "sh")
+    dup_sh = (
+        pos.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("sh")
+    )
+    dup_pos = pos.join(dup_sh.hint("shuffle_hash"), "sh").select("doc_id", "i")
+    win = Window.partitionBy("doc_id").orderBy("i")
+    islands = dup_pos.withColumn("grp", F.col("i") - F.row_number().over(win))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(_SPAN_N - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_dup_shingles",
+        )
+    )
+
+
+_SPAN_EXTRACT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_SPAN_N}
+),
+pos AS (
+  SELECT doc_id, i,
+         substr(md5(array_to_string(w[i:i+{_SPAN_N - 1}], ' ')), 1, 16) AS sh
+  FROM w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS t(i)
+),
+dup_sh AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM pos)
+  GROUP BY sh HAVING COUNT(*) >= 2
+),
+dup_pos AS (SELECT doc_id, i FROM pos JOIN dup_sh USING (sh)),
+islands AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup_pos
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + {_SPAN_N - 1} AS BIGINT) AS span_end,
+       CAST(MAX(i) + {_SPAN_N - 1} - MIN(i) + 1 AS BIGINT) AS span_words,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+FROM islands
+GROUP BY doc_id, grp
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_bigram_lm_score": QuerySpec(
+        docs_bigram_lm_score, _LM_SQL, ("OP-X-TEXT", "OP-AGG-SUM")
+    ),
+    "docs_dsir_weights": QuerySpec(
+        docs_dsir_weights, _DSIR_SQL, ("OP-X-SAMPLE", "OP-X-TEXT")
+    ),
+    "docs_dup_span_extract": QuerySpec(
+        docs_dup_span_extract, _SPAN_EXTRACT_SQL, ("OP-X-DEDUP-EXACT", "OP-X-TEXT")
+    ),
+}

@@ -1,0 +1,109 @@
+"""Semantic + plan-shape tests for plans/lm.py (bigram LM scoring, DSIR
+importance weights, duplicated-span extraction).  Value-level correctness
+is pinned by the DuckDB oracles (scripts/check_oracle.py); these assert
+the invariants the oracle comparison can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans import lm
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_score_bounds(spark):
+    rows = lm.docs_bigram_lm_score(spark, SF).collect()
+    assert rows, "every sf has >=2-word docs"
+    for r in rows:
+        # p(w2|w1) is a conditional probability: 0 < score <= 1.0 (scaled)
+        assert 0 < r.lm_score_micro <= lm._LM_SCALE
+        assert r.n_bigrams >= 1
+
+
+def test_lm_count_joins_never_broadcast(spark):
+    # vocabulary-sized count tables must shuffle-hash join, not broadcast
+    plan = _plan_str(lm.docs_bigram_lm_score(spark, SF))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_dsir_upweights_target_language(spark):
+    w = lm.docs_dsir_weights(spark, SF)
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .join(w, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_weight_micro").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r.m for r in d}
+    # docs drawn from the target distribution must average a higher
+    # importance weight than off-target docs
+    assert means[True] > means[False], means
+
+
+def test_dsir_bucket_join_is_broadcast(spark):
+    # the bucket weight table is bounded by _DSIR_BUCKETS — it must
+    # broadcast, never shuffle the corpus-side features for it
+    plan = _plan_str(lm.docs_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dup_spans_are_maximal_and_consistent(spark):
+    rows = lm.docs_dup_span_extract(spark, SF).collect()
+    assert rows, "the sf0.001 corpus contains cross-doc duplicated spans"
+    seen = {}
+    for r in rows:
+        assert r.span_start >= 1
+        assert r.span_words == r.span_end - r.span_start + 1
+        assert r.span_words >= lm._SPAN_N
+        # consecutive shingle starts: island covers exactly this many
+        assert r.n_dup_shingles == r.span_words - lm._SPAN_N + 1
+        seen.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # maximality: islands within one doc never touch or overlap
+    for spans in seen.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, (s1, e1, s2, e2)
+
+
+def test_dup_spans_cover_known_duplicates(spark):
+    # any two docs sharing a full _SPAN_N-word window must both report a
+    # span containing it; cross-check one pair found independently
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size(F.split("text", " ")) - (lm._SPAN_N - 1)
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.split("text", " "), i, lm._SPAN_N), " "
+                ),
+            )
+        ).alias("gram"),
+    )
+    pair = (
+        sh.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .limit(1)
+        .collect()
+    )
+    extracted = {r.doc_id for r in lm.docs_dup_span_extract(spark, SF).collect()}
+    if pair:
+        holders = {
+            r.doc_id
+            for r in sh.filter(F.col("gram") == pair[0].gram)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert holders <= extracted, (holders, extracted)
