@@ -80,6 +80,53 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
 
 
+def version_as_of(table: str, ts: float) -> int:
+    """The latest committed version whose ``committed_at`` ≤ ``ts`` (epoch
+    seconds) — timestamp-based time travel, the `FOR TIMESTAMP AS OF`
+    resolution step of Iceberg/Delta.  Raises ``NoSuchVersionError`` when
+    the table's first commit is later than ``ts``.
+
+    O(versions) manifest-header reads on the driver; manifests are small
+    JSON files, and tables bound their version count via
+    ``expire_snapshots``."""
+    best = 0
+    for v in range(1, current_version(table) + 1):
+        try:
+            m = read_manifest(table, v)
+        except NoSuchVersionError:  # expired snapshot — hole in history
+            continue
+        if m.get("committed_at", 0.0) <= ts:
+            best = v
+    if best == 0:
+        raise NoSuchVersionError(f"{table}: no snapshot committed at or before {ts}")
+    return best
+
+
+def snapshot_history(table: str) -> list[dict]:
+    """Commit history, oldest first — the ``history`` metadata table of
+    Iceberg/Delta: one row per retained version with its parent, operation,
+    commit timestamp, file count, and total bytes.  Expired versions are
+    skipped (their manifests are gone); the surviving rows still chain via
+    ``parent``."""
+    out = []
+    for v in range(1, current_version(table) + 1):
+        try:
+            m = read_manifest(table, v)
+        except NoSuchVersionError:
+            continue
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m.get("parent"),
+                "op": m.get("op"),
+                "committed_at": m.get("committed_at"),
+                "n_files": len(m["files"]),
+                "total_bytes": sum(f.get("bytes", 0) for f in m["files"]),
+            }
+        )
+    return out
+
+
 def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
     """Write manifest v(parent+1) then atomically swap CURRENT to it."""
     version = parent + 1
@@ -236,10 +283,14 @@ def snapshot_read(
     table: str,
     *,
     version: int | None = None,
+    as_of: float | None = None,
     where: list[tuple] | None = None,
 ) -> DataFrame:
-    """The table as of ``version`` (default: current).  Empty tables read
-    as an empty frame only when a schema-bearing snapshot exists.
+    """The table as of ``version`` (default: current), or — mutually
+    exclusive — as of epoch-seconds timestamp ``as_of`` (resolved to the
+    latest commit at or before it, `FOR TIMESTAMP AS OF` semantics).
+    Empty tables read as an empty frame only when a schema-bearing
+    snapshot exists.
 
     ``where`` (optional ANDed ``(col, op, value)`` triples) enables
     manifest-level data skipping via the per-file stats recorded at commit
@@ -255,6 +306,10 @@ def snapshot_read(
     narrower schema because their manifests never reference newer files."""
     from pyspark.sql import functions as F
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_as_of(table, as_of)
     m = read_manifest(table, version)
     if not m["files"]:
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")

@@ -401,3 +401,69 @@ def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
     snapshot_delete(spark, tbl, [("v", ">=", 100.0)])
     got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
     assert got == [(1, 50.0), (2, None), (4, None)]
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_history,
+        version_as_of,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    t_between = _time.time()
+    _time.sleep(0.01)
+    snapshot_write(spark.createDataFrame([(2, "b")], "k long, v string"), tbl)
+
+    assert version_as_of(tbl, t_between) == 1
+    assert version_as_of(tbl, _time.time()) == 2
+    assert _rows(snapshot_read(spark, tbl, as_of=t_between)) == [(1, "a")]
+    assert _rows(snapshot_read(spark, tbl, as_of=_time.time())) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # before the first commit: no snapshot to resolve
+    first_ts = snapshot_history(tbl)[0]["committed_at"]
+    with pytest.raises(NoSuchVersionError):
+        version_as_of(tbl, first_ts - 1.0)
+    with pytest.raises(ValueError):
+        snapshot_read(spark, tbl, version=1, as_of=t_between)
+
+
+def test_history_metadata_table(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_history
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_write(spark.createDataFrame([(2, "b")], "k long, v string"), tbl)
+    snapshot_write(
+        spark.createDataFrame([(9, "z")], "k long, v string"), tbl, mode="overwrite"
+    )
+    h = snapshot_history(tbl)
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert [r["parent"] for r in h] == [0, 1, 2]
+    assert [r["op"] for r in h] == ["append", "append", "overwrite"]
+    # append accumulates files; overwrite resets the live set
+    assert h[1]["n_files"] > h[0]["n_files"]
+    assert h[2]["n_files"] < h[1]["n_files"]
+    assert all(r["total_bytes"] > 0 for r in h)
+    assert h[0]["committed_at"] <= h[1]["committed_at"] <= h[2]["committed_at"]
+
+
+def test_as_of_skips_expired_versions(spark, tmp_path):
+    import time as _time
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_history,
+        version_as_of,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in (1, 2, 3):
+        snapshot_write(spark.createDataFrame([(k, "x")], "k long, v string"), tbl)
+    expire_snapshots(tbl, keep_last=2)
+    # v1's manifest is gone: history starts at v2, as_of(now) still resolves
+    assert [r["version"] for r in snapshot_history(tbl)] == [2, 3]
+    assert version_as_of(tbl, _time.time()) == 3
