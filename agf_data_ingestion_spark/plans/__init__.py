@@ -128,6 +128,8 @@ _PRIORITY = [
     "docs_bigram_lm_score",
     "docs_dsir_weights",
     "docs_dup_span_extract",
+    "docs_quality_calibrated",
+    "emb_matryoshka_topk",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

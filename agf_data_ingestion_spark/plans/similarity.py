@@ -953,8 +953,148 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka two-stage top-k (OP-X-SIM-TOPK, truncated-dim prefilter):
+# score every candidate with only the first _MAT_PREFIX dimensions, keep a
+# _MAT_SHORTLIST-deep shortlist per query, then rerank the shortlist with
+# full-dimension cosine.  The production pattern behind MRL embeddings
+# (Kusupati et al. 2022): the cheap pass reads 1/4 of the vector bytes, and
+# at 100 TB the full vectors are fetched for shortlist×queries rows only.
+# ---------------------------------------------------------------------------
+
+#: Half the dimensions for the cheap pass.  Real MRL embeddings
+#: front-load variance, so production uses 1/4 or less; the synthetic
+#: test vectors are isotropic (no prefix concentration), so the prefix
+#: and shortlist are sized for honest recall on the WORST case.
+_MAT_PREFIX = 32
+_MAT_SHORTLIST = 40  # candidates per query surviving to the rerank
+
+
+def _o_dot_pre(a: str, b: str) -> str:
+    """DuckDB twin of the prefix dot (first _MAT_PREFIX dims, same fold)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {_MAT_PREFIX} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: prefix-cosine shortlist → full-cosine rerank.
+
+    Stage 1 is the brute-force map-only shape of ``emb_cosine_topk`` but
+    over ``_MAT_PREFIX``-dim slices (¼ the arithmetic and — with a
+    column-pruned prefix table at rest — ¼ the bytes), truncated per
+    query by a WindowGroupLimit top-``_MAT_SHORTLIST``.  Stage 2 fetches
+    FULL vectors for shortlist rows only: the corpus scan streams through
+    a BroadcastHashJoin against the (queries × shortlist)-sized id list —
+    the corpus is never broadcast and never re-shuffled, and full-dim dot
+    products run on shortlist×queries rows instead of corpus×queries.
+
+    Both stages use the order-preserving Arrow fold (`_vec_fold_dot`), so
+    shortlist membership and final ranks are bit-identical to the DuckDB
+    oracle.  Approximate by construction: a neighbor whose prefix cosine
+    ranks below the shortlist cut is unrecoverable — recall vs the exact
+    top-k is pinned in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    pre = F.slice(F.col("embedding"), 1, _MAT_PREFIX)
+    corpus_pre = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pre.alias("pre_n"),
+    ).withColumn("pre_norm_n", F.sqrt(_dot(F.col("pre_n"), F.col("pre_n"))))
+    queries_pre = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), pre.alias("pre_q"))
+        .withColumn("pre_norm_q", F.sqrt(_dot(F.col("pre_q"), F.col("pre_q"))))
+    )
+    stage1 = (
+        corpus_pre.join(F.broadcast(queries_pre))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("pre_q"), F.col("pre_n"))
+                / (F.col("pre_norm_q") * F.col("pre_norm_n"))
+            ).alias("pre_cosine"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        stage1.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= _MAT_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    full = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    ).withColumn("norm_n", F.sqrt(_dot(F.col("emb_n"), F.col("emb_n"))))
+    queries_full = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q"))
+        .withColumn("norm_q", F.sqrt(_dot(F.col("emb_q"), F.col("emb_q"))))
+    )
+    rerank = (
+        full.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(queries_full), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("emb_q"), F.col("emb_n"))
+                / (F.col("norm_q") * F.col("norm_n"))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_MATRYOSHKA_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_o_dot_pre('q.embedding', 'c.embedding')}
+           / (sqrt({_o_dot_pre('q.embedding', 'q.embedding')})
+              * sqrt({_o_dot_pre('c.embedding', 'c.embedding')})) AS pre_cosine
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY pre_cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_MAT_SHORTLIST}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_o_dot('q.embedding', 'c.embedding')}
+           / (sqrt({_o_dot('q.embedding', 'q.embedding')})
+              * sqrt({_o_dot('c.embedding', 'c.embedding')})) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_o_dot('q.embedding', 'c.embedding')}
+                      / (sqrt({_o_dot('q.embedding', 'q.embedding')})
+                         * sqrt({_o_dot('c.embedding', 'c.embedding')})) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM shortlist s
+  JOIN embeddings q ON s.query_id = q.vec_id
+  JOIN embeddings c ON s.neighbor_id = c.vec_id
+) WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
+    "emb_matryoshka_topk": QuerySpec(
+        emb_matryoshka_topk, _MATRYOSHKA_SQL, ("OP-X-SIM-TOPK",)
+    ),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),
     "emb_semdedup": QuerySpec(emb_semdedup, _SEMDEDUP_SQL, ("OP-X-SEMDEDUP", "OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),

@@ -1083,7 +1083,85 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-language calibrated quality gate (OP-X-TEXT + OP-X-SAMPLE): absolute
+# thresholds (docs_quality_gate) systematically over-drop languages whose
+# surface statistics differ from English (zh has no spaces-as-words, de has
+# long compounds) — production pipelines calibrate per language by keeping
+# a QUANTILE of each language's own score distribution instead.
+# ---------------------------------------------------------------------------
+
+_CALIBRATED_DROP_FRAC = 0.30  # drop the bottom 30% of each language
+
+
+def docs_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative (per-language) quality gate: an integer-derived composite
+    score — lexical diversity plus stopword mass, both scaled-BIGINT floor
+    ratios — is percent-ranked WITHIN each language, and a doc is kept
+    when it clears the bottom ``_CALIBRATED_DROP_FRAC`` of its own
+    language's distribution.
+
+    Determinism: the window orders by (score_micro, doc_id) so ranks are
+    a total order; percent_rank = (rank-1)/(n-1) is the same
+    BIGINT/BIGINT→DOUBLE division in both engines.  Scale: one map-only
+    scoring projection, then one shuffle keyed on ``lang`` — partition
+    sizes are per-language corpus shares, the same axis
+    ``docs_mix_weights`` balances; a skewed dominant language would be
+    range-partitioned by the same window machinery AQE already handles.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(1000000 * cast(n_uniq as bigint)) div n_words"
+            " + (1000000 * cast(n_stop as bigint)) div n_words"
+        ).alias("score_micro"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.asc("score_micro"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_micro",
+        F.percent_rank().over(win).alias("lang_pct_rank"),
+    ).withColumn("keep", F.col("lang_pct_rank") >= F.lit(_CALIBRATED_DROP_FRAC))
+
+
+_QUALITY_CALIBRATED_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+           // len(string_split(text, ' '))
+         + (1000000 * CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x IN {tuple(sorted(_STOPWORDS))!r})) AS BIGINT))
+           // len(string_split(text, ' ')) AS score_micro
+  FROM documents
+)
+SELECT doc_id, lang, score_micro,
+       percent_rank() OVER (PARTITION BY lang ORDER BY score_micro ASC, doc_id ASC)
+         AS lang_pct_rank,
+       percent_rank() OVER (PARTITION BY lang ORDER BY score_micro ASC, doc_id ASC)
+         >= {_CALIBRATED_DROP_FRAC} AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "docs_quality_calibrated": QuerySpec(
+        docs_quality_calibrated,
+        _QUALITY_CALIBRATED_SQL,
+        ("OP-X-TEXT", "OP-X-SAMPLE"),
+    ),
     "docs_dedup_exact": QuerySpec(
         docs_dedup_exact, _DEDUP_EXACT_SQL, ("OP-X-DEDUP-EXACT", "OP-DEDUP-KEY")
     ),

@@ -107,3 +107,21 @@ def test_dup_spans_cover_known_duplicates(spark):
             .collect()
         }
         assert holders <= extracted, (holders, extracted)
+
+
+def test_quality_calibrated_per_language_fraction(spark):
+    from agf_data_ingestion_spark.plans.text import (
+        _CALIBRATED_DROP_FRAC,
+        docs_quality_calibrated,
+    )
+
+    rows = docs_quality_calibrated(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.keep)
+    assert len(by_lang) >= 3
+    for lang, keeps in by_lang.items():
+        frac = sum(keeps) / len(keeps)
+        # every language keeps ~(1 - drop_frac) of ITS OWN docs — the
+        # whole point of calibration vs a global absolute threshold
+        assert abs(frac - (1 - _CALIBRATED_DROP_FRAC)) < 0.12, (lang, frac)

@@ -166,3 +166,45 @@ def test_sq_adc_recall_vs_brute(spark):
     assert hits / total >= 0.8, f"recall {hits}/{total}"
     for q, ns in adc.items():
         assert q not in ns
+
+
+def test_matryoshka_recall_vs_brute(spark):
+    from agf_data_ingestion_spark.plans.similarity import (
+        emb_cosine_topk,
+        emb_matryoshka_topk,
+    )
+
+    brute = {}
+    for r in emb_cosine_topk(spark, SF).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    mat = {}
+    rows = emb_matryoshka_topk(spark, SF).collect()
+    for r in rows:
+        mat.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # a 20-deep prefix shortlist over a 64-dim space recovers most of the
+    # exact top-3 (the prefix carries 1/4 of the variance)
+    hits = sum(len(brute[q] & mat.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert total > 0
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+        assert 1 <= r["rank"] <= 3
+
+
+def test_matryoshka_corpus_never_broadcast(spark):
+    from agf_data_ingestion_spark.plans.similarity import emb_matryoshka_topk
+
+    plan = (
+        emb_matryoshka_topk(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every BroadcastExchange input must be query- or shortlist-sized; the
+    # full corpus scan appears only as a streamed (non-broadcast) side.
+    # Structural proxy: no SortMergeJoin (all joins broadcast the SMALL
+    # side), and the only joins present are broadcast ones.
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
