@@ -11,6 +11,7 @@
         [--group-col instrument_id]
     python scripts/agf_pipeline.py curate    --out <dir>
         [--docs <dir with documents.parquet>] [--decontaminate] [--split]
+        [--shards <dir> [--shard-tokens N] [--shard-seed S]]
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -246,6 +247,23 @@ def cmd_curate(args) -> int:
 
     survivors.write.mode("overwrite").parquet(args.out)
     report["out"] = args.out
+
+    if getattr(args, "shards", None):
+        from agf_data_ingestion_spark.operators.shards import write_training_shards
+
+        manifest = write_training_shards(
+            spark.read.parquet(args.out),
+            args.shards,
+            budget_tokens=args.shard_tokens,
+            seed=args.shard_seed,
+        )
+        report["shards"] = {
+            "out": args.shards,
+            "n_shards": manifest["n_shards"],
+            "budget_tokens": manifest["budget_tokens"],
+            "seed": manifest["seed"],
+        }
+
     print(json.dumps(report))
     return 0
 
@@ -292,6 +310,10 @@ def main() -> int:
                    help="drop docs sharing shingles with the benchmark slice")
     c.add_argument("--split", action="store_true",
                    help="add deterministic train/val/test assignment column")
+    c.add_argument("--shards", metavar="DIR",
+                   help="also write token-budgeted training shards + manifest")
+    c.add_argument("--shard-tokens", type=int, default=4096)
+    c.add_argument("--shard-seed", default="0")
     c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args()

@@ -15,6 +15,10 @@ from agf_data_ingestion_spark.plans import QUERIES  # noqa: E402
 # query result — covered by the module + test suite instead of the oracle
 # harness.  (op → implementation, tests)
 TEST_COVERED = {
+    "OP-X-SHARDS": (
+        "operators/shards.py (deterministic token-budgeted training-shard writer: two-pass distributed prefix sum — per-partition subtotals, driver offsets bounded by partition count, parallel local windows; one file per shard + manifest; wired into the curate CLI via --shards)",
+        "tests/test_shards.py (distributed prefix sum == single-window ground truth; partitioning-independence; budget/contiguity/determinism; manifest round-trip) + tests/test_curate_cli.py",
+    ),
     "OP-X-DEDUP-INC": (
         "streaming/neardup_stream.py (incremental near-dup sink: per-batch hash, band-store probe, exact verify, append) + plans/text.py `docs_incremental_neardup`",
         "tests/test_neardup_stream.py (batch-chop independence vs independently-derived batch semantics)",

@@ -88,3 +88,30 @@ def test_curate_decontaminate_and_split(spark, tmp_path, capsys):
         F.col("split") != F.col("expect")
     )
     assert mismatch.count() == 0
+
+
+def test_curate_with_shard_export(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    shards_dir = str(tmp_path / "shards")
+    rc = _mod.cmd_curate(
+        argparse.Namespace(
+            docs=SF,
+            out=out,
+            decontaminate=False,
+            split=True,
+            shards=shards_dir,
+            shard_tokens=1500,
+            shard_seed="cli",
+        )
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["shards"]["n_shards"] >= 1
+    with open(os.path.join(shards_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["seed"] == "cli" and manifest["budget_tokens"] == 1500
+    back = spark.read.parquet(os.path.join(shards_dir, "shards"))
+    # shard export carries exactly the curated survivor set (with split col)
+    assert back.count() == report["after_neardup"]
+    assert "split" in back.columns and "global_pos" in back.columns
+    assert sum(m["docs"] for m in manifest["shards"].values()) == back.count()

@@ -1,0 +1,112 @@
+"""Training-shard writer (operators/shards.py): the distributed prefix
+sum must equal the single-window ground truth, shard budgets must hold,
+and the layout must be deterministic across partitionings and seeds."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.operators.shards import (
+    assign_shards,
+    write_training_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_prefix_sum_matches_single_window_ground_truth(spark):
+    got = {
+        r["doc_id"]: (r["global_pos"], r["shard_id"])
+        for r in assign_shards(_docs(spark), budget_tokens=1000, seed="s1").collect()
+    }
+    # ground truth: one global (single-reducer) window — fine at test size
+    ordered = _docs(spark).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).withColumn("_ord", F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))))
+    w = Window.orderBy("_ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in ordered.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("_ord")).cast("long").alias("pos"),
+            F.floor((F.sum("n_tokens").over(w) - 1) / 1000).cast("long").alias("shard"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_assignment_independent_of_partitioning(spark):
+    a = {
+        r["doc_id"]: (r["global_pos"], r["shard_id"])
+        for r in assign_shards(
+            _docs(spark), budget_tokens=777, seed="x", num_partitions=3
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["global_pos"], r["shard_id"])
+        for r in assign_shards(
+            _docs(spark).repartition(17), budget_tokens=777, seed="x", num_partitions=29
+        ).collect()
+    }
+    assert a == b
+
+
+def test_budgets_and_contiguity(spark):
+    budget = 1500
+    rows = assign_shards(_docs(spark), budget_tokens=budget, seed="q").collect()
+    max_doc = max(r["n_tokens"] for r in rows)
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard_id"], []).append(r)
+    shard_ids = sorted(per_shard)
+    assert shard_ids == list(range(len(shard_ids))), "shard ids are dense"
+    for sid in shard_ids:
+        toks = sum(r["n_tokens"] for r in per_shard[sid])
+        # a shard can overshoot only by the doc that crossed the boundary
+        assert toks <= budget + max_doc
+        # every shard except the last is full (>= budget - max_doc slack)
+        if sid != shard_ids[-1]:
+            assert toks > budget - max_doc
+        pos = sorted(r["global_pos"] for r in per_shard[sid])
+        assert pos == list(range(pos[0], pos[0] + len(pos))), "contiguous"
+
+
+def test_seed_changes_layout_deterministically(spark):
+    a1 = {r["doc_id"]: r["global_pos"] for r in assign_shards(_docs(spark), seed="a").collect()}
+    a2 = {r["doc_id"]: r["global_pos"] for r in assign_shards(_docs(spark), seed="a").collect()}
+    b = {r["doc_id"]: r["global_pos"] for r in assign_shards(_docs(spark), seed="b").collect()}
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_write_round_trip_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "release")
+    manifest = write_training_shards(
+        _docs(spark), out, budget_tokens=2000, seed="r1"
+    )
+    with open(os.path.join(out, "manifest.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["n_shards"] == manifest["n_shards"] > 1
+    back = spark.read.parquet(os.path.join(out, "shards"))
+    assert back.count() == _docs(spark).count()
+    got = {
+        int(r["shard_id"]): (r["docs"], r["tokens"])
+        for r in back.groupBy("shard_id")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    for sid, meta in manifest["shards"].items():
+        assert got[int(sid)] == (meta["docs"], meta["tokens"])
+    # one data file per shard directory (the loader-friendly layout)
+    for sid in got:
+        d = os.path.join(out, "shards", f"shard_id={sid}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (sid, files)
