@@ -150,6 +150,9 @@ def main() -> None:
         "docs_bloom_contamination",
         "emb_semdedup",
         "events_pit_enrich",
+        "emb_matryoshka_topk",
+        "docs_bigram_lm_score",
+        "docs_dsir_weights",
         "ingest_backfill_180",
         "reconcile_60k_keys",
     ]
