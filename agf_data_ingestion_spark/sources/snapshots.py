@@ -284,11 +284,13 @@ def snapshot_read(
     *,
     version: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
     where: list[tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: current), or — mutually
     exclusive — as of epoch-seconds timestamp ``as_of`` (resolved to the
-    latest commit at or before it, `FOR TIMESTAMP AS OF` semantics).
+    latest commit at or before it, `FOR TIMESTAMP AS OF` semantics), or
+    at a named release ``tag`` (`VERSION AS OF 'corpus-v1.0'`).
     Empty tables read as an empty frame only when a schema-bearing
     snapshot exists.
 
@@ -306,10 +308,15 @@ def snapshot_read(
     narrower schema because their manifests never reference newer files."""
     from pyspark.sql import functions as F
 
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass at most one of version / as_of / tag")
     if as_of is not None:
-        if version is not None:
-            raise ValueError("pass either version or as_of, not both")
         version = version_as_of(table, as_of)
+    elif tag is not None:
+        tags = snapshot_tags(table)
+        if tag not in tags:
+            raise NoSuchVersionError(f"{table}: no tag {tag!r}")
+        version = tags[tag]
     m = read_manifest(table, version)
     if not m["files"]:
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
@@ -371,6 +378,138 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
             return parent
         new_files = _write_data_files(fresh, table)
         return _commit(table, read_manifest(table)["files"] + new_files, parent, "upsert")
+
+
+def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
+    """Single-writer copy-on-write MERGE: rows of ``df`` REPLACE
+    same-keyed rows in the table, unmatched rows insert — the update
+    primitive ``snapshot_upsert`` deliberately lacks (upsert is
+    first-writer-wins insert-only).  One atomic commit under the table
+    lock.
+
+    Scale shape mirrors ``snapshot_delete``: the incoming batch's per-key
+    [min, max] bounds are compared against each file's manifest stats and
+    only files whose key ranges OVERLAP the batch (or that carry no
+    stats) are rewritten — at 100 TB a merge of one instrument-day
+    rewrites the files covering that key range, never the table.  The
+    rewrite itself is one anti-join of touched-file rows against the
+    batch's distinct keys (AQE picks the strategy; the batch side is
+    typically ≪ table).
+
+    ``df`` must be unique on ``keys`` — with duplicate keys "which copy
+    wins" would depend on physical row order, which is exactly the
+    nondeterminism this format bans everywhere else (raises ValueError).
+    """
+    if not keys:
+        raise ValueError("snapshot_merge requires at least one key column")
+    spark = df.sparkSession
+    from pyspark.sql import functions as F
+
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(f"snapshot_merge: df is not unique on {keys}: {dup[0]}")
+    with table_lock(table):
+        parent = current_version(table)
+        m = read_manifest(table)
+        if not m["files"]:
+            return _commit(table, _write_data_files(df, table), parent, "merge")
+        # incoming key bounds (one tiny agg) → which files COULD match
+        bounds = df.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).collect()[0]
+
+        def _overlaps(f: dict) -> bool:
+            for k in keys:
+                if k not in f.get("stats", {}):
+                    return True  # no stats → could match, must rewrite
+                lo, hi = f["stats"][k]
+                ilo, ihi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+                if ilo is None:
+                    return False  # empty batch matches nothing
+                try:
+                    if hi < ilo or lo > ihi:
+                        return False  # disjoint on this key col
+                except TypeError:
+                    return True  # incomparable stat types: keep conservative
+            return True
+
+        touched = [f for f in m["files"] if _overlaps(f)]
+        untouched = [f for f in m["files"] if not _overlaps(f)]
+        new_files: list[dict] = []
+        if touched:
+            old = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(f["path"] for f in touched)
+            )
+            survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
+            new_files += _write_data_files(survivors, table)
+        new_files += _write_data_files(df, table)
+        import pyarrow.parquet as pq
+
+        new_files = [
+            f for f in new_files if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+        ]
+        return _commit(table, untouched + new_files, parent, "merge")
+
+
+_TAG_RE = None  # compiled lazily
+
+
+def _tags_dir(table: str) -> str:
+    return os.path.join(_snap_path(table), "tags")
+
+
+def _check_tag(name: str) -> None:
+    import re
+
+    global _TAG_RE
+    if _TAG_RE is None:
+        _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not _TAG_RE.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+
+
+def snapshot_tag(table: str, name: str, version: int | None = None) -> int:
+    """Pin a named, immutable reference to a version (default: current) —
+    the dataset-release primitive (`corpus-v1.0` for a training run).
+    Tagged versions survive ``expire_snapshots``; re-tagging an existing
+    name raises (tags are immutable — delete via ``snapshot_untag``)."""
+    _check_tag(name)
+    v = current_version(table) if version is None else version
+    read_manifest(table, v)  # must exist (raises NoSuchVersionError)
+    if v == 0:
+        raise NoSuchVersionError(f"{table}: cannot tag the empty version")
+    os.makedirs(_tags_dir(table), exist_ok=True)
+    path = os.path.join(_tags_dir(table), name)
+    if os.path.exists(path):
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    tmp = f"{path}.tmp-{uuid.uuid4()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.rename(tmp, path)
+    return v
+
+
+def snapshot_untag(table: str, name: str) -> None:
+    _check_tag(name)
+    try:
+        os.remove(os.path.join(_tags_dir(table), name))
+    except FileNotFoundError:
+        raise ValueError(f"no such tag {name!r}") from None
+
+
+def snapshot_tags(table: str) -> dict[str, int]:
+    """All tags → versions (empty dict for an untagged table)."""
+    d = _tags_dir(table)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in os.listdir(d):
+        if name.endswith(".tmp") or ".tmp-" in name:
+            continue
+        with open(os.path.join(d, name)) as fh:
+            out[name] = int(fh.read().strip())
+    return out
 
 
 def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
@@ -517,10 +656,17 @@ def snapshot_diff(
 
 def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
-    data files no retained manifest references.  Returns deleted paths."""
+    data files no retained manifest references.  TAGGED versions are
+    always retained (their manifests and data files survive until
+    ``snapshot_untag``) — a pinned corpus release stays reproducible
+    through routine expiry, the Iceberg ref-retention model.  Returns
+    deleted paths."""
     with table_lock(table):
         cur = current_version(table)
-        retained_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+        tagged = set(snapshot_tags(table).values())
+        retained_versions = sorted(
+            set(range(max(1, cur - keep_last + 1), cur + 1)) | tagged
+        )
         referenced: set[str] = set()
         for v in retained_versions:
             referenced.update(f["path"] for f in read_manifest(table, v)["files"])
@@ -535,6 +681,8 @@ def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
                         os.remove(p)
                         deleted.append(p)
         for v in range(1, max(1, cur - keep_last + 1)):
+            if v in tagged:
+                continue  # pinned release: manifest survives expiry
             mp = _manifest_path(table, v)
             if os.path.exists(mp):
                 os.remove(mp)

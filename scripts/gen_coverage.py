@@ -44,8 +44,8 @@ TEST_COVERED = {
         "tests/test_synth_source.py (3 tests: partitioning contract, determinism, stream≡batch)",
     ),
     "OP-X-SNAPSHOT": (
-        "sources/snapshots.py (manifest snapshots: atomic commit, time travel, compaction, expiry, atomic keyed upsert, copy-on-write predicate DELETE)",
-        "tests/test_snapshots.py (history invariance, idempotent upsert, compaction, expiry, stats-pruned copy-on-write delete)",
+        "sources/snapshots.py (manifest snapshots: atomic commit, time travel by version/timestamp/tag, compaction, tag-aware expiry, atomic keyed upsert, copy-on-write predicate DELETE and keyed MERGE, immutable release tags, history metadata view)",
+        "tests/test_snapshots.py (history invariance, idempotent upsert, compaction, expiry, stats-pruned copy-on-write delete + merge, as-of resolution across expired versions, tag pinning through expiry)",
     ),
     "OP-SINK-UPSERT": (
         "operators/upsert.py `upsert_append` (dropDuplicates + left-anti + append)",

@@ -467,3 +467,106 @@ def test_as_of_skips_expired_versions(spark, tmp_path):
     # v1's manifest is gone: history starts at v2, as_of(now) still resolves
     assert [r["version"] for r in snapshot_history(tbl)] == [2, 3]
     assert version_as_of(tbl, _time.time()) == 3
+
+
+def test_merge_updates_and_inserts(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"), tbl
+    )
+    v2 = snapshot_merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), tbl, keys=["k"]
+    )
+    assert v2 == 2
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # time travel still sees the pre-merge row
+    assert _rows(snapshot_read(spark, tbl, version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+    # merge into an empty table is a plain insert
+    tbl2 = str(tmp_path / "tbl2")
+    snapshot_merge(spark.createDataFrame([(1, "x")], "k long, v string"), tbl2, keys=["k"])
+    assert _rows(snapshot_read(spark, tbl2)) == [(1, "x")]
+
+
+def test_merge_rejects_duplicate_keys(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    with pytest.raises(ValueError, match="not unique"):
+        snapshot_merge(
+            spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string"),
+            tbl,
+            keys=["k"],
+        )
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        read_manifest,
+        snapshot_merge,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # two commits with DISJOINT key ranges → disjoint file stats
+    snapshot_write(
+        spark.createDataFrame([(i, "lo") for i in range(10)], "k long, v string")
+        .coalesce(1),
+        tbl,
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "hi") for i in range(100, 110)], "k long, v string")
+        .coalesce(1),
+        tbl,
+    )
+    before = {f["path"] for f in read_manifest(tbl)["files"]}
+    lo_files = {
+        f["path"] for f in read_manifest(tbl)["files"] if f["stats"]["k"][1] < 100
+    }
+    snapshot_merge(
+        spark.createDataFrame([(5, "LO")], "k long, v string"), tbl, keys=["k"]
+    )
+    after = {f["path"] for f in read_manifest(tbl)["files"]}
+    # the hi-range file is carried over untouched; the lo file was rewritten
+    assert (before - lo_files) <= after
+    assert not (lo_files & after)
+    got = dict(_rows(snapshot_read(spark, tbl)))
+    assert got[5] == "LO" and got[105] == "hi" and len(got) == 20
+
+
+def test_tags_pin_releases_through_expiry(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_tag,
+        snapshot_tags,
+        snapshot_untag,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_tag(tbl, "corpus-v1.0")
+    for k in (2, 3, 4):
+        snapshot_write(spark.createDataFrame([(k, "x")], "k long, v string"), tbl)
+    expire_snapshots(tbl, keep_last=1)
+    # v1 survives expiry because the tag pins it
+    assert snapshot_tags(tbl) == {"corpus-v1.0": 1}
+    assert _rows(snapshot_read(spark, tbl, tag="corpus-v1.0")) == [(1, "a")]
+    # tags are immutable; untag then expiry reclaims
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_tag(tbl, "corpus-v1.0")
+    snapshot_untag(tbl, "corpus-v1.0")
+    expire_snapshots(tbl, keep_last=1)
+    with pytest.raises(NoSuchVersionError):
+        snapshot_read(spark, tbl, tag="corpus-v1.0")
+    with pytest.raises(NoSuchVersionError):
+        snapshot_read(spark, tbl, version=1)
+
+
+def test_tag_validation(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_tag
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    for bad in ("", "../evil", "a/b", ".hidden"):
+        with pytest.raises(ValueError):
+            snapshot_tag(tbl, bad)
