@@ -76,7 +76,8 @@ def _sink_for(sink: str):
     = the manifest table format (sources/snapshots.py) where the anti-join
     + append is ONE atomic commit and readers only ever see committed
     manifests — the lock is built into every snapshot writer, so the
-    shared-table flag disappears."""
+    shared-table flag disappears; ``snapshot_replace`` = put_item-parity
+    last-writer-wins merge (changed re-syncs UPDATE the tracked row)."""
     if sink == "parquet":
         def write(df, path, keys, shared=False):
             upsert_append(df, path, keys, lock=shared, lock_wait_s=600.0)
@@ -85,8 +86,43 @@ def _sink_for(sink: str):
 
         def write(df, path, keys, shared=False):
             snapshot_upsert(df, path, keys)
+    elif sink == "snapshot_replace":
+        # Reference parity for DynamoDB put_item semantics (REPLACE on key
+        # collision — agf_ingestion_lambda.py:227,301,335): a re-sync whose
+        # manifest CONTENT changed updates the tracked row instead of being
+        # ignored.  Within-batch key collisions are resolved by the
+        # greatest non-key tuple (deterministic on any cluster; the
+        # reference's own winner is arrival-order nondeterministic).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+        def write(df, path, keys, shared=False):
+            others = [c for c in df.columns if c not in keys]
+            if others:
+                # maps are not orderable — those columns participate via
+                # the canonical-JSON hash tiebreaker instead
+                dtypes = dict(df.dtypes)
+                orderable = [c for c in others if not dtypes[c].startswith("map")]
+                tiebreak = F.desc(
+                    F.md5(F.to_json(F.struct(*[F.col(c) for c in others])))
+                )
+                w = Window.partitionBy(*keys).orderBy(
+                    *[F.desc(c) for c in orderable], tiebreak
+                )
+                df = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            else:
+                df = df.dropDuplicates(keys)
+            snapshot_merge(df, path, keys)
     else:
-        raise ValueError(f"sink must be parquet|snapshot, got {sink!r}")
+        raise ValueError(
+            f"sink must be parquet|snapshot|snapshot_replace, got {sink!r}"
+        )
     return write
 
 

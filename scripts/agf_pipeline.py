@@ -66,7 +66,7 @@ def cmd_backfill(args) -> int:
         path = os.path.join(args.warehouse, name)
         if not os.path.exists(path):
             counts[name] = 0
-        elif args.sink == "snapshot":
+        elif args.sink.startswith("snapshot"):
             from agf_data_ingestion_spark.sources.snapshots import snapshot_read
 
             counts[name] = snapshot_read(spark, path).count()
@@ -279,7 +279,7 @@ def main() -> int:
     b.add_argument("--dry-run", action="store_true")
     b.add_argument("--now")
     b.add_argument("--checkpoint")
-    b.add_argument("--sink", choices=["parquet", "snapshot"], default="parquet")
+    b.add_argument("--sink", choices=["parquet", "snapshot", "snapshot_replace"], default="parquet")
     b.set_defaults(fn=cmd_backfill)
 
     s = sub.add_parser("stream")
@@ -288,7 +288,7 @@ def main() -> int:
     s.add_argument("--checkpoint")
     s.add_argument("--max-files-per-trigger", type=int)
     s.add_argument("--available-now", action="store_true")
-    s.add_argument("--sink", choices=["parquet", "snapshot"], default="parquet")
+    s.add_argument("--sink", choices=["parquet", "snapshot", "snapshot_replace"], default="parquet")
     s.set_defaults(fn=cmd_stream)
 
     r = sub.add_parser("reconcile")

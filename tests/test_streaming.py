@@ -151,3 +151,33 @@ def test_full_backfill_both_types_and_quarantine(spark, lake, tmp_path):
     assert set(q.select("source").distinct().toPandas()["source"]) <= {
         "run.json", "run.json/file_manifest", "experiment.json", "experiment.json/files",
     }
+
+
+def test_snapshot_replace_sink_updates_changed_resync(spark, tmp_path):
+    """put_item parity (reference agf_ingestion_lambda.py:227): a re-sync
+    whose manifest CONTENT changed must UPDATE the tracked row under the
+    snapshot_replace sink, while the default first-writer-wins sinks keep
+    the original — both behaviors deterministic and version-auditable."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    lake = str(tmp_path / "lake")
+    _write_run(lake, "instA", 1, "r1", n_files=2)
+    wh_ins = str(tmp_path / "wh_insert_only")
+    wh_rep = str(tmp_path / "wh_replace")
+    backfill(spark, lake, wh_ins, str(tmp_path / "c1"), now=NOW, sink="snapshot")
+    backfill(spark, lake, wh_rep, str(tmp_path / "c2"), now=NOW, sink="snapshot_replace")
+
+    # the instrument re-syncs the same run with MORE files (content change)
+    _write_run(lake, "instA", 1, "r1", n_files=3)
+    backfill(spark, lake, wh_ins, str(tmp_path / "c3"), now=NOW, sink="snapshot")
+    backfill(spark, lake, wh_rep, str(tmp_path / "c4"), now=NOW, sink="snapshot_replace")
+
+    ins = snapshot_read(spark, os.path.join(wh_ins, "sync_runs")).collect()
+    rep = snapshot_read(spark, os.path.join(wh_rep, "sync_runs")).collect()
+    assert len(ins) == 1 and len(rep) == 1
+    assert ins[0]["files_count"] == 2  # insert-only: first write stands
+    assert rep[0]["files_count"] == 3  # replace: updated to the re-sync
+    # replaying the identical lake again is a no-op for BOTH (idempotent)
+    backfill(spark, lake, wh_rep, str(tmp_path / "c5"), now=NOW, sink="snapshot_replace")
+    rep2 = snapshot_read(spark, os.path.join(wh_rep, "sync_runs")).collect()
+    assert len(rep2) == 1 and rep2[0]["files_count"] == 3
