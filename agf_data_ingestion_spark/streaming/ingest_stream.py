@@ -150,9 +150,10 @@ def run_ingest_batch_fn(
             # Keyed on (experiment_id, file_path) = the table's primary key
             # (reference :333-341). Divergence note: the reference writes
             # run-manifest file rows unconditionally (:247-252), i.e.
-            # last-writer-wins on re-delivery; this sink is first-writer-
-            # wins, which is identical for byte-identical re-deliveries
-            # (the idempotency case that actually occurs).
+            # last-writer-wins on re-delivery; the default sinks are
+            # first-writer-wins, identical for byte-identical re-deliveries
+            # (the idempotency case that actually occurs).  For exact
+            # put_item replace semantics use sink="snapshot_replace".
             # shared=True: file_inventory is also written by the experiment
             # stream — two concurrent foreachBatch cycles must serialize.
             write(

@@ -12,6 +12,7 @@
     python scripts/agf_pipeline.py curate    --out <dir>
         [--docs <dir with documents.parquet>] [--decontaminate] [--split]
         [--shards <dir> [--shard-tokens N] [--shard-seed S]]
+        [--release-table <dir> [--release-tag NAME]]
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -264,6 +265,23 @@ def cmd_curate(args) -> int:
             "seed": manifest["seed"],
         }
 
+    if getattr(args, "release_table", None):
+        # commit the curated corpus as a snapshot version and pin it with
+        # an immutable tag: the release survives expiry, reads back via
+        # snapshot_read(tag=...), and every training run can name the
+        # exact bytes it consumed
+        from agf_data_ingestion_spark.sources.snapshots import (
+            snapshot_tag,
+            snapshot_write,
+        )
+
+        v = snapshot_write(
+            spark.read.parquet(args.out), args.release_table, mode="overwrite"
+        )
+        tag = args.release_tag or f"release-v{v}"
+        snapshot_tag(args.release_table, tag, version=v)
+        report["release"] = {"table": args.release_table, "version": v, "tag": tag}
+
     print(json.dumps(report))
     return 0
 
@@ -314,6 +332,10 @@ def main() -> int:
                    help="also write token-budgeted training shards + manifest")
     c.add_argument("--shard-tokens", type=int, default=4096)
     c.add_argument("--shard-seed", default="0")
+    c.add_argument("--release-table", metavar="DIR",
+                   help="also commit the curated corpus to this snapshot table")
+    c.add_argument("--release-tag",
+                   help="immutable tag name for the release (default release-vN)")
     c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args()

@@ -115,3 +115,22 @@ def test_curate_with_shard_export(spark, tmp_path, capsys):
     assert back.count() == report["after_neardup"]
     assert "split" in back.columns and "global_pos" in back.columns
     assert sum(m["docs"] for m in manifest["shards"].values()) == back.count()
+
+
+def test_curate_release_table_and_tag(spark, tmp_path, capsys):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read, snapshot_tags
+
+    out = str(tmp_path / "curated")
+    tbl = str(tmp_path / "corpus_releases")
+    rc = _mod.cmd_curate(
+        argparse.Namespace(
+            docs=SF, out=out, decontaminate=False, split=False,
+            shards=None, release_table=tbl, release_tag="corpus-v1.0",
+        )
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["release"] == {"table": tbl, "version": 1, "tag": "corpus-v1.0"}
+    assert snapshot_tags(tbl) == {"corpus-v1.0": 1}
+    released = snapshot_read(spark, tbl, tag="corpus-v1.0")
+    assert released.count() == report["after_neardup"]
