@@ -340,12 +340,14 @@ GROUP BY doc_id, grp
 
 QUERIES: dict[str, QuerySpec] = {
     "docs_bigram_lm_score": QuerySpec(
-        docs_bigram_lm_score, _LM_SQL, ("OP-X-TEXT", "OP-AGG-SUM")
+        docs_bigram_lm_score, _LM_SQL, ("OP-X-LMSCORE", "OP-X-TEXT", "OP-AGG-SUM")
     ),
     "docs_dsir_weights": QuerySpec(
-        docs_dsir_weights, _DSIR_SQL, ("OP-X-SAMPLE", "OP-X-TEXT")
+        docs_dsir_weights, _DSIR_SQL, ("OP-X-DSIR", "OP-X-SAMPLE", "OP-X-TEXT")
     ),
     "docs_dup_span_extract": QuerySpec(
-        docs_dup_span_extract, _SPAN_EXTRACT_SQL, ("OP-X-DEDUP-EXACT", "OP-X-TEXT")
+        docs_dup_span_extract,
+        _SPAN_EXTRACT_SQL,
+        ("OP-X-DUPSPAN", "OP-X-DEDUP-EXACT", "OP-X-TEXT"),
     ),
 }

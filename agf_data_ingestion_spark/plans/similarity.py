@@ -1093,7 +1093,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_matryoshka_topk": QuerySpec(
-        emb_matryoshka_topk, _MATRYOSHKA_SQL, ("OP-X-SIM-TOPK",)
+        emb_matryoshka_topk, _MATRYOSHKA_SQL, ("OP-X-MRL", "OP-X-SIM-TOPK")
     ),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, _COSINE_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_neardup_by_label": QuerySpec(emb_neardup_by_label, _NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-SIM-TOPK")),

@@ -1160,7 +1160,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_quality_calibrated": QuerySpec(
         docs_quality_calibrated,
         _QUALITY_CALIBRATED_SQL,
-        ("OP-X-TEXT", "OP-X-SAMPLE"),
+        ("OP-X-CALIBRATE", "OP-X-QUALITY", "OP-X-TEXT", "OP-X-SAMPLE"),
     ),
     "docs_dedup_exact": QuerySpec(
         docs_dedup_exact, _DEDUP_EXACT_SQL, ("OP-X-DEDUP-EXACT", "OP-DEDUP-KEY")
