@@ -130,6 +130,7 @@ _PRIORITY = [
     "docs_dup_span_extract",
     "docs_quality_calibrated",
     "emb_matryoshka_topk",
+    "docs_lm_buckets",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -338,6 +338,71 @@ GROUP BY doc_id, grp
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_lm_buckets — CCNet head/middle/tail partition (OP-X-LMSCORE)
+# ---------------------------------------------------------------------------
+
+
+def docs_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's language-model partition (Wenzek et al. 2020): within each
+    language, rank documents by LM score and cut into equal thirds —
+    ``head`` (most fluent under the corpus model), ``middle``, ``tail``.
+    Downstream pipelines train on head+middle or reweight by bucket.
+
+    ``ntile(3)`` over (score DESC, doc_id) — the unique tiebreaker makes
+    the cut deterministic, and both engines assign remainder rows to the
+    earlier buckets.  Scale: the LM model build dominates (see
+    ``docs_bigram_lm_score``); the bucket pass adds one lang-keyed
+    shuffle whose partitions are per-language corpus shares."""
+    scored = docs_bigram_lm_score(spark, sf_dir)
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("lm_score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.join(langs, "doc_id")
+        .withColumn("tile", F.ntile(3).over(win))
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score_micro",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+_LM_BUCKETS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, unnest(range(1, len(w))) AS t(i)
+),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+per_doc AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM bg GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(k * (({_LM_SCALE} * cb) // cu)) AS BIGINT) AS DOUBLE)
+           / CAST(SUM(k) AS BIGINT) AS lm_score_micro
+  FROM per_doc JOIN bi USING (w1, w2) JOIN uni USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, lang, lm_score_micro,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY lm_score_micro DESC, doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored JOIN documents USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_bigram_lm_score": QuerySpec(
         docs_bigram_lm_score, _LM_SQL, ("OP-X-LMSCORE", "OP-X-TEXT", "OP-AGG-SUM")
@@ -349,5 +414,8 @@ QUERIES: dict[str, QuerySpec] = {
         docs_dup_span_extract,
         _SPAN_EXTRACT_SQL,
         ("OP-X-DUPSPAN", "OP-X-DEDUP-EXACT", "OP-X-TEXT"),
+    ),
+    "docs_lm_buckets": QuerySpec(
+        docs_lm_buckets, _LM_BUCKETS_SQL, ("OP-X-LMSCORE", "OP-X-SAMPLE")
     ),
 }

@@ -125,3 +125,22 @@ def test_quality_calibrated_per_language_fraction(spark):
         # every language keeps ~(1 - drop_frac) of ITS OWN docs — the
         # whole point of calibration vs a global absolute threshold
         assert abs(frac - (1 - _CALIBRATED_DROP_FRAC)) < 0.12, (lang, frac)
+
+
+def test_lm_buckets_are_equal_thirds_per_language(spark):
+    from agf_data_ingestion_spark.plans.lm import docs_lm_buckets
+
+    rows = docs_lm_buckets(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {}
+        for r in rs:
+            counts[r.bucket] = counts.get(r.bucket, 0) + 1
+        # ntile thirds: sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        # head scores dominate tail scores
+        head_min = min(r.lm_score_micro for r in rs if r.bucket == "head")
+        tail_max = max(r.lm_score_micro for r in rs if r.bucket == "tail")
+        assert head_min >= tail_max, (lang, head_min, tail_max)
