@@ -131,6 +131,7 @@ _PRIORITY = [
     "docs_quality_calibrated",
     "emb_matryoshka_topk",
     "docs_lm_buckets",
+    "docs_shard_plan",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -1117,7 +1117,54 @@ GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {_BPE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Shard-plan audit (OP-X-SHARDS): the distributed two-pass prefix sum of
+# operators/shards.py exposed as a catalog query, so the driver's oracle
+# gate certifies it bit-identical against the single-window ground truth
+# the scalable implementation replaces.
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 4096
+_SHARD_SEED = "0"
+
+
+def docs_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's (n_tokens, global_pos, shard_id) under the
+    deterministic seeded order — computed by the DISTRIBUTED prefix sum
+    (per-partition subtotals + driver offsets bounded by the partition
+    count + parallel local windows; operators/shards.py), which must
+    equal the oracle's one global window exactly.  The assignment is a
+    pure function of (corpus, seed, budget), independent of partition
+    count or boundary sampling."""
+    from agf_data_ingestion_spark.operators.shards import assign_shards
+
+    out = assign_shards(
+        t(spark, sf_dir, "documents"),
+        budget_tokens=_SHARD_BUDGET,
+        seed=_SHARD_SEED,
+    )
+    return out.select("doc_id", "n_tokens", "global_pos", "shard_id")
+
+
+_SHARD_PLAN_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS global_pos,
+       CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) - 1) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM w
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "docs_shard_plan": QuerySpec(
+        docs_shard_plan, _SHARD_PLAN_SQL, ("OP-X-SHARDS", "OP-X-PACK")
+    ),
     "docs_stratified_sample": QuerySpec(
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
     ),
