@@ -132,6 +132,7 @@ _PRIORITY = [
     "emb_matryoshka_topk",
     "docs_lm_buckets",
     "docs_shard_plan",
+    "docs_winnowing",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -339,6 +339,86 @@ GROUP BY doc_id, grp
 
 
 # ---------------------------------------------------------------------------
+# docs_winnowing — MOSS winnowing fingerprints (OP-X-WINNOW)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # words per k-gram
+_WIN_W = 4  # winnowing window (guarantee: any match ≥ w+k-1 grams shares a
+#             fingerprint; density ~ 2/(w+1))
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every ``_WIN_K``-word gram, slide a
+    ``_WIN_W``-gram window, keep each window's minimum hash (rightmost on
+    ties), emit the distinct (position, hash) selections.  The guarantee:
+    two documents sharing any run of ≥ ``_WIN_W + _WIN_K - 1`` words share
+    at least one fingerprint — robust partial-overlap detection at ~2/(w+1)
+    the k-gram volume.
+
+    The per-window argmin-with-rightmost-tie is ONE window expression:
+    ``min(struct(h, -pos))`` over a leading row frame — struct ordering is
+    lexicographic in both engines, so (min h, then max pos) needs no
+    self-join.  Scale: map-side explode, one doc-partitioned window (frame
+    bounded by w), one distinct shuffle carrying (doc_id, pos, hash) longs
+    — text never shuffles; the fingerprint table is the dedup-join input,
+    ~2/(w+1) of the shingle table's size."""
+    d = _words(spark, sf_dir).filter(F.size("w") >= _WIN_K)
+    idx = F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1))
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice("w", i, _WIN_K), " ")), 1, 12), 16, 10
+    ).cast("long")
+    grams = d.select(
+        "doc_id",
+        (F.size("w") - (_WIN_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(F.transform(idx, gram_hash)).alias("p0", "h"),
+    ).select(
+        "doc_id", "n_grams", (F.col("p0") + 1).cast("long").alias("i"), "h"
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = grams.withColumn(
+        "s", F.min(F.struct(F.col("h"), (-F.col("i")).alias("np"))).over(win)
+    )
+    return (
+        sel.filter(F.col("i") <= F.col("n_grams") - (_WIN_W - 1))
+        .select(
+            "doc_id",
+            (-F.col("s.np")).alias("fp_pos"),
+            F.col("s.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+_WINNOW_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WIN_K}
+),
+grams AS (
+  SELECT doc_id,
+         CAST(len(w) - {_WIN_K - 1} AS BIGINT) AS n_grams,
+         CAST(i AS BIGINT) AS i,
+         ('0x' || substr(md5(array_to_string(w[i:i+{_WIN_K - 1}], ' ')), 1, 12))::BIGINT AS h
+  FROM w, unnest(range(1, len(w) - {_WIN_K - 2})) AS t(i)
+),
+sel AS (
+  SELECT doc_id, n_grams, i,
+         min({{'h': h, 'np': -i}}) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s
+  FROM grams
+)
+SELECT DISTINCT doc_id, -s.np AS fp_pos, s.h AS fp_hash
+FROM sel WHERE i <= n_grams - {_WIN_W - 1}
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_lm_buckets — CCNet head/middle/tail partition (OP-X-LMSCORE)
 # ---------------------------------------------------------------------------
 
@@ -417,5 +497,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_lm_buckets": QuerySpec(
         docs_lm_buckets, _LM_BUCKETS_SQL, ("OP-X-LMSCORE", "OP-X-SAMPLE")
+    ),
+    "docs_winnowing": QuerySpec(
+        docs_winnowing, _WINNOW_SQL, ("OP-X-WINNOW", "OP-X-DEDUP-NEAR", "OP-X-TEXT")
     ),
 }

@@ -144,3 +144,59 @@ def test_lm_buckets_are_equal_thirds_per_language(spark):
         head_min = min(r.lm_score_micro for r in rs if r.bucket == "head")
         tail_max = max(r.lm_score_micro for r in rs if r.bucket == "tail")
         assert head_min >= tail_max, (lang, head_min, tail_max)
+
+
+def test_winnowing_guarantee_on_shared_spans(spark):
+    """MOSS guarantee: documents sharing >= w+k-1 consecutive words share
+    at least one fingerprint hash.  _SPAN_N == _WIN_W + _WIN_K - 1 == 6,
+    so every duplicated span found by docs_dup_span_extract must witness
+    a shared winnowing fingerprint between its holders."""
+    from pyspark.sql import functions as F
+
+    assert lm._WIN_W + lm._WIN_K - 1 == lm._SPAN_N
+    fps = {}
+    for r in lm.docs_winnowing(spark, SF).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.split("text", " ")) - (lm._SPAN_N - 1)),
+                lambda i: F.array_join(F.slice(F.split("text", " "), i, lm._SPAN_N), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    assert pairs, "sf0.001 contains cross-doc 6-word spans"
+    for p in pairs:
+        assert fps.get(p.x, set()) & fps.get(p.y, set()), (p.x, p.y)
+
+
+def test_winnowing_density(spark):
+    from pyspark.sql import functions as F
+
+    fps = lm.docs_winnowing(spark, SF).groupBy("doc_id").count()
+    grams = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.size(F.split("text", " ")) - (lm._WIN_K - 1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= lm._WIN_W)
+    )
+    rows = grams.join(fps, "doc_id").collect()
+    assert rows
+    for r in rows:
+        # selections exist and are a strict subsample of the gram stream
+        assert 1 <= r["count"] <= r.n_grams
+    avg_density = sum(r["count"] for r in rows) / sum(r.n_grams for r in rows)
+    # expected density 2/(w+1) = 0.4; allow generous slack
+    assert 0.2 <= avg_density <= 0.6, avg_density
