@@ -133,6 +133,7 @@ _PRIORITY = [
     "docs_lm_buckets",
     "docs_shard_plan",
     "docs_winnowing",
+    "docs_hybrid_rrf",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -483,6 +483,110 @@ FROM scored JOIN documents USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_hybrid_rrf — hybrid retrieval via reciprocal rank fusion
+# (OP-X-HYBRID): the modern search stack's fusion step — a lexical ranker
+# (BM25) and a semantic ranker (embedding cosine) merged by RRF
+# (Cormack et al. 2009), with the fusion arithmetic exact-integer.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF smoothing constant
+_RRF_DEPTH = 20  # semantic ranker depth feeding the fusion
+_RRF_TOPK = 10
+_RRF_SCALE = 1_000_000
+
+
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_RRF_TOPK`` documents fusing BM25 (``docs_bm25_search``'s
+    query and scoring) with embedding cosine against query vector 0
+    (``vec_id`` aligns 1:1 with ``doc_id`` in this corpus):
+    ``rrf = Σ_rankers SCALE div (K + rank)`` — integer floor division,
+    identical in both engines; a doc absent from a ranker contributes 0.
+
+    Scale: each ranker keeps its own scale shape (BM25: term-filtered
+    explode + broadcast stats + one doc-keyed shuffle; cosine: broadcast
+    single query, map-only corpus scan, WindowGroupLimit truncating to
+    ``_RRF_DEPTH`` per map task before one tiny reduce).  The fusion
+    itself joins two ≤depth-row rank lists — metadata-sized at any corpus
+    size."""
+    from agf_data_ingestion_spark.plans.similarity import _dot
+    from agf_data_ingestion_spark.plans.text import docs_bm25_search
+
+    bm = docs_bm25_search(spark, sf_dir)
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(w_bm).cast("long").alias("bm25_rank"))
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("emb_q"))
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("emb_q"), F.col("embedding"))
+                / (
+                    F.sqrt(_dot(F.col("emb_q"), F.col("emb_q")))
+                    * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    csr = (
+        cos.withColumn("cos_rank", F.row_number().over(w_cos).cast("long"))
+        .filter(F.col("cos_rank") <= _RRF_DEPTH)
+        .select("doc_id", "cos_rank")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {r})"), F.lit(0).cast("long")
+    )
+    fused = bmr.join(csr, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)
+
+
+def _rrf_sql() -> str:
+    from agf_data_ingestion_spark.plans.similarity import _o_dot
+    from agf_data_ingestion_spark.plans.text import _BM25_SQL
+
+    return f"""
+WITH bm AS ({_BM25_SQL}),
+bmr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS bm25_rank
+  FROM bm
+),
+cos AS (
+  SELECT c.vec_id AS doc_id,
+         {_o_dot('q.embedding', 'c.embedding')}
+           / (sqrt({_o_dot('q.embedding', 'q.embedding')})
+              * sqrt({_o_dot('c.embedding', 'c.embedding')})) AS cosine
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id = 0 AND c.vec_id != 0
+),
+csr AS (
+  SELECT doc_id, cos_rank FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+             AS cos_rank
+    FROM cos
+  ) WHERE cos_rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + bm25_rank), 0)
+           + COALESCE({_RRF_SCALE} // ({_RRF_K} + cos_rank), 0) AS rrf_score
+  FROM bmr FULL OUTER JOIN csr USING (doc_id)
+)
+SELECT doc_id, bm25_rank, cos_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_bigram_lm_score": QuerySpec(
         docs_bigram_lm_score, _LM_SQL, ("OP-X-LMSCORE", "OP-X-TEXT", "OP-AGG-SUM")
@@ -500,5 +604,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_winnowing": QuerySpec(
         docs_winnowing, _WINNOW_SQL, ("OP-X-WINNOW", "OP-X-DEDUP-NEAR", "OP-X-TEXT")
+    ),
+    "docs_hybrid_rrf": QuerySpec(
+        docs_hybrid_rrf, _rrf_sql(), ("OP-X-HYBRID", "OP-X-SIM-TOPK", "OP-X-TEXT")
     ),
 }

@@ -200,3 +200,31 @@ def test_winnowing_density(spark):
     avg_density = sum(r["count"] for r in rows) / sum(r.n_grams for r in rows)
     # expected density 2/(w+1) = 0.4; allow generous slack
     assert 0.2 <= avg_density <= 0.6, avg_density
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    from agf_data_ingestion_spark.plans.lm import (
+        _RRF_K,
+        _RRF_SCALE,
+        docs_hybrid_rrf,
+    )
+
+    rows = docs_hybrid_rrf(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # every fused doc came from at least one ranker
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        expect = 0
+        if r.bm25_rank is not None:
+            expect += _RRF_SCALE // (_RRF_K + r.bm25_rank)
+        if r.cos_rank is not None:
+            expect += _RRF_SCALE // (_RRF_K + r.cos_rank)
+        assert r.rrf_score == expect
+    # result is sorted by fused score (with doc_id tiebreak)
+    scores = [(r.rrf_score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in BOTH rankers outranks one with a single equal rank
+    both = [r for r in rows if r.bm25_rank is not None and r.cos_rank is not None]
+    only = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
+    if both and only:
+        assert max(r.rrf_score for r in both) > min(r.rrf_score for r in only)
