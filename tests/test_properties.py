@@ -165,3 +165,68 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tole
                             None if pd.isna(r.rt_asof) else int(r.rt_asof))
                for r in got.itertuples()}
     assert got_map == want_map
+
+
+# --- winnowing vs an independent pure-Python reference ---------------------
+
+
+def _ref_winnow(words: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Direct restatement of Schleimer et al. 2003: hash every k-gram,
+    slide a w-window, select the minimum (rightmost on ties)."""
+    import hashlib
+
+    n = len(words) - k + 1
+    if n < 1:
+        return set()
+    hs = []
+    for i in range(n):
+        hx = hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
+        hs.append(int(hx[:12], 16))
+    out = set()
+    for j in range(n - w + 1):
+        window = hs[j : j + w]
+        m = min(window)
+        # rightmost minimal position
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        out.add((pos + 1, m))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]), min_size=3, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnowing_matches_reference_implementation(spark, docs):
+    from agf_data_ingestion_spark.plans import lm
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), "en") for i, ws in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    # drive the catalog plan over the synthetic frame via a temp view of
+    # the same shape t() would load
+    import agf_data_ingestion_spark.plans.base as base
+
+    orig = base.t
+    try:
+        base.t = lambda _s, _d, name: df  # documents only in this plan
+        lm.t = base.t
+        got = {
+            (r.doc_id, r.fp_pos, r.fp_hash)
+            for r in lm.docs_winnowing(spark, "unused").collect()
+        }
+    finally:
+        base.t = orig
+        lm.t = orig
+    want = {
+        (i, pos, h)
+        for i, ws in enumerate(docs)
+        for (pos, h) in _ref_winnow(ws, lm._WIN_K, lm._WIN_W)
+    }
+    assert got == want
