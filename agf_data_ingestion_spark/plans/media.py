@@ -110,7 +110,152 @@ def docs_export_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup (OP-X-PHASH): the image-dedup pipeline —
+# per-item 60-bit content hash, band-blocked candidate join, exact Hamming
+# verify.  The hash here is md5-derived (the container has no codecs), so
+# only byte-identical media collide; a real pHash/aHash drops into the
+# same plumbing and the banding then finds SMALL Hamming distances too.
+# ---------------------------------------------------------------------------
+
+_PHASH_BITS = 60  # stays inside signed BIGINT
+_PHASH_BANDS = 4  # 15 bits per band
+_PHASH_BAND_MOD = 1 << 15
+_PHASH_MAX_HAM = 12  # near-dups land ≤ 7, random collisions ≥ 18 (bimodal)
+_PHASH_GRAM = 3  # words per content shingle feature
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media pairs by banded perceptual-hash blocking —
+    the image-dedup pipeline shape (pHash → LSH bands → Hamming verify).
+
+    The hash is a 60-bit SimHash over the decoded content's distinct
+    ``_PHASH_GRAM``-gram features — the defining pHash property holds:
+    similar content → small Hamming distance (a real DCT-based pHash
+    drops into the same sign-aggregation).  A pair is a candidate when
+    ANY of the ``_PHASH_BANDS`` 15-bit bands match (guaranteed for
+    Hamming ≤ bands-1 by pigeonhole, probabilistic above), then verified
+    with an exact ``bit_count(xor)`` ≤ ``_PHASH_MAX_HAM``.
+
+    Scale: content bytes never shuffle — the vote aggregation reduces
+    map-side to ≤ 60 longs/item, then ONE long/item; bands explode to 4
+    short rows/item; the band self-join is corpus × corpus on the bucket
+    key → pinned shuffle-hash, never broadcast; band arithmetic is div/%
+    only (CLAUDE.md: &/<< precedence is a cross-engine trap)."""
+    media = _media_docs(spark, sf_dir).select(
+        "doc_id", F.split(F.decode(F.col("media.content"), "UTF-8"), " ").alias("w")
+    ).filter(F.size("w") >= _PHASH_GRAM)
+    idx = F.sequence(F.lit(1), F.size("w") - (_PHASH_GRAM - 1))
+    grams = media.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice("w", i, _PHASH_GRAM), " "))
+            )
+        ).alias("g"),
+    )
+    bits = spark.range(_PHASH_BITS).withColumnRenamed("id", "b")
+    # bit b of feature g = bit (3 - b%4) of md5(g)'s hex nibble b//4
+    # (the docs_simhash construction, plans/text.py)
+    vote = F.expr(
+        "((shiftright(instr('0123456789abcdef', substr(md5(g), CAST(b / 4 AS INT) + 1, 1)) - 1,"
+        " 3 - CAST(b % 4 AS INT))) & 1) * 2 - 1"
+    )
+    items = (
+        grams.crossJoin(F.broadcast(bits))
+        .select("doc_id", "b", vote.alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), CAST(b AS INT))")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("ph")
+        )
+    )
+    bands = items.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(ph div {_PHASH_BAND_MOD**b}L) % {_PHASH_BAND_MOD}"
+                        ).alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "ph", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("ha"),
+            F.col("b.ph").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAM)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_PHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_PHASH_GRAM}
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{_PHASH_GRAM - 1}], ' ') AS g
+  FROM w, unnest(range(1, len(w) - {_PHASH_GRAM - 2})) AS t(i)
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(((strpos('0123456789abcdef', substr(md5(g), CAST(b // 4 AS INT) + 1, 1)) - 1
+               >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1) AS v
+  FROM grams CROSS JOIN (SELECT unnest(range(0, {_PHASH_BITS})) AS b)
+  GROUP BY doc_id, b
+),
+items AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)
+              AS BIGINT) AS ph
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, ph, b AS band,
+         (ph // power({_PHASH_BAND_MOD}, b)::BIGINT) % {_PHASH_BAND_MOD} AS key
+  FROM items, unnest(range(0, {_PHASH_BANDS})) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ph AS ha, b.ph AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "media_phash_neardup": QuerySpec(
+        media_phash_neardup,
+        _PHASH_SQL,
+        ("OP-X-PHASH", "OP-X-MULTIMODAL", "OP-X-DEDUP-NEAR"),
+    ),
     "docs_multimodal_meta": QuerySpec(
         docs_multimodal_meta, _MULTIMODAL_META_SQL, ("OP-X-MULTIMODAL",)
     ),

@@ -186,3 +186,32 @@ def test_decode_pil_backend_real_decode(spark):
     assert real.schema == fake.schema  # identical plumbing contract
     row = real.collect()[0]
     assert (row["width"], row["height"], row["n_channels"]) == (37, 21, 3)
+
+
+def test_phash_neardup_agrees_with_minhash_detector(spark):
+    """Two independent near-dup detectors (SimHash-banded Hamming vs
+    MinHash-LSH + Jaccard) must substantially agree on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.plans.media import (
+        _PHASH_MAX_HAM,
+        media_phash_neardup,
+    )
+    from agf_data_ingestion_spark.plans.text import docs_minhash_lsh
+
+    SF = "/root/testdata/sf0.001"
+    ph = media_phash_neardup(spark, SF).collect()
+    assert ph, "phash detector finds pairs on the near-dup-bearing corpus"
+    for r in ph:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= _PHASH_MAX_HAM
+    mh = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in docs_minhash_lsh(spark, SF).collect()
+    }
+    ph_pairs = {(r.doc_a, r.doc_b) for r in ph}
+    # strong-signal phash pairs should be seen by the MinHash detector too
+    strong = {(r.doc_a, r.doc_b) for r in ph if r.hamming <= 4}
+    if strong:
+        overlap = len(strong & mh) / len(strong)
+        assert overlap >= 0.5, (overlap, strong - mh)
