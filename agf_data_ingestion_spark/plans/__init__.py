@@ -135,6 +135,7 @@ _PRIORITY = [
     "docs_winnowing",
     "docs_hybrid_rrf",
     "media_phash_neardup",
+    "orders_expectations",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

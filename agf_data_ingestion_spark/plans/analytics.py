@@ -912,7 +912,87 @@ _PIVOT_NATIVE_SQL = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY user_id"
 
 
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the orders table
+    (operators/expectations.py — the Great-Expectations/dbt-test shape
+    generalizing the reference's required-field manifest validation):
+    every row-local rule rides ONE shared aggregation; uniqueness is a
+    keyed groupBy branch (never a multi-distinct Expand); the referential
+    rule is one left-anti join against distinct customer keys."""
+    from agf_data_ingestion_spark.operators.expectations import check_expectations
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return check_expectations(
+        orders,
+        [
+            {"rule": "not_null", "col": "o_orderkey"},
+            {"rule": "unique", "col": "o_orderkey"},
+            {"rule": "min", "col": "o_totalprice", "value": 0.0},
+            {"rule": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+            {
+                "rule": "foreign_key",
+                "col": "o_custkey",
+                "ref": customer,
+                "ref_col": "c_custkey",
+            },
+        ],
+    )
+
+
+_EXPECTATIONS_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+rl AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS v_notnull,
+    CAST(COUNT(*) FILTER (WHERE o_totalprice < 0.0) AS BIGINT) AS v_min,
+    CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                             OR o_orderstatus IS NULL) AS BIGINT) AS v_inset,
+    CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                             OR o_orderpriority IS NULL) AS BIGINT) AS v_regex
+  FROM orders
+),
+uq AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM (
+    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'r00_not_null_o_orderkey' AS rule_id, 'o_orderkey' AS col,
+       'not_null' AS rule, v_notnull AS violations, n_rows, v_notnull = 0 AS pass
+FROM rl, n
+UNION ALL
+SELECT 'r02_min_o_totalprice', 'o_totalprice', 'min', v_min, n_rows, v_min = 0
+FROM rl, n
+UNION ALL
+SELECT 'r03_in_set_o_orderstatus', 'o_orderstatus', 'in_set', v_inset, n_rows,
+       v_inset = 0
+FROM rl, n
+UNION ALL
+SELECT 'r04_regex_o_orderpriority', 'o_orderpriority', 'regex', v_regex, n_rows,
+       v_regex = 0
+FROM rl, n
+UNION ALL
+SELECT 'r01_unique_o_orderkey', 'o_orderkey', 'unique', uq.v, n_rows, uq.v = 0
+FROM uq, n
+UNION ALL
+SELECT 'r05_foreign_key_o_custkey', 'o_custkey', 'foreign_key', fk.v, n_rows,
+       fk.v = 0
+FROM fk, n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "orders_expectations": QuerySpec(
+        orders_expectations,
+        _EXPECTATIONS_SQL,
+        ("OP-X-EXPECT", "OP-AGG-CONDCOUNT", "OP-JOIN-ANTI-DB"),
+    ),
     "events_median_value": QuerySpec(events_median_value, _MEDIAN_SQL, ("OP-X-APPROX", "OP-WIN-DEDUPNAME")),
     "events_mad_outliers": QuerySpec(events_mad_outliers, _MAD_SQL, ("OP-X-ANOMALY", "OP-WIN-DEDUPNAME")),
     "events_value_corr": QuerySpec(
