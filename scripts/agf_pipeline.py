@@ -9,6 +9,7 @@
         [--days N]
     python scripts/agf_pipeline.py export    --warehouse <dir> --out <dir>
         [--group-col instrument_id]
+    python scripts/agf_pipeline.py expect    --warehouse <dir>
     python scripts/agf_pipeline.py curate    --out <dir>
         [--docs <dir with documents.parquet>] [--decontaminate] [--split]
         [--shards <dir> [--shard-tokens N] [--shard-seed S]]
@@ -162,6 +163,67 @@ def cmd_export(args) -> int:
     for r in results:
         print(f"{r['export_group']}: {r['status']} files={r['file_count']} zip={r['zip_bytes']}")
     return 0
+
+
+def cmd_expect(args) -> int:
+    """Data-quality gate over the warehouse tables (CI shape: exit 0 when
+    every expectation passes, 3 otherwise; one JSON report line).  The
+    default rule set encodes the reference's implicit invariants: primary
+    keys present + unique, counts/sizes non-negative, file_inventory
+    rows referentially attached to a sync run."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.expectations import check_expectations
+    from agf_data_ingestion_spark.sources.tables import load_table
+
+    spark = _spark()
+    sync_runs = load_table(spark, args.warehouse, "sync_runs")
+    inventory = load_table(spark, args.warehouse, "file_inventory")
+    reports = []
+    reports.append(
+        check_expectations(
+            sync_runs,
+            [
+                {"rule": "not_null", "col": "run_id"},
+                {"rule": "unique", "col": "run_id"},
+                {"rule": "min", "col": "files_count", "value": 0},
+                {"rule": "min", "col": "total_bytes", "value": 0},
+                {"rule": "in_set", "col": "processing_status", "values": ["completed"]},
+            ],
+        ).withColumn("table", F.lit("sync_runs"))
+    )
+    reports.append(
+        check_expectations(
+            inventory,
+            [
+                {"rule": "not_null", "col": "file_path"},
+                {"rule": "min", "col": "file_size_bytes", "value": 0},
+            ],
+        ).withColumn("table", F.lit("file_inventory"))
+    )
+    # referential run_id applies to run-manifest rows only: experiment
+    # manifests carry the reference's literal 'from_experiment_json'
+    # sentinel (agf_ingestion_lambda.py experiment path), which has no
+    # sync_runs counterpart by design
+    reports.append(
+        check_expectations(
+            inventory.filter(F.col("run_id") != "from_experiment_json"),
+            [
+                {
+                    "rule": "foreign_key",
+                    "col": "run_id",
+                    "ref": sync_runs,
+                    "ref_col": "run_id",
+                },
+            ],
+        ).withColumn("table", F.lit("file_inventory[run-origin]"))
+    )
+    rows = [r.asDict() for rep in reports for r in rep.collect()]
+    n_fail = sum(1 for r in rows if not r["pass"])
+    print(json.dumps({"checks": len(rows), "failed": n_fail, "report": rows}))
+    return 0 if n_fail == 0 else 3
 
 
 def cmd_curate(args) -> int:
@@ -320,6 +382,10 @@ def main() -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--group-col", default="instrument_id")
     e.set_defaults(fn=cmd_export)
+
+    x = sub.add_parser("expect")
+    x.add_argument("--warehouse", required=True)
+    x.set_defaults(fn=cmd_expect)
 
     c = sub.add_parser("curate")
     c.add_argument("--docs", default="/root/testdata/sf0.01", help="dir containing documents.parquet")

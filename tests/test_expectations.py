@@ -91,3 +91,53 @@ def test_row_local_rules_share_one_scan(spark):
 def test_unknown_rule_rejected(spark):
     with pytest.raises(ValueError, match="unknown rule"):
         check_expectations(_dirty(spark), [{"rule": "nope", "col": "k"}])
+
+
+def test_expect_cli_gate(spark, tmp_path):
+    """End-to-end: backfill a fixture lake then run the expect gate —
+    exit 0, all checks pass; a corrupted warehouse fails with exit 3."""
+    import argparse
+    import importlib.util
+    import json
+    import os
+
+    import pytest
+
+    _spec = importlib.util.spec_from_file_location(
+        "agf_pipeline_exp",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "agf_pipeline.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(mod)
+
+    from fixtures.generate import generate
+
+    lake = str(tmp_path / "lake")
+    wh = str(tmp_path / "wh")
+    generate(lake)
+    rc = mod.cmd_backfill(
+        argparse.Namespace(
+            lake=lake, warehouse=wh, file_type="all", dry_run=False,
+            now="2024-06-01", checkpoint=None, sink="parquet",
+        )
+    )
+    assert rc == 0
+    assert mod.cmd_expect(argparse.Namespace(warehouse=wh)) == 0
+
+    # corrupt: duplicate a sync_runs row with a negative byte count
+    from pyspark.sql import functions as F
+
+    sr = spark.read.parquet(os.path.join(wh, "sync_runs"))
+    bad = sr.limit(1).withColumn("total_bytes", F.lit(-5).cast("long"))
+    sr.unionByName(bad).write.mode("overwrite").parquet(
+        os.path.join(wh, "sync_runs_bad")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(wh, "sync_runs"))
+    os.rename(os.path.join(wh, "sync_runs_bad"), os.path.join(wh, "sync_runs"))
+    assert mod.cmd_expect(argparse.Namespace(warehouse=wh)) == 3
