@@ -136,6 +136,7 @@ _PRIORITY = [
     "docs_hybrid_rrf",
     "media_phash_neardup",
     "orders_expectations",
+    "graph_kcore",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",

@@ -514,7 +514,104 @@ def _kmeans_sql() -> str:
     )
 
 
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_KCORE_ROUNDS`` rounds of k-core peeling (k = ``_KCORE_K``) on
+    the undirected link graph (same edge set as ``graph_triangles``):
+    each round drops every node whose CURRENT degree is below k and every
+    edge touching a dropped node — the standard crawl-graph densest-core
+    extraction (spam farms and boilerplate rings survive high-k cores;
+    isolated tails peel off first).  Emits the surviving nodes with their
+    end-state degree.
+
+    Exact-integer rounds (degrees are counts), so bit-identical to the
+    unrolled MATERIALIZED-CTE oracle.  Per-round shape: one explode +
+    keyed count for degrees, two semi-joins to restrict the edge set; the
+    edge frame is localCheckpointed every round so the plan stays
+    round-sized (the module's iterative-operator toolkit rule).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    ring = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") + 1) % n).alias("dst")
+    ).union(d.select(F.col("doc_id"), ((F.col("doc_id") + 2) % n)))
+    edges = (
+        _synthetic_edges(d, n)
+        .union(ring.filter(F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+        .filter(F.col("core_degree") >= _KCORE_K)
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = _edges_sql_ctes() + [
+        """tedges AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT node AS src, (node + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node + 2) % (SELECT n FROM nn) AS dst FROM nodes
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM tedges WHERE src <> dst
+)""",
+    ]
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node
+)"""
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM s{r}) AND v IN (SELECT node FROM s{r})
+)"""
+        )
+        prev = f"e{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "graph_kcore": QuerySpec(graph_kcore, _kcore_sql(), ("OP-X-GRAPH", "OP-JOIN-SEMI")),
     "graph_pagerank": QuerySpec(graph_pagerank, _pagerank_sql(), ("OP-X-GRAPH",)),
     "graph_triangles": QuerySpec(
         graph_triangles, _TRIANGLES_SQL, ("OP-X-GRAPH", "OP-JOIN-SEMI", "OP-SORT-LIMIT")
