@@ -83,7 +83,9 @@ _PRIORITY = [
     # (BENCH r3: docs_best_of_cluster cold = 12-14 s vs 5.6 warm).
     "docs_minhash_lsh",
     "docs_dup_clusters",
-    "docs_deduped_corpus",
+    # (docs_deduped_corpus consumes the cluster-label cache built above and
+    # is driver-green since r01 — it rides the unlisted tail, which still
+    # orders it after the two base builders)
     "docs_best_of_cluster",
     "docs_incremental_neardup",
     # round-2 additions with no driver CORRECTNESS row yet — these MUST land
@@ -124,6 +126,7 @@ _PRIORITY = [
     "emb_hard_negatives",
     "docs_epoch_order",
     "graph_triangles",
+    "graph_kcore",
     "docs_datacard",
     "docs_bigram_lm_score",
     "docs_dsir_weights",
@@ -136,7 +139,6 @@ _PRIORITY = [
     "docs_hybrid_rrf",
     "media_phash_neardup",
     "orders_expectations",
-    "graph_kcore",
     # reference-parity ingest path (agf_ingestion_lambda.py semantics)
     "ingest_file_inventory_run",
     "ingest_file_inventory_exp",
