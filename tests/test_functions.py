@@ -99,3 +99,16 @@ def test_parse_timestamp_lenient_strict(spark):
     assert _one(spark, lenient, t="") == fixed
     assert _one(spark, strict, t="not-a-date") is None
     assert _one(spark, strict, t="") is None
+
+
+def test_top_level_api_surface_resolves():
+    import agf_data_ingestion_spark as pkg
+
+    for name in pkg._API:
+        fn = getattr(pkg, name)
+        assert callable(fn), name
+    assert "snapshot_merge" in dir(pkg)
+    import pytest
+
+    with pytest.raises(AttributeError):
+        pkg.no_such_api
