@@ -37,6 +37,45 @@ def _rule_id(i: int, r: dict) -> str:
     return f"r{i:02d}_{r['rule']}_{r['col']}"
 
 
+def _row_violation(r: dict):
+    """The per-row violation predicate of a row-local rule (Column)."""
+    c = F.col(r["col"])
+    kind = r["rule"]
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "min":
+        return c < F.lit(r["value"])
+    if kind == "max":
+        return c > F.lit(r["value"])
+    if kind == "in_set":
+        return ~c.isin(*r["values"]) | c.isNull()
+    if kind == "regex":
+        return ~c.rlike(r["pattern"]) | c.isNull()
+    raise ValueError(f"rule {kind!r} is not row-local")
+
+
+def split_by_expectations(
+    df: DataFrame, rules: list[dict]
+) -> tuple[DataFrame, DataFrame]:
+    """(passing, violating) split by the ROW-LOCAL rules — the streaming
+    form of the gate: evaluable per record with no global state, so it
+    runs identically inside a micro-batch or a batch scan.  The violating
+    frame carries a ``_violated`` array naming every failed rule (the DLQ
+    diagnosis column, mirroring the ingest quarantine's reason column).
+    Global rules (unique / foreign_key) are rejected: streams handle
+    those with ``dropDuplicatesWithinWatermark`` and reference joins,
+    not a row predicate."""
+    flags = [
+        F.when(_row_violation(r), F.lit(_rule_id(i, r))) for i, r in enumerate(rules)
+    ]
+    tagged = df.withColumn(
+        "_violated", F.array_compact(F.array(*flags))
+    )
+    good = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    bad = tagged.filter(F.size("_violated") > 0)
+    return good, bad
+
+
 def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     """One report row per rule: (rule_id, col, rule, violations, n_rows,
     pass).  ``n_rows`` is the checked row count (for ``unique`` it is the
@@ -60,18 +99,9 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     if row_local:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, r in row_local:
-            c = F.col(r["col"])
-            if r["rule"] == "not_null":
-                bad = c.isNull()
-            elif r["rule"] == "min":
-                bad = c < F.lit(r["value"])  # NULL -> not counted (not_null's job)
-            elif r["rule"] == "max":
-                bad = c > F.lit(r["value"])
-            elif r["rule"] == "in_set":
-                bad = ~c.isin(*r["values"]) | c.isNull()
-            else:  # regex: count rows NOT matching
-                bad = ~c.rlike(r["pattern"]) | c.isNull()
-            aggs.append(F.count_if(bad).alias(f"_v{i}"))
+            # NULL under min/max is not counted — surfacing nulls is
+            # not_null's job; in_set/regex treat NULL as violating
+            aggs.append(F.count_if(_row_violation(r)).alias(f"_v{i}"))
         one = df.agg(*aggs)
         # fan the single agg row out via explode-of-structs, NOT a union of
         # per-rule projections: column pruning would split a unioned shared
