@@ -19,6 +19,10 @@ TEST_COVERED = {
         "operators/shards.py (deterministic token-budgeted training-shard writer: two-pass distributed prefix sum — per-partition subtotals, driver offsets bounded by partition count, parallel local windows; one file per shard + manifest; wired into the curate CLI via --shards)",
         "tests/test_shards.py (distributed prefix sum == single-window ground truth; partitioning-independence; budget/contiguity/determinism; manifest round-trip) + tests/test_curate_cli.py",
     ),
+    "OP-X-CDCSTREAM": (
+        "sources/snapshot_stream.py (Spark 4 Python DataSource streaming CDC over the snapshot format: per-trigger batches covering newly committed versions, insert/delete rows tagged with _commit_version, file-delta rule so appends read only the appended batch; replayable offsets)",
+        "tests/test_snapshot_stream.py (tails commits across runs, compaction nets to zero, replay determinism, startingVersion)",
+    ),
     "OP-X-MERGE": (
         "sources/snapshots.py (copy-on-write keyed MERGE with per-key stats-range file pruning; immutable release tags + tag-aware expiry; timestamp/tag time travel; snapshot_replace put_item-parity ingest sink, streaming/ingest_stream.py)",
         "tests/test_snapshots.py (merge update+insert, duplicate rejection, stats-pruned rewrite, tag pinning through expiry) + tests/test_streaming.py (changed-resync replace vs insert-only)",
