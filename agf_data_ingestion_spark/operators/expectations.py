@@ -79,7 +79,14 @@ def split_by_expectations(
 def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     """One report row per rule: (rule_id, col, rule, violations, n_rows,
     pass).  ``n_rows`` is the checked row count (for ``unique`` it is the
-    distinct-key count surplus base, i.e. total rows)."""
+    distinct-key count surplus base, i.e. total rows).  An empty rule set
+    returns an empty report with the same schema."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule_id string, col string, rule string,"
+            " violations long, n_rows long, pass boolean",
+        )
     row_local: list[tuple[int, dict]] = []
     uniques: list[tuple[int, dict]] = []
     fks: list[tuple[int, dict]] = []
@@ -135,7 +142,7 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
                 F.lit(c).alias("col"),
                 F.lit("unique").alias("rule"),
                 F.coalesce(F.col("_v"), F.lit(0)).cast("long").alias("violations"),
-                F.col("_n").cast("long").alias("n_rows"),
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_rows"),
                 (F.coalesce(F.col("_v"), F.lit(0)) == 0).alias("pass"),
             )
         )

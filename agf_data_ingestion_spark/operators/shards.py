@@ -62,6 +62,15 @@ def assign_shards(
         .repartitionByRange(n_parts, "_ord")
         .sortWithinPartitions("_ord")
         .withColumn("_part", F.spark_partition_id())
+        # PIN the materialized partitioning: repartitionByRange samples its
+        # boundaries with an rdd.id-seeded reservoir, so re-executing the
+        # plan in a second job (the pass-2 join below is a separate action
+        # from the pass-1 collect) could land boundary rows in DIFFERENT
+        # partitions than the ones whose offsets were collected.  The
+        # checkpoint makes both passes read the same physical partitions —
+        # the same rule as every other multi-action plan in this repo
+        # (plans/iterative.py).
+        .localCheckpoint(eager=True)
     )
     # pass 1: per-partition subtotals — the collect is bounded by the
     # partition count (rows ≤ n_parts), never by data size
@@ -121,6 +130,11 @@ def write_training_shards(
         text_col=text_col,
         id_col=id_col,
     )
+    # one materialization for the three downstream actions (max, write,
+    # stats): without it each action would re-run the prefix-sum pipeline
+    # and the manifest could be computed from a different materialization
+    # than the files on disk
+    assigned = assigned.localCheckpoint(eager=True)
     n_shards = assigned.agg(F.max("shard_id")).collect()[0][0]
     n_shards = int(n_shards) + 1 if n_shards is not None else 0
     (

@@ -253,9 +253,11 @@ GROUP BY doc_id
 def docs_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removable ranges of exact substring deduplication (Lee et al.
     2022): every ``_SPAN_N``-word shingle present in ≥ 2 distinct
-    documents marks its start position duplicated; runs of ADJACENT
-    duplicated positions merge (gap-islands: ``i - row_number()``) into
-    one maximal span per document, emitted as inclusive word ranges.
+    documents marks its start position duplicated; duplicated positions
+    whose spans overlap or touch (start gap ≤ ``_SPAN_N``) merge into
+    one maximal span per document, emitted as inclusive word ranges —
+    output spans are pairwise disjoint with ≥ 1 word between them, so a
+    substring-remove consumer can apply them independently.
 
     Complements ``docs_span_dedup`` (which reports only per-doc dup
     *ratios*): this is the operator a scrubber actually consumes —
@@ -289,8 +291,23 @@ def docs_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     dup_pos = pos.join(dup_sh.hint("shuffle_hash"), "sh").select("doc_id", "i")
+    # islands merge positions whose N-word spans OVERLAP OR TOUCH (gap in
+    # start positions ≤ N), not just strictly consecutive starts — two
+    # duplicated starts 2 apart would otherwise emit overlapping ranges,
+    # which a substring-remove consumer would double-apply.  Break = gap
+    # > N; group id = running count of breaks.
     win = Window.partitionBy("doc_id").orderBy("i")
-    islands = dup_pos.withColumn("grp", F.col("i") - F.row_number().over(win))
+    islands = dup_pos.withColumn(
+        "brk",
+        F.when(
+            F.col("i") - F.lag("i").over(win) > _SPAN_N, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
         islands.groupBy("doc_id", "grp")
         .agg(
@@ -323,10 +340,17 @@ dup_sh AS (
   GROUP BY sh HAVING COUNT(*) >= 2
 ),
 dup_pos AS (SELECT doc_id, i FROM pos JOIN dup_sh USING (sh)),
+flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {_SPAN_N} THEN 1 ELSE 0 END AS brk
+  FROM dup_pos
+),
 islands AS (
   SELECT doc_id, i,
-         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-  FROM dup_pos
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
 )
 SELECT doc_id,
        CAST(MIN(i) AS BIGINT) AS span_start,

@@ -61,7 +61,18 @@ def _arrow_ddl(field) -> str:
 def _table_schema_ddl(table: str) -> str:
     import pyarrow.parquet as pq
 
+    # prefer the current snapshot; a currently-EMPTY table (delete-all /
+    # empty overwrite) still has a well-defined CDC replay, so fall back
+    # through retained history for any schema-bearing manifest
     m = read_manifest(table)
+    if not m["files"]:
+        for v in range(current_version(table), 0, -1):
+            try:
+                m = read_manifest(table, v)
+            except Exception:
+                continue
+            if m["files"]:
+                break
     if not m["files"]:
         raise ValueError(f"{table}: no committed data files to infer a schema from")
     sch = pq.read_schema(m["files"][0]["path"])
@@ -70,13 +81,28 @@ def _table_schema_ddl(table: str) -> str:
 
 
 def _rows_of(paths: list[str], names: list[str]) -> Counter:
-    """Multiset of row tuples (column order pinned to ``names``)."""
+    """Multiset of row tuples (column order pinned to ``names``).
+    tz-aware timestamps (Spark TimestampType writes parquet as UTC-
+    adjusted) normalize to naive UTC so they match the declared
+    ``timestamp_ntz`` schema instead of being session-timezone-shifted
+    by the converter."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     out: Counter = Counter()
     for p in sorted(paths):
         tbl = pq.read_table(p)
-        cols = [tbl.column(n).to_pylist() for n in names]
+        cols = []
+        for n in names:
+            vals = tbl.column(n).to_pylist()
+            vals = [
+                v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None
+                else v
+                for v in vals
+            ]
+            cols.append(vals)
         for row in zip(*cols):
             out[row] += 1
     return out
@@ -143,5 +169,8 @@ class SnapshotCDCSource(DataSource):
         return _table_schema_ddl(self.options["table"])
 
     def simpleStreamReader(self, schema):
-        names = [f.name for f in schema.fields if not f.name.startswith("_")]
+        # the first TWO fields are this source's metadata columns; the
+        # rest are data columns verbatim (which may legitimately start
+        # with '_' — e.g. quarantine tables carry _violated/_batch_id)
+        names = [f.name for f in schema.fields[2:]]
         return SnapshotCDCStreamReader(self.options, names)

@@ -13,8 +13,13 @@ rules keep their streaming-native counterparts: uniqueness →
 a join against the reference table inside foreachBatch.
 
 Scale: the split is one map-only projection per batch (no shuffle); the
-two sinks append independently; per-batch pass/violation counts ride a
-Spark ``Observation`` so monitoring costs no extra pass.
+tagged frame is persisted for the batch so the two sink writes evaluate
+the rules once.  Delivery is at-least-once per sink (two appends cannot
+be one transaction on plain parquet): both sinks record ``_batch_id``,
+so a replay after a partial failure is detectable and deduplicable
+downstream (``dropDuplicates`` on (_batch_id, key) or an idempotent
+upsert sink); the engine's exactly-once paths (snapshot commits,
+upsert_append) remain available as sinks where that matters.
 """
 
 from __future__ import annotations
@@ -34,14 +39,19 @@ def quality_batch_fn(rules: list[dict], good_path: str, quarantine_path: str):
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         good, bad = split_by_expectations(batch, rules)
-        good.write.mode("append").parquet(good_path)
-        if not bad.isEmpty():
-            (
-                bad.withColumn("_batch_id", F.lit(batch_id).cast("long"))
-                .withColumn("_violated", F.array_join("_violated", ","))
-                .write.mode("append")
-                .parquet(quarantine_path)
-            )
+        good = good.withColumn("_batch_id", F.lit(batch_id).cast("long")).persist()
+        bad = (
+            bad.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("_violated", F.array_join("_violated", ","))
+            .persist()
+        )
+        try:
+            good.write.mode("append").parquet(good_path)
+            if bad.count() > 0:
+                bad.write.mode("append").parquet(quarantine_path)
+        finally:
+            good.unpersist()
+            bad.unpersist()
 
     return fn
 

@@ -63,8 +63,9 @@ def test_dup_spans_are_maximal_and_consistent(spark):
         assert r.span_start >= 1
         assert r.span_words == r.span_end - r.span_start + 1
         assert r.span_words >= lm._SPAN_N
-        # consecutive shingle starts: island covers exactly this many
-        assert r.n_dup_shingles == r.span_words - lm._SPAN_N + 1
+        # islands may bridge gaps ≤ _SPAN_N, so the shingle count is
+        # bounded by (not equal to) the dense-cover count
+        assert 1 <= r.n_dup_shingles <= r.span_words - lm._SPAN_N + 1
         seen.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     # maximality: islands within one doc never touch or overlap
     for spans in seen.values():

@@ -51,7 +51,10 @@ def test_stream_split_equals_batch_split(spark, tmp_path):
     q.awaitTermination()
 
     got_good = sorted(
-        tuple(r) for r in spark.read.parquet(os.path.join(out, "accepted")).collect()
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "accepted"))
+        .drop("_batch_id")  # replay-dedup bookkeeping, not payload
+        .collect()
     )
     batch_good, batch_bad = split_by_expectations(
         spark.read.parquet(src), RULES
