@@ -113,3 +113,57 @@ def test_cdc_starting_version_skips_history(registered, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [(2, "insert", 2)]
+
+
+def test_cdc_stream_drives_incremental_mv_maintenance(registered, tmp_path):
+    """Composition: the CDC stream as the TRIGGER for incremental MV
+    refresh — each micro-batch of commits folds exactly its delta into
+    the view (mv_refresh's bookmark makes the foreachBatch idempotent
+    under replay), and the view equals a from-scratch recompute after
+    every run."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.mv import mv_read, mv_refresh
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    spark = registered
+    fact = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    snapshot_write(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"),
+        fact,
+    )
+
+    def refresh(batch, batch_id):
+        mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
+
+    def run(ck):
+        q = (
+            spark.readStream.format("agf_snapshot_cdc")
+            .option("table", fact)
+            .load()
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def recompute():
+        return sorted(
+            (r["g"], r["val_sum"])
+            for r in snapshot_read(spark, fact)
+            .groupBy("g")
+            .agg(F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("val_sum"))
+            .collect()
+        )
+
+    ck = str(tmp_path / "ck")
+    run(ck)
+    assert sorted((r["g"], r["val_sum"]) for r in mv_read(spark, mv).collect()) == recompute()
+
+    snapshot_write(spark.createDataFrame([("b", 7.0), ("c", 1.5)], "g string, v double"), fact)
+    snapshot_delete(spark, fact, [("g", "==", "a")])
+    run(ck)
+    got = sorted((r["g"], r["val_sum"]) for r in mv_read(spark, mv).collect())
+    assert got == recompute() == [("b", 12.0), ("c", 1.5)]
