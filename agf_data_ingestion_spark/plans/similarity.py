@@ -962,11 +962,15 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 # at 100 TB the full vectors are fetched for shortlist×queries rows only.
 # ---------------------------------------------------------------------------
 
-#: Half the dimensions for the cheap pass.  Real MRL embeddings
-#: front-load variance, so production uses 1/4 or less; the synthetic
-#: test vectors are isotropic (no prefix concentration), so the prefix
-#: and shortlist are sized for honest recall on the WORST case.
-_MAT_PREFIX = 32
+#: Half the DETECTED dimensions for the cheap pass (never hard-coded:
+#: the driver regenerates testdata between rounds and a fixed prefix
+#: longer than a regenerated _DIM would silently fold short arrays in
+#: Spark while the oracle's range() indexed out of bounds).  Real MRL
+#: embeddings front-load variance, so production uses 1/4 or less; the
+#: synthetic test vectors are isotropic (no prefix concentration), so
+#: the prefix and shortlist are sized for honest recall on the WORST
+#: case.
+_MAT_PREFIX = max(1, _DIM // 2)
 _MAT_SHORTLIST = 40  # candidates per query surviving to the rerank
 
 

@@ -80,22 +80,44 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
 
 
+def _commit_index(table: str) -> dict[int, float]:
+    """{version: committed_at} from the append-only ``COMMITS`` index
+    (one line per commit, written by ``_commit``) — O(versions) tiny-line
+    reads instead of deserializing every manifest's full file list.
+    Legacy tables without the index fall back to a manifest scan."""
+    idx = os.path.join(_snap_path(table), "COMMITS")
+    out: dict[int, float] = {}
+    try:
+        with open(idx) as fh:
+            for line in fh:
+                v, ts = line.split()
+                out[int(v)] = float(ts)
+        return out
+    except FileNotFoundError:
+        pass
+    for v in range(1, current_version(table) + 1):
+        try:
+            out[v] = read_manifest(table, v).get("committed_at", 0.0)
+        except NoSuchVersionError:  # expired snapshot — hole in history
+            continue
+    return out
+
+
 def version_as_of(table: str, ts: float) -> int:
     """The latest committed version whose ``committed_at`` ≤ ``ts`` (epoch
     seconds) — timestamp-based time travel, the `FOR TIMESTAMP AS OF`
     resolution step of Iceberg/Delta.  Raises ``NoSuchVersionError`` when
-    the table's first commit is later than ``ts``.
-
-    O(versions) manifest-header reads on the driver; manifests are small
-    JSON files, and tables bound their version count via
-    ``expire_snapshots``."""
+    the table's first commit is later than ``ts``.  Resolution reads the
+    commit-time index, not the manifests; expired versions must still be
+    skipped (their index line survives, their manifest doesn't)."""
+    commits = _commit_index(table)
     best = 0
-    for v in range(1, current_version(table) + 1):
-        try:
-            m = read_manifest(table, v)
-        except NoSuchVersionError:  # expired snapshot — hole in history
-            continue
-        if m.get("committed_at", 0.0) <= ts:
+    for v in sorted(commits):
+        if commits[v] <= ts:
+            try:
+                read_manifest(table, v)
+            except NoSuchVersionError:
+                continue
             best = v
     if best == 0:
         raise NoSuchVersionError(f"{table}: no snapshot committed at or before {ts}")
@@ -142,6 +164,10 @@ def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
     with open(mpath + ".tmp", "w") as fh:
         json.dump(manifest, fh)
     os.rename(mpath + ".tmp", mpath)
+    # append-only commit-time index: lets as-of resolution read one tiny
+    # line per version instead of every manifest's full file list
+    with open(os.path.join(_snap_path(table), "COMMITS"), "a") as fh:
+        fh.write(f"{version} {manifest['committed_at']}\n")
     cur, tmp = os.path.join(_snap_path(table), _CURRENT), os.path.join(
         _snap_path(table), f"{_CURRENT}.tmp-{uuid.uuid4()}"
     )
@@ -405,6 +431,11 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     spark = df.sparkSession
     from pyspark.sql import functions as F
 
+    # materialize the incoming batch ONCE: the dup check, bounds agg,
+    # anti-join key set, and final file write would otherwise each re-run
+    # its lineage — mostly while holding the table lock (the same
+    # discipline as snapshot_upsert's checkpointed anti-join)
+    df = df.localCheckpoint(eager=True)
     dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(f"snapshot_merge: df is not unique on {keys}: {dup[0]}")
@@ -413,20 +444,28 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
         m = read_manifest(table)
         if not m["files"]:
             return _commit(table, _write_data_files(df, table), parent, "merge")
-        # incoming key bounds (one tiny agg) → which files COULD match
-        bounds = df.agg(
+        # incoming key bounds (one tiny agg) → which files COULD match;
+        # normalized into the stats' storage domain (datetimes/dates are
+        # ISO strings there — comparing raw datetime objects against them
+        # would TypeError and silently degrade to a full-table rewrite)
+        raw = df.agg(
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
         ).collect()[0]
+        bounds = {c: _json_stat_value(raw[c]) for c in raw.asDict()}
 
         def _overlaps(f: dict) -> bool:
             for k in keys:
                 if k not in f.get("stats", {}):
                     return True  # no stats → could match, must rewrite
                 lo, hi = f["stats"][k]
+                if raw[f"lo_{k}"] is None:
+                    # empty batch / all-NULL key: equality on NULL matches
+                    # nothing, so no file needs rewriting on this evidence
+                    return False
                 ilo, ihi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
-                if ilo is None:
-                    return False  # empty batch matches nothing
+                if ilo is None or ihi is None:
+                    return True  # bound not stat-representable: conservative
                 try:
                     if hi < ilo or lo > ihi:
                         return False  # disjoint on this key col
@@ -473,21 +512,35 @@ def snapshot_tag(table: str, name: str, version: int | None = None) -> int:
     """Pin a named, immutable reference to a version (default: current) —
     the dataset-release primitive (`corpus-v1.0` for a training run).
     Tagged versions survive ``expire_snapshots``; re-tagging an existing
-    name raises (tags are immutable — delete via ``snapshot_untag``)."""
+    name raises (tags are immutable — delete via ``snapshot_untag``).
+
+    Concurrency: runs under the table lock (an untagged version must not
+    be expired between the manifest check and the tag landing), and the
+    tag file is published with ``os.link`` — link fails with EEXIST if a
+    concurrent tagger won, so the immutability guarantee holds under
+    races (a check-then-rename would silently overwrite)."""
     _check_tag(name)
-    v = current_version(table) if version is None else version
-    read_manifest(table, v)  # must exist (raises NoSuchVersionError)
-    if v == 0:
-        raise NoSuchVersionError(f"{table}: cannot tag the empty version")
-    os.makedirs(_tags_dir(table), exist_ok=True)
-    path = os.path.join(_tags_dir(table), name)
-    if os.path.exists(path):
-        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
-    tmp = f"{path}.tmp-{uuid.uuid4()}"
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.rename(tmp, path)
-    return v
+    with table_lock(table):
+        v = current_version(table) if version is None else version
+        read_manifest(table, v)  # must exist (raises NoSuchVersionError)
+        if v == 0:
+            raise NoSuchVersionError(f"{table}: cannot tag the empty version")
+        os.makedirs(_tags_dir(table), exist_ok=True)
+        path = os.path.join(_tags_dir(table), name)
+        # hidden temp name: cannot collide with a valid tag (tags must
+        # start alphanumeric), so listings just skip dotfiles
+        tmp = os.path.join(_tags_dir(table), f".tmp-{uuid.uuid4()}")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable)"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return v
 
 
 def snapshot_untag(table: str, name: str) -> None:
@@ -505,7 +558,7 @@ def snapshot_tags(table: str) -> dict[str, int]:
         return {}
     out = {}
     for name in os.listdir(d):
-        if name.endswith(".tmp") or ".tmp-" in name:
+        if name.startswith("."):  # in-flight temp files only
             continue
         with open(os.path.join(d, name)) as fh:
             out[name] = int(fh.read().strip())

@@ -99,12 +99,25 @@ def _sink_for(sink: str):
         from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
 
         def write(df, path, keys, shared=False):
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            def _orderable(dt) -> bool:
+                # a map ANYWHERE in the type (incl. inside arrays/structs)
+                # makes the column unorderable
+                if isinstance(dt, MapType):
+                    return False
+                if isinstance(dt, ArrayType):
+                    return _orderable(dt.elementType)
+                if isinstance(dt, StructType):
+                    return all(_orderable(f.dataType) for f in dt.fields)
+                return True
+
             others = [c for c in df.columns if c not in keys]
             if others:
-                # maps are not orderable — those columns participate via
-                # the canonical-JSON hash tiebreaker instead
-                dtypes = dict(df.dtypes)
-                orderable = [c for c in others if not dtypes[c].startswith("map")]
+                # unorderable columns participate via the canonical-JSON
+                # hash tiebreaker instead
+                types = {f.name: f.dataType for f in df.schema.fields}
+                orderable = [c for c in others if _orderable(types[c])]
                 tiebreak = F.desc(
                     F.md5(F.to_json(F.struct(*[F.col(c) for c in others])))
                 )

@@ -165,6 +165,22 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_warehouse_table(spark, warehouse: str, name: str):
+    """Load a warehouse table through the layout it was written with: a
+    snapshot-format table (``_snapshots/`` manifest dir) must be read via
+    its committed manifest — a plain parquet read of the data directory
+    would ingest historical pre-merge files retained for time travel and
+    double-count replaced keys."""
+    path = os.path.join(warehouse, name)
+    if os.path.isdir(os.path.join(path, "_snapshots")):
+        from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+        return snapshot_read(spark, path)
+    from agf_data_ingestion_spark.sources.tables import load_table
+
+    return load_table(spark, warehouse, name)
+
+
 def cmd_expect(args) -> int:
     """Data-quality gate over the warehouse tables (CI shape: exit 0 when
     every expectation passes, 3 otherwise; one JSON report line).  The
@@ -176,11 +192,10 @@ def cmd_expect(args) -> int:
     from pyspark.sql import functions as F
 
     from agf_data_ingestion_spark.operators.expectations import check_expectations
-    from agf_data_ingestion_spark.sources.tables import load_table
 
     spark = _spark()
-    sync_runs = load_table(spark, args.warehouse, "sync_runs")
-    inventory = load_table(spark, args.warehouse, "file_inventory")
+    sync_runs = _load_warehouse_table(spark, args.warehouse, "sync_runs")
+    inventory = _load_warehouse_table(spark, args.warehouse, "file_inventory")
     reports = []
     reports.append(
         check_expectations(
@@ -206,11 +221,18 @@ def cmd_expect(args) -> int:
     # referential run_id applies to run-manifest rows only: experiment
     # manifests carry the reference's literal 'from_experiment_json'
     # sentinel (agf_ingestion_lambda.py experiment path), which has no
-    # sync_runs counterpart by design
+    # sync_runs counterpart by design.  NULL run_ids must NOT slip
+    # through this filter (a not-equals predicate drops them), so the
+    # subset keeps them and gates them with an explicit not_null rule —
+    # the foreign_key rule alone ignores NULL keys.
+    run_origin = inventory.filter(
+        F.col("run_id").isNull() | (F.col("run_id") != "from_experiment_json")
+    )
     reports.append(
         check_expectations(
-            inventory.filter(F.col("run_id") != "from_experiment_json"),
+            run_origin,
             [
+                {"rule": "not_null", "col": "run_id"},
                 {
                     "rule": "foreign_key",
                     "col": "run_id",
@@ -334,9 +356,19 @@ def cmd_curate(args) -> int:
         # exact bytes it consumed
         from agf_data_ingestion_spark.sources.snapshots import (
             snapshot_tag,
+            snapshot_tags,
             snapshot_write,
         )
 
+        # validate the tag BEFORE committing: tags are immutable, so a
+        # re-run with the same name must fail cleanly with the report
+        # printed and no dangling untagged version left behind
+        if args.release_tag and args.release_tag in snapshot_tags(args.release_table):
+            report["release_error"] = (
+                f"tag {args.release_tag!r} already exists (tags are immutable)"
+            )
+            print(json.dumps(report))
+            return 4
         v = snapshot_write(
             spark.read.parquet(args.out), args.release_table, mode="overwrite"
         )
