@@ -870,8 +870,13 @@ def custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = building.intersect(with_orders).select(
         F.col("c_custkey"), F.lit("building_with_orders").alias("tag")
     )
-    only = building.exceptAll(with_orders.distinct()).select(
-        F.col("c_custkey"), F.lit("building_no_orders").alias("tag")
+    # set semantics pinned on BOTH sides: SQL EXCEPT dedups its result,
+    # while bare exceptAll keeps duplicate left rows — identical only
+    # while c_custkey happens to be unique in the generated data
+    only = (
+        building.distinct()
+        .exceptAll(with_orders.distinct())
+        .select(F.col("c_custkey"), F.lit("building_no_orders").alias("tag"))
     )
     return both.unionByName(only)
 

@@ -46,7 +46,7 @@ _MULTIMODAL_META_SQL = """
 SELECT doc_id,
        'media/doc_' || CAST(doc_id AS VARCHAR) || '.png' AS path,
        'image/png' AS mime,
-       CAST(length(text) AS BIGINT) AS size_bytes,
+       CAST(strlen(text) AS BIGINT) AS size_bytes,
        1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
        1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
        CAST(3 AS BIGINT) AS n_channels
@@ -78,7 +78,7 @@ _FRAME_SAMPLES_SQL = """
 SELECT 'media/doc_' || CAST(doc_id AS VARCHAR) || '.png' AS path,
        CAST(i AS BIGINT) AS frame_index,
        CAST(i * 64 AS BIGINT) AS byte_offset
-FROM documents, unnest(range(0, least(8, length(text) // 64 + 1))) AS u(i)
+FROM documents, unnest(range(0, least(8, strlen(text) // 64 + 1))) AS u(i)
 """
 
 
@@ -142,9 +142,17 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     short rows/item; the band self-join is corpus × corpus on the bucket
     key → pinned shuffle-hash, never broadcast; band arithmetic is div/%
     only (CLAUDE.md: &/<< precedence is a cross-engine trap)."""
-    media = _media_docs(spark, sf_dir).select(
-        "doc_id", F.split(F.decode(F.col("media.content"), "UTF-8"), " ").alias("w")
-    ).filter(F.size("w") >= _PHASH_GRAM)
+    from agf_data_ingestion_spark.plans.text import simhash_vote_expr
+
+    # the media content IS the document text's bytes (attach_media above
+    # encodes it); decoding the struct back would round-trip every row
+    # through encode→decode for no semantic effect, so feature-extract
+    # from the text column directly — byte-identical input either way
+    media = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _PHASH_GRAM)
+    )
     idx = F.sequence(F.lit(1), F.size("w") - (_PHASH_GRAM - 1))
     grams = media.select(
         "doc_id",
@@ -155,12 +163,9 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     bits = spark.range(_PHASH_BITS).withColumnRenamed("id", "b")
-    # bit b of feature g = bit (3 - b%4) of md5(g)'s hex nibble b//4
-    # (the docs_simhash construction, plans/text.py)
-    vote = F.expr(
-        "((shiftright(instr('0123456789abcdef', substr(md5(g), CAST(b / 4 AS INT) + 1, 1)) - 1,"
-        " 3 - CAST(b % 4 AS INT))) & 1) * 2 - 1"
-    )
+    # ±1 bit vote of feature g at bit b — the shared docs_simhash
+    # construction (single source of truth in plans/text.py)
+    vote = F.expr(simhash_vote_expr("g"))
     items = (
         grams.crossJoin(F.broadcast(bits))
         .select("doc_id", "b", vote.alias("vote"))
@@ -213,7 +218,15 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_SQL = f"""
+def _phash_sql() -> str:
+    """Oracle with the shared SimHash vote fragment injected (single
+    source of truth for the nibble/shift construction: plans/text.py)."""
+    from agf_data_ingestion_spark.plans.text import simhash_vote_sql
+
+    return _PHASH_SQL_TEMPLATE.replace("{VOTE}", simhash_vote_sql("g"))
+
+
+_PHASH_SQL_TEMPLATE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
   WHERE len(string_split(text, ' ')) >= {_PHASH_GRAM}
@@ -223,9 +236,7 @@ grams AS (
   FROM w, unnest(range(1, len(w) - {_PHASH_GRAM - 2})) AS t(i)
 ),
 votes AS (
-  SELECT doc_id, b,
-         SUM(((strpos('0123456789abcdef', substr(md5(g), CAST(b // 4 AS INT) + 1, 1)) - 1
-               >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1) AS v
+  SELECT doc_id, b, SUM({{VOTE}}) AS v
   FROM grams CROSS JOIN (SELECT unnest(range(0, {_PHASH_BITS})) AS b)
   GROUP BY doc_id, b
 ),
@@ -253,7 +264,7 @@ FROM cands WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAM}
 QUERIES: dict[str, QuerySpec] = {
     "media_phash_neardup": QuerySpec(
         media_phash_neardup,
-        _PHASH_SQL,
+        _phash_sql(),
         ("OP-X-PHASH", "OP-X-MULTIMODAL", "OP-X-DEDUP-NEAR"),
     ),
     "docs_multimodal_meta": QuerySpec(

@@ -847,6 +847,29 @@ SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 
+def simhash_vote_expr(col: str) -> str:
+    """Spark SQL expression for the ±1 SimHash bit vote of feature column
+    ``col`` at bit column ``b``: bit (3 - b%4) of md5(col)'s hex nibble
+    b//4 — the trickiest cross-engine expression in the repo, kept in ONE
+    place (consumers: docs_simhash here, media_phash_neardup in
+    plans/media.py)."""
+    return (
+        f"((shiftright(instr('0123456789abcdef',"
+        f" substr(md5({col}), CAST(b / 4 AS INT) + 1, 1)) - 1,"
+        f" 3 - CAST(b % 4 AS INT))) & 1) * 2 - 1"
+    )
+
+
+def simhash_vote_sql(col: str) -> str:
+    """DuckDB twin of :func:`simhash_vote_expr` — fully parenthesized
+    (DuckDB gives >> and & equal precedence, CLAUDE.md)."""
+    return (
+        f"(((strpos('0123456789abcdef',"
+        f" substr(md5({col}), CAST(b // 4 AS INT) + 1, 1)) - 1"
+        f" >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1)"
+    )
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over distinct words, emitted as a '0'/'1' bitstring.
 
@@ -857,15 +880,9 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.array_distinct(_words())).alias("w"))
     bits = spark.range(64).withColumnRenamed("id", "b")
-    h = F.md5("w")
-    nibble = F.expr("instr('0123456789abcdef', substr(md5(w), CAST(b / 4 AS INT) + 1, 1)) - 1")
-    bit = F.expr(
-        "(shiftright(instr('0123456789abcdef', substr(md5(w), CAST(b / 4 AS INT) + 1, 1)) - 1,"
-        " 3 - CAST(b % 4 AS INT))) & 1"
-    )
     votes = (
         words.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", (bit * 2 - 1).alias("vote"))
+        .select("doc_id", "b", F.expr(simhash_vote_expr("w")).alias("vote"))
         .groupBy("doc_id", "b")
         .agg(F.sum("vote").alias("v"))
     )
@@ -880,14 +897,12 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SQL = """
+_SIMHASH_SQL = f"""
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
 ),
 votes AS (
-  SELECT doc_id, b,
-         SUM(((strpos('0123456789abcdef', substr(md5(w), CAST(b // 4 AS INT) + 1, 1)) - 1
-               >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1) AS v
+  SELECT doc_id, b, SUM({simhash_vote_sql('w')}) AS v
   FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
   GROUP BY doc_id, b
 )

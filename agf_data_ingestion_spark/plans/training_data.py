@@ -44,7 +44,7 @@ SELECT doc_id, source, lang, n_chars
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 <
       CASE source
-        WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+        {' '.join(f"WHEN '{s}' THEN {r}" for s, r in _RATES.items())}
         ELSE {_DEFAULT_RATE} END
 """
 
@@ -54,6 +54,15 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 <
 # ---------------------------------------------------------------------------
 
 _SPLITS = (("train", 90), ("val", 5), ("test", 5))  # percent, cumulative order
+#: cumulative bucket thresholds, interpolated into BOTH engines' CASEs so
+#: editing _SPLITS can never desync the oracles from the Spark plans
+_SPLIT_T1 = _SPLITS[0][1]
+_SPLIT_T2 = _SPLITS[0][1] + _SPLITS[1][1]
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN b < {_SPLIT_T1} THEN '{_SPLITS[0][0]}'"
+    f" WHEN b < {_SPLIT_T2} THEN '{_SPLITS[1][0]}'"
+    f" ELSE '{_SPLITS[2][0]}' END"
+)
 
 
 def split_assignment(doc_id_col: str = "doc_id") -> F.Column:
@@ -108,12 +117,9 @@ def docs_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_SQL = """
+_SPLIT_SQL = f"""
 WITH assigned AS (
-  SELECT CASE
-           WHEN b < 90 THEN 'train'
-           WHEN b < 95 THEN 'val'
-           ELSE 'test' END AS split,
+  SELECT {_SPLIT_CASE_SQL} AS split,
          source,
          len(string_split(text, ' ')) AS n_tokens,
          n_chars
@@ -172,7 +178,7 @@ def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.unionByName(by_lang).unionByName(by_source).unionByName(dup).unionByName(splits)
 
 
-_DATACARD_SQL = """
+_DATACARD_SQL = f"""
 SELECT 'total' AS section, 'docs' AS key, COUNT(*) AS value FROM documents
 UNION ALL
 SELECT 'total', 'tokens', CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents
@@ -187,11 +193,11 @@ SELECT 'dedup', 'exact_dup_docs', CAST(SUM(n - 1) AS BIGINT)
 FROM (SELECT md5(lower(text)) AS h, COUNT(*) AS n FROM documents GROUP BY md5(lower(text)))
 UNION ALL
 SELECT 'split',
-       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END,
+       {_SPLIT_CASE_SQL},
        COUNT(*)
 FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT % 100 AS b
       FROM documents)
-GROUP BY CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+GROUP BY {_SPLIT_CASE_SQL}
 """
 
 
@@ -899,7 +905,7 @@ boiler AS (
   SELECT token FROM (
     SELECT token, COUNT(*) AS df
     FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
-  ) WHERE df > CAST({_BOILER_DF_FRAC} * (SELECT COUNT(*) FROM documents) AS BIGINT)
+  ) WHERE df > CAST(FLOOR({_BOILER_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT)
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
