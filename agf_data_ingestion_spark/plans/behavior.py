@@ -184,11 +184,18 @@ def events_alarm_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     breach = (F.col("error_rate") > _ALARM_RATE) & (F.col("n_events") >= _ALARM_MIN_N)
     w = Window.orderBy("win_start_s")  # one row per period: metadata-scale
+    # ALL of the trailing _EVAL_PERIODS periods must breach (CloudWatch
+    # EvaluationPeriods semantics, operators/alarms.py parity).  A
+    # breach-AND-lag(N-1) shortcut equals this only for N ≤ 2 — pattern
+    # [T, F, T] would falsely alarm at N = 3 — so count breaches over the
+    # explicit trailing frame; rows earlier than a full window (rn < N)
+    # cannot alarm, mirroring the lag-NULL coalesce.
+    w_frame = w.rowsBetween(-(_EVAL_PERIODS - 1), Window.currentRow)
     st = per.select("*", breach.alias("breach")).select(
         "*",
         (
-            F.col("breach")
-            & F.coalesce(F.lag("breach", _EVAL_PERIODS - 1).over(w), F.lit(False))
+            (F.count_if(F.col("breach")).over(w_frame) == _EVAL_PERIODS)
+            & (F.row_number().over(w) >= _EVAL_PERIODS)
         ).alias("in_alarm"),
     )
     prev_alarm = F.coalesce(F.lag("in_alarm").over(w), F.lit(False))
@@ -216,8 +223,12 @@ b AS (
 ),
 st AS (
   SELECT win_start_s, n_events, n_errors, error_rate, breach,
-         (breach AND COALESCE(lag(breach, {_EVAL_PERIODS - 1})
-                              OVER (ORDER BY win_start_s), FALSE)) AS in_alarm
+         (COUNT(*) FILTER (WHERE breach)
+            OVER (ORDER BY win_start_s
+                  ROWS BETWEEN {_EVAL_PERIODS - 1} PRECEDING AND CURRENT ROW)
+            = {_EVAL_PERIODS}
+          AND row_number() OVER (ORDER BY win_start_s) >= {_EVAL_PERIODS})
+           AS in_alarm
   FROM b
 )
 SELECT *,

@@ -182,7 +182,12 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("event_type", "event_id", "value", h.cast("long").alias("h"))
 
     def _q_cols(df: DataFrame, qs: dict[str, float]) -> DataFrame:
-        wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+        # nulls LAST to match DuckDB's ASC default (Spark ASC puts nulls
+        # first — a single NULL value in a regenerated corpus would shift
+        # every rank and silently break the oracle)
+        wv = Window.partitionBy("event_type").orderBy(
+            F.asc_nulls_last("value"), "event_id"
+        )
         wn = Window.partitionBy("event_type")
         ranked = df.select(
             "event_type",
@@ -289,16 +294,26 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est_union = _estimate()
     rho = F.col("both_in_k").cast("double") / F.col("n_kept").cast("double")
+    # ua is one row per (type, user) — user-scale, so the self-join must
+    # stay a shuffle join (small-sf stats would statically broadcast it)
     ua = e.select("event_type", "user_id").distinct()
     ex = (
         ua.select(F.col("event_type").alias("ta"), "user_id")
-        .join(ua.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
+        .join(
+            ua.select(F.col("event_type").alias("tb"), "user_id").hint(
+                "shuffle_hash"
+            ),
+            "user_id",
+        )
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").alias("exact_inter"))
     )
+    # LEFT join: a pair with DISJOINT user sets has no exact_inter row but
+    # a perfectly valid sketch estimate — it must not vanish from the
+    # report (exact_inter coalesces to 0)
     return (
-        sk.join(ex, ["ta", "tb"])
+        sk.join(ex, ["ta", "tb"], "left")
         .select(
             "ta",
             "tb",
@@ -307,7 +322,9 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_union.alias("est_union"),
             (rho * est_union).alias("est_inter"),
             rho.alias("est_jaccard"),
-            "exact_inter",
+            F.coalesce(F.col("exact_inter"), F.lit(0).cast("long")).alias(
+                "exact_inter"
+            ),
         )
     )
 
@@ -359,8 +376,8 @@ SELECT ta, tb, n_kept, both_in_k,
        CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
             ELSE {float(_K - 1)} * {_HASH_SPACE} / CAST(kth_hash AS DOUBLE) END AS est_inter,
        CAST(both_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE) AS est_jaccard,
-       exact_inter
-FROM sk JOIN ex USING (ta, tb)
+       CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter
+FROM sk LEFT JOIN ex USING (ta, tb)
 """
 
 

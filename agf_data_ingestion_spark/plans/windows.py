@@ -29,8 +29,17 @@ def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_ts")
     )
+    # tiebreak pins the winner among equal-timestamp clicks (CLAUDE.md:
+    # every windowed pick needs a unique total order; the forward variant
+    # already does this) — without it a regenerated corpus with duplicate
+    # (user, ts) clicks would be engine- and run-nondeterministic
     out = asof_join(
-        purchases, clicks, on=["user_id"], left_time="p_ts", right_time="c_ts"
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="p_ts",
+        right_time="c_ts",
+        tiebreak="click_id",
     )
     return out.select(
         "user_id",
@@ -42,11 +51,21 @@ def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASOF_SQL = """
-SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS p_ts,
-       c.event_id AS prior_click_id, epoch_us(c.ts) AS prior_click_ts
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.p_ts,
+       c.click_id AS prior_click_id, c.c_ts AS prior_click_ts
+FROM purch p LEFT JOIN LATERAL (
+  SELECT click_id, c_ts FROM clicks c
+  WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts
+  ORDER BY c.c_ts DESC, click_id DESC LIMIT 1
+) c ON TRUE
 """
 
 
@@ -761,7 +780,9 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
     )
-    joined = dense.join(daily, ["user_id", "day"], "left")
+    # daily is one row per (user, active day) — corpus-sized, never
+    # broadcast (small-sf statistics would statically plan one)
+    joined = dense.join(daily.hint("shuffle_hash"), ["user_id", "day"], "left")
     w_ff = (
         Window.partitionBy("user_id")
         .orderBy("day")

@@ -131,7 +131,11 @@ def interval_join(
     if how not in ("inner", "left_outer"):
         raise ValueError(f"unsupported join type for interval_join: {how!r}")
     l = left.withWatermark(left_time, watermark).alias("l")
-    r = right.withWatermark(right_time, watermark).alias("r")
+    # both sides are event-stream-sized: in BATCH mode (the unified-model
+    # twin) small-sf statistics would statically broadcast the right side,
+    # which cannot exist at production event volumes — pin the shuffle
+    # join (streaming mode always shuffles on the key anyway)
+    r = right.withWatermark(right_time, watermark).hint("shuffle_hash").alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
