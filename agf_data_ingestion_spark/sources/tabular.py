@@ -52,7 +52,11 @@ def read_csv_quarantined(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .csv(path)
-        .cache()  # one scan feeding both splits
+        # one materialization feeding both splits; localCheckpoint (not
+        # cache) so the blocks are released when the frames are GC'd —
+        # cache entries registered here would leak per call in a
+        # long-lived session with no handle for the caller to unpersist
+        .localCheckpoint(eager=True)
     )
     valid = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT).alias("raw"))
@@ -68,7 +72,7 @@ def read_jsonl_quarantined(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)  # see read_csv_quarantined
     )
     valid = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull()).select(F.col(_CORRUPT).alias("raw"))

@@ -6,10 +6,15 @@ batch is ever hashed), probed against the persisted corpus band store for
 candidates, exact-verified with 3-gram Jaccard against the persisted
 shingle store, and then appended to both stores.  A document's flagged
 duplicate is its best match among all STRICTLY EARLIER documents (earlier
-batches, or same batch with a smaller doc_id) — which makes the stream
-result independent of how the input is chopped into batches: running one
-batch with everything, or N batches in arrival order, yields the identical
-dup table (asserted by tests/test_neardup_stream.py).
+batches, or same batch with a smaller doc_id).  "Earlier" is therefore
+ARRIVAL order across batches and doc_id order within one — the two agree
+exactly when arrival order respects doc_id order (the ingest pipeline's
+property: ids are assigned monotonically at ingest), and under that
+precondition the result is independent of how the input is chopped into
+batches: one batch with everything, or N batches, yields the identical
+dup table (asserted by tests/test_neardup_stream.py).  If out-of-id-order
+arrival is possible, the (new_id, dup_of) ORIENTATION of a pair can flip
+versus the single-batch run — the pair membership itself cannot.
 
 Scale shape (the measured r3 claim in SCALE.md): per batch the work is
 hash(|batch|) + band-probe(|batch| × collisions) + verify(|candidates|).

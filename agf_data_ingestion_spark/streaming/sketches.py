@@ -22,11 +22,55 @@ structure's contract, not an assumption about the data.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _K = 64
+
+
+def _state_read(spark: SparkSession, root: str) -> DataFrame | None:
+    """Read the committed state version (CURRENT pointer), or the legacy
+    flat layout.  Absent store → None; CORRUPT store → raise — a swallowed
+    read error would silently reset the accumulated sketch AND (for the MG
+    sinks) drop the batch-id idempotency guard, double-counting the next
+    re-delivery (the same rule as neardup_stream._read_or_none)."""
+    cur = os.path.join(root, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            return spark.read.parquet(os.path.join(root, fh.read().strip()))
+    if not os.path.isdir(root):
+        return None
+    try:
+        df = spark.read.parquet(root)
+        df.schema  # force analysis
+        return df
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+
+
+def _state_write(merged: DataFrame, root: str, batch_id: int) -> None:
+    """Commit a new state version ATOMICALLY: write a fresh version dir,
+    swap the CURRENT pointer (os.replace), then clean old versions.  A
+    crash at any point leaves either the old committed state or the new
+    one — never a deleted/partial store (Spark's in-place overwrite
+    deletes the target before writing, which could destroy the sketch AND
+    its batch-id guard mid-rewrite)."""
+    os.makedirs(root, exist_ok=True)
+    vname = f"v-{batch_id:012d}-{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, vname))
+    tmp = os.path.join(root, f"CURRENT.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(vname)
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    for name in os.listdir(root):
+        if name.startswith("v-") and name != vname:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 _HASH_HEX = 15  # 60-bit hash space
 _HASH_SPACE = float(1 << 60)
 
@@ -38,8 +82,11 @@ def kmv_sketch(df: DataFrame, *, group_col: str, key_col: str, k: int = _K) -> D
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, _HASH_HEX), 16, 10
     ).cast("long")
+    # grp cast to string: the persisted state schema is string-typed, and
+    # a bigint group column would otherwise crash createDataFrame in the
+    # sink's bounded rewrite
     hashes = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        df.select(F.col(group_col).cast("string").alias("grp"), h.alias("h"))
         .filter(F.col("h").isNotNull())  # null keys carry no identity
         .distinct()
     )
@@ -81,18 +128,22 @@ def kmv_sink(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         new = kmv_sketch(batch, group_col=group_col, key_col=key_col, k=k)
-        if os.path.isdir(table_dir):
-            try:
-                cur = spark.read.parquet(table_dir)
-            except Exception:
-                cur = None
-            if cur is not None:
-                new = merge_kmv(cur, new, k=k)
+        cur = _state_read(spark, table_dir)
+        if cur is not None:
+            new = merge_kmv(cur, new, k=k)
         rows = new.collect()  # bounded: ≤ k × groups by the sketch contract
         merged = spark.createDataFrame(rows, schema="grp string, h long")
-        merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
+        _state_write(merged, table_dir, batch_id)
 
     return sink
+
+
+def kmv_read(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The persisted sketch table of a ``kmv_sink`` store."""
+    stored = _state_read(spark, table_dir)
+    if stored is None:
+        raise FileNotFoundError(f"no kmv state at {table_dir}")
+    return stored
 
 
 # ---------------------------------------------------------------------------
@@ -114,13 +165,17 @@ def mg_summary(df: DataFrame, *, key_col: str, k: int = _MG_K) -> tuple[DataFram
     the summary is ≤ k rows by construction.  The pivot lookup is a
     distributed TakeOrderedAndProject (limit k+1), never a global sort.
     """
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count("*").cast("long").alias("cnt")
     )
     return _mg_compress(counts, k=k)
 
 
 def _mg_compress(counts: DataFrame, *, k: int) -> tuple[DataFrame, int]:
+    # one materialization: the pivot collect, the kept projection, and the
+    # caller's own collect would otherwise re-run the counts lineage
+    # (including the stored-state read + outer merge join) three times
+    counts = counts.localCheckpoint(eager=True)
     top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k + 1).collect()
     if len(top) <= k:
         return counts, 0
@@ -166,29 +221,27 @@ def mg_sink(spark: SparkSession, table_dir: str, *, key_col: str, k: int = _MG_K
     def sink(batch: DataFrame, batch_id: int) -> None:
         new, err_new = mg_summary(batch, key_col=key_col, k=k)
         err = err_new
-        if os.path.isdir(table_dir):
-            try:
-                stored = spark.read.parquet(table_dir)
-            except Exception:
-                stored = None
-            if stored is not None:
-                meta = {r.key: r.cnt for r in stored.filter(F.col("meta").isNotNull()).collect()}
-                if meta.get("batch", -1) >= batch_id:
-                    return  # re-delivered batch: already applied
-                cur = stored.filter(F.col("meta").isNull()).select("key", "cnt")
-                new, err_merge = mg_merge(cur, new, k=k)
-                err += err_merge + int(meta.get("err", 0))
+        stored = _state_read(spark, table_dir)
+        if stored is not None:
+            meta = {r.key: r.cnt for r in stored.filter(F.col("meta").isNotNull()).collect()}
+            if meta.get("batch", -1) >= batch_id:
+                return  # re-delivered batch: already applied
+            cur = stored.filter(F.col("meta").isNull()).select("key", "cnt")
+            new, err_merge = mg_merge(cur, new, k=k)
+            err += err_merge + int(meta.get("err", 0))
         rows = [(r.key, int(r.cnt), None) for r in new.collect()]  # ≤ k rows
         rows += [("err", int(err), "m"), ("batch", int(batch_id), "m")]
         merged = spark.createDataFrame(rows, schema="key string, cnt long, meta string")
-        merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
+        _state_write(merged, table_dir, batch_id)
 
     return sink
 
 
 def mg_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, int]:
     """(summary DataFrame, cumulative err bound) for a persisted sink."""
-    stored = spark.read.parquet(table_dir)
+    stored = _state_read(spark, table_dir)
+    if stored is None:
+        raise FileNotFoundError(f"no mg state at {table_dir}")
     err_rows = stored.filter((F.col("meta").isNotNull()) & (F.col("key") == "err")).collect()
     return (
         stored.filter(F.col("meta").isNull()).select("key", "cnt"),
@@ -212,7 +265,8 @@ def mg_group_summary(
     exchange), so the whole summary is one shuffle on (grp, key) plus one
     on grp, both bounded."""
     counts = df.groupBy(
-        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(key_col).cast("string").alias("key"),
     ).agg(F.count("*").cast("long").alias("cnt"))
     return _mg_group_compress(counts, k=k)
 
@@ -273,40 +327,39 @@ def mg_group_sink(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         new, err = mg_group_summary(batch, group_col=group_col, key_col=key_col, k=k)
-        if os.path.isdir(table_dir):
-            try:
-                stored = spark.read.parquet(table_dir)
-            except Exception:
-                stored = None
-            if stored is not None:
-                last = stored.filter(
-                    (F.col("meta") == "m") & (F.col("grp").isNull())
-                ).collect()
-                if last and int(last[0].cnt) >= batch_id:
-                    return  # re-delivered batch: already applied
-                cur = stored.filter(F.col("meta").isNull()).select("grp", "key", "cnt")
-                cur_err = (
-                    stored.filter((F.col("meta") == "m") & (F.col("grp").isNotNull()))
-                    .select("grp", F.col("cnt").alias("err"))
-                )
-                new, merge_err = mg_group_merge(cur, new, k=k)
-                err = _err_add(_err_add(cur_err, err), merge_err)
+        stored = _state_read(spark, table_dir)
+        if stored is not None:
+            # batch rows carry meta='b', err rows meta='m' — DISTINCT
+            # markers, because a NULL group's err row would otherwise be
+            # shape-identical to the batch row and the dedup guard could
+            # nondeterministically read an err value as the batch id
+            last = stored.filter(F.col("meta") == "b").collect()
+            if last and int(last[0].cnt) >= batch_id:
+                return  # re-delivered batch: already applied
+            cur = stored.filter(F.col("meta").isNull()).select("grp", "key", "cnt")
+            cur_err = stored.filter(F.col("meta") == "m").select(
+                "grp", F.col("cnt").alias("err")
+            )
+            new, merge_err = mg_group_merge(cur, new, k=k)
+            err = _err_add(_err_add(cur_err, err), merge_err)
         rows = [(r.grp, r.key, int(r.cnt), None) for r in new.collect()]
         rows += [(r.grp, None, int(r.err), "m") for r in err.collect()]
-        rows += [(None, None, int(batch_id), "m")]
+        rows += [(None, None, int(batch_id), "b")]
         merged = spark.createDataFrame(
             rows, schema="grp string, key string, cnt long, meta string"
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(table_dir)
+        _state_write(merged, table_dir, batch_id)
 
     return sink
 
 
 def mg_group_read(spark: SparkSession, table_dir: str) -> tuple[DataFrame, dict]:
-    """(counter DataFrame (grp, key, cnt), {grp: err}) for a persisted sink."""
-    stored = spark.read.parquet(table_dir)
+    """(counter DataFrame (grp, key, cnt), {grp: err}) for a persisted
+    sink.  err rows (meta='m') may legitimately carry a NULL group."""
+    stored = _state_read(spark, table_dir)
+    if stored is None:
+        raise FileNotFoundError(f"no mg group state at {table_dir}")
     errs = {
-        r.grp: int(r.cnt)
-        for r in stored.filter((F.col("meta") == "m") & (F.col("grp").isNotNull())).collect()
+        r.grp: int(r.cnt) for r in stored.filter(F.col("meta") == "m").collect()
     }
     return stored.filter(F.col("meta").isNull()).select("grp", "key", "cnt"), errs

@@ -59,6 +59,13 @@ _TIMEOUT_MS = 8 * 24 * 3600 * 1000
 def _update(
     key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # eviction path: the instrument was silent past the horizon — drop
+        # its state and emit nothing.  Re-arming the timeout here instead
+        # would keep dead keys forever AND emit a phantom monitor row per
+        # horizon per dead instrument.
+        state.remove()
+        return
     runs, total, max_epoch = state.get if state.exists else (0, 0, 0)
     anomaly = None
     for pdf in pdfs:

@@ -73,7 +73,9 @@ def test_streaming_sink_equals_batch_sketch(spark, tmp_path):
 
     batch_df = spark.read.schema(SCHEMA).json(src)
     direct = kmv_sketch(batch_df, group_col="event_type", key_col="user_id")
-    stored = spark.read.parquet(table)
+    from agf_data_ingestion_spark.streaming.sketches import kmv_read
+
+    stored = kmv_read(spark, table)
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, direct.collect()))
 
     # estimates from the streamed sketch are within the KMV error bound
