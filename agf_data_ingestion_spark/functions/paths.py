@@ -36,12 +36,17 @@ def is_valid_raw_key(key: Column) -> Column:
     instead of raising (OP-STRM-ERR record isolation).
     """
     parts = _segments(key)
-    return (
+    # coalesce: a NULL key must be INVALID (false), not NULL — a NULL
+    # verdict is excluded by BOTH split_valid filters (neither `_valid`
+    # nor `~_valid` is true for NULL), silently losing the row instead of
+    # quarantining it
+    return F.coalesce(
         key.startswith("raw/")
         & (F.size(parts) >= 6)
         & F.element_at(parts, 3).rlike(_DIGITS)
         & F.element_at(parts, 4).rlike(_DIGITS)
-        & F.element_at(parts, 5).rlike(_DIGITS)
+        & F.element_at(parts, 5).rlike(_DIGITS),
+        F.lit(False),
     )
 
 
@@ -99,6 +104,17 @@ def synth_experiment_id(manifest_path: Column, staff_name: Column, run_id: Colum
     parts = F.split(manifest_path, "/")
     folder = F.when(F.size(parts) >= 2, F.element_at(parts, 2))
     is_real_folder = folder.isNotNull() & (folder != F.element_at(parts, -1))
+    # plain concat null-propagates: a NULL run_id would null the WHOLE id
+    # (then fail keyed upserts downstream) where the reference f-string
+    # (:374) still renders 'standalone_{staff}_None' — coalesce to the
+    # literal the reference would print
     return F.when(
         is_real_folder, F.concat_ws("_", folder, staff_name)
-    ).otherwise(F.concat(F.lit("standalone_"), staff_name, F.lit("_"), run_id))
+    ).otherwise(
+        F.concat(
+            F.lit("standalone_"),
+            F.coalesce(staff_name, F.lit("None")),
+            F.lit("_"),
+            F.coalesce(run_id, F.lit("None")),
+        )
+    )

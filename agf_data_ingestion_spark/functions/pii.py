@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 #: local-part@domain.tld — conservative: word chars, dots, +, - only
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 #: international-ish phone: optional +CC, groups of digits with -/./space,
-#: at least 7 digits total (anchored on digit boundaries to avoid years)
-PHONE_RE = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+#: at least 7 digits total.  The lookarounds anchor on digit boundaries —
+#: without them the pattern matches INSIDE any long digit run, mangling
+#: floats, timestamps, and numeric IDs in scientific data
+PHONE_RE = (
+    r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ]?)?"
+    r"\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}(?![0-9])"
+)
 #: dotted-quad IPv4 (octet range not enforced — redaction favors recall)
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
@@ -49,8 +54,12 @@ def pii_counts(col: Column | str) -> Column:
     pass reports (how much PII a source contains drives source-level
     filtering decisions)."""
     c = F.col(col) if isinstance(col, str) else col
+    # phones counted AFTER the email redaction exactly as the scrub
+    # applies it (token replacement, not empty-string strip — stripping
+    # could concatenate surrounding digits into a phone the scrub never
+    # actually masks, making the audit disagree with the redaction)
     return F.struct(
         count_matches(c, EMAIL_RE).alias("emails"),
-        count_matches(redact(c, EMAIL_RE, ""), PHONE_RE).alias("phones"),
+        count_matches(redact(c, EMAIL_RE, "<EMAIL>"), PHONE_RE).alias("phones"),
         count_matches(c, IPV4_RE).alias("ips"),
     )

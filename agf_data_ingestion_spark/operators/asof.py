@@ -86,18 +86,23 @@ def asof_join(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
     )
     matched_t = F.col(f"_f_{right_time}{suffix}")
+    # a left row with NULL time has no defined as-of position: under the
+    # forward sort (desc, nulls last) it would otherwise absorb the
+    # earliest right row as a phantom match — null times match NOTHING in
+    # either direction, symmetrically
+    has_time = F.col("_t").isNotNull()
     if tolerance is not None:
         dist = (
             (F.col("_t") - matched_t)
             if direction == "backward"
             else (matched_t - F.col("_t"))
         )
-        within = matched_t.isNotNull() & (dist <= F.lit(tolerance))
+        within = has_time & matched_t.isNotNull() & (dist <= F.lit(tolerance))
         out_cols = [F.col(c) for c in left.columns] + [
             F.when(within, F.col(f"_f_{c}")).alias(c) for c in carried
         ]
     else:
         out_cols = [F.col(c) for c in left.columns] + [
-            F.col(f"_f_{c}").alias(c) for c in carried
+            F.when(has_time, F.col(f"_f_{c}")).alias(c) for c in carried
         ]
     return filled.filter(F.col("_side") == 1).select(*out_cols)

@@ -50,15 +50,24 @@ ZIP_RESULT_SCHEMA = StructType(
 )
 
 
-def _dedup_name(name: str, seen: dict[str, int]) -> str:
+def _dedup_name(name: str, used: set[str]) -> str:
     """Duplicate-basename numbering (reference :95,106-114): second 'x.txt'
-    becomes 'x_1.txt', third 'x_2.txt'."""
-    n = seen.get(name, 0)
-    seen[name] = n + 1
-    if n == 0:
+    becomes 'x_1.txt', third 'x_2.txt'.  Mirrors the reference exactly:
+    os.path.splitext semantics (a leading-dot basename like '.env' is all
+    stem → '.env_1', NOT '_1.env') and a while-loop over names already
+    USED — a synthesized name must not collide with a literal input name
+    ('x.txt', 'x_1.txt', 'x.txt' must not produce two 'x_1.txt' entries,
+    which would silently overwrite on extraction)."""
+    if name not in used:
+        used.add(name)
         return name
-    stem, dot, ext = name.rpartition(".")
-    return f"{stem}_{n}.{ext}" if dot else f"{name}_{n}"
+    stem, ext = os.path.splitext(name)
+    n = 1
+    while f"{stem}_{n}{ext}" in used:
+        n += 1
+    out = f"{stem}_{n}{ext}"
+    used.add(out)
+    return out
 
 
 def _zip_group(
@@ -80,7 +89,7 @@ def _zip_group(
             columns=[f.name for f in ZIP_RESULT_SCHEMA.fields],
         )
     buf = io.BytesIO()
-    seen: dict[str, int] = {}
+    seen: set[str] = set()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for _, row in pdf.sort_values("path", kind="mergesort").iterrows():
             base = str(row["path"]).rsplit("/", 1)[-1]

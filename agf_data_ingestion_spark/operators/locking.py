@@ -32,6 +32,30 @@ class TableLockedError(RuntimeError):
     """The table is locked by another writer and the wait budget expired."""
 
 
+#: lockdir → token for locks held by THIS process — the registry
+#: ``assert_lock_held`` verifies against, turning a stolen lock into a
+#: loud failure at the caller's commit point instead of silent corruption
+_HELD: dict[str, str] = {}
+
+
+def assert_lock_held(table_path: str) -> None:
+    """Verify the lock this process acquired on ``table_path`` is STILL
+    ours on disk.  Call immediately before an atomic commit point inside
+    a long transaction: if a TTL-based breaker (or the hand-off race)
+    stole the lock mid-write, this raises instead of letting two writers'
+    commits interleave.  No-op when the table is not lock-managed in this
+    process (e.g. single-writer deployments)."""
+    lockdir = _lock_dir(table_path)
+    token = _HELD.get(lockdir)
+    if token is None:
+        return
+    if _read_meta(lockdir).get("token") != token:
+        raise TableLockedError(
+            f"lock on {table_path} was broken while held — aborting before "
+            f"the commit point (another writer may hold the table)"
+        )
+
+
 class LockBrokenWarning(UserWarning):
     """This holder's lock was broken (stale TTL) while it was still working;
     the release left the new holder's lock untouched."""
@@ -88,9 +112,19 @@ def _remove_if_token(lockdir: str, token: str) -> bool:
     try:
         os.rename(trash, lockdir)
     except OSError:
-        # a third contender acquired in the interim; their lock stands, the
-        # trashed one is dropped (its holder will see LockBrokenWarning)
-        shutil.rmtree(trash, ignore_errors=True)
+        # a third contender acquired in the brief absent window; their
+        # lock stands and the displaced holder's is left IN the trash dir
+        # as evidence (never deleted — destroying it would erase the only
+        # record of the double-hold).  The displaced holder detects the
+        # theft at its next assert_lock_held() call or at release
+        # (LockBrokenWarning); commit points that verify via
+        # assert_lock_held fail loudly instead of corrupting.
+        warnings.warn(
+            f"lock hand-off race at {lockdir}: displaced holder's lock "
+            f"preserved at {trash}",
+            LockBrokenWarning,
+            stacklevel=2,
+        )
     return False
 
 
@@ -139,9 +173,11 @@ def table_lock(
                 f"{meta.get('pid', '?')} since {ts}"
             ) from None
         time.sleep(poll_s)
+    _HELD[lockdir] = token
     try:
         yield
     finally:
+        _HELD.pop(lockdir, None)
         # release only OUR lock: if the TTL elapsed mid-write and another
         # writer broke + re-acquired, their lock must stand
         if _read_meta(lockdir).get("token") == token:

@@ -37,9 +37,10 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     # leave a directory holding only _temporary — treating that as "exists"
     # would make every later upsert fail at the existing-side read until
     # manual cleanup.  The schema probe is a driver-side footer read (cheap)
-    # and works the same on local FS, HDFS, and object stores.
-    if not os.path.exists(path):
-        return False
+    # and works the same on local FS, HDFS, and object stores — which is
+    # WHY there is no os.path.exists fast-path: that is a driver-LOCAL
+    # check that returns False for every hdfs://-s3a:// URI, silently
+    # disabling the anti-join (and therefore idempotency) off-box.
     try:
         spark.read.parquet(path).schema
         return True
@@ -96,10 +97,18 @@ def latest_versions(df: DataFrame, id_cols: list[str], version_col: str) -> Data
     """Canonical latest-version query over an append-only versioned table
     (the experiments table's ``(experiment_id, last_updated)`` SCD-2-ish
     history — SURVEY.md §2.7): ``row_number() over (partition by id order
-    by version desc) = 1``."""
+    by version desc) = 1``.  Ties on (id, version) — e.g. a changed
+    re-sync within timestamp granularity — break on a content hash so the
+    winner is deterministic on any cluster (CLAUDE.md: every windowed
+    pick needs a unique total order)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*id_cols).orderBy(F.col(version_col).desc())
+    content = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns if c not in id_cols]))
+    )
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col(version_col).desc(), content.desc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

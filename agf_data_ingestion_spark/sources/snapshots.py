@@ -150,7 +150,15 @@ def snapshot_history(table: str) -> list[dict]:
 
 
 def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
-    """Write manifest v(parent+1) then atomically swap CURRENT to it."""
+    """Write manifest v(parent+1) then atomically swap CURRENT to it.
+
+    The pre-swap ``assert_lock_held`` turns a mid-transaction lock theft
+    (TTL breaker fired on a slow writer) into a loud abort BEFORE the
+    atomic point — without it two writers' commits could interleave and
+    one would silently vanish."""
+    from agf_data_ingestion_spark.operators.locking import assert_lock_held
+
+    assert_lock_held(table)
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
     manifest = {

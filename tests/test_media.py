@@ -141,7 +141,7 @@ def test_zip_content_extractable(spark):
     import agf_data_ingestion_spark.operators.export as ex
 
     buf = io.BytesIO()
-    seen: dict[str, int] = {}
+    seen: set[str] = set()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for _, row in pdf.sort_values("path").iterrows():
             base = str(row["path"]).rsplit("/", 1)[-1]
@@ -215,3 +215,18 @@ def test_phash_neardup_agrees_with_minhash_detector(spark):
     if strong:
         overlap = len(strong & mh) / len(strong)
         assert overlap >= 0.5, (overlap, strong - mh)
+
+
+def test_zip_dedup_name_reference_parity():
+    """Reference agf_zip_generator_lambda.py:106-111 parity: synthesized
+    names never collide with literal input names, and leading-dot
+    basenames number like os.path.splitext ('.env' -> '.env_1')."""
+    import agf_data_ingestion_spark.operators.export as ex
+
+    used: set[str] = set()
+    assert ex._dedup_name("x.txt", used) == "x.txt"
+    assert ex._dedup_name("x_1.txt", used) == "x_1.txt"
+    # second literal x.txt must SKIP the taken x_1.txt
+    assert ex._dedup_name("x.txt", used) == "x_2.txt"
+    assert ex._dedup_name(".env", used) == ".env"
+    assert ex._dedup_name(".env", used) == ".env_1"
