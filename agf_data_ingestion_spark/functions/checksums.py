@@ -20,7 +20,10 @@ def _cleaned(checksum: Column) -> Column:
 
 
 def is_valid_checksum(checksum: Column) -> Column:
-    return _cleaned(checksum).rlike(SHA256_RE)
+    # NULL input must be INVALID (false), not NULL — a NULL verdict is
+    # excluded by both sides of a filter/~filter split, silently losing
+    # the row (same rule as paths.is_valid_raw_key)
+    return F.coalesce(_cleaned(checksum).rlike(SHA256_RE), F.lit(False))
 
 
 def normalize_checksum(checksum: Column) -> Column:

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 def now_column(now: _dt.datetime | None) -> Column:
     if now is None:
         return F.current_timestamp()
-    return F.lit(now.replace(tzinfo=None) if now.tzinfo else now).cast("timestamp")
+    if now.tzinfo is not None:
+        # convert to UTC BEFORE stripping tzinfo: a bare .replace(tzinfo=
+        # None) keeps the local wall-clock digits, shifting the pinned
+        # instant by the offset in the UTC session (e.g. --now ...+05:00
+        # would land 5 hours late)
+        now = now.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return F.lit(now).cast("timestamp")
 
 
 def parse_iso_timestamp(

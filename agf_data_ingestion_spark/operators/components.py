@@ -83,6 +83,16 @@ def connected_components(
         labels = new_labels.drop("_prev")
         if obs.get["changed"] == 0:
             break
+    else:
+        # iterations exhausted with labels still moving: silently
+        # returning the partial propagation would mislabel one component
+        # as several (dedup then KEEPS duplicates) — fail loudly; the
+        # caller raises max_iter (rounds needed ≈ graph diameter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({int(obs.get['changed'])} labels still changing) — the "
+            f"candidate graph's diameter exceeds max_iter; raise it"
+        )
 
     singletons = (
         vertices.select(F.col(vertex_col).alias("id"))

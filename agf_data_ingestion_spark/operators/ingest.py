@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from agf_data_ingestion_spark.functions.checksums import normalize_checksum
 from agf_data_ingestion_spark.functions.paths import (
     basename,
+    dirname,
     file_extension,
     is_valid_raw_key,
     path_segment,
@@ -103,7 +104,14 @@ def sync_runs_from_run_manifests(
         "instrument_id",
         "computer_name",
         "sync_timestamp",
-        F.to_date(F.concat_ws("-", "_year", "_month", "_day"), "y-M-d").alias("date"),
+        # try_to_date: segments 3-5 are validated as DIGITS, not as a real
+        # calendar date — under Spark 4 ANSI, to_date on '2024-13-45'
+        # would throw and kill the whole micro-batch, violating the
+        # record-isolation contract (a bad key costs one null date, never
+        # the batch)
+        F.try_to_date(F.concat_ws("-", "_year", "_month", "_day"), "y-M-d").alias(
+            "date"
+        ),
         "files_count",
         "total_bytes",
         "staff_names",
@@ -203,9 +211,12 @@ def file_inventory_from_experiment_manifests(
         F.col("experiment_id"),
         F.col("f.relative_path").alias("file_path"),
         fname.alias("file_name"),
-        # exp-relative files live next to experiment.json (reference :429-431)
+        # exp-relative files live next to experiment.json (reference
+        # :429-431) — the shared dirname() helper, not an inline regex (a
+        # slash-less key must yield '' like os.path.dirname, not pass
+        # through unchanged)
         F.concat_ws(
-            "/", F.regexp_replace(F.col("_exp_json_key"), "/[^/]*$", ""), F.col("f.relative_path")
+            "/", dirname(F.col("_exp_json_key")), F.col("f.relative_path")
         ).alias("s3_key"),
         F.col("s3_bucket"),
         F.col("f.size").alias("file_size_bytes"),
@@ -238,9 +249,14 @@ def enrich_experiment_files_with_run(
     by joining run-manifest file rows on the physical key (reference :453
     documents the intent; the reference never implements it — here it is a
     single equi-join)."""
-    run_ids = run_files.select(
-        F.col("s3_key").alias("_k"), F.col("run_id").alias("_run_id")
-    ).dropDuplicates(["_k"])
+    # deterministic winner for a key tracked under multiple run_ids (a
+    # re-synced file): min(run_id) — dropDuplicates would keep a
+    # partition-order-dependent row (CLAUDE.md unique-tiebreaker rule)
+    run_ids = (
+        run_files.select(F.col("s3_key").alias("_k"), F.col("run_id"))
+        .groupBy("_k")
+        .agg(F.min("run_id").alias("_run_id"))
+    )
     return (
         exp_files.join(run_ids, exp_files["s3_key"] == run_ids["_k"], "left")
         .withColumn("run_id", F.coalesce(F.col("_run_id"), F.col("run_id")))

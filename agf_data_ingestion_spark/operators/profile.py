@@ -41,10 +41,21 @@ from pyspark.sql import functions as F
 def _render_double_sql(col: str) -> str:
     """floor(x·10⁶) rendered as '<int>.<6 digits>' — every step (IEEE
     multiply, floor, truncating DIV/%, lpad) is engine-identical; the
-    DuckDB oracle twin uses the same expression with ``//``."""
+    DuckDB oracle twin uses the same expression with ``//``.
+
+    Non-finite and out-of-range guards come FIRST: Spark ``floor``
+    saturates double→long, so NaN would silently render '0.000000' and
+    ±inf / |x| ≥ ~9.2e12 would render the long extremes — all three get
+    explicit sentinels identical in both engines (DuckDB would error on
+    the NaN cast rather than saturate, diverging from the oracle)."""
     s = f"CAST(floor(CAST({col} AS DOUBLE) * 1000000.0) AS BIGINT)"
     return (
-        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) ELSE "
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN isnan(CAST({col} AS DOUBLE)) THEN 'NaN' "
+        f"WHEN CAST({col} AS DOUBLE) = double('Infinity') THEN 'Infinity' "
+        f"WHEN CAST({col} AS DOUBLE) = double('-Infinity') THEN '-Infinity' "
+        f"WHEN abs(CAST({col} AS DOUBLE)) >= 9.0e12 THEN 'overflow' "
+        f"ELSE "
         f"concat(CASE WHEN ({s}) < 0 THEN '-' ELSE '' END, "
         f"CAST(abs({s}) DIV 1000000 AS STRING), '.', "
         f"lpad(CAST(abs({s}) % 1000000 AS STRING), 6, '0')) END"

@@ -820,8 +820,15 @@ def _profile_render_double(col: str) -> str:
     floor(x·10⁶) integer formatting, never a DECIMAL cast (Spark and
     DuckDB round double→DECIMAL differently at x.xxxxxx5 boundaries)."""
     s = f"CAST(floor(CAST({col} AS DOUBLE) * 1000000.0) AS BIGINT)"
+    # non-finite/out-of-range sentinels mirror _render_double_sql exactly
+    # (Spark floor SATURATES double→long where DuckDB's cast would error)
     return (
-        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS VARCHAR) ELSE "
+        f"CASE WHEN {col} IS NULL THEN CAST(NULL AS VARCHAR) "
+        f"WHEN isnan(CAST({col} AS DOUBLE)) THEN 'NaN' "
+        f"WHEN isinf(CAST({col} AS DOUBLE)) AND CAST({col} AS DOUBLE) > 0 THEN 'Infinity' "
+        f"WHEN isinf(CAST({col} AS DOUBLE)) THEN '-Infinity' "
+        f"WHEN abs(CAST({col} AS DOUBLE)) >= 9.0e12 THEN 'overflow' "
+        f"ELSE "
         f"(CASE WHEN ({s}) < 0 THEN '-' ELSE '' END) || "
         f"CAST((abs({s}) // 1000000) AS VARCHAR) || '.' || "
         f"lpad(CAST((abs({s}) % 1000000) AS VARCHAR), 6, '0') END"

@@ -51,23 +51,38 @@ def scd2_batch_fn(
     dim_path = os.path.join(warehouse, "scd2_dim")
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        from agf_data_ingestion_spark.operators.locking import table_lock
+        from agf_data_ingestion_spark.operators.statestore import (
+            state_read,
+            state_write,
+        )
+
         spark = batch.sparkSession
         rows = batch.select(key, attr, time_col, id_col)
         upsert_append(rows, raw_path, keys=[id_col], lock=True)
 
-        raw = spark.read.parquet(raw_path)
-        affected = rows.select(key).distinct()
-        scoped = raw.join(affected, key, "left_semi")
-        fresh = scd2_intervals(
-            scoped, key=key, attr=attr, time_col=time_col, tiebreak=id_col
-        )
-        if _table_exists(spark, dim_path):
-            untouched = spark.read.parquet(dim_path).join(affected, key, "left_anti")
-            result = untouched.unionByName(fresh)
-        else:
-            result = fresh
-        # materialize BEFORE overwriting the files the plan reads from
-        result.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_path)
+        # the dim read-modify-commit cycle must serialize with OTHER
+        # writers (the raw append's lock=True implies a multi-writer
+        # deployment) — an unlocked cycle loses the other writer's
+        # recomputed keys on the last overwrite
+        with table_lock(dim_path, wait_s=600.0):
+            raw = spark.read.parquet(raw_path)
+            affected = rows.select(key).distinct()
+            scoped = raw.join(affected, key, "left_semi")
+            fresh = scd2_intervals(
+                scoped, key=key, attr=attr, time_col=time_col, tiebreak=id_col
+            )
+            cur = state_read(spark, dim_path)
+            if cur is not None:
+                untouched = cur.join(affected, key, "left_anti")
+                result = untouched.unionByName(fresh)
+            else:
+                result = fresh
+            # versioned atomic commit: a crash mid-rewrite can no longer
+            # truncate the dimension to just this batch's keys (the
+            # in-place overwrite deleted the old table before writing, and
+            # the unreadable leftovers then looked like a fresh warehouse)
+            state_write(result.localCheckpoint(eager=True), dim_path, batch_id)
 
     return fn
 
@@ -81,15 +96,28 @@ def read_dimension(
 ) -> DataFrame:
     """The current Type-2 dimension table (empty-safe for fresh warehouses:
     before any batch has committed, returns an empty frame with the
-    dimension schema instead of raising PATH_NOT_FOUND)."""
+    dimension schema instead of raising PATH_NOT_FOUND).  The empty-frame
+    key/attr TYPES derive from the raw change log when one exists — a
+    hardcoded bigint key would silently diverge from a string-keyed
+    dimension the moment the first batch lands."""
+    from agf_data_ingestion_spark.operators.statestore import state_read
+
     dim_path = os.path.join(warehouse, "scd2_dim")
-    if not _table_exists(spark, dim_path):
-        schema = (
-            f"{key} bigint, {attr} string, valid_from bigint, "
-            "valid_to bigint, version bigint, is_current boolean"
-        )
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(dim_path)
+    cur = state_read(spark, dim_path)
+    if cur is not None:
+        return cur
+    raw_path = os.path.join(warehouse, "scd2_raw")
+    if _table_exists(spark, raw_path):
+        raw_types = dict(spark.read.parquet(raw_path).dtypes)
+        key_t = raw_types.get(key, "bigint")
+        attr_t = raw_types.get(attr, "string")
+    else:
+        key_t, attr_t = "bigint", "string"
+    schema = (
+        f"{key} {key_t}, {attr} {attr_t}, valid_from bigint, "
+        "valid_to bigint, version bigint, is_current boolean"
+    )
+    return spark.createDataFrame([], schema)
 
 
 def as_of(dim: DataFrame, ts_us: int) -> DataFrame:

@@ -21,9 +21,6 @@ structure's contract, not an assumption about the data.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,46 +28,12 @@ from pyspark.sql import functions as F
 _K = 64
 
 
-def _state_read(spark: SparkSession, root: str) -> DataFrame | None:
-    """Read the committed state version (CURRENT pointer), or the legacy
-    flat layout.  Absent store → None; CORRUPT store → raise — a swallowed
-    read error would silently reset the accumulated sketch AND (for the MG
-    sinks) drop the batch-id idempotency guard, double-counting the next
-    re-delivery (the same rule as neardup_stream._read_or_none)."""
-    cur = os.path.join(root, "CURRENT")
-    if os.path.exists(cur):
-        with open(cur) as fh:
-            return spark.read.parquet(os.path.join(root, fh.read().strip()))
-    if not os.path.isdir(root):
-        return None
-    try:
-        df = spark.read.parquet(root)
-        df.schema  # force analysis
-        return df
-    except Exception as exc:  # noqa: BLE001
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
-            return None
-        raise
-
-
-def _state_write(merged: DataFrame, root: str, batch_id: int) -> None:
-    """Commit a new state version ATOMICALLY: write a fresh version dir,
-    swap the CURRENT pointer (os.replace), then clean old versions.  A
-    crash at any point leaves either the old committed state or the new
-    one — never a deleted/partial store (Spark's in-place overwrite
-    deletes the target before writing, which could destroy the sketch AND
-    its batch-id guard mid-rewrite)."""
-    os.makedirs(root, exist_ok=True)
-    vname = f"v-{batch_id:012d}-{uuid.uuid4().hex[:8]}"
-    merged.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, vname))
-    tmp = os.path.join(root, f"CURRENT.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(vname)
-    os.replace(tmp, os.path.join(root, "CURRENT"))
-    for name in os.listdir(root):
-        if name.startswith("v-") and name != vname:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+# crash-safe versioned commit + absent-vs-corrupt read discipline,
+# shared with the streaming SCD2 dimension (operators/statestore.py)
+from agf_data_ingestion_spark.operators.statestore import (  # noqa: E402
+    state_read as _state_read,
+    state_write as _state_write,
+)
 _HASH_HEX = 15  # 60-bit hash space
 _HASH_SPACE = float(1 << 60)
 
