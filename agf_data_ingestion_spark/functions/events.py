@@ -36,6 +36,16 @@ OBJECT_EVENT_SCHEMA = StructType(
 )
 
 
+
+
+def _safe_url_decode(c):
+    """Never-raising URL decode (reference unquote_plus semantics, :144):
+    ``url_decode`` THROWS on malformed %-sequences — one object named
+    '100% done.csv' would kill the whole batch — so invalid escapes fall
+    back to the raw key via try_url_decode + coalesce."""
+    return F.coalesce(F.try_url_decode(c), c)
+
+
 def normalize_object_events(raw: DataFrame) -> DataFrame:
     """``raw`` has OBJECT_EVENT_SCHEMA columns; returns (s3_bucket, s3_key).
 
@@ -45,14 +55,14 @@ def normalize_object_events(raw: DataFrame) -> DataFrame:
     """
     eb = raw.filter(F.col("detail").isNotNull()).select(
         F.col("detail.bucket.name").alias("s3_bucket"),
-        F.url_decode(F.col("detail.object.key")).alias("s3_key"),
+        _safe_url_decode(F.col("detail.object.key")).alias("s3_key"),
     )
     recs = (
         raw.filter(F.col("detail").isNull() & F.col("Records").isNotNull())
         .select(F.explode("Records").alias("r"))
         .select(
             F.col("r.s3.bucket.name").alias("s3_bucket"),
-            F.url_decode(F.col("r.s3.object.key")).alias("s3_key"),
+            _safe_url_decode(F.col("r.s3.object.key")).alias("s3_key"),
         )
     )
     return eb.unionByName(recs)

@@ -48,8 +48,12 @@ def norm_expr(col: str, lo: str, hi: str, bits: int) -> str:
     zero-span columns collapse to 0).  ``lo``/``hi`` are SQL expressions
     (typically scalar-subquery/broadcast min & max)."""
     span = f"nullif(({hi}) - ({lo}), 0)"
-    scaled = f"(({col}) - ({lo})) * {(1 << bits) - 1}"
-    # floor(exact_int / exact_int) in double: operands stay < 2^53, both
-    # engines round the division identically, CAST AS BIGINT parses in both
-    # (Spark DIV and DuckDB // are different tokens, so spell it with floor)
+    # the offset is cast to DOUBLE BEFORE the scale multiply: the integer
+    # product (col-lo)·(2^bits-1) overflows BIGINT for wide ranges (a
+    # year of epoch-µs at bits=21 — DuckDB errors, Spark silently wraps).
+    # In double the product is EXACT for spans < 2^32 (operands < 2^53)
+    # and beyond that merely double-rounded — identically in both engines
+    # (same IEEE multiply/divide), so keys stay engine-identical at every
+    # range; the result of the division is < 2^bits, safe to cast.
+    scaled = f"CAST((({col}) - ({lo})) AS DOUBLE) * {(1 << bits) - 1}"
     return f"coalesce(CAST(floor(({scaled}) / ({span})) AS BIGINT), 0)"

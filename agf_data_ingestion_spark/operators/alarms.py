@@ -81,6 +81,11 @@ def evaluate_alarm(
         raise ValueError(f"unknown statistic {spec.statistic!r}")
     if spec.comparison not in _CMPS:
         raise ValueError(f"unknown comparison {spec.comparison!r}")
+    # naive datetimes are UTC wall-clock repo-wide (functions/timestamps
+    # now_column convention); bare .timestamp() would interpret them in
+    # the OS-LOCAL zone and shift the evaluated window by the offset
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
     epoch = int(now.timestamp()) // spec.period_s * spec.period_s
     start = epoch - spec.period_s * spec.evaluation_periods
     agg = (

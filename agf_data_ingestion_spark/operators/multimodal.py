@@ -193,7 +193,12 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int =
             for m in pdf["media"]:
                 if m is None or m["size_bytes"] is None:
                     continue
-                n = min(max_frames, max(1, int(m["size_bytes"]) // every_n_bytes + 1))
+                # ceil(size/stride): every emitted offset lies INSIDE the
+                # content (size//stride + 1 put an offset at exactly
+                # `size` for stride-multiple files — one past the last
+                # valid byte, where a real demuxer would seek past EOF)
+                sz = int(m["size_bytes"])
+                n = min(max_frames, max(1, (sz + every_n_bytes - 1) // every_n_bytes))
                 for i in range(n):
                     rows.append((m["path"], i, i * every_n_bytes))
             yield pd.DataFrame(rows, columns=["path", "frame_index", "byte_offset"])

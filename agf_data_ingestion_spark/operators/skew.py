@@ -64,8 +64,17 @@ def salted_join(
     Use when the small side is too big to broadcast outright but a hot key
     on the big side would otherwise pin one task at 100× the median.  Cost:
     small side × n_salt (bounded, chosen); win: the hot key's rows process
-    in parallel.  Join output equals the unsalted join exactly.
+    in parallel.  Join output equals the unsalted join exactly — for the
+    SUPPORTED join types: right/full outer would emit every unmatched
+    small-side row once per salt replica (n_salt duplicates), so they are
+    rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows "
+            "once per salt replica"
+        )
     spark = big.sparkSession
     salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
     big_s = big.withColumn(

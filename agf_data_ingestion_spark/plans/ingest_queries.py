@@ -105,14 +105,38 @@ def ingest_sync_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: DuckDB twin of split_valid's structural + required-field predicate for
+#: run manifests (paths.is_valid_raw_key + computer_name/files_in_batch):
+#: fixtures are always valid today, but the oracle must apply the SAME
+#: gate as the Spark side or a single malformed manifest in a regenerated
+#: lake would pass the oracle while Spark quarantines it.  (Corrupt-JSON
+#: quarantining has no read_json counterpart — DuckDB would error on a
+#: truly unparseable file; documented limitation.)
+_O_VALID_RUN = (
+    "s3_key LIKE 'raw/%' AND len(string_split(s3_key, '/')) >= 6"
+    " AND regexp_matches(string_split(s3_key, '/')[3], '^[0-9]+$')"
+    " AND regexp_matches(string_split(s3_key, '/')[4], '^[0-9]+$')"
+    " AND regexp_matches(string_split(s3_key, '/')[5], '^[0-9]+$')"
+    " AND computer_name IS NOT NULL AND files_in_batch IS NOT NULL"
+)
+_O_VALID_EXP = (
+    "s3_key LIKE 'raw/%' AND len(string_split(s3_key, '/')) >= 6"
+    " AND regexp_matches(string_split(s3_key, '/')[3], '^[0-9]+$')"
+    " AND regexp_matches(string_split(s3_key, '/')[4], '^[0-9]+$')"
+    " AND regexp_matches(string_split(s3_key, '/')[5], '^[0-9]+$')"
+    " AND experiment_id IS NOT NULL AND staff_name IS NOT NULL"
+)
+
 _SYNC_RUNS_SQL = f"""
 WITH src AS ({_O_RUNS_SRC}),
-parts AS (SELECT *, string_split(s3_key, '/') AS seg FROM src)
+parts AS (SELECT *, string_split(s3_key, '/') AS seg FROM src WHERE {_O_VALID_RUN})
 SELECT seg[6] AS run_id,
        seg[2] AS instrument_id,
        computer_name,
        {_O_LENIENT.format(x='sync_timestamp')} AS sync_timestamp,
-       seg[3] || '-' || seg[4] || '-' || seg[5] AS date_str,
+       strftime(try_strptime(seg[3] || '-' || seg[4] || '-' || seg[5], '%Y-%m-%d'),
+                '%Y-%m-%d') AS date_str,
        files_in_batch AS files_count,
        COALESCE(total_size_bytes,
                 CAST(list_sum(list_transform(COALESCE(file_manifest, []), f -> COALESCE(f.size, 0))) AS BIGINT),
@@ -144,7 +168,7 @@ ex AS (
   SELECT s3_key AS run_json_key, s3_bucket,
          string_split(s3_key, '/') AS seg,
          unnest(file_manifest) AS f
-  FROM src
+  FROM src WHERE {_O_VALID_RUN}
 ),
 d AS (
   SELECT *,
@@ -155,7 +179,8 @@ d AS (
   FROM ex
 )
 SELECT CASE WHEN len(p) >= 2 AND p[2] != p[-1] THEN p[2] || '_' || staff
-            ELSE 'standalone_' || staff || '_' || seg[6] END AS experiment_id,
+            ELSE 'standalone_' || COALESCE(staff, 'None') || '_'
+                 || COALESCE(seg[6], 'None') END AS experiment_id,
        f.path AS file_path,
        fname AS file_name,
        run_dir || '/' ||
@@ -233,7 +258,11 @@ SELECT experiment_id,
        COALESCE(sync_version, '1.0') AS sync_version,
        CASE WHEN parameters IS NULL THEN ''
             ELSE array_to_string(list_sort(list_transform(map_entries(parameters),
-                                                          e -> e.key || '=' || e.value)), ',')
+                     -- null values render as the bare key, mirroring
+                     -- Spark's null-SKIPPING concat_ws ('||' would null
+                     -- the whole entry and array_to_string would drop it)
+                     e -> CASE WHEN e.value IS NULL THEN e.key
+                               ELSE e.key || '=' || e.value END)), ',')
        END AS params_csv
 FROM src
 """
@@ -297,7 +326,7 @@ def ingest_enriched_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ENRICHED_SQL = f"""
 WITH runs AS ({_O_RUNS_SRC}),
-rv AS (SELECT * FROM runs WHERE computer_name IS NOT NULL AND files_in_batch IS NOT NULL
+rv AS (SELECT * FROM runs WHERE {_O_VALID_RUN}
          AND s3_key LIKE 'raw/%'),
 run_inv AS (
   SELECT DISTINCT
@@ -310,7 +339,7 @@ run_inv AS (
         FROM rv)
 ),
 exps AS ({_O_EXPS_SRC}),
-ev AS (SELECT * FROM exps WHERE experiment_id IS NOT NULL AND staff_name IS NOT NULL
+ev AS (SELECT * FROM exps WHERE {_O_VALID_EXP}
          AND s3_key LIKE 'raw/%'),
 exp_inv AS (
   SELECT experiment_id,
@@ -349,15 +378,12 @@ WITH src AS ({_O_RUNS_SRC}),
 inv AS (
   SELECT {_O_CHECKSUM.format(x='f.checksum')} AS checksum_sha256
   FROM (SELECT unnest(file_manifest) AS f FROM src
-        WHERE computer_name IS NOT NULL AND files_in_batch IS NOT NULL
-          AND s3_key LIKE 'raw/%')
+        WHERE {_O_VALID_RUN})
 )
 SELECT (SELECT COUNT(*) FROM src
-        WHERE computer_name IS NOT NULL AND files_in_batch IS NOT NULL
-          AND s3_key LIKE 'raw/%') AS valid_manifests,
+        WHERE {_O_VALID_RUN}) AS valid_manifests,
        (SELECT COUNT(*) FROM src
-        WHERE NOT (computer_name IS NOT NULL AND files_in_batch IS NOT NULL
-                   AND s3_key LIKE 'raw/%')) AS quarantined_manifests,
+        WHERE NOT ({_O_VALID_RUN})) AS quarantined_manifests,
        (SELECT COUNT(*) FROM inv) AS file_rows,
        (SELECT COUNT(*) FROM inv WHERE checksum_sha256 IS NULL) AS bad_checksum_rows
 """
@@ -400,10 +426,10 @@ def ingest_reconcile_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECONCILE_SQL = f"""
 WITH runs AS ({_O_RUNS_SRC}),
-rv AS (SELECT * FROM runs WHERE computer_name IS NOT NULL AND files_in_batch IS NOT NULL
+rv AS (SELECT * FROM runs WHERE {_O_VALID_RUN}
          AND s3_key LIKE 'raw/%'),
 exps AS ({_O_EXPS_SRC}),
-ev AS (SELECT * FROM exps WHERE experiment_id IS NOT NULL AND staff_name IS NOT NULL
+ev AS (SELECT * FROM exps WHERE {_O_VALID_EXP}
          AND s3_key LIKE 'raw/%'),
 inv AS (
   SELECT regexp_replace(run_json_key, '/[^/]*$', '') || '/' ||

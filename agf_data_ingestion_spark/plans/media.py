@@ -78,7 +78,7 @@ _FRAME_SAMPLES_SQL = """
 SELECT 'media/doc_' || CAST(doc_id AS VARCHAR) || '.png' AS path,
        CAST(i AS BIGINT) AS frame_index,
        CAST(i * 64 AS BIGINT) AS byte_offset
-FROM documents, unnest(range(0, least(8, strlen(text) // 64 + 1))) AS u(i)
+FROM documents, unnest(range(0, least(8, greatest(1, (strlen(text) + 63) // 64)))) AS u(i)
 """
 
 

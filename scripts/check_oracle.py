@@ -29,12 +29,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize value repr: everything to strings, floats via repr (bit-faithful)
     out = pd.DataFrame()
+    # collision-free null marker: the printable token "NULL" would make a
+    # real NULL compare equal to the literal 4-char string 'NULL'
+    _NULL = "\x00<null>\x00"
     for c in df.columns:
         col = df[c]
         if col.dtype == "float64":
-            out[c] = col.map(lambda v: repr(float(v)) if pd.notna(v) else "NULL")
+            out[c] = col.map(lambda v: repr(float(v)) if pd.notna(v) else _NULL)
         else:
-            out[c] = col.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+            out[c] = col.map(lambda v: _NULL if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -50,6 +53,13 @@ def main() -> int:
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
+    # every remaining path-like argument must BE the sf_dir — a path typo
+    # (or sf_dir passed after the query names) silently checking the
+    # default directory would fabricate evidence for the wrong scale
+    strays = [a for a in args if "/" in a and a != sf_dir]
+    if strays:
+        print(f"unrecognized argument(s): {strays} (sf_dir must come first)")
+        return 2
     results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
