@@ -515,14 +515,24 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = t(spark, sf_dir, "lineitem")
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = (
+    # pre-aggregate to one row per (order, supplier) FIRST: two
+    # count_distincts in one agg would plan a 3-way Expand that triples
+    # every lineitem row through the l_orderkey shuffle (the CLAUDE.md
+    # multi-distinct trap); after the keyed pre-agg the distinct counts
+    # are plain counts over an already-distinct key
+    per_supp = (
         l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(ret_supp).alias("n_ret_supp"),
-            F.max(ret_supp).alias("blamed_suppkey"),
+            F.count("*").alias("n_supp"),
+            F.sum("ret").alias("n_ret_supp"),
+            F.max(F.when(F.col("ret") == 1, F.col("l_suppkey"))).alias(
+                "blamed_suppkey"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
     )

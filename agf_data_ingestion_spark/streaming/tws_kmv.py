@@ -34,9 +34,14 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-_K = 64
-_HASH_HEX = 15
-_HASH_SPACE = float(1 << 60)
+# constants IMPORTED from the batch sketch module: the claim 'identical
+# derivation to the batch twin' must hold by construction, not by a copy
+# that can silently diverge when the batch parameters change
+from agf_data_ingestion_spark.streaming.sketches import (  # noqa: E402
+    _HASH_HEX,
+    _HASH_SPACE,
+    _K,
+)
 
 #: transformWithState requires the RocksDB state store provider (the HDFS
 #: default does not support the new state API); set on the session before

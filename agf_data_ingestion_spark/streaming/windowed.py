@@ -144,15 +144,23 @@ def interval_join(
     return l.join(r, cond, how)
 
 
-def observed(df: DataFrame, name: str = "ingest") -> tuple[DataFrame, Observation]:
+def observed(df: DataFrame, name: str = "ingest") -> tuple[DataFrame, Observation | str]:
     """Attach the reference's per-batch counters ({processed, errors}) as an
-    ``Observation`` — metrics are collected during the action itself."""
-    obs = Observation(name)
-    out = df.observe(
-        obs,
+    observation — metrics are collected during the action itself.
+
+    Batch frames return an ``Observation`` object (read ``obs.get`` after
+    the action).  STREAMING frames return the observation NAME instead:
+    pyspark's Observation class does not support streaming datasets
+    (``df.observe`` accepts only a string name there), and the metrics
+    arrive per micro-batch through ``StreamingQueryProgress
+    .observedMetrics[name]`` / a StreamingQueryListener."""
+    metrics = (
         F.count(F.lit(1)).alias("processed"),
         F.sum(F.when(F.col("_valid") == False, 1).otherwise(0)).alias("errors")  # noqa: E712
         if "_valid" in df.columns
         else F.lit(0).alias("errors"),
     )
-    return out, obs
+    if df.isStreaming:
+        return df.observe(name, *metrics), name
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

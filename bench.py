@@ -71,7 +71,10 @@ def _reconcile_bench(spark) -> tuple[float, int]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = 0.0  # custom-named scale dir: report unknown, keep benching
 
     from agf_data_ingestion_spark.plans import QUERIES
     from agf_data_ingestion_spark.session import get_spark
@@ -95,13 +98,25 @@ def main() -> None:
     # codegen, interpreted higher-order folds, shuffle-hash join paths,
     # window-group-limit — observed: the first catalog query pays ~4-5 s
     # regardless of which one it is).
+    # warm against the CONFIGURED scale dir (a hardcoded sf0.001 path would
+    # abort the whole bench on boxes without the standard testdata root)
+    warm_dir = sf_dir
+    for _cand in (os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),):
+        if os.path.isdir(_cand):
+            warm_dir = _cand
     for _wname in ("docs_minhash_lsh", "emb_ivf_topk"):
-        QUERIES[_wname].fn(spark, "/root/testdata/sf0.001").count()
+        QUERIES[_wname].fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.time()
-        spec.fn(spark, sf_dir).count()
+        # noop write: forces FULL computation of every aggregate and
+        # rendered projection.  .count() let Catalyst prune any expression
+        # that doesn't affect cardinality (verified: a decimal-sum agg
+        # under count() optimizes to count(1) over the grouping keys), so
+        # it systematically under-timed aggregate-heavy queries relative
+        # to the work the driver's correctness path actually executes.
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     # reference-derived workloads
