@@ -154,18 +154,22 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= _PHASH_GRAM)
     )
     idx = F.sequence(F.lit(1), F.size("w") - (_PHASH_GRAM - 1))
+    # hash ONCE per gram, before the ×60 bit fan-out (an inline md5 in
+    # the vote expression would re-hash per bit row — 60× per gram)
     grams = media.select(
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.transform(idx, lambda i: F.array_join(F.slice("w", i, _PHASH_GRAM), " "))
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice("w", i, _PHASH_GRAM), " ")
+                )
             )
         ).alias("g"),
-    )
+    ).select("doc_id", F.md5("g").alias("gh"))
     bits = spark.range(_PHASH_BITS).withColumnRenamed("id", "b")
     # ±1 bit vote of feature g at bit b — the shared docs_simhash
     # construction (single source of truth in plans/text.py)
-    vote = F.expr(simhash_vote_expr("g"))
+    vote = F.expr(simhash_vote_expr("gh"))
     items = (
         grams.crossJoin(F.broadcast(bits))
         .select("doc_id", "b", vote.alias("vote"))
@@ -223,7 +227,7 @@ def _phash_sql() -> str:
     source of truth for the nibble/shift construction: plans/text.py)."""
     from agf_data_ingestion_spark.plans.text import simhash_vote_sql
 
-    return _PHASH_SQL_TEMPLATE.replace("{VOTE}", simhash_vote_sql("g"))
+    return _PHASH_SQL_TEMPLATE.replace("{VOTE}", simhash_vote_sql("gh"))
 
 
 _PHASH_SQL_TEMPLATE = f"""
@@ -232,8 +236,10 @@ WITH w AS (
   WHERE len(string_split(text, ' ')) >= {_PHASH_GRAM}
 ),
 grams AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+{_PHASH_GRAM - 1}], ' ') AS g
-  FROM w, unnest(range(1, len(w) - {_PHASH_GRAM - 2})) AS t(i)
+  SELECT md5(g) AS gh, doc_id FROM (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+{_PHASH_GRAM - 1}], ' ') AS g
+    FROM w, unnest(range(1, len(w) - {_PHASH_GRAM - 2})) AS t(i)
+  )
 ),
 votes AS (
   SELECT doc_id, b, SUM({{VOTE}}) AS v

@@ -280,18 +280,41 @@ FROM documents
 
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
-    text, plus a bottom-4 sketch of 8-char-gram hashes (winnowing-style)."""
+    text, plus a bottom-4 sketch of 8-char-gram hashes (winnowing-style).
+
+    Shape: the per-gram md5 runs over EXPLODED rows (whole-stage codegen)
+    — inside the original `transform` lambda it was interpreted
+    expression-tree evaluation, ~300 interpreted md5 calls per document
+    (the CLAUDE.md higher-order-fold rule; measured 13 s → ~2 s at sf0.1
+    under full-computation timing).  The bottom-4 pick is a
+    WindowGroupLimit (map-side truncation to 4 rows per doc before the
+    exchange)."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - 7, F.lit(1))),
-        lambda i: F.md5(F.substring(norm, i, 8)),
+    base = d.select("doc_id", F.md5(norm).alias("doc_hash"), norm.alias("nt"))
+    grams = (
+        base.select(
+            "doc_id",
+            "nt",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("md5(substring(nt, i, 8))").alias("h"))
+        .distinct()
     )
-    bottom4 = F.slice(F.array_sort(F.array_distinct(grams)), 1, 4)
-    return d.select(
-        "doc_id",
-        F.md5(norm).alias("doc_hash"),
-        F.array_join(bottom4, "|").alias("sketch"),
+    w = Window.partitionBy("doc_id").orderBy("h")
+    bottom = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("h")), "|").alias("sketch")
+        )
+    )
+    # both sides are corpus-sized: shuffle join on doc_id, never broadcast
+    return base.select("doc_id", "doc_hash").join(
+        bottom.hint("shuffle_hash"), "doc_id"
     )
 
 
@@ -847,25 +870,27 @@ SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 
-def simhash_vote_expr(col: str) -> str:
-    """Spark SQL expression for the ±1 SimHash bit vote of feature column
-    ``col`` at bit column ``b``: bit (3 - b%4) of md5(col)'s hex nibble
-    b//4 — the trickiest cross-engine expression in the repo, kept in ONE
-    place (consumers: docs_simhash here, media_phash_neardup in
-    plans/media.py)."""
+def simhash_vote_expr(hex_col: str) -> str:
+    """Spark SQL expression for the ±1 SimHash bit vote at bit column
+    ``b``, reading a PRECOMPUTED md5-hex column: bit (3 - b%4) of the hex
+    nibble b//4 — the trickiest cross-engine expression in the repo, kept
+    in ONE place (consumers: docs_simhash here, media_phash_neardup in
+    plans/media.py).  Takes the hex column, not the raw feature: an
+    inline ``md5(col)`` here would re-hash the feature once per bit row
+    (64× per word — measured 4 s → ~1 s at sf0.1)."""
     return (
         f"((shiftright(instr('0123456789abcdef',"
-        f" substr(md5({col}), CAST(b / 4 AS INT) + 1, 1)) - 1,"
+        f" substr({hex_col}, CAST(b / 4 AS INT) + 1, 1)) - 1,"
         f" 3 - CAST(b % 4 AS INT))) & 1) * 2 - 1"
     )
 
 
-def simhash_vote_sql(col: str) -> str:
+def simhash_vote_sql(hex_col: str) -> str:
     """DuckDB twin of :func:`simhash_vote_expr` — fully parenthesized
     (DuckDB gives >> and & equal precedence, CLAUDE.md)."""
     return (
         f"(((strpos('0123456789abcdef',"
-        f" substr(md5({col}), CAST(b // 4 AS INT) + 1, 1)) - 1"
+        f" substr({hex_col}, CAST(b // 4 AS INT) + 1, 1)) - 1"
         f" >> (3 - CAST(b % 4 AS INT))) & 1) * 2 - 1)"
     )
 
@@ -878,11 +903,15 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document; sign gives the fingerprint bit.
     """
     d = t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.array_distinct(_words())).alias("w"))
+    # hash ONCE per word, before the ×64 bit fan-out (explode first — a
+    # generator cannot nest inside md5)
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
+    ).select("doc_id", F.md5("w").alias("wh"))
     bits = spark.range(64).withColumnRenamed("id", "b")
     votes = (
         words.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", F.expr(simhash_vote_expr("w")).alias("vote"))
+        .select("doc_id", "b", F.expr(simhash_vote_expr("wh")).alias("vote"))
         .groupBy("doc_id", "b")
         .agg(F.sum("vote").alias("v"))
     )
@@ -899,10 +928,11 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_SQL = f"""
 WITH words AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS wh
+  FROM documents
 ),
 votes AS (
-  SELECT doc_id, b, SUM({simhash_vote_sql('w')}) AS v
+  SELECT doc_id, b, SUM({simhash_vote_sql('wh')}) AS v
   FROM words CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
   GROUP BY doc_id, b
 )
