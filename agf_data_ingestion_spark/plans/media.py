@@ -142,7 +142,7 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     short rows/item; the band self-join is corpus × corpus on the bucket
     key → pinned shuffle-hash, never broadcast; band arithmetic is div/%
     only (CLAUDE.md: &/<< precedence is a cross-engine trap)."""
-    from agf_data_ingestion_spark.plans.text import simhash_vote_expr
+    from agf_data_ingestion_spark.plans.text import simhash_votes
 
     # the media content IS the document text's bytes (attach_media above
     # encodes it); decoding the struct back would round-trip every row
@@ -166,15 +166,9 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.md5("g").alias("gh"))
-    bits = spark.range(_PHASH_BITS).withColumnRenamed("id", "b")
-    # ±1 bit vote of feature g at bit b — the shared docs_simhash
-    # construction (single source of truth in plans/text.py)
-    vote = F.expr(simhash_vote_expr("gh"))
+    # shared nibble-count vote aggregation (plans/text.py simhash_votes)
     items = (
-        grams.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", vote.alias("vote"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
+        simhash_votes(grams, "gh", _PHASH_BITS)
         .groupBy("doc_id")
         .agg(
             F.sum(

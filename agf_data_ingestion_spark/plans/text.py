@@ -870,6 +870,48 @@ SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
 # ---------------------------------------------------------------------------
 
 
+def simhash_votes(feats: DataFrame, hex_col: str, n_bits: int) -> DataFrame:
+    """(doc_id, b, v): per-document ±1 vote sums for ``n_bits`` SimHash
+    bits over a (doc_id, <hex_col>) feature-hash frame — the shared vote
+    aggregation behind ``docs_simhash`` (64 bits) and
+    ``media_phash_neardup`` (60 bits).
+
+    Shape: NIBBLE-COUNT aggregation instead of a per-bit fan-out.  Each
+    feature contributes n_bits/4 (pos, nibble) rows — 4× fewer than one
+    row per bit — which map-combine to ≤ 16·n_bits/4 counted rows per
+    document; a constant 16·n_bits static table (broadcast, KiBs) then
+    expands counts to per-bit vote sums.  The vote total is an integer
+    sum either way, so the result is bit-identical to the direct per-bit
+    formulation the DuckDB oracles keep (integer sums are order-free)."""
+    spark = feats.sparkSession
+    n_nib = (n_bits + 3) // 4
+    static = []
+    for pos in range(1, n_nib + 1):
+        for v in range(16):
+            ch = "0123456789abcdef"[v]
+            for off in range(4):
+                b = (pos - 1) * 4 + off
+                if b >= n_bits:
+                    continue
+                static.append((pos, ch, b, ((v >> (3 - off)) & 1) * 2 - 1))
+    vt = spark.createDataFrame(static, "pos int, val string, b long, vote long")
+    nib = (
+        feats.select("doc_id", F.col(hex_col).alias("hx"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(n_nib))).alias("pos"),
+            "hx",
+        )
+        .select("doc_id", "pos", F.expr("substring(hx, pos, 1)").alias("val"))
+    )
+    counts = nib.groupBy("doc_id", "pos", "val").agg(F.count("*").alias("c"))
+    return (
+        counts.join(F.broadcast(vt), ["pos", "val"])
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("c") * F.col("vote")).alias("v"))
+    )
+
+
 def simhash_vote_expr(hex_col: str) -> str:
     """Spark SQL expression for the ±1 SimHash bit vote at bit column
     ``b``, reading a PRECOMPUTED md5-hex column: bit (3 - b%4) of the hex
@@ -903,18 +945,12 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document; sign gives the fingerprint bit.
     """
     d = t(spark, sf_dir, "documents")
-    # hash ONCE per word, before the ×64 bit fan-out (explode first — a
+    # hash ONCE per word, before the nibble fan-out (explode first — a
     # generator cannot nest inside md5)
     words = d.select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     ).select("doc_id", F.md5("w").alias("wh"))
-    bits = spark.range(64).withColumnRenamed("id", "b")
-    votes = (
-        words.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", F.expr(simhash_vote_expr("wh")).alias("vote"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
+    votes = simhash_votes(words, "wh", 64)
     return votes.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
