@@ -493,12 +493,16 @@ ORDER BY n.vec_id
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN top-k (the scale path; rows-only check)
+# LSH-bucketed ANN top-k (the scale path; fully oracle-checked)
 # ---------------------------------------------------------------------------
 
 
 _ANN_TABLES = 8
 _ANN_BITS = 4
+#: multi-probe: per table, queries ALSO probe the buckets reached by
+#: flipping each of the _ANN_PROBES lowest-|margin| sign bits (r4 — holds
+#: recall as the corpus grows without re-bucketing the corpus side).
+_ANN_PROBES = 2
 
 
 def _md5_planes() -> np.ndarray:
@@ -530,12 +534,22 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the sign boundary.  The exact re-rank stays the module's
     bit-faithful float fold.
 
-    Probe cost ~ tables × bucket-size, independent of corpus size when bits
-    scale with log(corpus) — the 100 TB path.  The 32 plane dots per
-    vector are one int64 numpy matmul inside an Arrow-batched pandas_udf
-    (this projection is the query's hot spot: |corpus| × tables × bits dot
-    products); tests/test_similarity.py additionally asserts recall vs the
-    brute-force baseline.
+    Probe cost ~ tables × probes × bucket-size, independent of corpus size
+    when bits scale with log(corpus) — the 100 TB path.  The 32 plane dots
+    per vector are one int64 numpy matmul inside an Arrow-batched
+    pandas_udf (this projection is the query's hot spot: |corpus| × tables
+    × bits dot products); tests/test_similarity.py additionally asserts
+    recall vs the brute-force baseline.
+
+    Multi-probe (r4): the corpus keeps ONE bucket per table, but each
+    QUERY additionally probes the ``_ANN_PROBES`` buckets reached by
+    flipping its lowest-margin sign bits (margin = |integer dot| — a near-
+    zero dot means the vector sits next to that hyperplane, so its true
+    neighbors are likely on the other side).  This is the standard answer
+    to recall decay at scale (Lv et al., VLDB'07): probe volume grows on
+    the tiny query side only — no extra corpus shuffle, no more tables —
+    and because margins are exact integers the probe ranking itself is
+    deterministic and oracle-checked (ties broken by bit index).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -544,24 +558,45 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_weights = 1 << np.arange(_ANN_BITS)
     e = t(spark, sf_dir, "embeddings")
 
-    # explicit returnType, no pd.Series hints (future-annotations trap)
-    def _buckets_fn(emb):
+    def _codes_dots(emb):
         V = np.vstack(emb.to_numpy())  # (n, dim) float32
         codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
-        signs = (codes @ plane_mat) >= 0  # exact int64 dots: order-free
-        ints = (signs.reshape(len(V), _ANN_TABLES, _ANN_BITS) * bit_weights).sum(axis=2)
+        return (codes @ plane_mat).reshape(len(V), _ANN_TABLES, _ANN_BITS)
+
+    # explicit returnType, no pd.Series hints (future-annotations trap)
+    def _buckets_fn(emb):
+        dots = _codes_dots(emb)  # exact int64 dots: order-free
+        ints = ((dots >= 0) * bit_weights).sum(axis=2)
         return pd.Series([[f"{ti}:{row[ti]}" for ti in range(_ANN_TABLES)] for row in ints])
 
-    table_buckets = pandas_udf(_buckets_fn, "array<string>")
+    def _probes_fn(emb):
+        dots = _codes_dots(emb)
+        base = ((dots >= 0) * bit_weights).sum(axis=2)  # (n, tables)
+        # stable argsort on |margin|: equal margins keep lower bit first —
+        # matches the oracle's ORDER BY abs(dotv), b tiebreak exactly
+        order = np.argsort(np.abs(dots), axis=2, kind="stable")
+        out = []
+        for r in range(dots.shape[0]):
+            row = []
+            for ti in range(_ANN_TABLES):
+                row.append(f"{ti}:{base[r, ti]}")
+                for p in range(_ANN_PROBES):
+                    row.append(f"{ti}:{base[r, ti] ^ (1 << int(order[r, ti, p]))}")
+            out.append(row)
+        return pd.Series(out)
 
-    v = e.select(
-        "vec_id",
-        "embedding",
+    table_buckets = pandas_udf(_buckets_fn, "array<string>")
+    probe_buckets = pandas_udf(_probes_fn, "array<string>")
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
         F.explode(table_buckets(F.col("embedding"))).alias("bucket"),
     )
-    corpus = v.select(F.col("bucket"), F.col("vec_id").alias("neighbor_id"))
-    queries = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("bucket"), F.col("vec_id").alias("query_id")
+    # probe expansion runs on the FILTERED query rows only — the corpus
+    # side never pays for multi-probe
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_buckets(F.col("embedding"))).alias("bucket"),
     )
     cands = (
         corpus.join(F.broadcast(queries), "bucket")
@@ -617,19 +652,32 @@ planes AS (
        (SELECT unnest(range(0, {_DIM})) AS d)
 ),
 bits AS (
-  SELECT c.vec_id, pl.t, pl.b,
-         CASE WHEN SUM(c.code[pl.d + 1] * pl.p) >= 0 THEN 1 ELSE 0 END AS s
+  SELECT c.vec_id, pl.t, pl.b, SUM(c.code[pl.d + 1] * pl.p) AS dotv
   FROM codes c CROSS JOIN planes pl
   GROUP BY c.vec_id, pl.t, pl.b
 ),
 buckets AS (
-  SELECT vec_id, t, CAST(SUM(s * (1 << b)) AS BIGINT) AS bkt
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dotv >= 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS bkt
   FROM bits GROUP BY vec_id, t
+),
+qprobes AS (
+  -- multi-probe: base bucket plus the {_ANN_PROBES} lowest-|margin|
+  -- single-bit flips per table (exact-integer margins; bit-index tiebreak)
+  SELECT vec_id, t, bkt FROM buckets WHERE vec_id < {_N_QUERIES}
+  UNION ALL
+  SELECT r.vec_id, r.t, xor(bk.bkt, (1 << r.b)) AS bkt
+  FROM (
+    SELECT vec_id, t, b,
+           row_number() OVER (PARTITION BY vec_id, t
+                              ORDER BY abs(dotv) ASC, b ASC) AS rn
+    FROM bits WHERE vec_id < {_N_QUERIES}
+  ) r JOIN buckets bk ON r.vec_id = bk.vec_id AND r.t = bk.t
+  WHERE r.rn <= {_ANN_PROBES}
 ),
 cands AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bkt = c.bkt AND c.vec_id != q.vec_id
-  WHERE q.vec_id < {_N_QUERIES}
+  FROM qprobes q JOIN buckets c ON q.t = c.t AND q.bkt = c.bkt AND c.vec_id != q.vec_id
 ),
 v AS (
   SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm

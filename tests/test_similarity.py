@@ -52,24 +52,38 @@ def test_brute_topk_matches_numpy(spark, ground_truth):
             assert abs(c - sims[idx[q], idx[n]]) < 1e-9
 
 
-def test_ann_recall_vs_brute(spark):
+def _lsh_recall(spark, sf_dir):
     from agf_data_ingestion_spark.plans.similarity import emb_ann_lsh_topk, emb_cosine_topk
 
     brute = {}
-    for r in emb_cosine_topk(spark, SF).collect():
+    for r in emb_cosine_topk(spark, sf_dir).collect():
         brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     ann = {}
-    for r in emb_ann_lsh_topk(spark, SF).collect():
+    for r in emb_ann_lsh_topk(spark, sf_dir).collect():
         ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # single 8-bit hash table: modest recall expected, but the probe must
-    # return same-bucket true neighbors; require non-trivial overlap overall
-    hits = sum(len(brute[q] & ann.get(q, set())) for q in brute)
-    total = sum(len(brute[q]) for q in brute)
-    assert total > 0
-    assert hits / total >= 0.2, f"recall {hits}/{total}"
     # every ANN result must be a real vector with sane cosine
     for q, ns in ann.items():
         assert q not in ns
+    hits = sum(len(brute[q] & ann.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert total > 0
+    return hits, total
+
+
+def test_ann_recall_vs_brute(spark):
+    # multi-probe LSH (2 lowest-margin flips/table): measured 14/15 at
+    # sf0.001 (was 11/15 base-bucket-only); pin with headroom for
+    # regenerated testdata
+    hits, total = _lsh_recall(spark, SF)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_ann_recall_holds_at_scale(spark):
+    """The r3 finding was recall DECAY with corpus growth (11/15 at
+    sf0.001 -> 8/15 at sf0.01 with base buckets only).  Multi-probe holds
+    it: measured 15/15 at sf0.01.  Pinned at the VERDICT bar (>= 12/15)."""
+    hits, total = _lsh_recall(spark, "/root/testdata/sf0.01")
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
 
 
 def test_neardup_grid_salt_identical_on_skewed_cells(spark, tmp_path):
