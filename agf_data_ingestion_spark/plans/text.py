@@ -825,14 +825,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CLUSTER_LABEL_CACHE.get(key)
     if cached is not None:
         return cached
-    from agf_data_ingestion_spark.operators.components import connected_components
+    from agf_data_ingestion_spark.operators.components import connected_components_star
 
     pairs = docs_minhash_lsh(spark, sf_dir).filter(
         F.col("est_jaccard") >= _CLUSTER_THRESHOLD
     )
     vertices = t(spark, sf_dir, "documents").select("doc_id")
     labels = (
-        connected_components(vertices, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b")
+        # r4: large-star/small-star — O(log d) alternations instead of
+        # diameter-many propagation rounds; same min-label fixpoint
+        connected_components_star(vertices, pairs, vertex_col="doc_id", src="doc_a", dst="doc_b")
         .select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
