@@ -829,12 +829,72 @@ FROM dense d LEFT JOIN daily a ON d.user_id = a.user_id AND d.day = a.day
 
 
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate stats, de-Expanded and oracle-pinned (r4).
+
+    The r3 shape mixed ``count_distinct`` with sketch aggregates in ONE
+    agg — Catalyst plans N-ary distinct aggregates as an (N+1)-way Expand
+    into a single un-keyed reducer, the exact 5×-slower shape the
+    operators/profile.py rewrite measured.  Now three Expand-free
+    branches joined on the (tiny) group key:
+
+    * exact_users from the distinct-value table (groupBy → count);
+    * the HLL / KLL sketches in a plain agg (no distinct → no Expand);
+    * exact percentile bounds for the quantile-sketch check.
+
+    Sketch internals are engine-specific, so the sketch OUTPUTS can never
+    hash-match DuckDB; instead the query returns exact columns plus
+    BOUNDS-VERIFIED booleans — ``approx_users_ok`` (HLL estimate within
+    3×rsd = 15% of the exact count) and ``approx_median_ok``
+    (percentile_approx(0.5) lands between the exact 45th and 55th
+    percentiles; with accuracy 10000 the rank error is ≤ n/10000, far
+    inside that band).  The oracle recomputes the exact columns and
+    asserts the claims TRUE — a dishonest or out-of-bounds sketch fails
+    the hash match, so the entry is a real correctness row, not
+    ``no_oracle``.
+    """
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("user_id").alias("exact_users"))
     )
+    approx = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_median"),
+        F.percentile("value", 0.45).alias("_p45"),
+        F.percentile("value", 0.55).alias("_p55"),
+    )
+    users_ok = (
+        F.abs(F.col("_approx_users") - F.col("exact_users"))
+        <= F.ceil(F.col("exact_users") * 0.15)
+    )
+    median_ok = F.when(
+        F.col("_approx_median").isNull(), F.col("_p45").isNull()
+    ).otherwise(
+        F.col("_approx_median").between(F.col("_p45"), F.col("_p55"))
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            F.coalesce(users_ok, F.lit(False)).alias("approx_users_ok"),
+            F.coalesce(median_ok, F.lit(False)).alias("approx_median_ok"),
+        )
+    )
+
+
+_APPROX_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_median_ok
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -858,7 +918,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_salted_type_counts": QuerySpec(
         events_salted_type_counts, _SALTED_SQL, ("OP-X-SKEW", "OP-AGG-SUM")
     ),
-    "events_approx_stats": QuerySpec(events_approx_stats, None, ("OP-X-APPROX",)),
+    "events_approx_stats": QuerySpec(
+        events_approx_stats, _APPROX_STATS_SQL, ("OP-X-APPROX",)
+    ),
     "events_scd2_intervals": QuerySpec(
         events_scd2_intervals, _SCD2_SQL, ("OP-X-SCD2", "OP-X-WINFRAME")
     ),

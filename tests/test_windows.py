@@ -43,14 +43,21 @@ def test_asof_join_picks_latest_not_any(spark):
 
 
 def test_approx_stats_bounded(spark):
+    """The query itself verifies the sketches against exact counts /
+    percentile bounds (r4); every group must report both claims True, and
+    the plan must stay Expand-free (the r3 shape planned an (N+1)-way
+    Expand into one un-keyed reducer — measured 5-6x slower)."""
     from agf_data_ingestion_spark.plans.windows import events_approx_stats
 
-    rows = events_approx_stats(spark, "/root/testdata/sf0.001").collect()
+    df = events_approx_stats(spark, "/root/testdata/sf0.001")
+    assert "Expand" not in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
     assert rows
     for r in rows:
-        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
-        assert rel_err < 0.1, f"{r['event_type']}: {rel_err}"
-        assert r["approx_median_value"] is not None
+        assert r["exact_users"] > 0
+        assert r["n_events"] >= r["exact_users"]
+        assert r["approx_users_ok"], r
+        assert r["approx_median_ok"], r
 
 
 def test_asof_forward_tolerance_tiebreak(spark):
