@@ -730,79 +730,132 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``_BM25_TOPK`` documents for a term query under BM25 scoring with
     the rational (log-free) idf ``(N - df + 0.5)/(df + 0.5)`` — same reason
     as docs_tfidf_topterms: ln() is libm-dependent, every operation here is
-    IEEE-identical across engines.  Term scores are summed through the
-    module's exact decimal accumulator so per-doc totals are
-    accumulation-order-independent.
+    IEEE-identical across engines.  Term scores are summed through exact
+    decimal arithmetic so per-doc totals are accumulation-order-independent.
 
-    Scale shape: the token stream is filtered to query terms *before* the
-    tf aggregation (a 3-term query reduces the explode output by ~|vocab|×
-    map-side); df and the corpus-level (N, total_len) stats are one-row /
-    per-term tables and broadcast; the only corpus-sized shuffle is the
-    doc-length join, keyed on doc_id and carrying 16 bytes/row.  The final
-    top-k is TakeOrderedAndProject (per-partition heads, no global sort).
+    Single-scan shape (r4 — the r3 plan re-inlined the token stream into
+    dl/stats/tf/df and scanned ``documents`` 4×, EXPLAIN.md): ONE pass
+    tokenizes and aggregates everything per-document — doc length plus a
+    conditional tf counter per query term (the query is a small constant,
+    so per-term columns beat per-term rows: no second shuffle, no df
+    join).  That narrow frame (doc_id, dl, tf×|terms| ≈ 40 bytes/row) is
+    localCheckpointed; corpus stats (N, Σdl, per-term df = docs with
+    tf>0) are one cheap one-row agg over it, broadcast back by the
+    cross-join, and scoring is a map-only projection over the checkpoint.
+    At 10⁹ docs the checkpoint is ~40 GB spread across executors — far
+    smaller than re-tokenizing 100 TB of text three extra times.  The
+    final top-k is TakeOrderedAndProject (per-partition heads, no global
+    sort).  Decimal note: the old per-term-row ``dsum`` summed
+    CAST(ts AS DECIMAL(25,9)) in arbitrary row order; the fixed-order
+    chain here adds the exact same decimals, so scores are bit-identical.
     """
     k1p1 = _BM25_K1 + 1.0
     omb = 1.0 - _BM25_B
     d = t(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_words()).alias("token"))
-    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.sum("dl").alias("tot_dl"), F.count("*").alias("n_docs"))
-    tf = (
-        tokens.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    ts = (
-        idf
-        * (F.col("tf") * F.lit(k1p1))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1) * (F.lit(omb) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+    per_doc = (
+        tokens.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("token") == term).cast("long")).alias(f"tf_{i}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
         )
+        .localCheckpoint(eager=True)
     )
-    # dl (and tf, for common terms) is one row per document — corpus-sized,
-    # so the doc-length join must stay a shuffle join: small-sf statistics
-    # would statically plan a broadcast that cannot exist at 10^9 docs
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", ts.alias("ts"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("tot_dl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        ts = (
+            idf
+            * (tf * F.lit(k1p1))
+            / (tf + F.lit(_BM25_K1) * (F.lit(omb) + F.lit(_BM25_B) * F.col("dl") / avgdl))
+        )
+        return F.when(tf > 0, ts.cast("decimal(25,9)")).otherwise(
+            F.lit(0).cast("decimal(25,9)")
+        )
+
+    matched = sum(
+        ((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(_BM25_TERMS))),
+        F.lit(0).cast("long"),
+    )
+    score = sum(
+        (term_score(i) for i in range(1, len(_BM25_TERMS))), term_score(0)
+    ).cast("double")
     return (
-        scored.groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms_matched"), dsum(F.col("ts"), "decimal(25,9)").alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            score.alias("score"),
+        )
+        .filter(F.col("n_terms_matched") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
 
 
-_BM25_SQL = f"""
-WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id),
-stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot_dl, COUNT(*) AS n_docs FROM dl),
-tf AS (
-  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tokens WHERE token IN {_BM25_TERMS!r}
-  GROUP BY doc_id, token
-),
-df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-scored AS (
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN token = '{term}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+
+    def ts(i: int) -> str:
+        return (
+            f"(CASE WHEN tf_{i} > 0 THEN CAST("
+            f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+            f" * (tf_{i} * {_BM25_K1 + 1.0!r})"
+            f" / (tf_{i} + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl"
+            f" / (CAST(tot_dl AS DOUBLE) / n_docs)))"
+            f" AS DECIMAL(25,9)) ELSE CAST(0 AS DECIMAL(25,9)) END)"
+        )
+
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(ts(i) for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH per_doc AS MATERIALIZED (
   SELECT doc_id,
-         ((n_docs - df + 0.5) / (df + 0.5))
-           * (tf * {_BM25_K1 + 1.0!r})
-           / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl
-                / (CAST(tot_dl AS DOUBLE) / n_docs))) AS ts
-  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+         CAST(COUNT(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS tot_dl, COUNT(*) AS n_docs,
+         {df_cols}
+  FROM per_doc
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-       {o_dsum('ts', 'DECIMAL(25,9)')} AS score
-FROM scored GROUP BY doc_id
+SELECT doc_id, n_terms_matched, score FROM (
+  SELECT doc_id,
+         CAST({matched} AS BIGINT) AS n_terms_matched,
+         CAST({score} AS DOUBLE) AS score
+  FROM per_doc CROSS JOIN stats
+) WHERE n_terms_matched > 0
 ORDER BY score DESC, doc_id ASC LIMIT {_BM25_TOPK}
 """
+
+
+_BM25_SQL = _bm25_sql()
 
 
 # ---------------------------------------------------------------------------

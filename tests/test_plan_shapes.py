@@ -67,12 +67,17 @@ def test_chunking_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_bm25_broadcasts_stats_not_corpus(spark):
+def test_bm25_single_scan_shape(spark):
     plan = _plan(spark, "docs_bm25_search")
-    # df/stats side broadcast; the corpus-sized doc-length join must be a
-    # pinned shuffle join (same rule as the LSH estimate joins)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    assert "ShuffledHashJoin" in plan, plan
+    # r4: ONE tokenize pass feeds a checkpointed per-doc frame; the
+    # returned plan reads the checkpoint (no parquet re-scan — the r3
+    # shape re-inlined the token stream 4x) and joins only the broadcast
+    # one-row stats
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # no corpus-sized shuffle join remains: scoring is map-only over the
+    # checkpoint
+    assert "ShuffledHashJoin" not in plan, plan
     # top-k must be TakeOrderedAndProject, not a global Sort + Limit
     assert "TakeOrderedAndProject" in plan, plan
 
