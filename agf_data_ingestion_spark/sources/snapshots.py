@@ -28,13 +28,39 @@ Why a manifest format (and not directory listing):
   new manifest, while every reader pinned to an older version keeps its
   exact file list (immutability makes this safe).
 
-Writers serialize on the existing atomic-mkdir table lock
-(operators/locking.py) — manifest version allocation is then race-free.
+Concurrency (r4 — optimistic concurrency, reference parity with the 50
+concurrent-writer ingest fleet the conditional-write arbiter allows,
+agf-lambda-stack.yaml:134 / agf_ingestion_lambda.py:227-236):
+
+* **Version reservation is a CAS.**  A manifest is staged to a temp file
+  and published with ``os.link`` — atomic-exclusive on POSIX (the
+  object-store twin is a conditional PUT / If-None-Match).  Exactly one
+  writer wins version N; losers get :class:`CommitConflict`.
+* **Append-shaped commits (``snapshot_write`` append, ``snapshot_upsert``)
+  take NO table lock.**  Data files are written first (unreferenced until
+  committed), then the commit loop reserves parent+1; on conflict it
+  REBASES: re-reads the new current manifest, re-checks its own rows
+  against only the files the interleaved commits added (for upsert: one
+  anti-join against the delta, first-writer-wins per key), and retries.
+  Disjoint-key writers therefore both commit, serialized only at the
+  microsecond-scale reservation — never during their scans or file
+  writes.
+* **Rewrite-shaped commits (merge / delete / compact) still take the
+  table lock** (they mutate overlapping file sets), but their commit
+  point uses the same CAS — an OCC append that slips past the lock is
+  DETECTED and the whole rewrite transaction retries on fresh state
+  instead of silently dropping the appended files.
+* The CURRENT pointer advances monotonically under a separate
+  microsecond pointer lock; a writer that crashes between reservation
+  and pointer bump leaves a fully-written manifest that the next
+  writer's conflict handler rolls forward (``_repair_current``).
+
 Concurrent READERS need no lock at any time.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -50,6 +76,15 @@ _CURRENT = "CURRENT"
 
 class NoSuchVersionError(ValueError):
     pass
+
+
+class CommitConflict(RuntimeError):
+    """Another writer won the attempted snapshot version (CAS miss)."""
+
+
+#: commit-loop budget for optimistic writers; each retry rebases on the
+#: winner's manifest, so livelock needs a sustained adversarial stream
+_OCC_MAX_RETRIES = 20
 
 
 def _snap_path(table: str) -> str:
@@ -149,16 +184,37 @@ def snapshot_history(table: str) -> list[dict]:
     return out
 
 
-def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
-    """Write manifest v(parent+1) then atomically swap CURRENT to it.
+def _bump_current(table: str, version: int) -> None:
+    """Advance the CURRENT pointer to ``version`` iff it is ahead — under a
+    separate microsecond-scale pointer lock, so two winners publishing out
+    of order can never regress the pointer."""
+    with table_lock(_snap_path(table), wait_s=30.0, poll_s=0.01):
+        if current_version(table) < version:
+            cur = os.path.join(_snap_path(table), _CURRENT)
+            tmp = os.path.join(_snap_path(table), f"{_CURRENT}.tmp-{uuid.uuid4()}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.rename(tmp, cur)
 
-    The pre-swap ``assert_lock_held`` turns a mid-transaction lock theft
-    (TTL breaker fired on a slow writer) into a loud abort BEFORE the
-    atomic point — without it two writers' commits could interleave and
-    one would silently vanish."""
-    from agf_data_ingestion_spark.operators.locking import assert_lock_held
 
-    assert_lock_held(table)
+def _repair_current(table: str) -> int:
+    """Roll CURRENT forward over any fully-reserved manifests it lags
+    behind (a writer that crashed between reservation and pointer bump
+    leaves one); returns the repaired current version."""
+    v = current_version(table)
+    while os.path.exists(_manifest_path(table, v + 1)):
+        v += 1
+    if v > current_version(table):
+        _bump_current(table, v)
+    return v
+
+
+def _publish(table: str, files: list[dict], parent: int, op: str) -> int:
+    """CAS-publish manifest v(parent+1): stage the full manifest to a temp
+    file, then ``os.link`` it into place — atomic-exclusive, so exactly
+    one writer wins each version (the object-store twin is a conditional
+    PUT).  Raises :class:`CommitConflict` on a lost race.  On success the
+    CURRENT pointer is bumped monotonically."""
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
     manifest = {
@@ -169,20 +225,56 @@ def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
         "files": files,
     }
     mpath = _manifest_path(table, version)
-    with open(mpath + ".tmp", "w") as fh:
+    tmp = f"{mpath}.tmp-{uuid.uuid4()}"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(mpath + ".tmp", mpath)
+    try:
+        os.link(tmp, mpath)  # the atomic reservation: one winner per version
+    except FileExistsError:
+        raise CommitConflict(f"{table}: v{version} already committed") from None
+    finally:
+        os.remove(tmp)
     # append-only commit-time index: lets as-of resolution read one tiny
-    # line per version instead of every manifest's full file list
+    # line per version instead of every manifest's full file list (single
+    # O_APPEND write; order across writers is irrelevant — readers key on
+    # the version column)
     with open(os.path.join(_snap_path(table), "COMMITS"), "a") as fh:
         fh.write(f"{version} {manifest['committed_at']}\n")
-    cur, tmp = os.path.join(_snap_path(table), _CURRENT), os.path.join(
-        _snap_path(table), f"{_CURRENT}.tmp-{uuid.uuid4()}"
-    )
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.rename(tmp, cur)  # the atomic commit point
+    _bump_current(table, version)
     return version
+
+
+def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
+    """Commit point for LOCK-HOLDING transactions (merge/delete/compact).
+
+    The pre-publish ``assert_lock_held`` turns a mid-transaction lock
+    theft (TTL breaker fired on a slow writer) into a loud abort BEFORE
+    the atomic point; the publish itself is still the CAS, so an
+    optimistic append that slipped past the lock surfaces as
+    :class:`CommitConflict` (the caller retries its transaction on fresh
+    state) instead of being silently overwritten."""
+    from agf_data_ingestion_spark.operators.locking import assert_lock_held
+
+    assert_lock_held(table)
+    return _publish(table, files, parent, op)
+
+
+def _retry_on_conflict(fn):
+    """Re-run a whole lock-holding transaction when its commit point loses
+    the CAS to an optimistic append — each retry re-reads the current
+    manifest inside the lock, so the rewrite is recomputed on fresh state."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        last: CommitConflict | None = None
+        for _ in range(_OCC_MAX_RETRIES):
+            try:
+                return fn(*args, **kwargs)
+            except CommitConflict as exc:
+                last = exc
+        raise last
+
+    return wrapper
 
 
 def _json_stat_value(v):
@@ -255,14 +347,30 @@ def _write_data_files(df: DataFrame, table: str) -> list[dict]:
 def snapshot_write(df: DataFrame, table: str, *, mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
     file list; ``'overwrite'`` logically replaces it (old files stay on
-    disk for time travel until expired).  Returns the committed version."""
+    disk for time travel until expired).  Returns the committed version.
+
+    Optimistic (r4): data files are written with no lock held (they are
+    unreferenced until a manifest lists them), then the CAS commit loop
+    reserves parent+1 — on conflict an append simply rebases onto the
+    winner's file list and retries (append commutes with every other
+    commit); an overwrite is last-writer-wins by definition."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    with table_lock(table):
-        parent = current_version(table)
-        new_files = _write_data_files(df, table)
-        base = read_manifest(table)["files"] if mode == "append" else []
-        return _commit(table, base + new_files, parent, mode)
+    new_files = _write_data_files(df, table)
+    parent = current_version(table)
+    for _ in range(_OCC_MAX_RETRIES):
+        base = (
+            read_manifest(table, parent)["files"]
+            if (mode == "append" and parent > 0)
+            else []
+        )
+        try:
+            return _publish(table, base + new_files, parent, mode)
+        except CommitConflict:
+            parent = _repair_current(table)
+    raise CommitConflict(
+        f"snapshot_write({mode}) on {table} lost {_OCC_MAX_RETRIES} CAS races"
+    )
 
 
 #: predicate op → (file survives pruning given its [lo, hi] stat range)
@@ -388,32 +496,73 @@ def _where_condition(df: DataFrame, where: list[tuple] | None):
 
 
 def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
-    """Idempotent keyed append AS ONE ATOMIC COMMIT: the anti-join against
-    the current snapshot and the manifest swap happen under the same lock,
-    so concurrent upserts can never double-insert a key (the plain-Parquet
-    sink needs lock=True *and* still exposes readers to partial appends;
-    here readers only ever see committed manifests)."""
+    """Idempotent keyed append AS ONE ATOMIC COMMIT — optimistic (r4).
+
+    First-writer-wins insert-only semantics, now WITHOUT a table lock
+    (reference parity: the conditional-write arbiter lets 50 ingest
+    writers run concurrently, agf_ingestion_lambda.py:227-236).  The
+    anti-join against the snapshot-as-of ``parent`` and the data-file
+    write run lock-free; the CAS commit then reserves parent+1.  On a
+    lost race the writer re-checks its surviving rows against ONLY the
+    files the interleaved commits added (one anti-join over the manifest
+    delta — never a rescan of the table): disjoint-key writers rebase and
+    commit immediately, overlapping keys defer to the earlier winner
+    (rows dropped, files rewritten), a fully-absorbed batch returns the
+    winner's version with no commit.  Readers only ever see committed
+    manifests."""
     spark = df.sparkSession
-    with table_lock(table):
-        parent = current_version(table)
-        batch = df.dropDuplicates(keys)  # same within-batch rule as upsert_append
-        if parent > 0:
-            existing = snapshot_read(spark, table)
-            fresh = batch.join(
-                existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
+    batch = df.dropDuplicates(keys)  # same within-batch rule as upsert_append
+    parent = current_version(table)
+    if parent > 0:
+        existing = snapshot_read(spark, table, version=parent)
+        fresh = batch.join(
+            existing.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+    else:
+        fresh = batch
+    # materialize the anti-join ONCE: isEmpty(), the file write, and any
+    # conflict re-checks must not each re-run the full join
+    fresh = fresh.localCheckpoint(eager=True)
+    if fresh.isEmpty():
+        return parent
+    new_files = _write_data_files(fresh, table)
+    for _ in range(_OCC_MAX_RETRIES):
+        base = read_manifest(table, parent)["files"] if parent > 0 else []
+        try:
+            return _publish(table, base + new_files, parent, "upsert")
+        except CommitConflict:
+            cur = _repair_current(table)
+            base_paths = {f["path"] for f in base}
+            delta_paths = sorted(
+                f["path"]
+                for f in read_manifest(table, cur)["files"]
+                if f["path"] not in base_paths
             )
-        else:
-            fresh = batch
-        # materialize the anti-join ONCE: isEmpty() and the file write must
-        # not each re-run the full join against the current snapshot (that
-        # doubles the scan held under the table lock)
-        fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            return parent
-        new_files = _write_data_files(fresh, table)
-        return _commit(table, read_manifest(table)["files"] + new_files, parent, "upsert")
+            if delta_paths:
+                others = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*delta_paths)
+                    .select(*keys)
+                    .dropDuplicates(keys)
+                )
+                survived = fresh.join(others, keys, "left_anti").localCheckpoint(
+                    eager=True
+                )
+                n_before, n_after = fresh.count(), survived.count()
+                if n_after == 0:
+                    return cur  # every key beaten by earlier winners: no-op
+                if n_after != n_before:
+                    # some keys lost first-writer-wins: rewrite the batch
+                    # files without them (the old files stay unreferenced)
+                    fresh = survived
+                    new_files = _write_data_files(fresh, table)
+            parent = cur
+    raise CommitConflict(
+        f"snapshot_upsert on {table} lost {_OCC_MAX_RETRIES} CAS races"
+    )
 
 
+@_retry_on_conflict
 def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     """Single-writer copy-on-write MERGE: rows of ``df`` REPLACE
     same-keyed rows in the table, unmatched rows insert — the update
@@ -448,7 +597,7 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     if dup:
         raise ValueError(f"snapshot_merge: df is not unique on {keys}: {dup[0]}")
     with table_lock(table):
-        parent = current_version(table)
+        parent = _repair_current(table)
         m = read_manifest(table)
         if not m["files"]:
             return _commit(table, _write_data_files(df, table), parent, "merge")
@@ -573,6 +722,7 @@ def snapshot_tags(table: str) -> dict[str, int]:
     return out
 
 
+@_retry_on_conflict
 def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
     """Copy-on-write predicate DELETE as one atomic commit — the
     right-to-be-forgotten primitive a training-data lake cannot ship
@@ -594,7 +744,7 @@ def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
     import pyarrow.parquet as pq
 
     with table_lock(table):
-        parent = current_version(table)
+        parent = _repair_current(table)
         m = read_manifest(table)
         touched = plan_files(table, where=where)
         touched_paths = {f["path"] for f in touched}
@@ -620,6 +770,7 @@ def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
         return _commit(table, untouched + new_files, parent, "delete")
 
 
+@_retry_on_conflict
 def snapshot_compact(
     spark: SparkSession,
     table: str,
@@ -639,7 +790,7 @@ def snapshot_compact(
     rewritten file covers a tight key range and parquet min/max stats
     prune multi-dimensional predicates."""
     with table_lock(table):
-        parent = current_version(table)
+        parent = _repair_current(table)
         m = read_manifest(table)
         small = [f for f in m["files"] if f["bytes"] < small_bytes]
         keep = [f for f in m["files"] if f["bytes"] >= small_bytes]
