@@ -93,58 +93,106 @@ def mv_refresh(
             # concurrent fact commit between current_version() and the scan
             # would otherwise be baked into the view yet re-applied as a
             # delta on the next refresh (double count)
-            base = snapshot_read(spark, fact_table, version=v_now).withColumn(
+            delta = snapshot_read(spark, fact_table, version=v_now).withColumn(
                 "_change", F.lit("insert")
             )
-            merged = _delta_agg(base, group_cols, measures)
         else:
             delta = snapshot_diff(spark, fact_table, v_from=applied, v_to=v_now)
-            d = _delta_agg(delta, group_cols, measures)
-            cur = snapshot_read(spark, mv_table)
-            cur_r = cur.select(
-                *[F.col(k).alias(f"{k}_a") for k in group_cols],
-                F.col("_cnt").alias("_cnt_a"),
-                *[F.col(m).alias(f"{m}_a") for m in measures],
-            )
-            d_r = d.select(
-                *[F.col(k).alias(f"{k}_b") for k in group_cols],
-                F.col("_cnt").alias("_cnt_b"),
-                *[F.col(m).alias(f"{m}_b") for m in measures],
-            )
-            # NULL group keys are legitimate group values: join null-safely
-            # (a USING join never equates NULL with NULL, which would leave
-            # NULL-group rows unmerged forever)
-            on_cond = None
-            for k in group_cols:
-                clause = F.col(f"{k}_a").eqNullSafe(F.col(f"{k}_b"))
-                on_cond = clause if on_cond is None else (on_cond & clause)
-            zero_l = F.lit(0).cast("long")
-            zero_d = F.lit(0).cast(_DEC)
-            merged = (
-                cur_r.join(d_r, on_cond, "full_outer")
-                .select(
-                    *[
-                        F.when(F.col("_cnt_a").isNotNull(), F.col(f"{k}_a"))
-                        .otherwise(F.col(f"{k}_b"))
-                        .alias(k)
-                        for k in group_cols
-                    ],
-                    (
-                        F.coalesce("_cnt_a", zero_l) + F.coalesce("_cnt_b", zero_l)
-                    ).alias("_cnt"),
-                    *[
-                        (
-                            F.coalesce(f"{m}_a", zero_d) + F.coalesce(f"{m}_b", zero_d)
-                        ).cast(_DEC).alias(m)
-                        for m in measures
-                    ],
-                )
-            )
-        merged = merged.filter(F.col("_cnt") > 0).localCheckpoint(eager=True)
-        parent = current_version(mv_table)
-        files = _write_data_files(merged, mv_table)
-        _commit(mv_table, files, parent, f"{_OP_PREFIX}{v_now}")
+        _fold_and_commit(spark, delta, mv_table, group_cols, measures, applied, v_now)
         return v_now
+
+
+def _fold_and_commit(
+    spark: SparkSession,
+    delta: DataFrame,
+    mv_table: str,
+    group_cols: list[str],
+    measures: dict[str, str],
+    applied: int,
+    v_bookmark: int,
+) -> None:
+    """Fold a tagged row-level delta (``_change`` column) into the stored
+    view and commit atomically with bookmark ``v_bookmark``.  Caller must
+    hold the mv table lock."""
+    d = _delta_agg(delta, group_cols, measures)
+    if applied == 0:
+        merged = d
+    else:
+        cur = snapshot_read(spark, mv_table)
+        cur_r = cur.select(
+            *[F.col(k).alias(f"{k}_a") for k in group_cols],
+            F.col("_cnt").alias("_cnt_a"),
+            *[F.col(m).alias(f"{m}_a") for m in measures],
+        )
+        d_r = d.select(
+            *[F.col(k).alias(f"{k}_b") for k in group_cols],
+            F.col("_cnt").alias("_cnt_b"),
+            *[F.col(m).alias(f"{m}_b") for m in measures],
+        )
+        # NULL group keys are legitimate group values: join null-safely
+        # (a USING join never equates NULL with NULL, which would leave
+        # NULL-group rows unmerged forever)
+        on_cond = None
+        for k in group_cols:
+            clause = F.col(f"{k}_a").eqNullSafe(F.col(f"{k}_b"))
+            on_cond = clause if on_cond is None else (on_cond & clause)
+        zero_l = F.lit(0).cast("long")
+        zero_d = F.lit(0).cast(_DEC)
+        merged = (
+            cur_r.join(d_r, on_cond, "full_outer")
+            .select(
+                *[
+                    F.when(F.col("_cnt_a").isNotNull(), F.col(f"{k}_a"))
+                    .otherwise(F.col(f"{k}_b"))
+                    .alias(k)
+                    for k in group_cols
+                ],
+                (
+                    F.coalesce("_cnt_a", zero_l) + F.coalesce("_cnt_b", zero_l)
+                ).alias("_cnt"),
+                *[
+                    (
+                        F.coalesce(f"{m}_a", zero_d) + F.coalesce(f"{m}_b", zero_d)
+                    ).cast(_DEC).alias(m)
+                    for m in measures
+                ],
+            )
+        )
+    merged = merged.filter(F.col("_cnt") > 0).localCheckpoint(eager=True)
+    parent = current_version(mv_table)
+    files = _write_data_files(merged, mv_table)
+    _commit(mv_table, files, parent, f"{_OP_PREFIX}{v_bookmark}")
+
+
+def mv_apply_cdc_batch(
+    batch_df: DataFrame,
+    mv_table: str,
+    *,
+    group_cols: list[str],
+    measures: dict[str, str],
+) -> int:
+    """Fold one CDC micro-batch (rows from the ``agf_snapshot_cdc``
+    streaming source, tagged ``_change`` / ``_commit_version``) into the
+    view — the ``foreachBatch`` body of the continuous CDC→MV pipeline
+    (streaming/mv_stream.py).
+
+    Exactly-once without relying on the streaming checkpoint alone: the
+    view's own commit bookmark is the applied fact version, so a REPLAYED
+    micro-batch (crash between the sink commit and the offset commit)
+    filters to rows with ``_commit_version`` greater than the bookmark —
+    already-applied versions contribute nothing and a fully-replayed
+    batch is a no-op.  Returns the fact version the view now reflects.
+    """
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)
+    with table_lock(mv_table):
+        applied = mv_last_applied(mv_table)
+        vmax = batch_df.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
+        if vmax is None or vmax <= applied:
+            return applied  # empty batch, or a full replay of applied work
+        fresh = batch_df.filter(F.col("_commit_version") > applied)
+        _fold_and_commit(spark, fresh, mv_table, group_cols, measures, applied, vmax)
+        return vmax
 
 
 def mv_read(spark: SparkSession, mv_table: str) -> DataFrame:

@@ -111,3 +111,97 @@ def test_mv_merges_null_group_keys(spark, tmp_path):
     snapshot_delete(spark, fact, [("k", "<", 2)])
     mv_refresh(spark, fact, mv, group_cols=["g"], measures={"val_sum": "v"})
     assert _view(spark, mv) == _recompute(spark, fact)
+
+
+# ---------------------------------------------------------------------------
+# Continuous CDC -> MV pipeline (r4): one streaming query maintains the view
+# ---------------------------------------------------------------------------
+
+
+def test_mv_stream_tracks_every_commit(spark, tmp_path):
+    """VERDICT r3 #7: appends + deletes to the snapshot fact flow through a
+    RUNNING CDC->MV query, and after every drained micro-batch the view
+    equals a full recompute and the bookmark equals the fact version."""
+    from agf_data_ingestion_spark.streaming.mv_stream import start_mv_stream
+
+    fact, mv, ck = (str(tmp_path / p) for p in ("fact", "mv", "ck"))
+    kw = dict(group_cols=["g"], measures={"val_sum": "v"})
+
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i) + 0.5) for i in range(30)],
+            "k long, g string, v double",
+        ).coalesce(1),
+        fact,
+    )
+
+    def drain():
+        q = start_mv_stream(
+            spark, fact, mv, checkpoint_dir=ck, available_now=True, **kw
+        )
+        q.awaitTermination()
+
+    drain()
+    assert mv_last_applied(mv) == current_version(fact) == 1
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+    # two more commits (append + delete) land while the query is DOWN,
+    # then a live restart on the same checkpoint catches both up
+    snapshot_write(
+        spark.createDataFrame(
+            [(100 + i, f"g{i % 4}", 1000.0 + i) for i in range(20)],
+            "k long, g string, v double",
+        ).coalesce(1),
+        fact,
+    )
+    snapshot_delete(spark, fact, [("k", "<", 10)])
+    drain()
+    assert mv_last_applied(mv) == current_version(fact) == 3
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+    # a genuinely RUNNING query: commit while live, wait for the tail
+    import time as _time
+
+    q = start_mv_stream(
+        spark, fact, mv, checkpoint_dir=ck, processing_time="1 seconds", **kw
+    )
+    try:
+        snapshot_write(
+            spark.createDataFrame([(999, "g9", 7.25)], "k long, g string, v double"),
+            fact,
+        )
+        deadline = _time.time() + 60
+        while mv_last_applied(mv) < current_version(fact):
+            assert _time.time() < deadline, "stream did not apply the live commit"
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert mv_last_applied(mv) == current_version(fact) == 4
+    assert _view(spark, mv) == _recompute(spark, fact)
+
+
+def test_mv_cdc_batch_replay_is_noop(spark, tmp_path):
+    """Crash-replay safety without the streaming checkpoint: re-applying
+    the same CDC batch (or any prefix of applied versions) changes
+    nothing, because the view bookmark filters already-applied versions."""
+    from agf_data_ingestion_spark.operators.mv import mv_apply_cdc_batch
+
+    fact, mv = str(tmp_path / "fact"), str(tmp_path / "mv")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "k long, g string, v double"
+        ),
+        fact,
+    )
+    batch = spark.createDataFrame(
+        [("insert", 1, 1, "a", 1.5), ("insert", 1, 2, "b", 2.5)],
+        "_change string, _commit_version long, k long, g string, v double",
+    )
+    kw = dict(group_cols=["g"], measures={"val_sum": "v"})
+    assert mv_apply_cdc_batch(batch, mv, **kw) == 1
+    before = _view(spark, mv)
+    v_before = current_version(mv)
+    # full replay: no-op, no new view commit
+    assert mv_apply_cdc_batch(batch, mv, **kw) == 1
+    assert _view(spark, mv) == before
+    assert current_version(mv) == v_before
