@@ -99,8 +99,12 @@ def assign_shards(
         ordered.join(F.broadcast(off_df), "_part")
         .withColumn("_cum", F.sum("n_tokens").over(w) + F.col("_tok_off"))
         .withColumn("global_pos", F.row_number().over(w).cast("long") + F.col("_cnt_off"))
+        # integer floor division (not double /): _cum values near 2^53
+        # with a non-power-of-two budget could round across a shard
+        # boundary under float division (r4 ADVICE); `div` truncates
+        # toward zero, which equals floor here because _cum >= 1
         .withColumn(
-            "shard_id", F.floor((F.col("_cum") - 1) / budget_tokens).cast("long")
+            "shard_id", F.expr(f"(_cum - 1) div {int(budget_tokens)}").cast("long")
         )
         .drop("_ord", "_part", "_tok_off", "_cnt_off", "_cum")
     )

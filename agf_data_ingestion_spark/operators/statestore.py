@@ -41,10 +41,19 @@ def state_read(spark: SparkSession, root: str) -> DataFrame | None:
         raise
 
 
-def state_write(df: DataFrame, root: str, version_hint: int = 0) -> None:
+def state_write(df: DataFrame, root: str, version_hint: int = 0, *, keep_last: int = 1) -> None:
     """Commit ``df`` as the new state ATOMICALLY: fresh version dir →
     CURRENT pointer swap (os.replace) → best-effort cleanup of old
-    versions."""
+    versions.
+
+    ``keep_last`` retains that many SUPERSEDED versions as a read grace
+    window (r4 ADVICE): readers take no lock, so an out-of-process reader
+    holding a lazy DataFrame over the previous CURRENT must still find
+    its files when its action finally runs — deleting all old versions at
+    swap time raced exactly that reader.  One retained predecessor covers
+    any reader that resolved CURRENT before the swap; state frames are
+    KiB-scale, so the cost is a second tiny dir until the next commit.
+    """
     os.makedirs(root, exist_ok=True)
     vname = f"v-{version_hint:012d}-{uuid.uuid4().hex[:8]}"
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, vname))
@@ -52,6 +61,8 @@ def state_write(df: DataFrame, root: str, version_hint: int = 0) -> None:
     with open(tmp, "w") as fh:
         fh.write(vname)
     os.replace(tmp, os.path.join(root, "CURRENT"))
-    for name in os.listdir(root):
-        if name.startswith("v-") and name != vname:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    # version names sort by (hint, uuid); the hint is monotone per caller
+    # (batch id / commit count), so lexicographic order == commit order
+    old = sorted(n for n in os.listdir(root) if n.startswith("v-") and n != vname)
+    for name in old[: max(0, len(old) - keep_last)]:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)

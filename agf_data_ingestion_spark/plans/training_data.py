@@ -1161,8 +1161,8 @@ WITH w AS (
 )
 SELECT doc_id, n_tokens,
        CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS global_pos,
-       CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
-                        AS BIGINT) - 1) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+       CAST(((CAST(SUM(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) - 1) // {_SHARD_BUDGET}) AS BIGINT) AS shard_id
 FROM w
 """
 
