@@ -204,3 +204,177 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 4096, max_frames: int =
             yield pd.DataFrame(rows, columns=["path", "frame_index", "byte_offset"])
 
     return df.select("media").mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (r4): the REAL pHash algorithm over the media struct
+# ---------------------------------------------------------------------------
+
+_PHASH_SIDE = 32  # resize target; DCT runs on 32x32
+_PHASH_LOW = 8  # low-frequency block kept (8x8 -> 63 bits after DC drop)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis as a matrix: ``C @ X @ C.T`` is the 2-D
+    DCT.  Pure numpy — no scipy dependency."""
+    import numpy as np
+
+    k = np.arange(n)
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    C[0, :] = np.sqrt(1.0 / n)
+    return C
+
+
+def _pool_matrix(src: int, dst: int):
+    """(dst x src) area-mean pooling matrix: row b averages the source
+    indices whose bin ``i*dst//src`` is b — exact mean-pool resize for any
+    source size, as two matmuls."""
+    import numpy as np
+
+    bins = (np.arange(src) * dst) // src
+    P = np.zeros((dst, src))
+    P[bins, np.arange(src)] = 1.0
+    counts = P.sum(axis=1, keepdims=True)
+    return P / np.maximum(counts, 1.0)
+
+
+def dct_phash_array(img) -> int:
+    """63-bit DCT perceptual hash of a 2-D grayscale array: mean-pool to
+    32x32, 2-D DCT, keep the low 8x8 block minus DC, threshold at the
+    median.  The classic pHash construction (same shape as the reference
+    detector's banding expects: near-identical images differ in a few
+    bits, unrelated images in ~half)."""
+    import numpy as np
+
+    X = np.asarray(img, dtype=np.float64)
+    Pr = _pool_matrix(X.shape[0], _PHASH_SIDE)
+    Pc = _pool_matrix(X.shape[1], _PHASH_SIDE)
+    small = Pr @ X @ Pc.T
+    C = _dct_matrix(_PHASH_SIDE)
+    freq = C @ small @ C.T
+    v = freq[:_PHASH_LOW, :_PHASH_LOW].ravel()[1:]  # drop DC
+    med = float(np.median(v))
+    h = 0
+    for i, x in enumerate(v):
+        if x > med:
+            h |= 1 << i
+    return h
+
+
+def dct_phash_media(
+    df: DataFrame,
+    *,
+    width_col: str = "width",
+    height_col: str = "height",
+    backend: str = "raw-gray",
+) -> DataFrame:
+    """media struct (+ dimension columns) → ``phash`` bigint per item via
+    Arrow-batched ``mapInPandas`` — the real DCT backend the SimHash
+    stand-in in plans/media.py documents as its swap point.
+
+    ``backend="raw-gray"``: content bytes are a row-major uint8 grayscale
+    buffer of (height, width) — the synthetic-fixture contract (no codec
+    needed).  ``backend="pil"``: decode any real image format to
+    grayscale first (gated on Pillow being installed, same policy as
+    decode_image_meta).  Undecodable/missing content yields NULL.
+    """
+    if backend == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env has no PIL
+            raise NotImplementedError(
+                "real image decode requires Pillow; install it on the "
+                "cluster or use backend='raw-gray' for raw buffers"
+            ) from exc
+    elif backend != "raw-gray":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "media"]
+        + [StructField("phash", LongType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            hashes = []
+            for m, w, h in zip(pdf["media"], pdf[width_col], pdf[height_col]):
+                if m is None or m["content"] is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    if backend == "pil":  # pragma: no cover - env has no PIL
+                        import io
+
+                        import PIL.Image
+
+                        with PIL.Image.open(io.BytesIO(bytes(m["content"]))) as im:
+                            img = np.asarray(im.convert("L"), dtype=np.float64)
+                    else:
+                        img = np.frombuffer(
+                            bytes(m["content"]), dtype=np.uint8, count=int(w) * int(h)
+                        ).reshape(int(h), int(w))
+                    hashes.append(dct_phash_array(img))
+                except (ValueError, OSError):
+                    hashes.append(None)
+            out = pdf.drop(columns=["media"])
+            out["phash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def banded_hamming_pairs(
+    items: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    n_bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Backend-agnostic banded Hamming near-dup join: the LSH-band →
+    exact-verify pipeline of plans/media.py media_phash_neardup, factored
+    so any per-item hash (SimHash stand-in, DCT pHash) plugs in.  Bands
+    use div/% only (&/<< precedence is a cross-engine trap), the band
+    self-join is shuffle-hash pinned (corpus-sized sides are never
+    broadcast), and candidates are verified with exact
+    ``bit_count(xor) <= max_hamming``."""
+    band_mod = 1 << band_bits
+    bands = items.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"({hash_col} div {band_mod**b}L) % {band_mod}"
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+    )

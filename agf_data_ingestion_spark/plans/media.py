@@ -114,8 +114,11 @@ def docs_export_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual-hash media near-dup (OP-X-PHASH): the image-dedup pipeline —
 # per-item 60-bit content hash, band-blocked candidate join, exact Hamming
 # verify.  The hash here is md5-derived (the container has no codecs), so
-# only byte-identical media collide; a real pHash/aHash drops into the
-# same plumbing and the banding then finds SMALL Hamming distances too.
+# only byte-identical media collide; the REAL numpy 2D-DCT pHash backend
+# (operators/multimodal.py dct_phash_media + banded_hamming_pairs, r4)
+# drops into the same plumbing and the banding then finds SMALL Hamming
+# distances too — cross-validated on seeded fixtures in
+# tests/test_media.py (perceptual dups: DCT <= 10 bits, SimHash misses).
 # ---------------------------------------------------------------------------
 
 _PHASH_BITS = 60  # stays inside signed BIGINT

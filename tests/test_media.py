@@ -230,3 +230,175 @@ def test_zip_dedup_name_reference_parity():
     assert ex._dedup_name("x.txt", used) == "x_2.txt"
     assert ex._dedup_name(".env", used) == ".env"
     assert ex._dedup_name(".env", used) == ".env_1"
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (r4): real pHash backend over the media struct
+# ---------------------------------------------------------------------------
+
+
+def _smooth_images(n, seed, h=48, w=64):
+    """Seeded synthetic grayscale images with strong LOW-FREQUENCY
+    structure (coarse random grid upsampled 8x) — the content class a
+    perceptual hash is defined over; pure white noise has no stable
+    low-band signature."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        coarse = rng.uniform(0, 255, size=(h // 8, w // 8))
+        img = np.kron(coarse, np.ones((8, 8)))
+        out.append(np.clip(img, 0, 255).astype(np.uint8))
+    return out
+
+
+def _media_frame(spark, imgs):
+    """[(doc_id, 2-D uint8 array)] -> media-struct frame with dims."""
+    rows = [
+        (i, int(a.shape[1]), int(a.shape[0]), bytearray(a.tobytes()))
+        for i, a in imgs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, width long, height long, content binary")
+    return attach_media(
+        df,
+        path=F.concat(F.lit("img_"), F.col("doc_id"), F.lit(".gray")),
+        mime=F.lit("image/x-raw-gray"),
+        content=F.col("content"),
+    ).drop("content")
+
+
+def _hamming(a, b):
+    return bin(a ^ b).count("1")
+
+
+def test_dct_phash_matches_local_reference(spark):
+    from agf_data_ingestion_spark.operators.multimodal import (
+        dct_phash_array,
+        dct_phash_media,
+    )
+
+    imgs = list(enumerate(_smooth_images(5, seed=3)))
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in dct_phash_media(_media_frame(spark, imgs)).collect()
+    }
+    for i, a in imgs:
+        assert got[i] == dct_phash_array(a), i
+    # NULL content must yield NULL hash, not a crash
+    null_row = spark.createDataFrame(
+        [(99, 4, 4, None)], "doc_id long, width long, height long, content binary"
+    )
+    null_df = attach_media(
+        null_row, path=F.lit("x"), mime=F.lit("m"), content=F.col("content")
+    ).drop("content")
+    assert dct_phash_media(null_df).collect()[0]["phash"] is None
+
+
+def test_dct_phash_perceptual_margin(spark):
+    """The defining pHash property on seeded fixtures: a noise+brightness
+    perturbed copy stays within a few bits; unrelated images differ in
+    ~half.  (The SimHash stand-in cannot do this — see the
+    cross-validation test.)"""
+    import numpy as np
+
+    from agf_data_ingestion_spark.operators.multimodal import dct_phash_media
+
+    rng = np.random.default_rng(11)
+    bases = _smooth_images(6, seed=11)
+    fixtures = []
+    for i, b in enumerate(bases):
+        fixtures.append((i * 2, b))
+        dup = np.clip(b.astype(np.float64) + rng.normal(0, 2, b.shape) + 4, 0, 255)
+        fixtures.append((i * 2 + 1, dup.astype(np.uint8)))
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in dct_phash_media(_media_frame(spark, fixtures)).collect()
+    }
+    dup_d = [_hamming(got[2 * i], got[2 * i + 1]) for i in range(6)]
+    cross_d = [
+        _hamming(got[2 * i], got[2 * j]) for i in range(6) for j in range(i + 1, 6)
+    ]
+    assert max(dup_d) <= 10, dup_d
+    assert min(cross_d) >= 16, cross_d
+    assert max(dup_d) < min(cross_d)
+
+
+def test_banded_pipeline_finds_planted_pairs(spark):
+    """The backend-agnostic band->verify pipeline over DCT hashes recovers
+    exactly the planted near-dup pairs — backend parity with the catalog's
+    SimHash detector plumbing (same banding, same Hamming verify)."""
+    import numpy as np
+
+    from agf_data_ingestion_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        dct_phash_media,
+    )
+
+    rng = np.random.default_rng(7)
+    bases = _smooth_images(8, seed=7)
+    fixtures = []
+    for i, b in enumerate(bases):
+        fixtures.append((i * 2, b))
+        dup = np.clip(b.astype(np.float64) + rng.normal(0, 1.5, b.shape), 0, 255)
+        fixtures.append((i * 2 + 1, dup.astype(np.uint8)))
+    hashes = dct_phash_media(_media_frame(spark, fixtures)).select("doc_id", "phash")
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in banded_hamming_pairs(hashes, max_hamming=12).collect()
+    }
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(8)}, pairs
+
+
+def test_dct_vs_simhash_cross_validation(spark):
+    """Why the DCT backend exists: on EXACT duplicates both detectors
+    agree (Hamming 0 through the same banded pipeline); on a PERCEPTUAL
+    duplicate (noise-perturbed pixels) the byte-gram SimHash stand-in
+    diverges toward random (most grams change) while DCT pHash stays
+    within the near-dup band."""
+    import numpy as np
+
+    from agf_data_ingestion_spark.operators.multimodal import dct_phash_media
+    from agf_data_ingestion_spark.plans.text import simhash_votes
+
+    rng = np.random.default_rng(23)
+    base = _smooth_images(1, seed=23)[0]
+    exact = base.copy()
+    percep = np.clip(base.astype(np.float64) + rng.normal(0, 2, base.shape), 0, 255).astype(
+        np.uint8
+    )
+    fixtures = [(0, base), (1, exact), (2, percep)]
+
+    dct = {
+        r["doc_id"]: r["phash"]
+        for r in dct_phash_media(_media_frame(spark, fixtures)).collect()
+    }
+    assert _hamming(dct[0], dct[1]) == 0  # exact dup: all backends agree
+    assert _hamming(dct[0], dct[2]) <= 10  # perceptual dup: DCT catches it
+
+    # SimHash over byte 3-grams (the stand-in's construction applied to
+    # pixel content): exact dup still 0, perceptual dup near-random
+    grams = []
+    for i, img in fixtures:
+        flat = img.ravel()
+        gs = {
+            f"{flat[j]}:{flat[j+1]}:{flat[j+2]}" for j in range(0, len(flat) - 2, 3)
+        }
+        grams += [(i, hashlib.md5(g.encode()).hexdigest()) for g in gs]
+    gdf = spark.createDataFrame(grams, "doc_id long, gh string")
+    votes = simhash_votes(gdf, "gh", 60)
+    sh = {
+        r["doc_id"]: r["h"]
+        for r in votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), CAST(b AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("h")
+        )
+        .collect()
+    }
+    assert _hamming(sh[0], sh[1]) == 0  # exact dup: agrees with DCT
+    assert _hamming(sh[0], sh[2]) > 12  # perceptual dup: SimHash misses it
