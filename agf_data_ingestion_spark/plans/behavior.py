@@ -44,26 +44,46 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user strictly-ordered funnel: the first ``signup``, then the
     first ``view`` after it, the first ``click`` after that view, and the
     first ``purchase`` after that click; ``stages_reached`` counts the
-    prefix completed.  Users with no signup are not in the funnel."""
+    prefix completed.  Users with no signup are not in the funnel.
+
+    Single-pass shape (r4 — the r3 plan built one filtered scan + one
+    shuffle join PER STAGE: 8 events FileScans, 7 user_id exchanges,
+    EXPLAIN.md): ONE scan filtered to the four stage types, ONE groupBy
+    shuffle collecting each later stage's timestamps into a per-user
+    array alongside min(signup), then the chained strictly-after mins
+    are per-row array expressions — ``array_min(filter(stage_ts, x >
+    t_prev))``.  min over a filtered set is order-free, so
+    ``collect_list``'s nondeterministic order cannot affect the result
+    (bit-identical to the join formulation and the chained-CTE oracle).
+    Per-user arrays hold only that user's view/click/purchase timestamps
+    — bounded by per-user activity, never corpus-sized.  A no-signup
+    user contributes ``x > NULL`` → NULL → dropped by ``filter``, so the
+    downstream mins are NULL exactly as the join chain produced."""
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
-    out = (
-        e.filter(F.col("event_type") == _STAGES[0])
+    agg = (
+        e.filter(F.col("event_type").isin(*_STAGES))
         .groupBy("user_id")
-        .agg(F.min("ts_us").alias(f"t_{_STAGES[0]}"))
-    )
-    prev = f"t_{_STAGES[0]}"
-    # every per-user stage table is corpus-sized at scale (one row per
-    # user) — pin shuffle joins so small-sf statistics can't statically
-    # plan broadcasts; all joins share the user_id hash partitioning
-    for stage in _STAGES[1:]:
-        nxt = (
-            e.filter(F.col("event_type") == stage)
-            .join(out.select("user_id", prev).hint("shuffle_hash"), "user_id")
-            .filter(F.col("ts_us") > F.col(prev))
-            .groupBy("user_id")
-            .agg(F.min("ts_us").alias(f"t_{stage}"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == _STAGES[0], F.col("ts_us"))
+            ).alias(f"t_{_STAGES[0]}"),
+            *[
+                F.collect_list(
+                    F.when(F.col("event_type") == s, F.col("ts_us"))
+                ).alias(f"_a_{s}")
+                for s in _STAGES[1:]
+            ],
         )
-        out = out.join(nxt.hint("shuffle_hash"), "user_id", "left")
+    )
+    out = agg.filter(F.col(f"t_{_STAGES[0]}").isNotNull())
+    prev = f"t_{_STAGES[0]}"
+    for stage in _STAGES[1:]:
+        out = out.withColumn(
+            f"t_{stage}",
+            F.array_min(
+                F.filter(F.col(f"_a_{stage}"), lambda x: x > F.col(prev))
+            ),
+        )
         prev = f"t_{stage}"
     reached = F.lit(1)
     for stage in _STAGES[1:]:

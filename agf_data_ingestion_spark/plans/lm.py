@@ -93,7 +93,9 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Text never shuffles: the widest shuffled value is one
     bigram string.
     """
-    bg = _bigrams(spark, sf_dir)
+    # bg feeds the model counts (uni, bi) AND the per-doc table: cache so
+    # the corpus is scanned/tokenized/exploded once, not three times
+    bg = _bigrams(spark, sf_dir).cache()
     uni = (
         bg.groupBy(F.col("w1").alias("w"))
         .agg(F.count("*").alias("cu"))
@@ -169,6 +171,8 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     size → explicitly broadcast; the per-doc feature table shuffles
     (doc_id, bucket, count) only.
     """
+    # narrow (doc_id, lang, bucket) rows consumed by the bucket model AND
+    # the per-doc table: cache so the corpus is tokenized+hashed once
     feats = _bigrams(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -178,7 +182,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % _DSIR_BUCKETS
         ).alias("b"),
-    )
+    ).cache()
     buckets = feats.groupBy("b").agg(
         (F.count("*") + F.lit(1)).alias("cr"),
         (F.count_if(F.col("lang") == "en") + F.lit(1)).alias("ct"),

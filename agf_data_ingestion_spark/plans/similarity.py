@@ -429,6 +429,12 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_of = pandas_udf(_cell_fn, "int")
 
     e = t(spark, sf_dir, "embeddings")
+    # deliberately NOT cached despite three consumers: v carries the raw
+    # embedding arrays, and caching corpus-sized array columns costs more
+    # in block serialization than recomputing the cell UDF + norm fold
+    # (measured r4: v.cache() regressed this query 1.9 -> 3.6 s).  The
+    # production shape precomputes cells/norms at ingest instead
+    # (sources/ann_layout.py).
     v = e.select(
         cell_of(F.col("embedding")).alias("cell"),
         "vec_id",

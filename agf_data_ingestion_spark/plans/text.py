@@ -132,11 +132,17 @@ def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals frame broadcasts.
     """
     d = t(spark, sf_dir, "documents")
+    # uni feeds three consumers (totals, both vocab join sides): cache the
+    # VOCAB-SIZED counts so the aggregation runs once.  The word-array
+    # frame w itself stays uncached: caching corpus-sized array columns
+    # costs more in block serialization than the map-side recompute saves
+    # (measured r4: w.cache() regressed this query 0.96 -> 1.88 s)
     w = d.select(_words().alias("w"))
     uni = (
         w.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
+        .cache()
     )
     bg = (
         w.filter(F.size("w") >= 2)
@@ -561,7 +567,14 @@ def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision) keeps a row with jaccard 0.0 (intersect of disjoint sets).
     """
     est = docs_minhash_lsh(spark, sf_dir)
-    sets = t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset"))
+    # the shingle-set table is consumed by BOTH join sides — cache so the
+    # corpus is tokenized once, not twice (CacheManager also shares this
+    # plan with any other catalog query deriving the same sets)
+    sets = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _shingles().alias("sset"))
+        .cache()
+    )
     seta = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),
@@ -632,7 +645,10 @@ def docs_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = F.substring(
         F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, _EDIT_PREFIX
     )
-    texts = t(spark, sf_dir, "documents").select("doc_id", pref.alias("pref"))
+    # consumed by both join sides: cache so the sanitize scan runs once
+    texts = (
+        t(spark, sf_dir, "documents").select("doc_id", pref.alias("pref")).cache()
+    )
     ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pref_a"))
     tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pref_b"))
     dist = F.levenshtein("pref_a", "pref_b")
@@ -1101,11 +1117,11 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must never be broadcast; small-sf stats would statically plan one).
     """
     is_new = F.col("doc_id") % 5 == 0
-    # no .cache() here: sigs has exactly one consumer (the banding) — when
-    # docs_minhash_lsh ran earlier in the session its cached identical plan
-    # is reused anyway, and pinning a corpus-sized table for zero reuse
-    # would only pressure executor storage in a standalone run
-    bands = _lsh_bands(_minhash_sigs(spark, sf_dir))
+    # cache sigs: the banding is referenced by BOTH filter sides (new +
+    # corpus), which would otherwise tokenize-and-hash the corpus twice;
+    # the cache entry is plan-identical to docs_minhash_lsh's, so
+    # CacheManager shares one materialization across the whole catalog
+    bands = _lsh_bands(_minhash_sigs(spark, sf_dir).cache())
     nb = bands.filter(is_new).alias("n")
     cb = bands.filter(~is_new).hint("shuffle_hash").alias("c")
     cands = (
@@ -1113,7 +1129,11 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
         .distinct()
     )
-    sets = t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset"))
+    # cached: referenced by both filter sides, and plan-identical to
+    # docs_neardup_verified's sets (one shared materialization)
+    sets = (
+        t(spark, sf_dir, "documents").select("doc_id", _shingles().alias("sset")).cache()
+    )
     return best_jaccard_matches(
         cands, sets.filter(is_new), sets.filter(~is_new), threshold=_INC_JACCARD_MIN
     )
