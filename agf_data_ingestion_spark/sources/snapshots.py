@@ -866,13 +866,23 @@ def snapshot_diff(
     return inserted.unionByName(deleted)
 
 
-def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
+def expire_snapshots(
+    table: str, *, keep_last: int = 2, orphan_grace_s: float = 3600.0
+) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and delete
     data files no retained manifest references.  TAGGED versions are
     always retained (their manifests and data files survive until
     ``snapshot_untag``) — a pinned corpus release stays reproducible
     through routine expiry, the Iceberg ref-retention model.  Returns
-    deleted paths."""
+    deleted paths.
+
+    ``orphan_grace_s`` (r4): an optimistic writer (snapshot_write /
+    snapshot_upsert) writes its data files BEFORE they are referenced by
+    any manifest — deleting every unreferenced file would race an
+    in-flight commit and corrupt the table it produces.  Unreferenced
+    files younger than the grace window are therefore kept (the Delta
+    VACUUM retention model); a lost CAS attempt's orphans are reclaimed
+    by the next expiry after the window."""
     with table_lock(table):
         cur = current_version(table)
         tagged = set(snapshot_tags(table).values())
@@ -882,16 +892,35 @@ def expire_snapshots(table: str, *, keep_last: int = 2) -> list[str]:
         referenced: set[str] = set()
         for v in retained_versions:
             referenced.update(f["path"] for f in read_manifest(table, v)["files"])
+        # every path ANY existing manifest lists is a COMMITTED file — if
+        # no retained version needs it, it is reclaimable immediately; a
+        # path in NO manifest is either a lost CAS attempt's leftover or
+        # an IN-FLIGHT optimistic write, distinguishable only by age
+        ever_committed: set[str] = set()
+        for v in range(1, cur + 1):
+            try:
+                ever_committed.update(
+                    f["path"] for f in read_manifest(table, v)["files"]
+                )
+            except NoSuchVersionError:
+                continue
         deleted = []
+        now = time.time()
         data_root = os.path.join(table, "data")
         if os.path.isdir(data_root):
             for sub in os.listdir(data_root):
                 d = os.path.join(data_root, sub)
                 for name in os.listdir(d):
                     p = os.path.join(d, name)
-                    if name.endswith(".parquet") and p not in referenced:
-                        os.remove(p)
-                        deleted.append(p)
+                    if not name.endswith(".parquet") or p in referenced:
+                        continue
+                    if (
+                        p not in ever_committed
+                        and now - os.path.getmtime(p) < orphan_grace_s
+                    ):
+                        continue  # possibly an in-flight optimistic write
+                    os.remove(p)
+                    deleted.append(p)
         for v in range(1, max(1, cur - keep_last + 1)):
             if v in tagged:
                 continue  # pinned release: manifest survives expiry

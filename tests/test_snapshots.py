@@ -784,3 +784,37 @@ def test_locked_rewrite_retries_over_occ_append(spark, tmp_path, monkeypatch):
     assert v == 3  # append took v2, merge retried and committed v3
     got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
     assert got == [(1, "a"), (2, "B!"), (99, "appended")]
+
+
+def test_expire_keeps_inflight_orphans_reclaims_old(spark, tmp_path, monkeypatch):
+    """Vacuum-vs-writer safety: a data file in NO manifest may belong to an
+    in-flight optimistic commit — expiry must keep it inside the grace
+    window and reclaim it after; files referenced only by EXPIRED
+    manifests are committed and reclaimable immediately."""
+    import os as _os
+
+    from agf_data_ingestion_spark.sources import snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    # v1 overwritten by v2..v4 -> v1's file becomes expired-referenced
+    for k in (1, 2, 3, 4):
+        snapshot_write(
+            spark.createDataFrame([(k, "x")], "k long, v string"),
+            tbl,
+            mode="overwrite",
+        )
+    # a fresh orphan: written data files with no manifest (in-flight shape)
+    orphan_files = snap._write_data_files(
+        spark.createDataFrame([(99, "o")], "k long, v string"), tbl
+    )
+    orphans = {f["path"] for f in orphan_files}
+    deleted = set(expire_snapshots(tbl, keep_last=1))
+    # in-flight orphans survive; the expired versions' files are gone
+    assert orphans.isdisjoint(deleted)
+    assert all(_os.path.exists(p) for p in orphans)
+    assert any(p.endswith(".parquet") for p in deleted)
+    # past the grace window the orphan is reclaimed
+    deleted2 = set(expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0))
+    assert orphans <= deleted2
+    # the retained version is intact
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [4]
