@@ -111,6 +111,7 @@ _PRIORITY = [
     # long-green tail)
     "docs_quality_gate",
     "emb_sq_adc_topk",
+    "emb_pq_adc_topk",
     "q8_national_market_share",
     "q11_important_parts",
     "docs_bloom_contamination",

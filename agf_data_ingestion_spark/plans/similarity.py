@@ -1007,6 +1007,329 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# PQ-ADC top-k (OP-X-QUANT + OP-X-ADC): product quantization, the canonical
+# 100 TB ANN rung (Jégou et al. 2011) — exact-integer, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+#: subspaces: largest of (8, 4, 2, 1) dividing the detected dim
+_PQ_M = next(m for m in (8, 4, 2, 1) if _DIM % m == 0)
+_PQ_SUBDIM = _DIM // _PQ_M
+#: centroid component scale (2^20): |code| ≤ ~40 at floor(x·64), so
+#: (Q·code - cv)² ≤ 2^53 per dim and the M-subspace LUT sum stays < 2^59
+_PQ_Q = 1 << 20
+_PQ_SHORTLIST = 16 * _TOPK  # coarse seed codebook: deep shortlist, exact re-rank pays
+#: codebook fan-out: each label seeds 2^bits sub-clusters per subspace
+_PQ_SEED_BITS = 2
+
+
+def _pq_plane(m: int, b: int, j: int) -> int:
+    """md5-derived integer hyperplane component for seeding PQ
+    sub-clusters — same construction as the LSH planes, namespaced."""
+    import hashlib
+
+    h = int(hashlib.md5(f"pq:{m}:{b}:{j}".encode()).hexdigest()[:10], 16)
+    return h % 2001 - 1000
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC, Jégou et
+    al. 2011): split the embedding into ``_PQ_M`` subspaces; learn one
+    codebook per subspace — seeded by (label × ``_PQ_SEED_BITS``
+    md5-hyperplane sign bits of the subvector, so K = |labels|·2^bits
+    sub-clusters, then ONE exact-integer Lloyd round refines the means —
+    encode every corpus vector as M sub-centroid ids, and score a query
+    against the corpus through an M×K lookup table — then re-rank the
+    shortlist with the exact float cosine (same refinement as
+    emb_sq_adc_topk).  Codebook ASSIGNMENT is L2 (standard PQ); the query
+    LUT is the INNER PRODUCT (MIPS-style ADC — the ground truth is
+    cosine, and a dot surrogate ranks it far better than L2 over
+    unnormalized vectors; measured 8/15 → 13/15 at sf0.01).
+
+    Why this is THE 100 TB rung: the corpus at rest is M small ints per
+    vector (32× smaller than float32 at dim 64 / M 8), the per-query scan
+    cost is one LUT gather + M integer adds per vector (no float math,
+    no full-dim dot), and the LUT itself is M·K integers built once per
+    query against the (tiny, broadcast) codebook.  The scan is map-side
+    (codes never shuffle); the only exchanges are the per-(vec, m)
+    argmin combine and the per-query top-k window.
+
+    Cross-engine determinism, every step: codes are ``floor(x·64)``
+    BIGINTs; seed bits are signs of exact integer plane dots;
+    sub-centroids are ``(2^20·Σcode) div n`` exact truncating division
+    (both rounds); sub-distances and the LUT are exact integer sums; the
+    per-(vec,m) argmin is ``min(struct(d2, cb_label))`` (struct MIN
+    compares fields lexicographically in BOTH engines — the no-self-join
+    argmin with the label tiebreak); and the re-rank cosine is the
+    module's order-preserving float fold.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _ANN_CODE_SCALE).cast("long"),
+        ).alias("code"),
+    )
+    # (vec_id, i, m, c, vq): one row per dimension, raw + centroid-scaled
+    vdim = codes.select(
+        "vec_id",
+        "label",
+        F.posexplode("code").alias("i", "c"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.expr(f"i div {_PQ_SUBDIM}").alias("m"),
+        "c",
+        (F.col("c") * F.lit(_PQ_Q)).alias("vq"),
+    )
+    # seed codebook: per-(label × hyperplane-sign-bits) sub-cluster means.
+    # label alone gives only K = |labels| sub-centroids — far too coarse
+    # (most of a cluster collapses onto one code and ADC ranking degrades
+    # to id-tiebreaks); splitting each label by _PQ_SEED_BITS md5-plane
+    # sign bits of the SUBVECTOR multiplies K by 2^bits with the same
+    # exact-integer machinery as emb_ann_lsh_topk's bucketing
+    planes = spark.createDataFrame(
+        [
+            (m * _PQ_SUBDIM + j, b, _pq_plane(m, b, j))
+            for m in range(_PQ_M)
+            for b in range(_PQ_SEED_BITS)
+            for j in range(_PQ_SUBDIM)
+        ],
+        "i long, b int, p long",
+    )
+    hseed = (
+        vdim.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "m", "b")
+        .agg(F.sum(F.col("c") * F.col("p")).alias("dv"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dv") >= 0,
+                    F.expr("shiftleft(cast(1 as bigint), b)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("h")
+        )
+    )
+    cdim = (
+        vdim.join(hseed, ["vec_id", "m"])
+        .groupBy(
+            (F.col("label") * (1 << _PQ_SEED_BITS) + F.col("h")).alias("cb_label"),
+            "i",
+            "m",
+        )
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cb_label", "i", "m", F.expr(f"({_PQ_Q}L * s) div n").alias("cv"))
+        .localCheckpoint()  # aggregates the corpus; consumed by sd below
+    )
+    def _sub_dists(cb: DataFrame) -> DataFrame:
+        # exact sub-distance of EVERY vector to EVERY sub-centroid:
+        # (vec, m, label) → Σ_j (vq_j - cv_j)² — one frame serves both the
+        # corpus encoder (argmin per (vec, m)) and the query LUT (filter)
+        return (
+            vdim.join(F.broadcast(cb), ["i", "m"])
+            .groupBy("vec_id", "m", "cb_label")
+            .agg(
+                F.sum(
+                    (F.col("vq") - F.col("cv")) * (F.col("vq") - F.col("cv"))
+                ).alias("d2")
+            )
+        )
+
+    def _argmin(sd: DataFrame) -> DataFrame:
+        return (
+            sd.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d2", "cb_label")).alias("a"))
+            .select("vec_id", "m", F.col("a.cb_label").alias("cb_label"))
+        )
+
+    # one exact-integer Lloyd round: assign to the seed codebook, then
+    # recompute each sub-centroid as the quantized mean of its MEMBERS —
+    # (Q·Σcode) div count over (assigned code, dim) — and re-encode.
+    # Count(*) per (code, i, m) IS the member count (one row per member
+    # per dim), so no separate size table is needed.  Empty sub-clusters
+    # simply vanish (K shrinks); everything stays BIGINT-exact, so the
+    # refined codebook is still bit-identical to the oracle's.
+    assign0 = _argmin(_sub_dists(cdim))
+    cdim1 = (
+        vdim.join(assign0, ["vec_id", "m"])
+        .groupBy("cb_label", "i", "m")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("cb_label", "i", "m", F.expr(f"({_PQ_Q}L * s) div n").alias("cv"))
+        .localCheckpoint()  # corpus-wide agg consumed by the re-encode
+    )
+    assign = _argmin(_sub_dists(cdim1)).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cb_label"
+    )
+    # query LUT: INNER PRODUCT against each sub-centroid (MIPS-style ADC)
+    # — the ground truth is cosine, and a dot-product surrogate ranks it
+    # far better than L2 over unnormalized vectors (same reasoning as the
+    # SQ rung's integer-dot shortlist); codebook ASSIGNMENT stays L2, the
+    # standard PQ split
+    lut = (
+        vdim.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cdim1), ["i", "m"])
+        .groupBy(F.col("vec_id").alias("query_id"), "m", "cb_label")
+        .agg(F.sum(F.col("vq") * F.col("cv")).alias("dotp"))
+    )
+    approx = (
+        assign.join(F.broadcast(lut), ["m", "cb_label"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dotp").alias("ascore"), F.count("*").alias("_nm"))
+        # a vector contributes only when ALL M subspace codes joined (it
+        # always does — the join is on the assigned code, which exists for
+        # every (vec, m)) — keep the guard explicit for schema drift
+        .filter(F.col("_nm") == _PQ_M)
+    )
+    shortlist = (
+        approx.withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ascore"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("srank") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    v = e.select("vec_id", "embedding", F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"))
+    qe = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    ne = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    scored = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ne.hint("shuffle_hash"), "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_PQ_ADC_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ANN_CODE_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+vdim AS (
+  SELECT vec_id, label, t.i - 1 AS i, ((t.i - 1) // {_PQ_SUBDIM}) AS m,
+         code[t.i] AS c,
+         code[t.i] * {_PQ_Q} AS vq
+  FROM codes, unnest(range(1, {_DIM} + 1)) AS t(i)
+),
+planes AS (
+  SELECT m.m * {_PQ_SUBDIM} + j.j AS i, b.b,
+         (('0x' || substr(md5('pq:' || m.m::VARCHAR || ':' || b.b::VARCHAR
+                               || ':' || j.j::VARCHAR), 1, 10))::BIGINT
+          % 2001) - 1000 AS p
+  FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m,
+       (SELECT unnest(range(0, {_PQ_SEED_BITS})) AS b) b,
+       (SELECT unnest(range(0, {_PQ_SUBDIM})) AS j) j
+),
+hseed AS MATERIALIZED (
+  SELECT vec_id, m,
+         CAST(SUM(CASE WHEN dv >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS h
+  FROM (
+    SELECT v.vec_id, v.m, pl.b, SUM(v.c * pl.p) AS dv
+    FROM vdim v JOIN planes pl ON v.i = pl.i
+    GROUP BY v.vec_id, v.m, pl.b
+  ) GROUP BY vec_id, m
+),
+cdim AS MATERIALIZED (
+  SELECT v.label * {1 << _PQ_SEED_BITS} + h.h AS cb_label, v.i, v.m,
+         CAST(({_PQ_Q} * CAST(SUM(v.c) AS BIGINT)) // COUNT(*) AS BIGINT) AS cv
+  FROM vdim v JOIN hseed h ON v.vec_id = h.vec_id AND v.m = h.m
+  GROUP BY v.label * {1 << _PQ_SEED_BITS} + h.h, v.i, v.m
+),
+sd0 AS MATERIALIZED (
+  SELECT v.vec_id, v.m, c.cb_label,
+         CAST(SUM((v.vq - c.cv) * (v.vq - c.cv)) AS BIGINT) AS d2
+  FROM vdim v JOIN cdim c ON v.i = c.i AND v.m = c.m
+  GROUP BY v.vec_id, v.m, c.cb_label
+),
+assign0 AS MATERIALIZED (
+  SELECT vec_id, m, (MIN({{'d': d2, 'l': cb_label}})).l AS cb_label
+  FROM sd0 GROUP BY vec_id, m
+),
+cdim1 AS MATERIALIZED (
+  SELECT a.cb_label, v.i, v.m,
+         CAST(({_PQ_Q} * CAST(SUM(v.c) AS BIGINT)) // COUNT(*) AS BIGINT) AS cv
+  FROM vdim v JOIN assign0 a ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY a.cb_label, v.i, v.m
+),
+sd AS MATERIALIZED (
+  SELECT v.vec_id, v.m, c.cb_label,
+         CAST(SUM((v.vq - c.cv) * (v.vq - c.cv)) AS BIGINT) AS d2
+  FROM vdim v JOIN cdim1 c ON v.i = c.i AND v.m = c.m
+  GROUP BY v.vec_id, v.m, c.cb_label
+),
+assign AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, m,
+         (MIN({{'d': d2, 'l': cb_label}})).l AS cb_label
+  FROM sd GROUP BY vec_id, m
+),
+lut AS (
+  SELECT v.vec_id AS query_id, v.m, c.cb_label,
+         CAST(SUM(v.vq * c.cv) AS BIGINT) AS dotp
+  FROM vdim v JOIN cdim1 c ON v.i = c.i AND v.m = c.m
+  WHERE v.vec_id < {_N_QUERIES}
+  GROUP BY v.vec_id, v.m, c.cb_label
+),
+approx AS (
+  SELECT l.query_id, a.neighbor_id, CAST(SUM(l.dotp) AS BIGINT) AS ascore
+  FROM assign a
+  JOIN lut l ON l.m = a.m AND l.cb_label = a.cb_label
+  WHERE a.neighbor_id != l.query_id
+  GROUP BY l.query_id, a.neighbor_id
+  HAVING COUNT(*) = {_PQ_M}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY ascore DESC, neighbor_id ASC
+           ) AS srank
+    FROM approx
+  ) WHERE srank <= {_PQ_SHORTLIST}
+),
+v AS (
+  SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM shortlist s
+  JOIN v q ON s.query_id = q.vec_id
+  JOIN v n ON s.neighbor_id = n.vec_id
+) WHERE rank <= {_TOPK}
+"""
+
 # ---------------------------------------------------------------------------
 # Matryoshka two-stage top-k (OP-X-SIM-TOPK, truncated-dim prefilter):
 # score every candidate with only the first _MAT_PREFIX dimensions, keep a
@@ -1160,4 +1483,5 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_ann_lsh_topk": QuerySpec(emb_ann_lsh_topk, _ANN_LSH_SQL, ("OP-X-SIM-TOPK",)),
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
+    "emb_pq_adc_topk": QuerySpec(emb_pq_adc_topk, _PQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
 }

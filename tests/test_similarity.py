@@ -222,3 +222,23 @@ def test_matryoshka_corpus_never_broadcast(spark):
     # side), and the only joins present are broadcast ones.
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_adc_recall_vs_brute(spark):
+    """PQ-ADC (seeded codebook + one Lloyd round + MIPS LUT): measured
+    12/15 at sf0.001 and 13/15 at sf0.01; pinned with headroom."""
+    from agf_data_ingestion_spark.plans.similarity import emb_cosine_topk, emb_pq_adc_topk
+
+    for sf, floor_ in ((SF, 0.6), ("/root/testdata/sf0.01", 0.6)):
+        brute = {}
+        for r in emb_cosine_topk(spark, sf).collect():
+            brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ann = {}
+        for r in emb_pq_adc_topk(spark, sf).collect():
+            ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for q, ns in ann.items():
+            assert q not in ns
+        hits = sum(len(brute[q] & ann.get(q, set())) for q in brute)
+        total = sum(len(brute[q]) for q in brute)
+        assert total > 0
+        assert hits / total >= floor_, f"{sf}: recall {hits}/{total}"
