@@ -98,3 +98,43 @@ def reconciliation_subject(orphaned_in_storage: int, orphaned_in_db: int) -> str
     """Reference subject line (:298)."""
     n = orphaned_in_storage + orphaned_in_db
     return f"[AGF] S3-DynamoDB Reconciliation: {n} discrepancies found"
+
+
+def smtp_notifier(
+    *,
+    host: str,
+    port: int = 25,
+    sender: str,
+    recipients: list[str],
+    timeout_s: float = 10.0,
+    starttls: bool = False,
+    username: str | None = None,
+    password: str | None = None,
+) -> Notifier:
+    """A REAL email transport built on stdlib ``smtplib`` — the SES-analog
+    channel the chain was designed to carry (the reference falls back from
+    SNS to SES email, ``agf_reconciliation_lambda.py:318-341``).  No cloud
+    SDK involved: any deployment with an SMTP relay (or SES's SMTP
+    endpoint) can wire alerts with nothing but this module.
+
+    Raises on any transport failure, which is exactly what the chain
+    needs to fall through to the next channel; connection setup happens
+    per send (alerts are rare; a held-open connection would go stale).
+    """
+    import smtplib
+    from email.message import EmailMessage
+
+    def _send(subject: str, body: str) -> None:
+        msg = EmailMessage()
+        msg["Subject"] = subject
+        msg["From"] = sender
+        msg["To"] = ", ".join(recipients)
+        msg.set_content(body)
+        with smtplib.SMTP(host, port, timeout=timeout_s) as s:
+            if starttls:
+                s.starttls()
+            if username is not None:
+                s.login(username, password or "")
+            s.send_message(msg)
+
+    return Notifier("smtp", _send)

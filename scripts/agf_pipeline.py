@@ -380,6 +380,41 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Steady-state snapshot-table maintenance in one pass: compact the
+    small-file tail, expire old versions, and reclaim unreferenced data
+    files (respecting the in-flight-writer grace window) — the OPTIMIZE +
+    VACUUM operational loop a 100 TB snapshot lake runs on a schedule."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        expire_snapshots,
+        snapshot_compact,
+    )
+
+    import json
+
+    spark = _spark()
+    before = current_version(args.table)
+    compacted_to = snapshot_compact(
+        spark, args.table, small_bytes=args.small_bytes
+    )
+    deleted = expire_snapshots(
+        args.table, keep_last=args.keep_last, orphan_grace_s=args.orphan_grace_s
+    )
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "version_before": before,
+                "version_after": current_version(args.table),
+                "compaction_committed": compacted_to != before,
+                "paths_reclaimed": len(deleted),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -435,6 +470,13 @@ def main() -> int:
     c.add_argument("--release-tag",
                    help="immutable tag name for the release (default release-vN)")
     c.set_defaults(fn=cmd_curate)
+
+    m = sub.add_parser("maintain")
+    m.add_argument("--table", required=True, help="snapshot table root")
+    m.add_argument("--small-bytes", type=int, default=8 << 20)
+    m.add_argument("--keep-last", type=int, default=2)
+    m.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    m.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args()
     return args.fn(args)

@@ -172,3 +172,114 @@ def test_reference_alarm_pack_evaluates(spark):
     assert states["batch-duration-ms"] == "ALARM"
     assert states["sink-throttles"] == "OK"
     assert states["concurrency"] == "OK"
+
+
+class _FakeSMTPServer:
+    """Minimal in-process SMTP server (raw sockets, stdlib only): accepts
+    one connection, speaks just enough of RFC 5321 for smtplib to deliver,
+    records the DATA payload."""
+
+    def __init__(self, fail: bool = False):
+        import socket
+        import threading
+
+        self.fail = fail
+        self.messages: list[bytes] = []
+        self._sock = socket.socket()
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(1)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._sock.accept()
+        f = conn.makefile("rb")
+
+        def reply(line):
+            conn.sendall(line + b"\r\n")
+
+        reply(b"220 fake ESMTP")
+        data_mode = False
+        buf = b""
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if data_mode:
+                if line.rstrip(b"\r\n") == b".":
+                    self.messages.append(buf)
+                    data_mode = False
+                    reply(b"250 OK")
+                else:
+                    buf += line
+                continue
+            cmd = line.strip().upper()
+            if cmd.startswith(b"EHLO") or cmd.startswith(b"HELO"):
+                reply(b"250 fake")
+            elif cmd.startswith(b"MAIL FROM"):
+                reply(b"550 rejected" if self.fail else b"250 OK")
+            elif cmd.startswith(b"RCPT TO"):
+                reply(b"250 OK")
+            elif cmd == b"DATA":
+                data_mode = True
+                reply(b"354 go")
+            elif cmd == b"QUIT":
+                reply(b"221 bye")
+                break
+            else:
+                reply(b"250 OK")
+        conn.close()
+        self._sock.close()
+
+
+def test_smtp_notifier_delivers_real_bytes():
+    from agf_data_ingestion_spark.operators.notify import (
+        NotificationChain,
+        smtp_notifier,
+    )
+
+    srv = _FakeSMTPServer()
+    chain = NotificationChain(
+        [
+            smtp_notifier(
+                host="127.0.0.1",
+                port=srv.port,
+                sender="agf@example.test",
+                recipients=["ops@example.test"],
+            )
+        ]
+    )
+    out = chain.notify("AGF Reconciliation Report", "2 orphans found")
+    assert out.sent and out.channel == "smtp"
+    srv._thread.join(timeout=10)
+    assert len(srv.messages) == 1
+    payload = srv.messages[0]
+    assert b"AGF Reconciliation Report" in payload
+    assert b"2 orphans found" in payload
+
+
+def test_smtp_notifier_failure_falls_through(capsys):
+    from agf_data_ingestion_spark.operators.notify import (
+        NotificationChain,
+        print_notifier,
+        smtp_notifier,
+    )
+
+    srv = _FakeSMTPServer(fail=True)
+    chain = NotificationChain(
+        [
+            smtp_notifier(
+                host="127.0.0.1",
+                port=srv.port,
+                sender="agf@example.test",
+                recipients=["ops@example.test"],
+            ),
+            print_notifier(),
+        ]
+    )
+    out = chain.notify("subj", "body")
+    # SMTP rejected -> chain falls through to the print channel
+    assert out.sent and out.channel == "print"
+    assert any(name == "smtp" for name, _ in out.errors)
+    assert "subj" in capsys.readouterr().out
