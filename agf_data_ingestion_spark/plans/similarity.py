@@ -1101,18 +1101,34 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "i long, b int, p long",
     )
+    # ONE groupBy: the per-bit plane dots are conditional sums over the
+    # (vdim × planes-for-that-dim) rows, so the sign bits assemble without
+    # a second (vec, m, b)-keyed shuffle (bits are a small constant)
     hseed = (
         vdim.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "m", "b")
-        .agg(F.sum(F.col("c") * F.col("p")).alias("dv"))
         .groupBy("vec_id", "m")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("dv") >= 0,
-                    F.expr("shiftleft(cast(1 as bigint), b)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("h")
+            *[
+                F.sum(
+                    F.when(F.col("b") == b, F.col("c") * F.col("p")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(f"dv{b}")
+                for b in range(_PQ_SEED_BITS)
+            ]
+        )
+        .select(
+            "vec_id",
+            "m",
+            sum(
+                (
+                    F.when(F.col(f"dv{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                    for b in range(1, _PQ_SEED_BITS)
+                ),
+                F.when(F.col("dv0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+            .cast("long")
+            .alias("h"),
         )
     )
     cdim = (
@@ -1124,8 +1140,11 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
         .select("cb_label", "i", "m", F.expr(f"({_PQ_Q}L * s) div n").alias("cv"))
-        .localCheckpoint()  # aggregates the corpus; consumed by sd below
+        # no checkpoint: the seed codebook has exactly ONE consumer (the
+        # round-0 encode below); a blocking materialization would only add
+        # a job (cdim1, consumed twice, IS checkpointed)
     )
+
     def _sub_dists(cb: DataFrame) -> DataFrame:
         # exact sub-distance of EVERY vector to EVERY sub-centroid:
         # (vec, m, label) → Σ_j (vq_j - cv_j)² — one frame serves both the
