@@ -1343,7 +1343,7 @@ QUERIES: dict[str, QuerySpec] = {
         docs_neardup_verified, _NEARDUP_VERIFIED_SQL, ("OP-X-DEDUP-NEAR",)
     ),
     "docs_dup_clusters": QuerySpec(
-        docs_dup_clusters, _CLUSTERS_SQL, ("OP-X-DEDUP-NEAR", "OP-X-ITER")
+        docs_dup_clusters, _CLUSTERS_SQL, ("OP-X-DEDUP-NEAR", "OP-X-ITER", "OP-X-STARCC")
     ),
     "docs_simhash": QuerySpec(docs_simhash, _SIMHASH_SQL, ("OP-X-DEDUP-NEAR",)),
     "docs_incremental_neardup": QuerySpec(

@@ -35,6 +35,18 @@ TEST_COVERED = {
         "functions/udtfs.py (Spark 4 Python UDTF: sentence segmentation with source offsets, LATERAL join shape, lazy handle; JVM-native twin is the production path)",
         "tests/test_udtf.py (UDTF ≡ native twin on corpus + adversarial edge cases; span-offset reconstruction)",
     ),
+    "OP-X-OCC": (
+        "sources/snapshots.py (optimistic concurrency: CAS manifest reservation via atomic link, lock-free append/upsert with manifest-delta conflict rebase, lock-held rewrite retry, pointer repair, vacuum grace for in-flight writers)",
+        "tests/test_snapshots.py (CAS loss + pointer repair; deterministic races: disjoint-key dual commit, first-writer-wins overlap, partial-overlap rebase, merge-vs-append retry, orphan grace)",
+    ),
+    "OP-X-MVSTREAM": (
+        "streaming/mv_stream.py (continuous CDC->MV query: foreachBatch folds each commit delta into the view; view-bookmark replay filter; availableNow backfill twin) + operators/mv.py mv_apply_cdc_batch",
+        "tests/test_mv.py (view == full recompute at every micro-batch across downtime catch-up, live tail, and bookmark replay)",
+    ),
+    "OP-X-DCTPHASH": (
+        "operators/multimodal.py (dct_phash_media: area-mean-pool 32x32 -> numpy 2D DCT-II -> low 8x8 minus DC -> median threshold, Arrow-batched; banded_hamming_pairs backend-agnostic detector)",
+        "tests/test_media.py (local-reference parity, perceptual margin, planted-pair recovery through the banded pipeline, cross-validation vs SimHash)",
+    ),
     "OP-X-MV": (
         "operators/mv.py (incremental materialized-view maintenance: CDC-delta aggregation with sign, decimal-exact keyed merge, bookmark rides the atomic view commit)",
         "tests/test_mv.py (incremental == full recompute across appends + deletes; zero-count group drop; idempotent no-op refresh)",
