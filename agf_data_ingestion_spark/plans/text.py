@@ -291,36 +291,43 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the per-gram md5 runs over EXPLODED rows (whole-stage codegen)
     — inside the original `transform` lambda it was interpreted
     expression-tree evaluation, ~300 interpreted md5 calls per document
-    (the CLAUDE.md higher-order-fold rule; measured 13 s → ~2 s at sf0.1
-    under full-computation timing).  The bottom-4 pick is a
-    WindowGroupLimit (map-side truncation to 4 rows per doc before the
-    exchange)."""
+    (the CLAUDE.md higher-order-fold rule).  Shuffle economy (r4): ONE
+    explicit doc_id repartition of the RAW documents (corpus bytes, one
+    row/doc) happens before the explode — a HashPartitioning(doc_id) is
+    preserved through Generate and satisfies the ClusteredDistribution of
+    every downstream operator keyed on a superset (the gram dedup, the
+    bottom-4 window, the final per-doc fold), so the plan's only exchange
+    moves the documents once instead of every gram hash (≈40 bytes ×
+    grams-per-doc × corpus — 40× the text itself).  doc_hash rides the
+    exploded rows and folds back with first() (constant per doc), so the
+    whole query is scan → repartition → map/agg with no further exchange
+    and no self-join."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
     base = d.select("doc_id", F.md5(norm).alias("doc_hash"), norm.alias("nt"))
+    rep = base.repartition("doc_id")
     grams = (
-        base.select(
+        rep.select(
             "doc_id",
+            "doc_hash",
             "nt",
             F.explode(
                 F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)))
             ).alias("i"),
         )
-        .select("doc_id", F.expr("md5(substring(nt, i, 8))").alias("h"))
+        .select("doc_id", "doc_hash", F.expr("md5(substring(nt, i, 8))").alias("h"))
         .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("h")
-    bottom = (
+    return (
         grams.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 4)
         .groupBy("doc_id")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("h")), "|").alias("sketch")
+            F.first("doc_hash").alias("doc_hash"),
+            F.array_join(F.array_sort(F.collect_list("h")), "|").alias("sketch"),
         )
-    )
-    # both sides are corpus-sized: shuffle join on doc_id, never broadcast
-    return base.select("doc_id", "doc_hash").join(
-        bottom.hint("shuffle_hash"), "doc_id"
+        .select("doc_id", "doc_hash", "sketch")
     )
 
 
