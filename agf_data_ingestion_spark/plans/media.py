@@ -151,8 +151,12 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encodes it); decoding the struct back would round-trip every row
     # through encode→decode for no semantic effect, so feature-extract
     # from the text column directly — byte-identical input either way
+    # repartition raw doc rows by doc_id first (r4 shuffle economy): the
+    # partitioning survives the gram explode, so the nibble counts, vote
+    # sums, and per-item hash fold below all aggregate exchange-free
     media = (
         t(spark, sf_dir, "documents")
+        .repartition("doc_id")
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= _PHASH_GRAM)
     )

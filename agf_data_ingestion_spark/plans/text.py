@@ -1022,7 +1022,13 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer expressions, identical in both engines.  Bit votes (+1/-1) sum
     per document; sign gives the fingerprint bit.
     """
-    d = t(spark, sf_dir, "documents")
+    # repartition the RAW doc rows by doc_id BEFORE the word fan-out (r4,
+    # the docs_fingerprint shuffle-economy pattern): the partitioning is
+    # preserved through every explode, so ALL downstream doc_id-keyed
+    # aggregations (the nibble counts, the vote sums, the final bitstring
+    # fold) are exchange-free — one corpus-bytes exchange total instead
+    # of three keyed exchanges of gram-count volumes
+    d = t(spark, sf_dir, "documents").repartition("doc_id")
     # hash ONCE per word, before the nibble fan-out (explode first — a
     # generator cannot nest inside md5)
     words = d.select(
