@@ -844,7 +844,7 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch internals are engine-specific, so the sketch OUTPUTS can never
     hash-match DuckDB; instead the query returns exact columns plus
     BOUNDS-VERIFIED booleans — ``approx_users_ok`` (HLL estimate within
-    3×rsd = 15% of the exact count) and ``approx_median_ok``
+    4×rsd = 20% of the exact count) and ``approx_median_ok``
     (percentile_approx(0.5) lands between the exact 45th and 55th
     percentiles; with accuracy 10000 the rank error is ≤ n/10000, far
     inside that band).  The oracle recomputes the exact columns and
@@ -866,9 +866,13 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.45).alias("_p45"),
         F.percentile("value", 0.55).alias("_p55"),
     )
+    # 4×rsd(0.05) = 20%: the driver REGENERATES testdata between rounds,
+    # so the bound must hold for any draw — at 4σ a per-group failure is
+    # ~6e-5, negligible across rounds; a genuinely broken sketch (or a
+    # dishonest claim) still fails the oracle hash
     users_ok = (
         F.abs(F.col("_approx_users") - F.col("exact_users"))
-        <= F.ceil(F.col("exact_users") * 0.15)
+        <= F.ceil(F.col("exact_users") * 0.20)
     )
     median_ok = F.when(
         F.col("_approx_median").isNull(), F.col("_p45").isNull()
