@@ -92,3 +92,23 @@ def test_star_logarithmic_rounds_on_chain(spark):
     # refuse (not silently mislabel) at its default round budget
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, n, edges, fn=connected_components)
+
+
+def test_star_matches_union_find_shape_sweep(spark):
+    """One bounded sweep over adversarial graph SHAPES (clique, hub star,
+    two components joined by one bridge, duplicate + reversed edges,
+    ladder) — each checked against union-find."""
+    random.seed(29)
+    shapes = {
+        "clique": [(a, b) for a in range(12) for b in range(a + 1, 12)],
+        "hub-star": [(0, i) for i in range(1, 40)],
+        "bridged": [(i, i + 1) for i in range(10)]
+        + [(20 + i, 21 + i) for i in range(10)]
+        + [(5, 25)],
+        "dup-reversed": [(1, 2), (2, 1), (1, 2), (3, 2), (2, 3), (4, 4)],
+        "ladder": [(i, i + 2) for i in range(20)] + [(i, i + 1) for i in range(0, 20, 2)],
+    }
+    for name, edges in shapes.items():
+        n = max(max(a, b) for a, b in edges) + 2  # +1 isolated vertex
+        got = _cc(spark, n, edges, fn=connected_components_star)
+        assert got == _union_find(n, edges), name
