@@ -929,3 +929,41 @@ def expire_snapshots(
                 os.remove(mp)
                 deleted.append(mp)
         return deleted
+
+
+def snapshot_restore(table: str, version: int | None = None, *, tag: str | None = None) -> int:
+    """Roll the table BACK to an earlier state as a NEW commit (Delta
+    RESTORE / Iceberg rollback): the restored version's exact file list is
+    re-committed at head, so history is append-only — the bad commits
+    remain inspectable and time-travelable, and readers pinned to them are
+    untouched.  Restoring to a TAGGED release (``tag=``) is the
+    bad-training-run escape hatch: one commit returns the corpus to the
+    pinned state.
+
+    No data is copied (manifests reference immutable files), so restore is
+    O(manifest) at any table size.  Optimistic like every append-shaped
+    commit: CAS with rebase-free retry (restore is a whole-table
+    statement; last writer wins on a race, same as overwrite).
+    """
+    if (version is None) == (tag is None):
+        raise ValueError("pass exactly one of version / tag")
+    if tag is not None:
+        tags = snapshot_tags(table)
+        if tag not in tags:
+            raise NoSuchVersionError(f"{table}: no tag {tag!r}")
+        version = tags[tag]
+    files = read_manifest(table, version)["files"]  # raises if expired
+    for f in files:
+        if not os.path.exists(f["path"]):
+            raise NoSuchVersionError(
+                f"{table}: v{version} references expired data file {f['path']}"
+            )
+    parent = _repair_current(table)
+    if parent == version:
+        return parent
+    for _ in range(_OCC_MAX_RETRIES):
+        try:
+            return _publish(table, files, parent, f"restore@{version}")
+        except CommitConflict:
+            parent = _repair_current(table)
+    raise CommitConflict(f"snapshot_restore on {table} lost {_OCC_MAX_RETRIES} CAS races")

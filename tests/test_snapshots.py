@@ -818,3 +818,31 @@ def test_expire_keeps_inflight_orphans_reclaims_old(spark, tmp_path, monkeypatch
     assert orphans <= deleted2
     # the retained version is intact
     assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [4]
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_restore,
+        snapshot_tag,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_tag(tbl, "golden")
+    snapshot_write(spark.createDataFrame([(2, "bad")], "k long, v string"), tbl)
+    snapshot_write(
+        spark.createDataFrame([(9, "worse")], "k long, v string"), tbl, mode="overwrite"
+    )
+    assert current_version(tbl) == 3
+    v = snapshot_restore(tbl, tag="golden")
+    assert v == 4  # append-only history: restore is a NEW commit
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a")]
+    # the bad commits remain time-travelable
+    assert _rows(snapshot_read(spark, tbl, version=3)) == [(9, "worse")]
+    assert _rows(snapshot_read(spark, tbl, version=2)) == [(1, "a"), (2, "bad")]
+    # restoring to the current state is a no-op (no empty commit)
+    assert snapshot_restore(tbl, version=4) == 4
+    assert current_version(tbl) == 4
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_history
+
+    assert snapshot_history(tbl)[-1]["op"] == "restore@1"
