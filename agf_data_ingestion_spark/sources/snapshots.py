@@ -952,18 +952,24 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
         if tag not in tags:
             raise NoSuchVersionError(f"{table}: no tag {tag!r}")
         version = tags[tag]
-    files = read_manifest(table, version)["files"]  # raises if expired
-    for f in files:
-        if not os.path.exists(f["path"]):
-            raise NoSuchVersionError(
-                f"{table}: v{version} references expired data file {f['path']}"
-            )
-    parent = _repair_current(table)
-    if parent == version:
-        return parent
-    for _ in range(_OCC_MAX_RETRIES):
-        try:
-            return _publish(table, files, parent, f"restore@{version}")
-        except CommitConflict:
-            parent = _repair_current(table)
+    # under the TABLE lock: expiry also holds it, so the restored
+    # version's files cannot be reclaimed between the existence check and
+    # the commit (restore is metadata-only — the hold is microseconds);
+    # optimistic appends don't take this lock, so the commit is still the
+    # CAS with retry
+    with table_lock(table):
+        files = read_manifest(table, version)["files"]  # raises if expired
+        for f in files:
+            if not os.path.exists(f["path"]):
+                raise NoSuchVersionError(
+                    f"{table}: v{version} references expired data file {f['path']}"
+                )
+        parent = _repair_current(table)
+        if parent == version:
+            return parent
+        for _ in range(_OCC_MAX_RETRIES):
+            try:
+                return _publish(table, files, parent, f"restore@{version}")
+            except CommitConflict:
+                parent = _repair_current(table)
     raise CommitConflict(f"snapshot_restore on {table} lost {_OCC_MAX_RETRIES} CAS races")
