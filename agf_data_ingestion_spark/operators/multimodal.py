@@ -316,7 +316,8 @@ def dct_phash_media(
                             bytes(m["content"]), dtype=np.uint8, count=int(w) * int(h)
                         ).reshape(int(h), int(w))
                     hashes.append(dct_phash_array(img))
-                except (ValueError, OSError):
+                except (ValueError, OSError, TypeError):
+                    # TypeError: NULL width/height with non-null content
                     hashes.append(None)
             out = pdf.drop(columns=["media"])
             out["phash"] = pd.array(hashes, dtype="Int64")
