@@ -846,3 +846,47 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     from agf_data_ingestion_spark.sources.snapshots import snapshot_history
 
     assert snapshot_history(tbl)[-1]["op"] == "restore@1"
+
+
+def test_concurrent_upsert_stress_overlapping_random(spark, tmp_path):
+    """Randomized OCC stress: 6 unsynchronized writers upsert overlapping
+    random key sets concurrently.  Invariants that must survive ANY
+    interleaving: every touched key lands EXACTLY once, each row is some
+    writer's intact (key, value) pair, versions form an unbroken 1..N
+    chain, and no writer errors."""
+    import random
+    import threading
+
+    rng = random.Random(17)
+    tbl = str(tmp_path / "tbl")
+    batches = []
+    for w in range(6):
+        ks = rng.sample(range(40), 12)
+        batches.append([(k, f"w{w}") for k in ks])
+    dfs = [spark.createDataFrame(b, "k long, v string") for b in batches]
+    errors: list = []
+
+    def go(w):
+        try:
+            snapshot_upsert(dfs[w], tbl, keys=["k"])
+        except Exception as exc:  # pragma: no cover
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=go, args=(w,)) for w in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    rows = snapshot_read(spark, tbl).collect()
+    touched = set().union(*[{k for k, _ in b} for b in batches])
+    assert sorted(r["k"] for r in rows) == sorted(touched)  # exactly once
+    by_writer = {f"w{w}": {k for k, _ in batches[w]} for w in range(6)}
+    for r in rows:
+        assert r["k"] in by_writer[r["v"]]  # value belongs to a real batch
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_history
+
+    hist = snapshot_history(tbl)
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+    assert 1 <= len(hist) <= 6
