@@ -344,10 +344,28 @@ def _write_data_files(df: DataFrame, table: str) -> list[dict]:
     return files
 
 
-def snapshot_write(df: DataFrame, table: str, *, mode: str = "append") -> int:
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "append",
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
     file list; ``'overwrite'`` logically replaces it (old files stay on
     disk for time travel until expired).  Returns the committed version.
+
+    ``cluster_by`` (r4): range-repartition + sort the batch on the given
+    columns before writing, so each data file covers a TIGHT value range
+    and the per-file min/max stats recorded in the manifest actually
+    prune — the clustered-write half of data skipping (an unclustered
+    write leaves every file spanning the whole domain, and ``plan_files``
+    can prove nothing).  This is the WRITE-side lever for the dominant
+    time/tenant access patterns; pair with ``functions/zorder.py`` keys
+    for multi-dimensional clustering.  Result CONTENT is independent of
+    the clustering (only the file layout changes; the single write action
+    avoids the repartitionByRange multi-action trap).
 
     Optimistic (r4): data files are written with no lock held (they are
     unreferenced until a manifest lists them), then the CAS commit loop
@@ -356,6 +374,15 @@ def snapshot_write(df: DataFrame, table: str, *, mode: str = "append") -> int:
     commit); an overwrite is last-writer-wins by definition."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if cluster_by:
+        # explicit file-count target when given: AQE otherwise coalesces a
+        # small batch into one partition and the layout degenerates to a
+        # single whole-domain file
+        if cluster_files:
+            df = df.repartitionByRange(cluster_files, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     new_files = _write_data_files(df, table)
     parent = current_version(table)
     for _ in range(_OCC_MAX_RETRIES):

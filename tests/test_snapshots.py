@@ -890,3 +890,27 @@ def test_concurrent_upsert_stress_overlapping_random(spark, tmp_path):
     hist = snapshot_history(tbl)
     assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
     assert 1 <= len(hist) <= 6
+
+
+def test_clustered_write_enables_stats_pruning(spark, tmp_path):
+    """cluster_by makes per-file min/max tight: a range predicate prunes
+    to a strict subset of files at plan time, and results stay exact."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.sources.snapshots import plan_files
+
+    tbl_u, tbl_c = str(tmp_path / "unclustered"), str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(8)  # unclustered: every file spans the whole k domain
+    snapshot_write(df, tbl_u)
+    snapshot_write(df, tbl_c, cluster_by=["k"], cluster_files=8)
+
+    pred = [("k", ">=", 9000)]
+    total_c = len(read_manifest(tbl_c)["files"])
+    kept_c = len(plan_files(tbl_c, where=pred))
+    kept_u = len(plan_files(tbl_u, where=pred))
+    assert kept_u == len(read_manifest(tbl_u)["files"])  # nothing provable
+    assert kept_c < total_c  # clustered: most files pruned
+    got = sorted(r["k"] for r in snapshot_read(spark, tbl_c, where=pred).collect())
+    assert got == list(range(9000, 10_000))
