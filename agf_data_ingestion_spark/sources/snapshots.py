@@ -1000,3 +1000,47 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
             except CommitConflict:
                 parent = _repair_current(table)
     raise CommitConflict(f"snapshot_restore on {table} lost {_OCC_MAX_RETRIES} CAS races")
+
+
+class AuditFailed(RuntimeError):
+    """snapshot_write_audited: the batch violated its expectations; nothing
+    was committed.  ``report`` holds the failing rule rows."""
+
+    def __init__(self, report: list):
+        self.report = report
+        failing = ", ".join(f"{r['rule_id']}:{r['rule']}({r['col']})" for r in report)
+        super().__init__(f"audit failed — no commit: {failing}")
+
+
+def snapshot_write_audited(
+    df: DataFrame,
+    table: str,
+    *,
+    rules: list[dict],
+    mode: str = "append",
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+) -> int:
+    """Write-audit-publish (the WAP gate, thin form): evaluate the
+    declarative expectations (operators/expectations.py rule vocabulary)
+    against the BATCH, and commit only if every rule passes — a corpus
+    release that fails its quality gate never becomes a version, so
+    downstream consumers (and time travel) only ever see audited states.
+    Raises :class:`AuditFailed` with the failing report rows otherwise;
+    since validation runs BEFORE any file is written, a failed audit
+    leaves no orphans to vacuum.
+
+    The audit is one extra pass over the batch (the expectation engine's
+    single shared aggregation), trivially parallel at any batch size; the
+    commit itself is the usual optimistic CAS.
+    """
+    from agf_data_ingestion_spark.operators.expectations import check_expectations
+
+    df = df.localCheckpoint(eager=True)  # audit + write must see one batch
+    report = check_expectations(df, rules)
+    failing = [r.asDict() for r in report.filter(~report["pass"]).collect()]
+    if failing:
+        raise AuditFailed(failing)
+    return snapshot_write(
+        df, table, mode=mode, cluster_by=cluster_by, cluster_files=cluster_files
+    )

@@ -914,3 +914,29 @@ def test_clustered_write_enables_stats_pruning(spark, tmp_path):
     assert kept_c < total_c  # clustered: most files pruned
     got = sorted(r["k"] for r in snapshot_read(spark, tbl_c, where=pred).collect())
     assert got == list(range(9000, 10_000))
+
+
+def test_audited_write_gates_the_commit(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        AuditFailed,
+        snapshot_write_audited,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    rules = [
+        {"rule": "not_null", "col": "k"},
+        {"rule": "unique", "col": "k"},
+        {"rule": "min", "col": "n", "value": 0},
+    ]
+    good = spark.createDataFrame([(1, "a", 5), (2, "b", 0)], "k long, v string, n long")
+    assert snapshot_write_audited(good, tbl, rules=rules) == 1
+
+    bad = spark.createDataFrame([(3, "c", -1), (3, "d", 2)], "k long, v string, n long")
+    with pytest.raises(AuditFailed) as ei:
+        snapshot_write_audited(bad, tbl, rules=rules)
+    kinds = {r["rule"] for r in ei.value.report}
+    assert kinds == {"unique", "min"}
+    # the failed audit committed NOTHING and left NO data files behind
+    assert current_version(tbl) == 1
+    deleted = expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0)
+    assert deleted == []
