@@ -329,18 +329,76 @@ def _file_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins if c not in dead}
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+_BLOOM_BITS = 8192  # 1 KiB per (file, column); k=4 md5-derived probes
+
+
+def _bloom_positions(value, bits: int = _BLOOM_BITS) -> list[int]:
+    """The k=4 bit positions of ``value`` — md5-derived so the SAME
+    integers come out of any engine/runtime that renders the value the
+    same way.  Values are rendered with ``str()``: stable for ints and
+    strings (the supported bloom column types)."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(digest[i * 8 : i * 8 + 8], 16) % bits for i in range(4)]
+
+
+def _bloom_of(path: str, col: str, bits: int = _BLOOM_BITS) -> str | None:
+    """Hex-encoded bloom filter over a file's column values (one footer +
+    column read at commit time); None when the column is absent."""
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(path, columns=[col])
+    except Exception:
+        return None
+    arr = bytearray(bits // 8)
+    for v in tbl.column(col).to_pylist():
+        if v is None:
+            continue
+        for pos in _bloom_positions(v, bits):
+            arr[pos // 8] |= 1 << (pos % 8)
+    return bytes(arr).hex()
+
+
+def _bloom_excludes(f: dict, col: str, value) -> bool:
+    """True iff the file's bloom filter PROVES ``col == value`` matches no
+    row (absent/odd blooms prove nothing)."""
+    hx = f.get("bloom", {}).get(col)
+    if not hx:
+        return False
+    try:
+        arr = bytes.fromhex(hx)
+    except ValueError:
+        return False
+    bits = len(arr) * 8
+    return any(
+        not (arr[pos // 8] >> (pos % 8)) & 1
+        for pos in _bloom_positions(value, bits)
+    )
+
+
+def _write_data_files(
+    df: DataFrame, table: str, *, bloom_cols: list[str] | None = None
+) -> list[dict]:
     """Write ``df`` as immutable parquet files under a fresh commit dir,
-    recording per-file column min/max stats in the manifest entry."""
+    recording per-file column min/max stats (and, for ``bloom_cols``,
+    a 1 KiB membership bloom per column) in the manifest entry."""
     commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
     df.write.mode("error").parquet(commit_dir)
     files = []
     for name in sorted(os.listdir(commit_dir)):
         if name.endswith(".parquet"):
             p = os.path.join(commit_dir, name)
-            files.append(
-                {"path": p, "bytes": os.path.getsize(p), "stats": _file_stats(p)}
-            )
+            entry = {"path": p, "bytes": os.path.getsize(p), "stats": _file_stats(p)}
+            blooms = {
+                c: b
+                for c in (bloom_cols or [])
+                if (b := _bloom_of(p, c)) is not None
+            }
+            if blooms:
+                entry["bloom"] = blooms
+            files.append(entry)
     return files
 
 
@@ -351,6 +409,7 @@ def snapshot_write(
     mode: str = "append",
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
     file list; ``'overwrite'`` logically replaces it (old files stay on
@@ -366,6 +425,13 @@ def snapshot_write(
     for multi-dimensional clustering.  Result CONTENT is independent of
     the clustering (only the file layout changes; the single write action
     avoids the repartitionByRange multi-action trap).
+
+    ``bloom_cols`` (r4): record a 1 KiB membership bloom per (file,
+    column) in the manifest — ``plan_files`` then DISPROVES equality
+    predicates inside wide stat ranges (point lookups over unclustered
+    data: ~4% false-keep per file at ~1k distinct values, tunable via
+    ``_BLOOM_BITS``).  Int/string columns (values are rendered with
+    ``str()`` at build and probe time).
 
     Optimistic (r4): data files are written with no lock held (they are
     unreferenced until a manifest lists them), then the CAS commit loop
@@ -383,7 +449,7 @@ def snapshot_write(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
-    new_files = _write_data_files(df, table)
+    new_files = _write_data_files(df, table, bloom_cols=bloom_cols)
     parent = current_version(table)
     for _ in range(_OCC_MAX_RETRIES):
         base = (
@@ -431,7 +497,11 @@ def plan_files(
             raise ValueError(f"unsupported prune op {op!r}")
         keep = _PRUNE_OPS[op]
 
-        def _admits(f, keep=keep, col=col, value=value):
+        def _admits(f, keep=keep, col=col, value=value, op=op):
+            # a bloom can disprove equality even when the [min, max] range
+            # admits it (point lookups inside a wide range)
+            if op in ("==", "=") and _bloom_excludes(f, col, value):
+                return False
             if col not in f.get("stats", {}):
                 return True  # no stats → cannot prune
             lo, hi = f["stats"][col]

@@ -940,3 +940,31 @@ def test_audited_write_gates_the_commit(spark, tmp_path):
     assert current_version(tbl) == 1
     deleted = expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0)
     assert deleted == []
+
+
+def test_bloom_prunes_point_lookups_in_wide_ranges(spark, tmp_path):
+    """Per-file blooms disprove equality where [min,max] stats cannot: an
+    UNCLUSTERED write leaves every file spanning the whole key domain,
+    yet a point lookup opens only the bloom-admitted file(s) — and the
+    result stays exact."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.sources.snapshots import plan_files
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 8_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    snapshot_write(df, tbl, bloom_cols=["k"])
+    total = len(read_manifest(tbl)["files"])
+    assert total >= 4
+
+    probe = 7919 * 123 % 100_000  # present in exactly one partition's file
+    pred = [("k", "==", probe)]
+    kept = plan_files(tbl, where=pred)
+    assert 1 <= len(kept) < total, (len(kept), total)
+    got = [(r["k"], r["v"]) for r in snapshot_read(spark, tbl, where=pred).collect()]
+    assert got == [(probe, 123)]
+    # an absent key prunes every file (modulo bloom false positives)
+    assert len(plan_files(tbl, where=[("k", "==", 100_001)])) < total
+    assert snapshot_read(spark, tbl, where=[("k", "==", 100_001)]).count() == 0
