@@ -134,3 +134,37 @@ def test_curate_release_table_and_tag(spark, tmp_path, capsys):
     assert snapshot_tags(tbl) == {"corpus-v1.0": 1}
     released = snapshot_read(spark, tbl, tag="corpus-v1.0")
     assert released.count() == report["after_neardup"]
+
+
+def test_maintain_cli_compacts_and_reclaims(spark, tmp_path, capsys):
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from scripts.agf_pipeline import main as pipeline_main
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(4):
+        snapshot_write(
+            spark.createDataFrame([(k, "x")], "k long, v string").coalesce(1), tbl
+        )
+    import sys
+
+    argv = sys.argv
+    sys.argv = [
+        "agf_pipeline.py", "maintain", "--table", tbl,
+        "--keep-last", "1", "--orphan-grace-s", "0",
+    ]
+    try:
+        rc = pipeline_main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compaction_committed"] is True
+    assert out["paths_reclaimed"] > 0
+    assert out["version_after"] == current_version(tbl)
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [0, 1, 2, 3]
