@@ -355,9 +355,10 @@ def cmd_curate(args) -> int:
         # snapshot_read(tag=...), and every training run can name the
         # exact bytes it consumed
         from agf_data_ingestion_spark.sources.snapshots import (
+            AuditFailed,
             snapshot_tag,
             snapshot_tags,
-            snapshot_write,
+            snapshot_write_audited,
         )
 
         # validate the tag BEFORE committing: tags are immutable, so a
@@ -369,9 +370,22 @@ def cmd_curate(args) -> int:
             )
             print(json.dumps(report))
             return 4
-        v = snapshot_write(
-            spark.read.parquet(args.out), args.release_table, mode="overwrite"
-        )
+        # write-audit-publish: a release that fails its structural gate
+        # (doc identity present and unique) never becomes a version
+        try:
+            v = snapshot_write_audited(
+                spark.read.parquet(args.out),
+                args.release_table,
+                rules=[
+                    {"rule": "not_null", "col": "doc_id"},
+                    {"rule": "unique", "col": "doc_id"},
+                ],
+                mode="overwrite",
+            )
+        except AuditFailed as exc:
+            report["release_error"] = str(exc)
+            print(json.dumps(report))
+            return 5
         tag = args.release_tag or f"release-v{v}"
         snapshot_tag(args.release_table, tag, version=v)
         report["release"] = {"table": args.release_table, "version": v, "tag": tag}
