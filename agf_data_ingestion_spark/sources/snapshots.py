@@ -329,7 +329,8 @@ def _file_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins if c not in dead}
 
 
-_BLOOM_BITS = 8192  # 1 KiB per (file, column); k=4 md5-derived probes
+_BLOOM_BITS = 8192  # MINIMUM size; sized up to ~8 bits/value (fp ≈ 2%)
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per (file, column)
 
 
 def _bloom_positions(value, bits: int = _BLOOM_BITS) -> list[int]:
@@ -352,10 +353,13 @@ def _bloom_of(path: str, col: str, bits: int = _BLOOM_BITS) -> str | None:
         tbl = pq.read_table(path, columns=[col])
     except Exception:
         return None
+    values = [v for v in tbl.column(col).to_pylist() if v is not None]
+    # size to ~8 bits/value (k=4 → fp ≈ 2%), floor at the default, cap at
+    # 1 MiB — a fixed-size bloom saturates on big files and stops pruning
+    while bits < _BLOOM_MAX_BITS and bits < 8 * len(values):
+        bits *= 2
     arr = bytearray(bits // 8)
-    for v in tbl.column(col).to_pylist():
-        if v is None:
-            continue
+    for v in values:
         for pos in _bloom_positions(v, bits):
             arr[pos // 8] |= 1 << (pos % 8)
     return bytes(arr).hex()
@@ -400,6 +404,17 @@ def _write_data_files(
                 entry["bloom"] = blooms
             files.append(entry)
     return files
+
+
+def _common_bloom_cols(entries: list[dict]) -> list[str]:
+    """Bloom columns present on EVERY entry — rewrites recompute those for
+    their output files so data skipping survives maintenance."""
+    if not entries:
+        return []
+    cols = set(entries[0].get("bloom", {}))
+    for f in entries[1:]:
+        cols &= set(f.get("bloom", {}))
+    return sorted(cols)
 
 
 def snapshot_write(
@@ -735,8 +750,11 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
                 *sorted(f["path"] for f in touched)
             )
             survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
-            new_files += _write_data_files(survivors, table)
-        new_files += _write_data_files(df, table)
+            bc = _common_bloom_cols(touched)
+            new_files += _write_data_files(survivors, table, bloom_cols=bc)
+            new_files += _write_data_files(df, table, bloom_cols=bc)
+        else:
+            new_files += _write_data_files(df, table)
         import pyarrow.parquet as pq
 
         new_files = [
@@ -902,7 +920,9 @@ def snapshot_compact(
             )
         else:
             df = df.coalesce(target_files)
-        new_files = _write_data_files(df, table)
+        new_files = _write_data_files(
+            df, table, bloom_cols=_common_bloom_cols(small)
+        )
         return _commit(table, keep + new_files, parent, "compact")
 
 

@@ -968,3 +968,33 @@ def test_bloom_prunes_point_lookups_in_wide_ranges(spark, tmp_path):
     # an absent key prunes every file (modulo bloom false positives)
     assert len(plan_files(tbl, where=[("k", "==", 100_001)])) < total
     assert snapshot_read(spark, tbl, where=[("k", "==", 100_001)]).count() == 0
+
+
+def test_bloom_survives_compaction_and_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.sources.snapshots import plan_files, snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    for part in range(4):
+        df = spark.range(part * 1000, (part + 1) * 1000).select(
+            (F.col("id") * 7919 % 100_000).alias("k"), F.col("id").alias("v")
+        ).coalesce(1)
+        snapshot_write(df, tbl, bloom_cols=["k"])
+    snapshot_compact(spark, tbl, small_bytes=8 << 20)
+    assert all("k" in f.get("bloom", {}) for f in read_manifest(tbl)["files"])
+    # merge rewrites carry blooms too
+    snapshot_merge(
+        spark.createDataFrame([(7919 % 100_000, 999_999)], "k long, v long"),
+        tbl,
+        keys=["k"],
+    )
+    assert all("k" in f.get("bloom", {}) for f in read_manifest(tbl)["files"])
+    # absent keys still prune after maintenance (bloom is probabilistic
+    # at ~2% fp/file — require most probes to prune fully)
+    fully_pruned = sum(
+        1
+        for probe in (100_001, 100_003, 100_007, 100_009, 100_013)
+        if plan_files(tbl, where=[("k", "==", probe)]) == []
+    )
+    assert fully_pruned >= 4, fully_pruned
