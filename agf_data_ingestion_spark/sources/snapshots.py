@@ -394,7 +394,14 @@ def _write_data_files(
     for name in sorted(os.listdir(commit_dir)):
         if name.endswith(".parquet"):
             p = os.path.join(commit_dir, name)
-            entry = {"path": p, "bytes": os.path.getsize(p), "stats": _file_stats(p)}
+            import pyarrow.parquet as pq
+
+            entry = {
+                "path": p,
+                "bytes": os.path.getsize(p),
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+                "stats": _file_stats(p),
+            }
             blooms = {
                 c: b
                 for c in (bloom_cols or [])
@@ -1046,6 +1053,22 @@ def expire_snapshots(
                 os.remove(mp)
                 deleted.append(mp)
         return deleted
+
+
+def snapshot_rowcount(table: str, version: int | None = None) -> int:
+    """COUNT(*) answered from the manifest alone — O(files) metadata, no
+    data read (the Delta log-stats count pushdown).  Falls back to one
+    footer read per legacy file entry written before row counts were
+    recorded."""
+    total = 0
+    for f in read_manifest(table, version)["files"]:
+        if "rows" in f:
+            total += f["rows"]
+        else:  # legacy entry: footer metadata read, still no data scan
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(f["path"]).metadata.num_rows
+    return total
 
 
 def snapshot_restore(table: str, version: int | None = None, *, tag: str | None = None) -> int:

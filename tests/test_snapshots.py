@@ -998,3 +998,14 @@ def test_bloom_survives_compaction_and_merge(spark, tmp_path):
         if plan_files(tbl, where=[("k", "==", probe)]) == []
     )
     assert fully_pruned >= 4, fully_pruned
+
+
+def test_rowcount_is_metadata_only(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_rowcount
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 1234).selectExpr("id AS k"), tbl)
+    snapshot_write(spark.range(0, 766).selectExpr("id + 10000 AS k"), tbl)
+    assert snapshot_rowcount(tbl) == 2000
+    assert snapshot_rowcount(tbl, version=1) == 1234
+    assert snapshot_rowcount(tbl) == snapshot_read(spark, tbl).count()
