@@ -1085,7 +1085,9 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"i div {_PQ_SUBDIM}").alias("m"),
         "c",
         (F.col("c") * F.lit(_PQ_Q)).alias("vq"),
-    )
+    ).cache()  # narrow (5 longs/row), SIX consumers (seed bits, both
+    # codebooks, both encodes, query LUT) — the r4 cache policy's
+    # cache-narrow-derived-frames case
     # seed codebook: per-(label × hyperplane-sign-bits) sub-cluster means.
     # label alone gives only K = |labels| sub-centroids — far too coarse
     # (most of a cluster collapses onto one code and ADC ranking degrades
