@@ -179,6 +179,9 @@ def snapshot_history(table: str) -> list[dict]:
                 "committed_at": m.get("committed_at"),
                 "n_files": len(m["files"]),
                 "total_bytes": sum(f.get("bytes", 0) for f in m["files"]),
+                "total_rows": sum(f["rows"] for f in m["files"])
+                if all("rows" in f for f in m["files"])
+                else None,
             }
         )
     return out
