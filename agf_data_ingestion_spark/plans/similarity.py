@@ -1092,46 +1092,30 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label alone gives only K = |labels| sub-centroids — far too coarse
     # (most of a cluster collapses onto one code and ADC ranking degrades
     # to id-tiebreaks); splitting each label by _PQ_SEED_BITS md5-plane
-    # sign bits of the SUBVECTOR multiplies K by 2^bits with the same
-    # exact-integer machinery as emb_ann_lsh_topk's bucketing
-    planes = spark.createDataFrame(
-        [
-            (m * _PQ_SUBDIM + j, b, _pq_plane(m, b, j))
-            for m in range(_PQ_M)
-            for b in range(_PQ_SEED_BITS)
-            for j in range(_PQ_SUBDIM)
-        ],
-        "i long, b int, p long",
-    )
-    # ONE groupBy: the per-bit plane dots are conditional sums over the
-    # (vdim × planes-for-that-dim) rows, so the sign bits assemble without
-    # a second (vec, m, b)-keyed shuffle (bits are a small constant)
-    hseed = (
-        vdim.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "m")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("b") == b, F.col("c") * F.col("p")).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).alias(f"dv{b}")
-                for b in range(_PQ_SEED_BITS)
-            ]
-        )
-        .select(
-            "vec_id",
-            "m",
-            sum(
-                (
-                    F.when(F.col(f"dv{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-                    for b in range(1, _PQ_SEED_BITS)
-                ),
-                F.when(F.col("dv0") >= 0, F.lit(1)).otherwise(F.lit(0)),
-            )
-            .cast("long")
-            .alias("h"),
-        )
+    # sign bits of the SUBVECTOR multiplies K by 2^bits.  The sign bits
+    # are ONE Arrow-batched int64 matmul per row (the emb_ann_lsh_topk
+    # bucketing pattern — exact integer dots, order-free, so the UDF is
+    # bit-identical to the oracle's plane-join CTEs; replacing the former
+    # plane-join + groupBy shaved two keyed exchanges)
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.zeros((_DIM, _PQ_M * _PQ_SEED_BITS), dtype=np.int64)
+    for m in range(_PQ_M):
+        for b in range(_PQ_SEED_BITS):
+            for j in range(_PQ_SUBDIM):
+                P[m * _PQ_SUBDIM + j, m * _PQ_SEED_BITS + b] = _pq_plane(m, b, j)
+    seed_w = 1 << np.arange(_PQ_SEED_BITS)
+
+    def _seed_fn(emb):
+        V = np.vstack(emb.to_numpy())
+        cint = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
+        signs = (cint @ P) >= 0  # exact int64 dots: order-free
+        h = (signs.reshape(len(V), _PQ_M, _PQ_SEED_BITS) * seed_w).sum(axis=2)
+        return pd.Series([row.tolist() for row in h])
+
+    seed_arr = pandas_udf(_seed_fn, "array<long>")
+    hseed = e.select(
+        "vec_id", F.posexplode(seed_arr(F.col("embedding"))).alias("m", "h")
     )
     cdim = (
         vdim.join(hseed, ["vec_id", "m"])
