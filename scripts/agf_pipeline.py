@@ -429,6 +429,32 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Inspect a snapshot table: commit history, tags, current version,
+    metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_history,
+        snapshot_rowcount,
+        snapshot_tags,
+    )
+
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "current_version": current_version(args.table),
+                "rows": snapshot_rowcount(args.table),
+                "tags": snapshot_tags(args.table),
+                "history": snapshot_history(args.table),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -484,6 +510,10 @@ def main() -> int:
     c.add_argument("--release-tag",
                    help="immutable tag name for the release (default release-vN)")
     c.set_defaults(fn=cmd_curate)
+
+    h = sub.add_parser("history")
+    h.add_argument("--table", required=True, help="snapshot table root")
+    h.set_defaults(fn=cmd_history)
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True, help="snapshot table root")

@@ -168,3 +168,28 @@ def test_maintain_cli_compacts_and_reclaims(spark, tmp_path, capsys):
     assert out["paths_reclaimed"] > 0
     assert out["version_after"] == current_version(tbl)
     assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [0, 1, 2, 3]
+
+
+def test_history_cli(spark, tmp_path, capsys):
+    import json
+    import sys
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_tag, snapshot_write
+    from scripts.agf_pipeline import main as pipeline_main
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
+    snapshot_tag(tbl, "rel-1")
+    snapshot_write(spark.createDataFrame([(3, "c")], "k long, v string"), tbl)
+    argv = sys.argv
+    sys.argv = ["agf_pipeline.py", "history", "--table", tbl]
+    try:
+        rc = pipeline_main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["current_version"] == 2 and out["rows"] == 3
+    assert out["tags"] == {"rel-1": 1}
+    assert [h["version"] for h in out["history"]] == [1, 2]
+    assert out["history"][-1]["total_rows"] == 3
