@@ -55,14 +55,38 @@ def state_write(df: DataFrame, root: str, version_hint: int = 0, *, keep_last: i
     KiB-scale, so the cost is a second tiny dir until the next commit.
     """
     os.makedirs(root, exist_ok=True)
+    # the dir the outgoing CURRENT names is what a lock-free reader may
+    # have already resolved — it must survive THIS cleanup pass no matter
+    # how version names sort (r4 ADVICE: two dirs sharing a replayed
+    # batch's version_hint differ only in the random uuid suffix, so a
+    # name sort alone retains an arbitrary one)
+    try:
+        with open(os.path.join(root, "CURRENT")) as fh:
+            prev_current = fh.read().strip()
+    except FileNotFoundError:
+        prev_current = None
     vname = f"v-{version_hint:012d}-{uuid.uuid4().hex[:8]}"
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, vname))
     tmp = os.path.join(root, f"CURRENT.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write(vname)
     os.replace(tmp, os.path.join(root, "CURRENT"))
-    # version names sort by (hint, uuid); the hint is monotone per caller
-    # (batch id / commit count), so lexicographic order == commit order
-    old = sorted(n for n in os.listdir(root) if n.startswith("v-") and n != vname)
-    for name in old[: max(0, len(old) - keep_last)]:
-        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    # commit order = (hint, mtime): the hint is monotone per caller
+    # (batch id / commit count); mtime breaks replayed-batch ties
+    def _commit_key(name: str):
+        try:
+            mtime = os.path.getmtime(os.path.join(root, name))
+        except OSError:
+            mtime = 0.0
+        return (name[:14], mtime, name)
+
+    old = sorted(
+        (n for n in os.listdir(root) if n.startswith("v-") and n != vname),
+        key=_commit_key,
+    )
+    keep = set(old[len(old) - keep_last :]) if keep_last > 0 else set()
+    if prev_current is not None:
+        keep.add(prev_current)
+    for name in old:
+        if name not in keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)

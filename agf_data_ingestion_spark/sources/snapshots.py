@@ -336,14 +336,28 @@ _BLOOM_BITS = 8192  # MINIMUM size; sized up to ~8 bits/value (fp ≈ 2%)
 _BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per (file, column)
 
 
+def _bloom_canon(value):
+    """Canonical probe/build rendering: int-valued floats collapse to int
+    so ``5.0`` and ``5`` hash identically on both sides (bools stay
+    distinct — they are a different column type)."""
+    if (
+        isinstance(value, float)
+        and not isinstance(value, bool)
+        and value.is_integer()
+    ):
+        return int(value)
+    return value
+
+
 def _bloom_positions(value, bits: int = _BLOOM_BITS) -> list[int]:
     """The k=4 bit positions of ``value`` — md5-derived so the SAME
     integers come out of any engine/runtime that renders the value the
-    same way.  Values are rendered with ``str()``: stable for ints and
-    strings (the supported bloom column types)."""
+    same way.  Values are rendered with ``str()`` after
+    :func:`_bloom_canon`: stable for ints and strings (the supported
+    bloom column types)."""
     import hashlib
 
-    digest = hashlib.md5(str(value).encode()).hexdigest()
+    digest = hashlib.md5(str(_bloom_canon(value)).encode()).hexdigest()
     return [int(digest[i * 8 : i * 8 + 8], 16) % bits for i in range(4)]
 
 
@@ -370,9 +384,25 @@ def _bloom_of(path: str, col: str, bits: int = _BLOOM_BITS) -> str | None:
 
 def _bloom_excludes(f: dict, col: str, value) -> bool:
     """True iff the file's bloom filter PROVES ``col == value`` matches no
-    row (absent/odd blooms prove nothing)."""
+    row (absent/odd blooms prove nothing).
+
+    A probe whose TYPE differs from the stored column's (``'5'`` vs int 5)
+    would hash differently and falsely prune every file, so the bloom is
+    only consulted when the canonicalized probe type matches the type of
+    the file's recorded stats bounds — otherwise fall through to the
+    conservative min/max path (r4 ADVICE)."""
     hx = f.get("bloom", {}).get(col)
     if not hx:
+        return False
+    probe = _bloom_canon(value)
+    bounds = f.get("stats", {}).get(col)
+    if bounds:
+        ref = _bloom_canon(bounds[0])
+        if type(probe) is not type(ref):
+            return False  # type-mismatched probe proves nothing
+    elif not isinstance(probe, (int, str)) or isinstance(probe, bool):
+        # no stats to confirm the stored type: only trust the documented
+        # bloom column types
         return False
     try:
         arr = bytes.fromhex(hx)
@@ -1011,7 +1041,12 @@ def expire_snapshots(
     VACUUM retention model); a lost CAS attempt's orphans are reclaimed
     by the next expiry after the window."""
     with table_lock(table):
-        cur = current_version(table)
+        # roll CURRENT over any fully-reserved manifest first (a writer
+        # that crashed between CAS reservation and pointer bump): without
+        # this, files referenced ONLY by manifest cur+1 look like orphans
+        # and get vacuumed, leaving a later _repair_current pointing at a
+        # manifest whose data is gone
+        cur = _repair_current(table)
         tagged = set(snapshot_tags(table).values())
         retained_versions = sorted(
             set(range(max(1, cur - keep_last + 1), cur + 1)) | tagged
@@ -1136,6 +1171,7 @@ def snapshot_write_audited(
     mode: str = "append",
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write-audit-publish (the WAP gate, thin form): evaluate the
     declarative expectations (operators/expectations.py rule vocabulary)
@@ -1158,5 +1194,10 @@ def snapshot_write_audited(
     if failing:
         raise AuditFailed(failing)
     return snapshot_write(
-        df, table, mode=mode, cluster_by=cluster_by, cluster_files=cluster_files
+        df,
+        table,
+        mode=mode,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        bloom_cols=bloom_cols,
     )

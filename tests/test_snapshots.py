@@ -1009,3 +1009,85 @@ def test_rowcount_is_metadata_only(spark, tmp_path):
     assert snapshot_rowcount(tbl) == 2000
     assert snapshot_rowcount(tbl, version=1) == 1234
     assert snapshot_rowcount(tbl) == snapshot_read(spark, tbl).count()
+
+
+def test_expire_repairs_current_and_keeps_reserved_head(spark, tmp_path):
+    """r4 ADVICE: a writer that crashed between CAS reservation and pointer
+    bump leaves a fully-written manifest ABOVE CURRENT.  Expiry must roll
+    CURRENT forward first — otherwise the reserved head's data files look
+    like orphans, get vacuumed past the grace window, and a later
+    _repair_current advances onto an unreadable manifest."""
+    import json as _json
+    import os as _os
+
+    from agf_data_ingestion_spark.sources import snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_write(spark.createDataFrame([(2, "b")], "k long, v string"), tbl)
+    # simulate the crash: stage v3's data files + manifest, but never bump
+    files = snap._write_data_files(
+        spark.createDataFrame([(3, "c")], "k long, v string"), tbl
+    )
+    with open(snap._manifest_path(tbl, 3), "w") as fh:
+        _json.dump(
+            {
+                "version": 3,
+                "parent": 2,
+                "op": "append",
+                "committed_at": 0.0,
+                "files": read_manifest(tbl, 2)["files"] + files,
+            },
+            fh,
+        )
+    assert current_version(tbl) == 2  # pointer still lags
+    deleted = set(expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0))
+    # the reserved head's files survived, CURRENT was repaired onto it,
+    # and the table head is readable
+    assert {f["path"] for f in files}.isdisjoint(deleted)
+    assert current_version(tbl) == 3
+    assert all(_os.path.exists(f["path"]) for f in files)
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_bloom_probe_type_mismatch_never_false_prunes(spark, tmp_path):
+    """r4 ADVICE: build/probe both rendered with str() meant probe 5.0 or
+    '5' against an int column hashed differently and pruned EVERY file.
+    Int-valued floats must canonicalize to the int rendering; genuinely
+    type-mismatched probes must fall through to the conservative path."""
+    from agf_data_ingestion_spark.sources.snapshots import plan_files
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(5, "x"), (6, "y")], "k long, v string").coalesce(1),
+        tbl,
+        bloom_cols=["k"],
+    )
+    assert len(plan_files(tbl, where=[("k", "==", 5)])) == 1
+    # float probe of an int value: canonicalized, still finds the file
+    assert len(plan_files(tbl, where=[("k", "==", 5.0)])) == 1
+    # string probe of an int column: bloom must NOT prove absence
+    assert len(plan_files(tbl, where=[("k", "==", "5")])) == 1
+    # a genuinely absent key still prunes
+    assert plan_files(tbl, where=[("k", "==", 999)]) == []
+    assert plan_files(tbl, where=[("k", "==", 999.0)]) == []
+
+
+def test_audited_write_records_bloom_cols(spark, tmp_path):
+    """r4 ADVICE: the curate CLI's WAP path dropped bloom_cols, silently
+    losing data-skipping metadata on audited releases."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        plan_files,
+        snapshot_write_audited,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write_audited(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        tbl,
+        rules=[{"col": "k", "rule": "not_null"}],
+        bloom_cols=["k"],
+    )
+    assert all("k" in f.get("bloom", {}) for f in read_manifest(tbl)["files"])
+    assert plan_files(tbl, where=[("k", "==", 777)]) == []

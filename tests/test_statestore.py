@@ -41,3 +41,23 @@ def test_retention_is_bounded(spark, tmp_path):
     # current + exactly keep_last=1 superseded survive
     assert len(_versions(root)) == 2
     assert [r["k"] for r in state_read(spark, root).collect()] == [4]
+
+
+def test_replayed_hint_tiebreak_keeps_previous_current(spark, tmp_path):
+    """r4 ADVICE: two commits sharing a version_hint (a replayed streaming
+    batch) differ only in the random uuid suffix, so a pure name sort
+    retained an arbitrary one — the dir the PREVIOUS CURRENT pointer named
+    (what a lock-free reader already resolved) must be the survivor."""
+    import os
+
+    root = str(tmp_path / "st")
+    for attempt in range(6):  # same hint six times: replayed batch
+        state_write(spark.createDataFrame([(attempt,)], "k long"), root, 7)
+        with open(os.path.join(root, "CURRENT")) as fh:
+            prev = fh.read().strip()
+        lazy = state_read(spark, root)
+        state_write(spark.createDataFrame([(attempt + 100,)], "k long"), root, 7)
+        # the superseded dir the reader resolved must still exist
+        assert os.path.isdir(os.path.join(root, prev)), prev
+        assert [r["k"] for r in lazy.collect()] == [attempt]
+    assert [r["k"] for r in state_read(spark, root).collect()] == [105]
