@@ -165,7 +165,7 @@ _PRIORITY = [
     "docs_media_features",
     "docs_frame_samples",
     "docs_presigned_urls",
-    "docs_export_zip",
+    "docs_export_zip_manifest",
     # driver-green rotation: events / sketches / windows
     "events_kmv_distinct",
     "events_kmv_merged",

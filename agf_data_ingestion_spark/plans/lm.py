@@ -447,7 +447,7 @@ FROM sel WHERE i <= n_grams - {_WIN_W - 1}
 
 
 # ---------------------------------------------------------------------------
-# docs_lm_buckets — CCNet head/middle/tail partition (OP-X-LMSCORE)
+# docs_lm_buckets — CCNet head/middle/tail partition (OP-X-LMBUCKET)
 # ---------------------------------------------------------------------------
 
 
@@ -628,7 +628,7 @@ QUERIES: dict[str, QuerySpec] = {
         ("OP-X-DUPSPAN", "OP-X-DEDUP-EXACT", "OP-X-TEXT"),
     ),
     "docs_lm_buckets": QuerySpec(
-        docs_lm_buckets, _LM_BUCKETS_SQL, ("OP-X-LMSCORE", "OP-X-SAMPLE")
+        docs_lm_buckets, _LM_BUCKETS_SQL, ("OP-X-LMBUCKET", "OP-X-SAMPLE")
     ),
     "docs_winnowing": QuerySpec(
         docs_winnowing, _WINNOW_SQL, ("OP-X-WINNOW", "OP-X-DEDUP-NEAR", "OP-X-TEXT")

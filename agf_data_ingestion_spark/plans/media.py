@@ -100,14 +100,110 @@ FROM documents
 """
 
 
-def docs_export_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return export_zip_groups(
-        d,
-        group=F.col("source"),
-        path=F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")),
-        content=F.encode("text", "UTF-8"),
+def _zip_members(d: DataFrame) -> DataFrame:
+    """The export's member rows: one per document, UNIQUE full path but a
+    COLLISION-BEARING basename (``doc_{doc_id % 100}.txt``) so the
+    archive's duplicate-name numbering (reference
+    agf_zip_generator_lambda.py:95,106-114) is actually exercised at
+    every scale factor."""
+    return d.select(
+        F.col("source").alias("export_group"),
+        F.concat(
+            F.lit("docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/doc_"),
+            (F.col("doc_id") % F.lit(100)).cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
     )
+
+
+def docs_export_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zip assembly itself — byte digests are pytest-pinned (archives
+    are not SQL-expressible); the predicted entry table is the
+    oracle-checked :func:`docs_export_zip_manifest`."""
+    d = t(spark, sf_dir, "documents")
+    m = _zip_members(d)
+    return export_zip_groups(
+        m, group=F.col("export_group"), path=F.col("path"), content=F.col("content")
+    )
+
+
+def docs_export_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted entry table of every archive ``docs_export_zip`` builds:
+    per entry its collision-numbered name (the OP-WIN-DEDUPNAME window —
+    occurrence index over the group's sorted-path write order), its
+    uncompressed size, write position, and the group's files-count tag
+    (reference :151-158).  Cross-validated against the REAL archive bytes
+    in tests/test_media.py::test_zip_manifest_matches_archive; plain SQL,
+    so the driver oracle-checks it (the byte digest stays pytest-only)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    e = d.select(
+        F.col("source").alias("export_group"),
+        (F.col("doc_id") % F.lit(100)).alias("k"),
+        F.concat(
+            F.lit("docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/doc_"),
+            (F.col("doc_id") % F.lit(100)).cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.octet_length("text").cast("long").alias("entry_bytes"),
+    )
+    # paths are unique (doc_id embedded), so every window order is total
+    w_dup = Window.partitionBy("export_group", "k").orderBy("path")
+    w_seq = Window.partitionBy("export_group").orderBy("path")
+    dup_idx = F.row_number().over(w_dup) - F.lit(1)
+    return e.select(
+        "export_group",
+        F.row_number().over(w_seq).cast("long").alias("entry_seq"),
+        F.when(
+            dup_idx == 0,
+            F.concat(F.lit("doc_"), F.col("k").cast("string"), F.lit(".txt")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("doc_"),
+                F.col("k").cast("string"),
+                F.lit("_"),
+                dup_idx.cast("string"),
+                F.lit(".txt"),
+            )
+        )
+        .alias("entry_name"),
+        "entry_bytes",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("export_group"))
+        .cast("long")
+        .alias("group_file_count"),
+    )
+
+
+_ZIP_MANIFEST_SQL = """
+WITH e AS (
+  SELECT source AS export_group,
+         doc_id % 100 AS k,
+         'docs/' || CAST(doc_id AS VARCHAR) || '/doc_'
+           || CAST(doc_id % 100 AS VARCHAR) || '.txt' AS path,
+         CAST(octet_length(encode(text)) AS BIGINT) AS entry_bytes
+  FROM documents
+)
+SELECT export_group,
+       CAST(ROW_NUMBER() OVER (PARTITION BY export_group ORDER BY path) AS BIGINT)
+         AS entry_seq,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY export_group, k ORDER BY path) = 1
+            THEN 'doc_' || CAST(k AS VARCHAR) || '.txt'
+            ELSE 'doc_' || CAST(k AS VARCHAR) || '_'
+                 || CAST(ROW_NUMBER() OVER (PARTITION BY export_group, k ORDER BY path) - 1
+                         AS VARCHAR) || '.txt'
+       END AS entry_name,
+       entry_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY export_group) AS BIGINT) AS group_file_count
+FROM e
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -284,5 +380,9 @@ QUERIES: dict[str, QuerySpec] = {
         docs_frame_samples, _FRAME_SAMPLES_SQL, ("OP-X-MULTIMODAL",)
     ),
     "docs_presigned_urls": QuerySpec(docs_presigned_urls, _PRESIGNED_SQL, ("OP-UDF-URL",)),
-    "docs_export_zip": QuerySpec(docs_export_zip, None, ("OP-UDF-ZIP", "OP-SINK-FILE", "OP-FIL-SIZE", "OP-WIN-DEDUPNAME")),
+    "docs_export_zip_manifest": QuerySpec(
+        docs_export_zip_manifest,
+        _ZIP_MANIFEST_SQL,
+        ("OP-UDF-ZIP", "OP-SINK-FILE", "OP-FIL-SIZE", "OP-WIN-DEDUPNAME"),
+    ),
 }

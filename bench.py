@@ -107,17 +107,28 @@ def main() -> None:
     for _wname in ("docs_minhash_lsh", "emb_ivf_topk"):
         QUERIES[_wname].fn(spark, warm_dir).count()
 
+    # median-of-N damping (r4 VERDICT #3): the box carries background load
+    # and single-shot timings flipped sign round-over-round inside a
+    # ±0.7 s noise band; the per-query median attributes real plan changes
+    # instead.  Override with SPARK_GRAFT_BENCH_REPS=1 for a quick pass.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, spec in QUERIES.items():
-        t0 = time.time()
-        # noop write: forces FULL computation of every aggregate and
-        # rendered projection.  .count() let Catalyst prune any expression
-        # that doesn't affect cardinality (verified: a decimal-sum agg
-        # under count() optimizes to count(1) over the grouping keys), so
-        # it systematically under-timed aggregate-heavy queries relative
-        # to the work the driver's correctness path actually executes.
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            # noop write: forces FULL computation of every aggregate and
+            # rendered projection.  .count() let Catalyst prune any
+            # expression that doesn't affect cardinality (verified: a
+            # decimal-sum agg under count() optimizes to count(1) over the
+            # grouping keys), so it systematically under-timed
+            # aggregate-heavy queries relative to the work the driver's
+            # correctness path actually executes.
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
 
     # reference-derived workloads
     import tempfile
@@ -128,10 +139,14 @@ def main() -> None:
     if not os.path.exists(os.path.join(lake_root, ".done")):
         generate(lake_root, instruments=6, days=5, runs_per_day=6)  # 180 runs
         open(os.path.join(lake_root, ".done"), "w").write("ok")
-    t_ing, _ = _ingest_bench(spark, lake_root)
-    timings["ingest_backfill_180"] = round(t_ing, 3)
-    t_rec, _ = _reconcile_bench(spark)
-    timings["reconcile_60k_keys"] = round(t_rec, 3)
+    samples["ingest_backfill_180"] = [
+        round(_ingest_bench(spark, lake_root)[0], 3) for _ in range(reps)
+    ]
+    timings["ingest_backfill_180"] = sorted(samples["ingest_backfill_180"])[reps // 2]
+    samples["reconcile_60k_keys"] = [
+        round(_reconcile_bench(spark)[0], 3) for _ in range(reps)
+    ]
+    timings["reconcile_60k_keys"] = sorted(samples["reconcile_60k_keys"])[reps // 2]
 
     total = round(sum(timings.values()), 3)
 
@@ -142,6 +157,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "reps": reps,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -402,3 +402,44 @@ def test_dct_vs_simhash_cross_validation(spark):
     }
     assert _hamming(sh[0], sh[1]) == 0  # exact dup: agrees with DCT
     assert _hamming(sh[0], sh[2]) > 12  # perceptual dup: SimHash misses it
+
+
+def test_zip_manifest_matches_archive(spark, tmp_path):
+    """The oracle-checked manifest query must predict the REAL archives'
+    entry tables exactly: write the zips docs_export_zip builds, then
+    compare each archive's (name, uncompressed size, write order, entry
+    count) against docs_export_zip_manifest row-for-row."""
+    import os
+    import zipfile
+
+    from agf_data_ingestion_spark.plans.base import t
+    from agf_data_ingestion_spark.plans.media import (
+        _zip_members,
+        docs_export_zip_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    members = _zip_members(t(spark, sf, "documents"))
+    export_zip_groups(
+        members,
+        group=F.col("export_group"),
+        path=F.col("path"),
+        content=F.col("content"),
+        output_dir=str(tmp_path),
+    ).collect()
+
+    predicted: dict[str, list] = {}
+    for r in docs_export_zip_manifest(spark, sf).collect():
+        predicted.setdefault(r["export_group"], []).append(r)
+    assert predicted  # non-degenerate
+    for group, rows in predicted.items():
+        rows.sort(key=lambda r: r["entry_seq"])
+        with zipfile.ZipFile(os.path.join(str(tmp_path), f"{group}.zip")) as zf:
+            infos = zf.infolist()  # preserves write order
+        assert [i.filename for i in infos] == [r["entry_name"] for r in rows]
+        assert [i.file_size for i in infos] == [r["entry_bytes"] for r in rows]
+        assert rows[0]["group_file_count"] == len(infos)
+    # the collision numbering actually fired somewhere (doc_id % 100 at
+    # 1000 docs guarantees duplicates across the corpus)
+    all_names = [r["entry_name"] for rows in predicted.values() for r in rows]
+    assert any("_" in n.rsplit("doc_", 1)[-1] for n in all_names)
