@@ -161,7 +161,16 @@ def _fold_and_commit(
     merged = merged.filter(F.col("_cnt") > 0).localCheckpoint(eager=True)
     parent = current_version(mv_table)
     files = _write_data_files(merged, mv_table)
-    _commit(mv_table, files, parent, f"{_OP_PREFIX}{v_bookmark}")
+    # the view's rows are wholly rewritten each fold: replace-shaped commit
+    # (schema recorded; additive-evolution validation is for FACT tables)
+    _commit(
+        mv_table,
+        files,
+        parent,
+        f"{_OP_PREFIX}{v_bookmark}",
+        batch_schema=[[n, t] for n, t in merged.dtypes],
+        replace=True,
+    )
 
 
 def mv_apply_cdc_batch(

@@ -1476,6 +1476,526 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index (OP-X-SIM-TOPK + OP-X-QUANT + OP-X-ADC + OP-X-PQ):
+# coarse cells + RESIDUAL product quantization — the standard 1e9+-vector
+# index (Jégou et al. 2011 §IV; FAISS IVFPQ).  The ANN ladder's top rung:
+# IVF prunes the corpus to nprobe/ncells, PQ codes shrink what remains
+# 32×, and the LUT scan touches only probed cells' codes.
+#
+# Geometry note (measured): the ground truth is COSINE, and cosine
+# neighbors do NOT follow the label column (label-seeded cells gave 6/15
+# candidate coverage at sf0.01).  The index therefore runs on NORMALIZED
+# codes — floor(S · x/‖x‖) — so integer L2 ≈ angular distance, and coarse
+# cells are trained with md5-hyperplane sign-bit seeding + one
+# exact-integer Lloyd round (directionally coherent wedges), the same
+# construction as the PQ codebook one level down.
+# ---------------------------------------------------------------------------
+
+#: probes per query — HIGH for this corpus by design: the synthetic
+#: embeddings are near-isotropic (directions are not clustered), so the
+#: measured coverage-vs-scan-fraction curve is flat and ~half the cells
+#: must be probed for top-3 recall (swept 16/32/64 cells × nprobe 4-16:
+#: finer cells LOWER coverage at equal scan fraction).  On a real
+#: clustered corpus the same index runs at nprobe/ncells ≪ 1; the knob
+#: is data-dependent, the plumbing identical.
+_IVFPQ_NPROBE = 8
+#: coarse fan-out: up to 2^bits k-means cells, hyperplane-sign seeded
+_IVFPQ_COARSE_BITS = 4
+#: residual codebook fan-out: 2^bits sub-centroids per subspace, SHARED
+#: across cells (residuals pool across cells — the classic arrangement)
+_IVFPQ_SEED_BITS = 4
+#: normalized-code scale (2^9) and centroid multiplier (2^18):
+#: |code| ≤ S, so S·Q = 2^27 keeps Σ_dims (2·S·Q)² < 2^63 exact
+_IVFPQ_SCALE = 512.0
+_IVFPQ_Q = 1 << 18
+#: ADC shortlist depth before the exact re-rank — deeper than the flat
+#: PQ rung's because candidates per query are larger under nprobe=8
+_IVFPQ_SHORTLIST = 256
+#: lazily-created UDF handle (module has `from __future__ import
+#: annotations`; see _ADOT_CACHE)
+_IVFPQ_CODES_CACHE: list = []
+
+
+def _ivfpq_plane(ns: str, m: int, b: int, j: int) -> int:
+    """md5-derived integer hyperplane component — namespaced apart from
+    the LSH/PQ planes (``ns`` ∈ {'ivfpqc' coarse, 'ivfpq' residual})."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{ns}:{m}:{b}:{j}".encode()).hexdigest()[:10], 16)
+    return h % 2001 - 1000
+
+
+def _ivfpq_planes_df(spark: SparkSession, ns: str, bits: int) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (m * _PQ_SUBDIM + j, b, _ivfpq_plane(ns, m, b, j))
+            for m in range(_PQ_M)
+            for b in range(bits)
+            for j in range(_PQ_SUBDIM)
+        ],
+        "i long, b long, p long",
+    )
+
+
+def _ivfpq_sign_bits(dims: DataFrame, planes: DataFrame, keys: list) -> DataFrame:
+    """Σ_b 2^b·[Σ_i v·p ≥ 0] over exact integer dots — the groupBy keys
+    define the hash granularity (full-dim coarse vs per-subspace)."""
+    return (
+        dims.join(F.broadcast(planes), "i")
+        .groupBy(*keys, "b")
+        .agg(F.sum(F.col("val") * F.col("p")).alias("dv"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN dv >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("h")
+        )
+    )
+
+
+def _ivfpq_coarse(spark: SparkSession, sf_dir: str):
+    """Shared coarse stage of the IVF-PQ index: normalized integer codes,
+    the Lloyd-refined cell centroid table, per-(vec, cell) distances, the
+    final cell assignment, and per-query probe lists.  Returns
+    ``(e, vdim, ccv, d2c, assign_c, probes)``."""
+    e = t(spark, sf_dir, "embeddings")
+    # normalized integer codes: c_i = floor((x_i / ‖x‖) · S) in ONE
+    # Arrow-batched pass — the norm is the order-preserving per-dimension
+    # fold (same bits as _vec_fold_dot), and sqrt / divide / multiply are
+    # IEEE-correctly-rounded elementwise ops, so every code is
+    # bit-identical to the oracle's floor(x / sqrt(fold) * S)
+    if not _IVFPQ_CODES_CACHE:
+        def _codes_fn(emb):
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack(emb.to_numpy()).astype(np.float64)
+            acc = np.zeros(V.shape[0])
+            for i in range(V.shape[1]):
+                acc = acc + V[:, i] * V[:, i]
+            nrm = np.sqrt(acc)
+            C = np.floor(V / nrm[:, None] * _IVFPQ_SCALE).astype(np.int64)
+            return pd.Series([row.tolist() for row in C])
+
+        _IVFPQ_CODES_CACHE.append(F.pandas_udf(_codes_fn, "array<long>"))
+    vdim = (
+        e.select(
+            "vec_id",
+            F.posexplode(_IVFPQ_CODES_CACHE[0](F.col("embedding"))).alias("i", "c"),
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.expr(f"i div {_PQ_SUBDIM}").alias("m"),
+            "c",
+            (F.col("c") * F.lit(_IVFPQ_Q)).alias("vq"),
+        )
+        .cache()  # narrow (5 longs/row), consumed by coarse seeding,
+        # training, assignment, residuals, LUT, and the coarse term
+    )
+
+    # ---- coarse quantizer: hyperplane seed cells → one Lloyd round ----
+    hc = _ivfpq_sign_bits(
+        vdim.select("vec_id", "i", F.col("c").alias("val")),
+        _ivfpq_planes_df(spark, "ivfpqc", _IVFPQ_COARSE_BITS),
+        ["vec_id"],
+    )
+
+    def _c_codebook(members: DataFrame) -> DataFrame:
+        # quantized per-cell means: (Q·Σc) div n, exact integers
+        return (
+            vdim.join(members.hint("shuffle_hash"), "vec_id")
+            .groupBy("cell", "i")
+            .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cell", "i", F.expr(f"({_IVFPQ_Q}L * s) div n").alias("ccv"))
+        )
+
+    def _c_dists(cb: DataFrame) -> DataFrame:
+        return (
+            vdim.join(F.broadcast(cb), "i")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("vq") - F.col("ccv")) * (F.col("vq") - F.col("ccv"))
+                ).alias("d2")
+            )
+        )
+
+    ccv0 = _c_codebook(hc.select("vec_id", F.col("h").alias("cell")))
+    cellA = (
+        _c_dists(ccv0)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("a"))
+        .select("vec_id", F.col("a.cell").alias("cell"))
+    )
+    ccv = _c_codebook(cellA).localCheckpoint()  # corpus agg, 3 consumers
+    d2c = _c_dists(ccv).localCheckpoint()  # corpus agg: assignment + probes
+    assign_c = (
+        d2c.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("a"))
+        .select("vec_id", F.col("a.cell").alias("cell"))
+        .cache()  # narrow (2 longs), consumed by residuals AND candidates
+    )
+    probes = (
+        d2c.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("crank") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    return e, vdim, ccv, d2c, assign_c, probes
+
+
+def ivfpq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, vec_id, embedding): the IVF-PQ coarse assignment in the
+    shape ``sources/ann_layout.py`` persists — writing it
+    ``partitionBy("cell")`` makes each ADC probe a parquet scan whose
+    PartitionFilters prune every unprobed cell directory (composed
+    end-to-end in tests/test_ann_layout.py and EXPLAIN.md)."""
+    e, _vdim, _ccv, _d2c, assign_c, _probes = _ivfpq_coarse(spark, sf_dir)
+    return assign_c.join(e.hint("shuffle_hash"), "vec_id").select(
+        "cell", "vec_id", "embedding"
+    )
+
+
+def ivfpq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cell): each query's ``_IVFPQ_NPROBE`` nearest coarse
+    cells — the probe list a layout-backed reader feeds to
+    ``read_probe_cells``."""
+    _e, _vdim, _ccv, _d2c, _assign_c, probes = _ivfpq_coarse(spark, sf_dir)
+    return probes
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over normalized integer codes: hyperplane-seeded +
+    Lloyd-refined coarse cells, per-vector RESIDUAL against the assigned
+    cell centroid, a residual PQ codebook (md5-plane seeded + one
+    exact-integer Lloyd round, shared across cells), and an ADC scan
+    restricted to each query's ``_IVFPQ_NPROBE`` nearest cells::
+
+        score(q, x) ≈ q·c_cell(x) + q·r̂(x)
+                    = coarse(q, cell) + Σ_m LUT_q[m, code_m(x)]
+
+    then an exact float-cosine re-rank of the shortlist (same refinement
+    as the PQ/SQ rungs).  This composes the ladder's IVF rung
+    (partition-pruned probes, :func:`emb_ivf_topk`) with its PQ rung
+    (:func:`emb_pq_adc_topk`): at rest the corpus is (cell, M codes) per
+    vector; physically ``sources/ann_layout.py`` partitions by cell so a
+    probe is a parquet scan with PartitionFilters over nprobe
+    directories (composed end-to-end in tests/test_ann_layout.py).
+
+    100 TB shape: every codebook/centroid table is tiny and broadcast;
+    corpus-sided joins (seed bits, vec→cell assignment, code→LUT) are
+    shuffle-hash pinned; candidates are nprobe/ncells of the corpus; the
+    ADC scan is M integer adds per candidate.  Cross-engine determinism:
+    normalized codes are ``floor((x/‖x‖)·S)`` where ‖x‖ is the module's
+    order-preserving float fold (sqrt/divide are IEEE-correctly-rounded,
+    identical in both engines); every ranking quantity before the
+    re-rank is an exact BIGINT (truncating-div centroid means, integer
+    plane dots / LUT sums / struct-min argmins), so the whole index —
+    coarse AND residual training included — is oracle-checked; the
+    re-rank cosine is the same float fold.
+    """
+    e, vdim, ccv, d2c, assign_c, probes = _ivfpq_coarse(spark, sf_dir)
+    # ---- residual PQ: seed bits → codebook → one Lloyd round → encode ----
+    rdim = (
+        vdim.join(assign_c.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(ccv), ["cell", "i"])
+        .select("vec_id", "i", "m", (F.col("vq") - F.col("ccv")).alias("r"))
+        .cache()  # narrow (4 longs), five consumers
+    )
+    hseed = _ivfpq_sign_bits(
+        rdim.select("vec_id", "i", "m", F.col("r").alias("val")),
+        _ivfpq_planes_df(spark, "ivfpq", _IVFPQ_SEED_BITS),
+        ["vec_id", "m"],
+    ).select("vec_id", "m", F.col("h").alias("cb"))
+
+    def _r_codebook(members: DataFrame) -> DataFrame:
+        # residuals already carry the Q scale — plain truncating-div mean
+        return (
+            rdim.join(members.hint("shuffle_hash"), ["vec_id", "m"])
+            .groupBy("cb", "i", "m")
+            .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cb", "i", "m", F.expr("s div n").alias("cv"))
+        )
+
+    def _r_sub_dists(cb: DataFrame) -> DataFrame:
+        return (
+            rdim.join(F.broadcast(cb), ["i", "m"])
+            .groupBy("vec_id", "m", "cb")
+            .agg(
+                F.sum(
+                    (F.col("r") - F.col("cv")) * (F.col("r") - F.col("cv"))
+                ).alias("d2")
+            )
+        )
+
+    def _r_argmin(sd: DataFrame) -> DataFrame:
+        return (
+            sd.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d2", "cb")).alias("a"))
+            .select("vec_id", "m", F.col("a.cb").alias("cb"))
+        )
+
+    rcb0 = _r_codebook(hseed)
+    assign0 = _r_argmin(_r_sub_dists(rcb0))
+    rcb1 = _r_codebook(assign0).localCheckpoint()  # corpus agg, 3 consumers
+    assign = _r_argmin(_r_sub_dists(rcb1)).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cb"
+    )
+    # ---- per-query ADC tables: residual LUT + coarse term (both tiny) ----
+    lutr = (
+        vdim.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(rcb1), ["i", "m"])
+        .groupBy(F.col("vec_id").alias("query_id"), "m", "cb")
+        .agg(F.sum(F.col("vq") * F.col("cv")).alias("dotp"))
+    )
+    coarse = (
+        vdim.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(ccv), "i")
+        .groupBy(F.col("vec_id").alias("query_id"), "cell")
+        .agg(F.sum(F.col("vq") * F.col("ccv")).alias("cdot"))
+    )
+    # ---- candidates: only vectors assigned to a probed cell (the prune) ----
+    cand = (
+        assign_c.select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    approx = (
+        cand.join(assign.hint("shuffle_hash"), "neighbor_id")
+        .join(F.broadcast(lutr), ["query_id", "m", "cb"])
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("dotp").alias("rscore"), F.count(F.lit(1)).alias("_nm"))
+        .filter(F.col("_nm") == _PQ_M)
+        .join(F.broadcast(coarse), ["query_id", "cell"])
+        .select(
+            "query_id", "neighbor_id", (F.col("cdot") + F.col("rscore")).alias("ascore")
+        )
+    )
+    shortlist = (
+        approx.withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("ascore"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("srank") <= _IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    v = e.select("vec_id", "embedding", F.sqrt(_sq_norm(F.col("embedding"))).alias("nrm"))
+    qe = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    ne = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_n"),
+        F.col("nrm").alias("nrm_n"),
+    )
+    sim = _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    scored = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ne.hint("shuffle_hash"), "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _ivfpq_planes_sql(ns: str, bits: int) -> str:
+    return f"""
+  SELECT m.m * {_PQ_SUBDIM} + j.j AS i, b.b,
+         (('0x' || substr(md5('{ns}:' || m.m::VARCHAR || ':' || b.b::VARCHAR
+                               || ':' || j.j::VARCHAR), 1, 10))::BIGINT
+          % 2001) - 1000 AS p
+  FROM (SELECT unnest(range(0, {_PQ_M})) AS m) m,
+       (SELECT unnest(range(0, {bits})) AS b) b,
+       (SELECT unnest(range(0, {_PQ_SUBDIM})) AS j) j
+"""
+
+
+_IVFPQ_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE)
+                                        / sqrt({_o_dot('embedding', 'embedding')})
+                                        * {_IVFPQ_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+vdim AS (
+  SELECT vec_id, t.i - 1 AS i, ((t.i - 1) // {_PQ_SUBDIM}) AS m,
+         code[t.i] AS c,
+         code[t.i] * {_IVFPQ_Q} AS vq
+  FROM codes, unnest(range(1, {_DIM} + 1)) AS t(i)
+),
+planesC AS ({_ivfpq_planes_sql('ivfpqc', _IVFPQ_COARSE_BITS)}),
+hc AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dv >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS cell
+  FROM (
+    SELECT v.vec_id, pl.b, SUM(v.c * pl.p) AS dv
+    FROM vdim v JOIN planesC pl ON v.i = pl.i
+    GROUP BY v.vec_id, pl.b
+  ) GROUP BY vec_id
+),
+ccv0 AS MATERIALIZED (
+  SELECT h.cell, v.i,
+         CAST(({_IVFPQ_Q} * CAST(SUM(v.c) AS BIGINT)) // COUNT(*) AS BIGINT) AS ccv
+  FROM vdim v JOIN hc h ON v.vec_id = h.vec_id
+  GROUP BY h.cell, v.i
+),
+d2c0 AS MATERIALIZED (
+  SELECT v.vec_id, c.cell,
+         CAST(SUM((v.vq - c.ccv) * (v.vq - c.ccv)) AS BIGINT) AS d2
+  FROM vdim v JOIN ccv0 c ON v.i = c.i
+  GROUP BY v.vec_id, c.cell
+),
+cellA AS MATERIALIZED (
+  SELECT vec_id, (MIN({{'d': d2, 'l': cell}})).l AS cell FROM d2c0 GROUP BY vec_id
+),
+ccv AS MATERIALIZED (
+  SELECT a.cell, v.i,
+         CAST(({_IVFPQ_Q} * CAST(SUM(v.c) AS BIGINT)) // COUNT(*) AS BIGINT) AS ccv
+  FROM vdim v JOIN cellA a ON v.vec_id = a.vec_id
+  GROUP BY a.cell, v.i
+),
+d2c AS MATERIALIZED (
+  SELECT v.vec_id, c.cell,
+         CAST(SUM((v.vq - c.ccv) * (v.vq - c.ccv)) AS BIGINT) AS d2
+  FROM vdim v JOIN ccv c ON v.i = c.i
+  GROUP BY v.vec_id, c.cell
+),
+assign_c AS MATERIALIZED (
+  SELECT vec_id, (MIN({{'d': d2, 'l': cell}})).l AS cell FROM d2c GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM d2c WHERE vec_id < {_N_QUERIES}
+  ) WHERE crank <= {_IVFPQ_NPROBE}
+),
+rdim AS MATERIALIZED (
+  SELECT v.vec_id, v.i, v.m, v.vq - c.ccv AS r
+  FROM vdim v
+  JOIN assign_c a ON v.vec_id = a.vec_id
+  JOIN ccv c ON c.cell = a.cell AND c.i = v.i
+),
+planesR AS ({_ivfpq_planes_sql('ivfpq', _IVFPQ_SEED_BITS)}),
+hseed AS MATERIALIZED (
+  SELECT vec_id, m,
+         CAST(SUM(CASE WHEN dv >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM (
+    SELECT r.vec_id, r.m, pl.b, SUM(r.r * pl.p) AS dv
+    FROM rdim r JOIN planesR pl ON r.i = pl.i
+    GROUP BY r.vec_id, r.m, pl.b
+  ) GROUP BY vec_id, m
+),
+rcb0 AS MATERIALIZED (
+  SELECT h.cb, r.i, r.m,
+         CAST(CAST(SUM(r.r) AS BIGINT) // COUNT(*) AS BIGINT) AS cv
+  FROM rdim r JOIN hseed h ON r.vec_id = h.vec_id AND r.m = h.m
+  GROUP BY h.cb, r.i, r.m
+),
+sd0 AS MATERIALIZED (
+  SELECT r.vec_id, r.m, c.cb,
+         CAST(SUM((r.r - c.cv) * (r.r - c.cv)) AS BIGINT) AS d2
+  FROM rdim r JOIN rcb0 c ON r.i = c.i AND r.m = c.m
+  GROUP BY r.vec_id, r.m, c.cb
+),
+assign0 AS MATERIALIZED (
+  SELECT vec_id, m, (MIN({{'d': d2, 'l': cb}})).l AS cb FROM sd0 GROUP BY vec_id, m
+),
+rcb1 AS MATERIALIZED (
+  SELECT a.cb, r.i, r.m,
+         CAST(CAST(SUM(r.r) AS BIGINT) // COUNT(*) AS BIGINT) AS cv
+  FROM rdim r JOIN assign0 a ON r.vec_id = a.vec_id AND r.m = a.m
+  GROUP BY a.cb, r.i, r.m
+),
+sd1 AS MATERIALIZED (
+  SELECT r.vec_id, r.m, c.cb,
+         CAST(SUM((r.r - c.cv) * (r.r - c.cv)) AS BIGINT) AS d2
+  FROM rdim r JOIN rcb1 c ON r.i = c.i AND r.m = c.m
+  GROUP BY r.vec_id, r.m, c.cb
+),
+assign AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, m, (MIN({{'d': d2, 'l': cb}})).l AS cb
+  FROM sd1 GROUP BY vec_id, m
+),
+lutr AS (
+  SELECT v.vec_id AS query_id, v.m, c.cb,
+         CAST(SUM(v.vq * c.cv) AS BIGINT) AS dotp
+  FROM vdim v JOIN rcb1 c ON v.i = c.i AND v.m = c.m
+  WHERE v.vec_id < {_N_QUERIES}
+  GROUP BY v.vec_id, v.m, c.cb
+),
+coarse AS (
+  SELECT v.vec_id AS query_id, c.cell,
+         CAST(SUM(v.vq * c.ccv) AS BIGINT) AS cdot
+  FROM vdim v JOIN ccv c ON v.i = c.i
+  WHERE v.vec_id < {_N_QUERIES}
+  GROUP BY v.vec_id, c.cell
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+  FROM assign_c a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+approx AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.cell,
+         CAST(SUM(l.dotp) AS BIGINT) AS rscore
+  FROM cand cd
+  JOIN assign a ON a.neighbor_id = cd.neighbor_id
+  JOIN lutr l ON l.query_id = cd.query_id AND l.m = a.m AND l.cb = a.cb
+  GROUP BY cd.query_id, cd.neighbor_id, cd.cell
+  HAVING COUNT(*) = {_PQ_M}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT x.query_id, x.neighbor_id,
+           row_number() OVER (
+             PARTITION BY x.query_id
+             ORDER BY (co.cdot + x.rscore) DESC, x.neighbor_id ASC
+           ) AS srank
+    FROM approx x JOIN coarse co ON co.query_id = x.query_id AND co.cell = x.cell
+  ) WHERE srank <= {_IVFPQ_SHORTLIST}
+),
+v AS (
+  SELECT vec_id, embedding, sqrt({_o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT s.query_id, s.neighbor_id,
+         {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_o_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM shortlist s
+  JOIN v q ON s.query_id = q.vec_id
+  JOIN v n ON s.neighbor_id = n.vec_id
+) WHERE rank <= {_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_matryoshka_topk": QuerySpec(
@@ -1489,4 +2009,9 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_ivf_topk": QuerySpec(emb_ivf_topk, _IVF_TOPK_SQL, ("OP-X-SIM-TOPK",)),
     "emb_sq_adc_topk": QuerySpec(emb_sq_adc_topk, _SQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC")),
     "emb_pq_adc_topk": QuerySpec(emb_pq_adc_topk, _PQ_ADC_SQL, ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC", "OP-X-PQ")),
+    "emb_ivfpq_topk": QuerySpec(
+        emb_ivfpq_topk,
+        _IVFPQ_SQL,
+        ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC", "OP-X-PQ"),
+    ),
 }

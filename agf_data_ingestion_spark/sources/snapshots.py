@@ -82,6 +82,12 @@ class CommitConflict(RuntimeError):
     """Another writer won the attempted snapshot version (CAS miss)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """The incoming batch changes the TYPE of an existing column — only
+    ADDITIVE evolution (new columns) is supported, the Iceberg/Delta
+    default.  Dropping or retyping requires an explicit overwrite."""
+
+
 #: commit-loop budget for optimistic writers; each retry rebases on the
 #: winner's manifest, so livelock needs a sustained adversarial stream
 _OCC_MAX_RETRIES = 20
@@ -166,11 +172,21 @@ def snapshot_history(table: str) -> list[dict]:
     skipped (their manifests are gone); the surviving rows still chain via
     ``parent``."""
     out = []
+    schemas: dict[int, list | None] = {}
     for v in range(1, current_version(table) + 1):
         try:
             m = read_manifest(table, v)
         except NoSuchVersionError:
             continue
+        schemas[v] = m.get("schema")
+        # schema-evolution marker: columns this commit ADDED vs its parent
+        # (the DESCRIBE HISTORY evidence the evolution tests pin)
+        psch = schemas.get(m.get("parent") or 0)
+        added = (
+            [n for n, _ in m["schema"] if n not in {c for c, _ in psch}]
+            if m.get("schema") is not None and psch is not None
+            else []
+        )
         out.append(
             {
                 "version": m["version"],
@@ -178,6 +194,8 @@ def snapshot_history(table: str) -> list[dict]:
                 "op": m.get("op"),
                 "committed_at": m.get("committed_at"),
                 "n_files": len(m["files"]),
+                "n_cols": len(m["schema"]) if m.get("schema") is not None else None,
+                "added_cols": added,
                 "total_bytes": sum(f.get("bytes", 0) for f in m["files"]),
                 "total_rows": sum(f["rows"] for f in m["files"])
                 if all("rows" in f for f in m["files"])
@@ -185,6 +203,67 @@ def snapshot_history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def _schema_of(df: DataFrame) -> list[list[str]]:
+    """JSON-storable ``[[name, dtype], ...]`` in the frame's column order —
+    what each commit records so evolution is validated from metadata,
+    never by opening old file footers (O(1) at any table size)."""
+    return [[n, t] for n, t in df.dtypes]
+
+
+def _evolve_schema(
+    parent_schema: list | None,
+    batch_schema: list | None,
+    *,
+    replace: bool = False,
+) -> list | None:
+    """Additive schema evolution (Iceberg/Delta ADD COLUMN semantics): the
+    committed table schema is the parent's columns (order preserved) plus
+    any NEW batch columns appended; a batch missing parent columns is fine
+    (readers NULL-fill old/new files via mergeSchema), but RETYPING an
+    existing column raises :class:`SchemaEvolutionError` — a silent type
+    fork would break every downstream mergeSchema read.  ``replace`` (an
+    overwrite/restore, which references none of the parent's files) adopts
+    the batch schema wholesale."""
+    if batch_schema is None:
+        return parent_schema
+    if replace or not parent_schema:
+        return batch_schema
+    ptypes = {n: t for n, t in parent_schema}
+    conflicts = [
+        (n, ptypes[n], t) for n, t in batch_schema if n in ptypes and ptypes[n] != t
+    ]
+    if conflicts:
+        detail = ", ".join(f"{n}: {old} -> {new}" for n, old, new in conflicts)
+        raise SchemaEvolutionError(
+            f"additive evolution only — column type change(s): {detail}"
+        )
+    return [list(c) for c in parent_schema] + [
+        [n, t] for n, t in batch_schema if n not in ptypes
+    ]
+
+
+def snapshot_schema(table: str, version: int | None = None) -> list[tuple[str, str]]:
+    """The ``(column, dtype)`` list version N committed with — time travel
+    returns each version's OWN schema (a pre-evolution version never shows
+    the later columns).  Answered from the manifest; legacy manifests
+    written before schema tracking fall back to the file footers of that
+    version's own file list."""
+    m = read_manifest(table, version)
+    if m.get("schema") is not None:
+        return [tuple(c) for c in m["schema"]]
+    # legacy manifest: derive from the version's own files (union, first
+    # occurrence order) — arrow types rendered via a throwaway read would
+    # need a session; keep it footer-only and map to Spark simpleString
+    import pyarrow.parquet as pq
+
+    seen: dict[str, str] = {}
+    for f in m["files"]:
+        sch = pq.read_schema(f["path"])
+        for field in sch:
+            seen.setdefault(field.name, str(field.type))
+    return list(seen.items())
 
 
 def _bump_current(table: str, version: int) -> None:
@@ -212,19 +291,35 @@ def _repair_current(table: str) -> int:
     return v
 
 
-def _publish(table: str, files: list[dict], parent: int, op: str) -> int:
+def _publish(
+    table: str,
+    files: list[dict],
+    parent: int,
+    op: str,
+    *,
+    batch_schema: list | None = None,
+    replace: bool = False,
+) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
     one writer wins each version (the object-store twin is a conditional
     PUT).  Raises :class:`CommitConflict` on a lost race.  On success the
-    CURRENT pointer is bumped monotonically."""
+    CURRENT pointer is bumped monotonically.
+
+    ``batch_schema`` (r5): the committing frame's ``_schema_of`` — evolved
+    against the PARENT manifest's schema at this exact commit point, so a
+    racing writer's incompatible evolution is caught on the loser's rebase
+    retry (the winner's schema is the new parent).  None (delete/compact)
+    carries the parent schema forward unchanged."""
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
+    parent_schema = read_manifest(table, parent).get("schema") if parent > 0 else None
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "committed_at": time.time(),
+        "schema": _evolve_schema(parent_schema, batch_schema, replace=replace),
         "files": files,
     }
     mpath = _manifest_path(table, version)
@@ -247,7 +342,15 @@ def _publish(table: str, files: list[dict], parent: int, op: str) -> int:
     return version
 
 
-def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
+def _commit(
+    table: str,
+    files: list[dict],
+    parent: int,
+    op: str,
+    *,
+    batch_schema: list | None = None,
+    replace: bool = False,
+) -> int:
     """Commit point for LOCK-HOLDING transactions (merge/delete/compact).
 
     The pre-publish ``assert_lock_held`` turns a mid-transaction lock
@@ -259,7 +362,9 @@ def _commit(table: str, files: list[dict], parent: int, op: str) -> int:
     from agf_data_ingestion_spark.operators.locking import assert_lock_held
 
     assert_lock_held(table)
-    return _publish(table, files, parent, op)
+    return _publish(
+        table, files, parent, op, batch_schema=batch_schema, replace=replace
+    )
 
 
 def _retry_on_conflict(fn):
@@ -495,6 +600,12 @@ def snapshot_write(
     commit); an overwrite is last-writer-wins by definition."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    batch_schema = _schema_of(df)
+    if mode == "append":
+        # fail BEFORE the file write on a type-changing batch (additive
+        # evolution only); re-validated at the CAS point against whatever
+        # parent actually wins
+        _evolve_schema(read_manifest(table).get("schema"), batch_schema)
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -513,7 +624,14 @@ def snapshot_write(
             else []
         )
         try:
-            return _publish(table, base + new_files, parent, mode)
+            return _publish(
+                table,
+                base + new_files,
+                parent,
+                mode,
+                batch_schema=batch_schema,
+                replace=(mode == "overwrite"),
+            )
         except CommitConflict:
             parent = _repair_current(table)
     raise CommitConflict(
@@ -664,6 +782,8 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
     manifests."""
     spark = df.sparkSession
     batch = df.dropDuplicates(keys)  # same within-batch rule as upsert_append
+    batch_schema = _schema_of(batch)
+    _evolve_schema(read_manifest(table).get("schema"), batch_schema)  # fail fast
     parent = current_version(table)
     if parent > 0:
         existing = snapshot_read(spark, table, version=parent)
@@ -681,7 +801,9 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
     for _ in range(_OCC_MAX_RETRIES):
         base = read_manifest(table, parent)["files"] if parent > 0 else []
         try:
-            return _publish(table, base + new_files, parent, "upsert")
+            return _publish(
+                table, base + new_files, parent, "upsert", batch_schema=batch_schema
+            )
         except CommitConflict:
             cur = _repair_current(table)
             base_paths = {f["path"] for f in base}
@@ -748,11 +870,19 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(f"snapshot_merge: df is not unique on {keys}: {dup[0]}")
+    batch_schema = _schema_of(df)
     with table_lock(table):
         parent = _repair_current(table)
         m = read_manifest(table)
+        _evolve_schema(m.get("schema"), batch_schema)  # fail before any rewrite
         if not m["files"]:
-            return _commit(table, _write_data_files(df, table), parent, "merge")
+            return _commit(
+                table,
+                _write_data_files(df, table),
+                parent,
+                "merge",
+                batch_schema=batch_schema,
+            )
         # incoming key bounds (one tiny agg) → which files COULD match;
         # normalized into the stats' storage domain (datetimes/dates are
         # ISO strings there — comparing raw datetime objects against them
@@ -800,7 +930,9 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
         new_files = [
             f for f in new_files if pq.ParquetFile(f["path"]).metadata.num_rows > 0
         ]
-        return _commit(table, untouched + new_files, parent, "merge")
+        return _commit(
+            table, untouched + new_files, parent, "merge", batch_schema=batch_schema
+        )
 
 
 _TAG_RE = None  # compiled lazily
@@ -951,7 +1083,12 @@ def snapshot_compact(
         keep = [f for f in m["files"] if f["bytes"] >= small_bytes]
         if len(small) <= 1:
             return parent
-        df = spark.read.parquet(*[f["path"] for f in small])
+        # mergeSchema: small files may straddle a schema evolution — a
+        # plain read would take the first footer and silently DROP the
+        # newer columns from the compacted rewrite
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[f["path"] for f in small]
+        )
         total = sum(f["bytes"] for f in small)
         target_files = int(max(1, total // small_bytes))
         if sort_by:
@@ -1016,7 +1153,26 @@ def snapshot_diff(
     else:
         old = _read(only_old)
         new = _read(only_new, other=old)
-    if set(old.columns) == set(new.columns) and old.columns != new.columns:
+    if set(old.columns) != set(new.columns):
+        # the diff straddles a schema evolution: align both sides to the
+        # union schema (NULL for the missing side) so exceptAll is legal —
+        # a pre-evolution row then diffs against its widened twin on the
+        # NULL-filled column, exactly mergeSchema's read semantics
+        types = {**dict(old.dtypes), **dict(new.dtypes)}
+        union_cols = old.columns + [c for c in new.columns if c not in set(old.columns)]
+        old = old.select(
+            *[
+                F.col(c) if c in old.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in union_cols
+            ]
+        )
+        new = new.select(
+            *[
+                F.col(c) if c in new.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in union_cols
+            ]
+        )
+    elif old.columns != new.columns:
         new = new.select(*old.columns)  # mergeSchema order can differ per side
     inserted = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     deleted = old.exceptAll(new).withColumn("_change", F.lit("delete"))
@@ -1136,7 +1292,8 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
     # optimistic appends don't take this lock, so the commit is still the
     # CAS with retry
     with table_lock(table):
-        files = read_manifest(table, version)["files"]  # raises if expired
+        restored = read_manifest(table, version)  # raises if expired
+        files = restored["files"]
         for f in files:
             if not os.path.exists(f["path"]):
                 raise NoSuchVersionError(
@@ -1147,7 +1304,16 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
             return parent
         for _ in range(_OCC_MAX_RETRIES):
             try:
-                return _publish(table, files, parent, f"restore@{version}")
+                # restore rolls the SCHEMA back with the data: the head once
+                # again shows exactly what version N's readers saw
+                return _publish(
+                    table,
+                    files,
+                    parent,
+                    f"restore@{version}",
+                    batch_schema=restored.get("schema"),
+                    replace=restored.get("schema") is not None,
+                )
             except CommitConflict:
                 parent = _repair_current(table)
     raise CommitConflict(f"snapshot_restore on {table} lost {_OCC_MAX_RETRIES} CAS races")

@@ -762,7 +762,7 @@ def test_locked_rewrite_retries_over_occ_append(spark, tmp_path, monkeypatch):
     real_commit = snap._commit
     fired = []
 
-    def racing_commit(table, files, parent, op):
+    def racing_commit(table, files, parent, op, **kw):
         if not fired:
             fired.append(True)
             snap._publish(
@@ -775,7 +775,7 @@ def test_locked_rewrite_retries_over_occ_append(spark, tmp_path, monkeypatch):
                 parent,
                 "append",
             )
-        return real_commit(table, files, parent, op)
+        return real_commit(table, files, parent, op, **kw)
 
     monkeypatch.setattr(snap, "_commit", racing_commit)
     v = snapshot_merge(
