@@ -1512,9 +1512,9 @@ _IVFPQ_Q = 1 << 18
 #: ADC shortlist depth before the exact re-rank — deeper than the flat
 #: PQ rung's because candidates per query are larger under nprobe=8
 _IVFPQ_SHORTLIST = 256
-#: lazily-created UDF handle (module has `from __future__ import
-#: annotations`; see _ADOT_CACHE)
-_IVFPQ_CODES_CACHE: list = []
+#: composite-key radix for (m, cb) pairs in the residual training collect —
+#: larger than any cb id (2^_IVFPQ_SEED_BITS), so keys decode exactly
+_MKEY = np.int64(1) << 32
 
 
 def _ivfpq_plane(ns: str, m: int, b: int, j: int) -> int:
@@ -1526,131 +1526,246 @@ def _ivfpq_plane(ns: str, m: int, b: int, j: int) -> int:
     return h % 2001 - 1000
 
 
-def _ivfpq_planes_df(spark: SparkSession, ns: str, bits: int) -> DataFrame:
-    return spark.createDataFrame(
+def _ivfpq_planes_mat(ns: str, bits: int) -> "np.ndarray":
+    """(dim, bits) int64 hyperplane matrix, row i = m·SUBDIM + j — the
+    same md5-derived constants the oracle regenerates in SQL."""
+    return np.array(
         [
-            (m * _PQ_SUBDIM + j, b, _ivfpq_plane(ns, m, b, j))
+            [_ivfpq_plane(ns, m, b, j) for b in range(bits)]
             for m in range(_PQ_M)
-            for b in range(bits)
             for j in range(_PQ_SUBDIM)
         ],
-        "i long, b long, p long",
+        dtype=np.int64,
     )
 
 
-def _ivfpq_sign_bits(dims: DataFrame, planes: DataFrame, keys: list) -> DataFrame:
-    """Σ_b 2^b·[Σ_i v·p ≥ 0] over exact integer dots — the groupBy keys
-    define the hash granularity (full-dim coarse vs per-subspace)."""
-    return (
-        dims.join(F.broadcast(planes), "i")
-        .groupBy(*keys, "b")
-        .agg(F.sum(F.col("val") * F.col("p")).alias("dv"))
-        .groupBy(*keys)
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN dv >= 0 THEN shiftleft(CAST(1 AS BIGINT),"
-                    " CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("h")
-        )
-    )
+def _tdiv(num: "np.ndarray", den: "np.ndarray") -> "np.ndarray":
+    """Elementwise BIGINT division truncating toward zero — Spark ``div``
+    ≡ DuckDB ``//`` (CLAUDE.md-verified identical); numpy ``//`` floors,
+    so negative numerators need the sign·(|a|//b) form."""
+    num = np.asarray(num, dtype=np.int64)
+    return np.sign(num) * (np.abs(num) // den)
 
 
-def _ivfpq_coarse(spark: SparkSession, sf_dir: str):
-    """Shared coarse stage of the IVF-PQ index: normalized integer codes,
-    the Lloyd-refined cell centroid table, per-(vec, cell) distances, the
-    final cell assignment, and per-query probe lists.  Returns
-    ``(e, vdim, ccv, d2c, assign_c, probes)``."""
+def _ivfpq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c): normalized integer codes c_i = floor((x_i/‖x‖)·S) in
+    ONE Arrow-batched pass — ‖x‖ is the order-preserving per-dimension
+    fold (same bits as _vec_fold_dot), and sqrt / divide / multiply are
+    IEEE-correctly-rounded elementwise ops, so every code is bit-identical
+    to the oracle's floor(x / sqrt(fold) * S).  Checkpointed eagerly: it
+    is the ONLY corpus-sized frame every training pass rescans."""
     e = t(spark, sf_dir, "embeddings")
-    # normalized integer codes: c_i = floor((x_i / ‖x‖) · S) in ONE
-    # Arrow-batched pass — the norm is the order-preserving per-dimension
-    # fold (same bits as _vec_fold_dot), and sqrt / divide / multiply are
-    # IEEE-correctly-rounded elementwise ops, so every code is
-    # bit-identical to the oracle's floor(x / sqrt(fold) * S)
-    if not _IVFPQ_CODES_CACHE:
-        def _codes_fn(emb):
-            if len(emb) == 0:
-                return pd.Series([], dtype=object)
-            V = np.stack(emb.to_numpy()).astype(np.float64)
+
+    def codes_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             acc = np.zeros(V.shape[0])
             for i in range(V.shape[1]):
                 acc = acc + V[:, i] * V[:, i]
             nrm = np.sqrt(acc)
             C = np.floor(V / nrm[:, None] * _IVFPQ_SCALE).astype(np.int64)
-            return pd.Series([row.tolist() for row in C])
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "c": [row.tolist() for row in C]}
+            )
 
-        _IVFPQ_CODES_CACHE.append(F.pandas_udf(_codes_fn, "array<long>"))
-    vdim = (
-        e.select(
-            "vec_id",
-            F.posexplode(_IVFPQ_CODES_CACHE[0](F.col("embedding"))).alias("i", "c"),
-        )
-        .select(
-            "vec_id",
-            "i",
-            F.expr(f"i div {_PQ_SUBDIM}").alias("m"),
-            "c",
-            (F.col("c") * F.lit(_IVFPQ_Q)).alias("vq"),
-        )
-        .cache()  # narrow (5 longs/row), consumed by coarse seeding,
-        # training, assignment, residuals, LUT, and the coarse term
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(codes_batches, "vec_id bigint, c array<bigint>")
+        .localCheckpoint(eager=True)
     )
+
+
+def _ivfpq_grouped_sums(codes: DataFrame, group_fn) -> dict:
+    """ONE map-only global aggregate: ``group_fn(pdf)`` → (int64 keys,
+    int64 vectors); per-key sum-vectors partial-aggregate INSIDE the Arrow
+    closure (≤ K rows per partition regardless of corpus size), then the
+    ≤ K·npartitions collected rows finish merging at the driver.  Integer
+    sums are order-free (the module's integer-distance rule), so the
+    result is bit-identical to an explode + groupBy — without its
+    exchange: each training step is a single map stage + a KiB collect."""
+
+    def partial(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys, V = group_fn(pdf)
+            for k in np.unique(keys):
+                mask = keys == k
+                s = V[mask].sum(axis=0)
+                n = int(mask.sum())
+                got = acc.get(int(k))
+                if got is None:
+                    acc[int(k)] = [s, n]
+                else:
+                    got[0] += s
+                    got[1] += n
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "k": list(acc),
+                    "s": [v[0].tolist() for v in acc.values()],
+                    "n": [v[1] for v in acc.values()],
+                }
+            )
+
+    merged: dict = {}
+    for r in codes.mapInPandas(partial, "k bigint, s array<bigint>, n bigint").collect():
+        k = int(r["k"])
+        s = np.array(list(r["s"]), dtype=np.int64)
+        got = merged.get(k)
+        if got is None:
+            merged[k] = [s, int(r["n"])]
+        else:
+            got[0] += s
+            got[1] += int(r["n"])
+    return merged
+
+
+def _ivfpq_codebook_from(merged: dict, scale: int):
+    """(ids sorted asc, nid×dim int64 centroid matrix) from a merged
+    {id: (Σvec, n)} dict: centroid = (scale·Σc) div n with the truncating
+    div — exactly the oracle's expression.  Ids with no members never
+    appear (the empty-cell DROP rule)."""
+    ids = sorted(merged)
+    mat = np.stack([_tdiv(scale * merged[c][0], merged[c][1]) for c in ids])
+    return ids, mat
+
+
+def _ivfpq_state(spark: SparkSession, sf_dir: str):
+    """Train the IVF-PQ index with the closure pattern (CLAUDE.md /
+    emb_kmeans_train precedent: KiB-sized centroid and codebook tables are
+    FASTER riding in a mapInPandas closure than as broadcast-join tables —
+    measured 3× on k-means, ~4× here vs the r5-draft join formulation).
+
+    Every training step is ONE Arrow scan of the checkpointed codes plus a
+    collect bounded by K·d rows (coarse: ≤16×dim; residual: ≤16×dim per
+    subspace) — driver state is codebooks only, never corpus rows, so the
+    shape holds at 1e9 vectors exactly like k-means.  All quantities are
+    exact int64 (integer plane dots, truncating-div means, first-index
+    argmin = lowest-id tiebreak), so results are bit-identical to the
+    join/groupBy formulation AND to the DuckDB oracle.
+
+    Returns ``(e, codes, st)`` where ``st`` carries: ``cells`` (sorted
+    ids), ``ccv`` (ncell×dim), ``rcb`` ({m: (cb ids sorted, ncb×subdim)}),
+    ``qids``/``qvq`` (query ids + their vq codes), ``probes``
+    ({query_id: [cell, …] by (d2 asc, cell asc)})."""
+    e = t(spark, sf_dir, "embeddings")
+    codes = _ivfpq_codes_df(spark, sf_dir)
+    PC = _ivfpq_planes_mat("ivfpqc", _IVFPQ_COARSE_BITS)
+    bitsC = np.int64(1) << np.arange(_IVFPQ_COARSE_BITS, dtype=np.int64)
 
     # ---- coarse quantizer: hyperplane seed cells → one Lloyd round ----
-    hc = _ivfpq_sign_bits(
-        vdim.select("vec_id", "i", F.col("c").alias("val")),
-        _ivfpq_planes_df(spark, "ivfpqc", _IVFPQ_COARSE_BITS),
-        ["vec_id"],
+    def seed_group(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        h = (((C @ PC) >= 0).astype(np.int64) * bitsC).sum(axis=1)
+        return h, C
+
+    cells0, ccv0 = _ivfpq_codebook_from(
+        _ivfpq_grouped_sums(codes, seed_group), _IVFPQ_Q
     )
 
-    def _c_codebook(members: DataFrame) -> DataFrame:
-        # quantized per-cell means: (Q·Σc) div n, exact integers
-        return (
-            vdim.join(members.hint("shuffle_hash"), "vec_id")
-            .groupBy("cell", "i")
-            .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cell", "i", F.expr(f"({_IVFPQ_Q}L * s) div n").alias("ccv"))
-        )
+    def _assign(C: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+        # argmin_cell Σ_i (vq − ccv)²: ties break to the FIRST index =
+        # lowest cell id (rows sorted asc) — the struct-min argmin rule
+        VQ = C * _IVFPQ_Q
+        diff = VQ[:, None, :] - cent[None, :, :]
+        return (diff * diff).sum(axis=2).argmin(axis=1)
 
-    def _c_dists(cb: DataFrame) -> DataFrame:
-        return (
-            vdim.join(F.broadcast(cb), "i")
-            .groupBy("vec_id", "cell")
-            .agg(
-                F.sum(
-                    (F.col("vq") - F.col("ccv")) * (F.col("vq") - F.col("ccv"))
-                ).alias("d2")
-            )
-        )
+    def assign_group(pdf):
+        cell_arr = np.array(cells0, dtype=np.int64)
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        return cell_arr[_assign(C, ccv0)], C
 
-    ccv0 = _c_codebook(hc.select("vec_id", F.col("h").alias("cell")))
-    cellA = (
-        _c_dists(ccv0)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("a"))
-        .select("vec_id", F.col("a.cell").alias("cell"))
+    cells, ccv = _ivfpq_codebook_from(
+        _ivfpq_grouped_sums(codes, assign_group), _IVFPQ_Q
     )
-    ccv = _c_codebook(cellA).localCheckpoint()  # corpus agg, 3 consumers
-    d2c = _c_dists(ccv).localCheckpoint()  # corpus agg: assignment + probes
-    assign_c = (
-        d2c.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("a"))
-        .select("vec_id", F.col("a.cell").alias("cell"))
-        .cache()  # narrow (2 longs), consumed by residuals AND candidates
+
+    # ---- queries: probe lists from exact integer d2 to every cell ----
+    qrows = sorted(
+        codes.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: int(r["vec_id"]),
     )
-    probes = (
-        d2c.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("crank") <= _IVFPQ_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
+    qids = [int(r["vec_id"]) for r in qrows]
+    qC = np.array([list(r["c"]) for r in qrows], dtype=np.int64)
+    qvq = qC * _IVFPQ_Q
+    probes = {}
+    for qi, q in enumerate(qids):
+        diff = qvq[qi][None, :] - ccv
+        d2 = (diff * diff).sum(axis=1)
+        order = sorted(range(len(cells)), key=lambda ci: (int(d2[ci]), cells[ci]))
+        probes[q] = [cells[ci] for ci in order[: _IVFPQ_NPROBE]]
+
+    # ---- residual PQ: seed bits → codebook → one Lloyd round ----
+    PR = _ivfpq_planes_mat("ivfpq", _IVFPQ_SEED_BITS).reshape(
+        _PQ_M, _PQ_SUBDIM, _IVFPQ_SEED_BITS
     )
-    return e, vdim, ccv, d2c, assign_c, probes
+    bitsR = np.int64(1) << np.arange(_IVFPQ_SEED_BITS, dtype=np.int64)
+    cent_mat = ccv
+
+    def _residuals(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        a = _assign(C, cent_mat)
+        R = C * _IVFPQ_Q - cent_mat[a]
+        return R.reshape(len(C), _PQ_M, _PQ_SUBDIM)
+
+    def _flat_subspaces(Rs, cb):
+        # (m, cb) composite int64 keys + per-subspace residual vectors:
+        # _MKEY > any cb id, so keys decode as (k div _MKEY, k mod _MKEY)
+        n = Rs.shape[0]
+        keys = np.tile(np.arange(_PQ_M, dtype=np.int64), n) * _MKEY + cb.reshape(-1)
+        return keys, Rs.reshape(n * _PQ_M, _PQ_SUBDIM)
+
+    def _rcb_from(merged: dict) -> dict:
+        rcb = {}
+        for m in range(_PQ_M):
+            sub = {k % _MKEY: v for k, v in merged.items() if k // _MKEY == m}
+            ids = sorted(sub)
+            # residuals already carry the Q scale — plain truncating mean
+            mat = np.stack([_tdiv(sub[c][0], sub[c][1]) for c in ids])
+            rcb[m] = (ids, mat)
+        return rcb
+
+    def rseed_group(pdf):
+        Rs = _residuals(pdf)
+        dv = np.einsum("nmj,mjb->nmb", Rs, PR)  # exact int64 dots
+        cb = ((dv >= 0).astype(np.int64) * bitsR).sum(axis=2)
+        return _flat_subspaces(Rs, cb)
+
+    rcb0 = _rcb_from(_ivfpq_grouped_sums(codes, rseed_group))
+
+    def _rassign(Rs: "np.ndarray", rcb: dict) -> "np.ndarray":
+        # per-subspace argmin_cb Σ_j (r − cv)², ties to lowest cb id
+        n = Rs.shape[0]
+        cb = np.zeros((n, _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            ids, mat = rcb[m]
+            diff = Rs[:, m, None, :] - mat[None, :, :]
+            cb[:, m] = np.array(ids, dtype=np.int64)[
+                (diff * diff).sum(axis=2).argmin(axis=1)
+            ]
+        return cb
+
+    def rassign_group(pdf):
+        Rs = _residuals(pdf)
+        return _flat_subspaces(Rs, _rassign(Rs, rcb0))
+
+    rcb = _rcb_from(_ivfpq_grouped_sums(codes, rassign_group))
+
+    st = {
+        "cells": cells,
+        "ccv": ccv,
+        "rcb": rcb,
+        "qids": qids,
+        "qvq": qvq,
+        "probes": probes,
+        "_residuals": _residuals,
+        "_assign": _assign,
+        "_rassign": _rassign,
+    }
+    return e, codes, st
 
 
 def ivfpq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,9 +1773,22 @@ def ivfpq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape ``sources/ann_layout.py`` persists — writing it
     ``partitionBy("cell")`` makes each ADC probe a parquet scan whose
     PartitionFilters prune every unprobed cell directory (composed
-    end-to-end in tests/test_ann_layout.py and EXPLAIN.md)."""
-    e, _vdim, _ccv, _d2c, assign_c, _probes = _ivfpq_coarse(spark, sf_dir)
-    return assign_c.join(e.hint("shuffle_hash"), "vec_id").select(
+    end-to-end in tests/test_similarity.py and EXPLAIN.md)."""
+    e, codes, st = _ivfpq_state(spark, sf_dir)
+    cells, ccv, assign = st["cells"], st["ccv"], st["_assign"]
+
+    def cell_batches(batches):
+        cell_arr = np.array(cells, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell_arr[assign(C, ccv)]}
+            )
+
+    assigned = codes.mapInPandas(cell_batches, "vec_id bigint, cell bigint")
+    return assigned.join(e.hint("shuffle_hash"), "vec_id").select(
         "cell", "vec_id", "embedding"
     )
 
@@ -1669,8 +1797,9 @@ def ivfpq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, cell): each query's ``_IVFPQ_NPROBE`` nearest coarse
     cells — the probe list a layout-backed reader feeds to
     ``read_probe_cells``."""
-    _e, _vdim, _ccv, _d2c, _assign_c, probes = _ivfpq_coarse(spark, sf_dir)
-    return probes
+    _e, _codes, st = _ivfpq_state(spark, sf_dir)
+    rows = [(q, c) for q in st["qids"] for c in st["probes"][q]]
+    return spark.createDataFrame(rows, "query_id long, cell long")
 
 
 def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,96 +1818,84 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`emb_pq_adc_topk`): at rest the corpus is (cell, M codes) per
     vector; physically ``sources/ann_layout.py`` partitions by cell so a
     probe is a parquet scan with PartitionFilters over nprobe
-    directories (composed end-to-end in tests/test_ann_layout.py).
+    directories (composed end-to-end in tests/test_similarity.py).
 
-    100 TB shape: every codebook/centroid table is tiny and broadcast;
-    corpus-sided joins (seed bits, vec→cell assignment, code→LUT) are
-    shuffle-hash pinned; candidates are nprobe/ncells of the corpus; the
-    ADC scan is M integer adds per candidate.  Cross-engine determinism:
-    normalized codes are ``floor((x/‖x‖)·S)`` where ‖x‖ is the module's
-    order-preserving float fold (sqrt/divide are IEEE-correctly-rounded,
-    identical in both engines); every ranking quantity before the
-    re-rank is an exact BIGINT (truncating-div centroid means, integer
-    plane dots / LUT sums / struct-min argmins), so the whole index —
+    100 TB shape (the closure pattern — see :func:`_ivfpq_state`): the
+    centroid/codebook/LUT tables are KiB-sized by construction and ride
+    in the scoring closure, so candidate generation + the ADC scan is ONE
+    map-only Arrow pass over the corpus codes — a vector outside every
+    probed cell emits nothing (the prune), one inside emits nprobe-bounded
+    (query, ascore) rows; the only corpus-sized shuffle left is the
+    per-query top-shortlist window and the exact re-rank join
+    (shuffle-hash pinned).  Cross-engine determinism: normalized codes
+    are ``floor((x/‖x‖)·S)`` where ‖x‖ is the module's order-preserving
+    float fold (sqrt/divide are IEEE-correctly-rounded, identical in both
+    engines); every ranking quantity before the re-rank is an exact
+    BIGINT (truncating-div centroid means, integer plane dots / LUT sums
+    / first-index argmins = struct-min tiebreaks), so the whole index —
     coarse AND residual training included — is oracle-checked; the
     re-rank cosine is the same float fold.
     """
-    e, vdim, ccv, d2c, assign_c, probes = _ivfpq_coarse(spark, sf_dir)
-    # ---- residual PQ: seed bits → codebook → one Lloyd round → encode ----
-    rdim = (
-        vdim.join(assign_c.hint("shuffle_hash"), "vec_id")
-        .join(F.broadcast(ccv), ["cell", "i"])
-        .select("vec_id", "i", "m", (F.col("vq") - F.col("ccv")).alias("r"))
-        .cache()  # narrow (4 longs), five consumers
-    )
-    hseed = _ivfpq_sign_bits(
-        rdim.select("vec_id", "i", "m", F.col("r").alias("val")),
-        _ivfpq_planes_df(spark, "ivfpq", _IVFPQ_SEED_BITS),
-        ["vec_id", "m"],
-    ).select("vec_id", "m", F.col("h").alias("cb"))
+    e, codes, st = _ivfpq_state(spark, sf_dir)
+    cells, ccv, rcb = st["cells"], st["ccv"], st["rcb"]
+    qids, qvq, probes = st["qids"], st["qvq"], st["probes"]
+    residuals, assign, rassign = st["_residuals"], st["_assign"], st["_rassign"]
 
-    def _r_codebook(members: DataFrame) -> DataFrame:
-        # residuals already carry the Q scale — plain truncating-div mean
-        return (
-            rdim.join(members.hint("shuffle_hash"), ["vec_id", "m"])
-            .groupBy("cb", "i", "m")
-            .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cb", "i", "m", F.expr("s div n").alias("cv"))
-        )
+    # ---- per-query ADC tables (driver-built, KiB): LUT + coarse term ----
+    # lut[qi][m][k] = Σ_j vq_q[m·sub+j] · rcb[m].mat[k, j]; coarse term
+    # indexed by centroid ROW so the scorer looks up by argmin position
+    lut = [
+        [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ rcb[m][1].T for m in range(_PQ_M)]
+        for qi in range(len(qids))
+    ]
+    coarse = [qvq[qi] @ ccv.T for qi in range(len(qids))]
+    cell_pos = {c: ci for ci, c in enumerate(cells)}
+    probe_pos = [
+        np.array(sorted(cell_pos[c] for c in probes[q]), dtype=np.int64)
+        for q in qids
+    ]
+    rcb_ids = {m: np.array(rcb[m][0], dtype=np.int64) for m in range(_PQ_M)}
 
-    def _r_sub_dists(cb: DataFrame) -> DataFrame:
-        return (
-            rdim.join(F.broadcast(cb), ["i", "m"])
-            .groupBy("vec_id", "m", "cb")
-            .agg(
-                F.sum(
-                    (F.col("r") - F.col("cv")) * (F.col("r") - F.col("cv"))
-                ).alias("d2")
+    def score_batches(batches):
+        # ONE pass: assign → residual-encode → ADC-score each probed query
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            a = assign(C, ccv)
+            Rs = residuals(pdf)
+            cbids = rassign(Rs, rcb)
+            pos = np.stack(
+                [
+                    np.searchsorted(rcb_ids[m], cbids[:, m])
+                    for m in range(_PQ_M)
+                ],
+                axis=1,
             )
-        )
+            outq, outn, outs = [], [], []
+            for qi, q in enumerate(qids):
+                mask = np.isin(a, probe_pos[qi]) & (vid != q)
+                if not mask.any():
+                    continue
+                rscore = np.zeros(int(mask.sum()), dtype=np.int64)
+                for m in range(_PQ_M):
+                    rscore += lut[qi][m][pos[mask, m]]
+                outq.append(np.full(int(mask.sum()), q, dtype=np.int64))
+                outn.append(vid[mask])
+                outs.append(coarse[qi][a[mask]] + rscore)
+            if not outq:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(outq),
+                    "neighbor_id": np.concatenate(outn),
+                    "ascore": np.concatenate(outs),
+                }
+            )
 
-    def _r_argmin(sd: DataFrame) -> DataFrame:
-        return (
-            sd.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("d2", "cb")).alias("a"))
-            .select("vec_id", "m", F.col("a.cb").alias("cb"))
-        )
-
-    rcb0 = _r_codebook(hseed)
-    assign0 = _r_argmin(_r_sub_dists(rcb0))
-    rcb1 = _r_codebook(assign0).localCheckpoint()  # corpus agg, 3 consumers
-    assign = _r_argmin(_r_sub_dists(rcb1)).select(
-        F.col("vec_id").alias("neighbor_id"), "m", "cb"
-    )
-    # ---- per-query ADC tables: residual LUT + coarse term (both tiny) ----
-    lutr = (
-        vdim.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(rcb1), ["i", "m"])
-        .groupBy(F.col("vec_id").alias("query_id"), "m", "cb")
-        .agg(F.sum(F.col("vq") * F.col("cv")).alias("dotp"))
-    )
-    coarse = (
-        vdim.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(ccv), "i")
-        .groupBy(F.col("vec_id").alias("query_id"), "cell")
-        .agg(F.sum(F.col("vq") * F.col("ccv")).alias("cdot"))
-    )
-    # ---- candidates: only vectors assigned to a probed cell (the prune) ----
-    cand = (
-        assign_c.select(F.col("vec_id").alias("neighbor_id"), "cell")
-        .join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    approx = (
-        cand.join(assign.hint("shuffle_hash"), "neighbor_id")
-        .join(F.broadcast(lutr), ["query_id", "m", "cb"])
-        .groupBy("query_id", "neighbor_id", "cell")
-        .agg(F.sum("dotp").alias("rscore"), F.count(F.lit(1)).alias("_nm"))
-        .filter(F.col("_nm") == _PQ_M)
-        .join(F.broadcast(coarse), ["query_id", "cell"])
-        .select(
-            "query_id", "neighbor_id", (F.col("cdot") + F.col("rscore")).alias("ascore")
-        )
+    approx = codes.mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, ascore bigint"
     )
     shortlist = (
         approx.withColumn(
