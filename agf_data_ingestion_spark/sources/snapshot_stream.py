@@ -149,10 +149,13 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         return rows, {"version": cur}
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        # REPLAY path: after a crash the checkpointed offsets re-read on
+        # the EXECUTOR, whose reader requires an iterator — a bare list
+        # here fails only on recovery (found by tests/test_crash_recovery)
         rows = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rows.extend(self._delta(v))
-        return rows
+        return iter(rows)
 
 
 class SnapshotCDCSource(DataSource):
