@@ -1051,145 +1051,168 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (32× smaller than float32 at dim 64 / M 8), the per-query scan
     cost is one LUT gather + M integer adds per vector (no float math,
     no full-dim dot), and the LUT itself is M·K integers built once per
-    query against the (tiny, broadcast) codebook.  The scan is map-side
-    (codes never shuffle); the only exchanges are the per-(vec, m)
-    argmin combine and the per-query top-k window.
+    query against a KiB-sized codebook.  Like the IVF-PQ rung, training
+    and the ADC scan use the closure pattern (:func:`_ivfpq_state`
+    rationale): each codebook round is ONE map-only Arrow pass whose
+    per-code sum-vectors partial-aggregate in-closure, and the scan is a
+    single map pass with the M×K LUT in the closure — codes never
+    shuffle; the only exchanges left are the top-k windows and the
+    re-rank join (r5: 5.7 → ~1.5 s at sf0.1, bit-identical results).
 
     Cross-engine determinism, every step: codes are ``floor(x·64)``
     BIGINTs; seed bits are signs of exact integer plane dots;
     sub-centroids are ``(2^20·Σcode) div n`` exact truncating division
     (both rounds); sub-distances and the LUT are exact integer sums; the
-    per-(vec,m) argmin is ``min(struct(d2, cb_label))`` (struct MIN
-    compares fields lexicographically in BOTH engines — the no-self-join
-    argmin with the label tiebreak); and the re-rank cosine is the
+    per-(vec,m) argmin is first-index over sorted cb ids ≡ the oracle's
+    ``min(struct(d2, cb_label))`` (struct MIN compares fields
+    lexicographically in BOTH engines); and the re-rank cosine is the
     module's order-preserving float fold.
     """
     e = t(spark, sf_dir, "embeddings")
-    codes = e.select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * _ANN_CODE_SCALE).cast("long"),
-        ).alias("code"),
+
+    # (vec_id, label, c): floor(x·64) integer codes — same elementwise
+    # IEEE ops as the oracle's cast/multiply/floor — checkpointed once;
+    # every training pass rescans this narrow frame only
+    def codes_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            C = np.floor(V * _ANN_CODE_SCALE).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "c": [row.tolist() for row in C],
+                }
+            )
+
+    codes = (
+        e.select("vec_id", "label", "embedding")
+        .mapInPandas(codes_batches, "vec_id bigint, label bigint, c array<bigint>")
+        .localCheckpoint(eager=True)
     )
-    # (vec_id, i, m, c, vq): one row per dimension, raw + centroid-scaled
-    vdim = codes.select(
-        "vec_id",
-        "label",
-        F.posexplode("code").alias("i", "c"),
-    ).select(
-        "vec_id",
-        "label",
-        "i",
-        F.expr(f"i div {_PQ_SUBDIM}").alias("m"),
-        "c",
-        (F.col("c") * F.lit(_PQ_Q)).alias("vq"),
-    ).cache()  # narrow (5 longs/row), SIX consumers (seed bits, both
-    # codebooks, both encodes, query LUT) — the r4 cache policy's
-    # cache-narrow-derived-frames case
+
     # seed codebook: per-(label × hyperplane-sign-bits) sub-cluster means.
     # label alone gives only K = |labels| sub-centroids — far too coarse
     # (most of a cluster collapses onto one code and ADC ranking degrades
     # to id-tiebreaks); splitting each label by _PQ_SEED_BITS md5-plane
-    # sign bits of the SUBVECTOR multiplies K by 2^bits.  The sign bits
-    # are ONE Arrow-batched int64 matmul per row (the emb_ann_lsh_topk
-    # bucketing pattern — exact integer dots, order-free, so the UDF is
-    # bit-identical to the oracle's plane-join CTEs; replacing the former
-    # plane-join + groupBy shaved two keyed exchanges)
-    from pyspark.sql.functions import pandas_udf
-
+    # sign bits of the SUBVECTOR multiplies K by 2^bits.  Sign bits are
+    # exact int64 plane dots (order-free), so the seeding is bit-identical
+    # to the oracle's plane-join CTEs.
     P = np.zeros((_DIM, _PQ_M * _PQ_SEED_BITS), dtype=np.int64)
     for m in range(_PQ_M):
         for b in range(_PQ_SEED_BITS):
             for j in range(_PQ_SUBDIM):
                 P[m * _PQ_SUBDIM + j, m * _PQ_SEED_BITS + b] = _pq_plane(m, b, j)
-    seed_w = 1 << np.arange(_PQ_SEED_BITS)
+    seed_w = 1 << np.arange(_PQ_SEED_BITS, dtype=np.int64)
 
-    def _seed_fn(emb):
-        V = np.vstack(emb.to_numpy())
-        cint = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
-        signs = (cint @ P) >= 0  # exact int64 dots: order-free
-        h = (signs.reshape(len(V), _PQ_M, _PQ_SEED_BITS) * seed_w).sum(axis=2)
-        return pd.Series([row.tolist() for row in h])
-
-    seed_arr = pandas_udf(_seed_fn, "array<long>")
-    hseed = e.select(
-        "vec_id", F.posexplode(seed_arr(F.col("embedding"))).alias("m", "h")
-    )
-    cdim = (
-        vdim.join(hseed, ["vec_id", "m"])
-        .groupBy(
-            (F.col("label") * (1 << _PQ_SEED_BITS) + F.col("h")).alias("cb_label"),
-            "i",
-            "m",
+    def _sub_keys(pdf):
+        """(n·M,) composite (m, cb_label) keys + (n·M, SUBDIM) subvector
+        codes for the SEED assignment of one Arrow batch."""
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        lab = pdf["label"].to_numpy().astype(np.int64)
+        signs = (C @ P) >= 0
+        h = (signs.reshape(len(C), _PQ_M, _PQ_SEED_BITS) * seed_w).sum(axis=2)
+        cb = lab[:, None] * (1 << _PQ_SEED_BITS) + h
+        keys = (
+            np.tile(np.arange(_PQ_M, dtype=np.int64), len(C)) * _MKEY
+            + cb.reshape(-1)
         )
-        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("cb_label", "i", "m", F.expr(f"({_PQ_Q}L * s) div n").alias("cv"))
-        # no checkpoint: the seed codebook has exactly ONE consumer (the
-        # round-0 encode below); a blocking materialization would only add
-        # a job (cdim1, consumed twice, IS checkpointed)
-    )
+        return keys, C.reshape(len(C) * _PQ_M, _PQ_SUBDIM)
 
-    def _sub_dists(cb: DataFrame) -> DataFrame:
-        # exact sub-distance of EVERY vector to EVERY sub-centroid:
-        # (vec, m, label) → Σ_j (vq_j - cv_j)² — one frame serves both the
-        # corpus encoder (argmin per (vec, m)) and the query LUT (filter)
-        return (
-            vdim.join(F.broadcast(cb), ["i", "m"])
-            .groupBy("vec_id", "m", "cb_label")
-            .agg(
-                F.sum(
-                    (F.col("vq") - F.col("cv")) * (F.col("vq") - F.col("cv"))
-                ).alias("d2")
-            )
-        )
+    def _pq_codebook(merged: dict) -> dict:
+        cbk = {}
+        for m in range(_PQ_M):
+            sub = {k % _MKEY: v for k, v in merged.items() if k // _MKEY == m}
+            ids = sorted(sub)
+            # sub-centroid = (2^20·Σcode) div n, exact truncating division
+            mat = np.stack([_tdiv(_PQ_Q * sub[c][0], sub[c][1]) for c in ids])
+            cbk[m] = (ids, mat)
+        return cbk
 
-    def _argmin(sd: DataFrame) -> DataFrame:
-        return (
-            sd.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("d2", "cb_label")).alias("a"))
-            .select("vec_id", "m", F.col("a.cb_label").alias("cb_label"))
-        )
+    cdim = _pq_codebook(_ivfpq_grouped_sums(codes, _sub_keys))
+
+    def _pq_assign(C: "np.ndarray", cbk: dict) -> "np.ndarray":
+        # per-subspace L2 argmin over vq = c·Q; ties → lowest cb_label
+        # (first index over sorted ids = the struct-min rule)
+        VQ = (C * _PQ_Q).reshape(C.shape[0], _PQ_M, _PQ_SUBDIM)
+        out = np.zeros((C.shape[0], _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            ids, mat = cbk[m]
+            diff = VQ[:, m, None, :] - mat[None, :, :]
+            out[:, m] = np.array(ids, dtype=np.int64)[
+                (diff * diff).sum(axis=2).argmin(axis=1)
+            ]
+        return out
 
     # one exact-integer Lloyd round: assign to the seed codebook, then
-    # recompute each sub-centroid as the quantized mean of its MEMBERS —
-    # (Q·Σcode) div count over (assigned code, dim) — and re-encode.
-    # Count(*) per (code, i, m) IS the member count (one row per member
-    # per dim), so no separate size table is needed.  Empty sub-clusters
-    # simply vanish (K shrinks); everything stays BIGINT-exact, so the
-    # refined codebook is still bit-identical to the oracle's.
-    assign0 = _argmin(_sub_dists(cdim))
-    cdim1 = (
-        vdim.join(assign0, ["vec_id", "m"])
-        .groupBy("cb_label", "i", "m")
-        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("cb_label", "i", "m", F.expr(f"({_PQ_Q}L * s) div n").alias("cv"))
-        .localCheckpoint()  # corpus-wide agg consumed by the re-encode
+    # recompute each sub-centroid as the quantized mean of its MEMBERS.
+    # Empty sub-clusters simply vanish (K shrinks); everything stays
+    # BIGINT-exact, so the refined codebook is bit-identical to the
+    # oracle's.
+    def _lloyd_keys(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        cb = _pq_assign(C, cdim)
+        keys = (
+            np.tile(np.arange(_PQ_M, dtype=np.int64), len(C)) * _MKEY
+            + cb.reshape(-1)
+        )
+        return keys, C.reshape(len(C) * _PQ_M, _PQ_SUBDIM)
+
+    cdim1 = _pq_codebook(_ivfpq_grouped_sums(codes, _lloyd_keys))
+
+    # query LUT (driver-built, KiB): INNER PRODUCT against each
+    # sub-centroid (MIPS-style ADC) — the ground truth is cosine, and a
+    # dot surrogate ranks it far better than L2 over unnormalized vectors
+    # (measured 8/15 → 13/15 at sf0.01); codebook ASSIGNMENT stays L2,
+    # the standard PQ split
+    qrows = sorted(
+        codes.filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: int(r["vec_id"]),
     )
-    assign = _argmin(_sub_dists(cdim1)).select(
-        F.col("vec_id").alias("neighbor_id"), "m", "cb_label"
-    )
-    # query LUT: INNER PRODUCT against each sub-centroid (MIPS-style ADC)
-    # — the ground truth is cosine, and a dot-product surrogate ranks it
-    # far better than L2 over unnormalized vectors (same reasoning as the
-    # SQ rung's integer-dot shortlist); codebook ASSIGNMENT stays L2, the
-    # standard PQ split
-    lut = (
-        vdim.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(cdim1), ["i", "m"])
-        .groupBy(F.col("vec_id").alias("query_id"), "m", "cb_label")
-        .agg(F.sum(F.col("vq") * F.col("cv")).alias("dotp"))
-    )
-    approx = (
-        assign.join(F.broadcast(lut), ["m", "cb_label"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("dotp").alias("ascore"), F.count("*").alias("_nm"))
-        # a vector contributes only when ALL M subspace codes joined (it
-        # always does — the join is on the assigned code, which exists for
-        # every (vec, m)) — keep the guard explicit for schema drift
-        .filter(F.col("_nm") == _PQ_M)
+    qids = [int(r["vec_id"]) for r in qrows]
+    qvq = np.array([list(r["c"]) for r in qrows], dtype=np.int64) * _PQ_Q
+    lut = [
+        [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ cdim1[m][1].T for m in range(_PQ_M)]
+        for qi in range(len(qids))
+    ]
+
+    def score_batches(batches):
+        # the ADC scan: ONE map pass — encode each corpus vector against
+        # the refined codebook and gather M LUT entries per query
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            cb = _pq_assign(C, cdim1)
+            pos = np.stack(
+                [
+                    np.searchsorted(np.array(cdim1[m][0], dtype=np.int64), cb[:, m])
+                    for m in range(_PQ_M)
+                ],
+                axis=1,
+            )
+            outq, outn, outs = [], [], []
+            for qi, q in enumerate(qids):
+                mask = vid != q
+                score = np.zeros(int(mask.sum()), dtype=np.int64)
+                for m in range(_PQ_M):
+                    score += lut[qi][m][pos[mask, m]]
+                outq.append(np.full(int(mask.sum()), q, dtype=np.int64))
+                outn.append(vid[mask])
+                outs.append(score)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(outq),
+                    "neighbor_id": np.concatenate(outn),
+                    "ascore": np.concatenate(outs),
+                }
+            )
+
+    approx = codes.mapInPandas(
+        score_batches, "query_id bigint, neighbor_id bigint, ascore bigint"
     )
     shortlist = (
         approx.withColumn(

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Measured scaling ladder (VERDICT r4 #7): build an N× synthetic replica
+of sf0.1 and time the dedup / ANN / components families at both scales.
+
+Replicas are DECORRELATED so the ladder measures corpus growth, not
+duplicate-density growth:
+
+* documents: every word is prefixed ``r{k}`` per replica — shingle sets
+  are disjoint across replicas (no artificial cross-replica near-dups),
+  while each replica's internal duplicate structure is preserved exactly;
+* embeddings: each replica's vectors flip signs on an md5-chosen subset
+  of dimensions — norms preserved, hyperplane/cell buckets decorrelated.
+
+Usage: python scripts/measure_scaling.py [factor] [reps]
+Writes the replica under /tmp/agf_scale_sf<factor>x and prints one
+markdown row per query: name, sf0.1 median, N× median, ratio.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+QUERIES = [
+    # dedup family
+    "docs_minhash_lsh",
+    "docs_neardup_verified",
+    "docs_incremental_neardup",
+    "docs_fingerprint",
+    "docs_simhash",
+    # components
+    "docs_dup_clusters",
+    # ANN ladder
+    "emb_cosine_topk",
+    "emb_ann_lsh_topk",
+    "emb_ivf_topk",
+    "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
+    "emb_semdedup",
+]
+
+
+def build_replica(out_dir: str, factor: int) -> None:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(BASE, "documents.parquet")).to_pandas()
+    embs = pq.read_table(os.path.join(BASE, "embeddings.parquet")).to_pandas()
+    dim = len(embs["embedding"].iloc[0])
+
+    doc_parts, emb_parts = [], []
+    for k in range(factor):
+        d = docs.copy()
+        if k > 0:
+            d["doc_id"] = d["doc_id"] + 10_000_000 * k
+            pre = f"r{k}"
+            d["text"] = d["text"].map(
+                lambda t: " ".join(pre + w for w in t.split())
+            )
+            d["n_chars"] = d["text"].str.len().astype("int64")
+        doc_parts.append(d)
+
+        e = embs.copy()
+        if k > 0:
+            e["vec_id"] = e["vec_id"] + 10_000_000 * k
+            seed = int(hashlib.md5(f"scale:{k}".encode()).hexdigest()[:8], 16)
+            signs = np.where(
+                np.random.default_rng(seed).random(dim) < 0.5, -1.0, 1.0
+            ).astype(np.float32)
+            e["embedding"] = e["embedding"].map(
+                lambda v: (np.asarray(v, dtype=np.float32) * signs)
+            )
+        emb_parts.append(e)
+
+    pd.concat(doc_parts, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    pd.concat(emb_parts, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    out_dir = f"/tmp/agf_scale_sf{factor}x"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    build_replica(out_dir, factor)
+
+    from agf_data_ingestion_spark.plans import QUERIES as CATALOG
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("measure-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"| query | sf0.1 (5k docs / 2k vecs) | {factor}× | ratio |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        fn = CATALOG[name].fn
+        fn(spark, BASE).count()  # warm plan shapes / Arrow / codegen
+        times = {}
+        for label, sf_dir in (("base", BASE), ("big", out_dir)):
+            samples = []
+            for _ in range(reps):
+                # the cluster-label memo short-circuits repeat invocations
+                # entirely (one localCheckpoint per (app, sf)); clear it so
+                # every rep measures the real components run
+                from agf_data_ingestion_spark.plans import text as _text
+
+                _text._CLUSTER_LABEL_CACHE.clear()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            times[label] = median(samples)
+        ratio = times["big"] / times["base"]
+        print(
+            f"| {name} | {times['base']:.2f} s | {times['big']:.2f} s "
+            f"| {ratio:.2f}× |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
