@@ -82,6 +82,14 @@ class CommitConflict(RuntimeError):
     """Another writer won the attempted snapshot version (CAS miss)."""
 
 
+class RewriteConflict(CommitConflict):
+    """A concurrent commit invalidated this rewrite's inputs (a file it
+    rewrote disappeared, or an interleaved commit added rows its predicate
+    / key range covers) — the transaction must recompute on fresh state.
+    Raised from the commit point; ``_retry_on_conflict`` re-runs the whole
+    transaction body, exactly Iceberg's validation-failure semantics."""
+
+
 class SchemaEvolutionError(ValueError):
     """The incoming batch changes the TYPE of an existing column — only
     ADDITIVE evolution (new columns) is supported, the Iceberg/Delta
@@ -385,6 +393,75 @@ def _retry_on_conflict(fn):
     return wrapper
 
 
+def _commit_rewrite(
+    table: str,
+    parent: int,
+    touched_paths: set[str],
+    new_files: list[dict],
+    op: str,
+    *,
+    batch_schema: list | None = None,
+    delta_safe=None,
+) -> int:
+    """Commit point for LOCK-FREE copy-on-write rewrites (merge / delete /
+    compact) with FILE-LEVEL conflict detection — the r5 rung SCALE.md
+    named: rewrites touching disjoint files commit concurrently instead of
+    serializing on the table lock (Iceberg's validation model; the
+    reference's own arbiter is row-conditional, ``agf_ingestion_lambda.py:
+    226-236``, so file-granular validation is strictly finer than its
+    whole-table Lambda serialization).
+
+    The new manifest is (current files − ``touched_paths``) + ``new_files``.
+    On a lost CAS the commit REBASES rather than recomputing, iff the
+    interleaved commits are provably irrelevant to this rewrite:
+
+    * every path in ``touched_paths`` is still referenced by the winner's
+      manifest — otherwise a concurrent rewrite replaced bytes this
+      transaction read, and its survivors frame is stale
+      (:class:`RewriteConflict` → the caller's ``_retry_on_conflict``
+      recomputes the whole transaction);
+    * ``delta_safe(f)`` is True for every file the interleaved commits
+      ADDED — the per-op guard proving the new rows cannot fall inside
+      this rewrite's key range / predicate (stats-based, conservative:
+      a stats-less delta file always forces a recompute).  ``None``
+      means any addition is safe (compaction: later appends simply stay
+      uncompacted until the next run).
+    """
+    base = read_manifest(table, parent)["files"] if parent > 0 else []
+    new_paths = {f["path"] for f in new_files}
+    for _ in range(_OCC_MAX_RETRIES):
+        files = [f for f in base if f["path"] not in touched_paths] + new_files
+        try:
+            return _publish(
+                table, files, parent, op, batch_schema=batch_schema
+            )
+        except CommitConflict:
+            cur = _repair_current(table)
+            cur_files = read_manifest(table, cur)["files"]
+            cur_paths = {f["path"] for f in cur_files}
+            missing = touched_paths - cur_paths
+            if missing:
+                raise RewriteConflict(
+                    f"{table}: {len(missing)} file(s) this {op} rewrote were "
+                    f"replaced by a concurrent commit — recomputing"
+                ) from None
+            base_paths = {f["path"] for f in base}
+            delta = [
+                f
+                for f in cur_files
+                if f["path"] not in base_paths and f["path"] not in new_paths
+            ]
+            if delta_safe is not None and not all(delta_safe(f) for f in delta):
+                raise RewriteConflict(
+                    f"{table}: a concurrent commit added rows inside this "
+                    f"{op}'s scope — recomputing"
+                ) from None
+            base, parent = cur_files, cur  # rebase onto the winner
+    raise CommitConflict(
+        f"{op} on {table} lost {_OCC_MAX_RETRIES} CAS races"
+    )
+
+
 def _json_stat_value(v):
     """Footer stat → JSON-storable value, or None when not representable.
 
@@ -664,30 +741,34 @@ def plan_files(
     files whose ranges overlap the predicate instead of the whole table
     (and is what makes Z-order clustering pay off at the reader)."""
     m = read_manifest(table, version)
-    files = m["files"]
+    return [f for f in m["files"] if _file_admits(f, where)]
+
+
+def _file_admits(f: dict, where: list[tuple] | None) -> bool:
+    """True when file entry ``f``'s recorded stats CANNOT disprove the
+    ANDed ``(col, op, value)`` predicate — i.e. the file must be opened.
+    Shared by ``plan_files`` (reader skipping), ``snapshot_delete``
+    (which files to rewrite), and the rewrite commit validation (could an
+    interleaved commit's new file contain predicate-matching rows)."""
     for col, op, value in where or []:
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op {op!r}")
-        keep = _PRUNE_OPS[op]
-
-        def _admits(f, keep=keep, col=col, value=value, op=op):
-            # a bloom can disprove equality even when the [min, max] range
-            # admits it (point lookups inside a wide range)
-            if op in ("==", "=") and _bloom_excludes(f, col, value):
+        # a bloom can disprove equality even when the [min, max] range
+        # admits it (point lookups inside a wide range)
+        if op in ("==", "=") and _bloom_excludes(f, col, value):
+            return False
+        if col not in f.get("stats", {}):
+            continue  # no stats → cannot prune on this triple
+        lo, hi = f["stats"][col]
+        try:
+            if not _PRUNE_OPS[op](lo, hi, value):
                 return False
-            if col not in f.get("stats", {}):
-                return True  # no stats → cannot prune
-            lo, hi = f["stats"][col]
-            try:
-                return keep(lo, hi, value)
-            except TypeError:
-                # predicate value not comparable with the stored stat type
-                # (e.g. numeric vs ISO string) — pruning proves nothing,
-                # keep the file; the residual filter stays exact
-                return True
-
-        files = [f for f in files if _admits(f)]
-    return files
+        except TypeError:
+            # predicate value not comparable with the stored stat type
+            # (e.g. numeric vs ISO string) — pruning proves nothing,
+            # keep the file; the residual filter stays exact
+            continue
+    return True
 
 
 def snapshot_read(
@@ -838,11 +919,13 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
 
 @_retry_on_conflict
 def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
-    """Single-writer copy-on-write MERGE: rows of ``df`` REPLACE
-    same-keyed rows in the table, unmatched rows insert — the update
-    primitive ``snapshot_upsert`` deliberately lacks (upsert is
-    first-writer-wins insert-only).  One atomic commit under the table
-    lock.
+    """Copy-on-write MERGE: rows of ``df`` REPLACE same-keyed rows in the
+    table, unmatched rows insert — the update primitive
+    ``snapshot_upsert`` deliberately lacks (upsert is first-writer-wins
+    insert-only).  One atomic commit, LOCK-FREE since r5: the commit
+    validates at file granularity (``_commit_rewrite``), so merges whose
+    key ranges touch disjoint files commit concurrently; an interleaved
+    commit inside this merge's key range forces a transparent recompute.
 
     Scale shape mirrors ``snapshot_delete``: the incoming batch's per-key
     [min, max] bounds are compared against each file's manifest stats and
@@ -871,68 +954,66 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     if dup:
         raise ValueError(f"snapshot_merge: df is not unique on {keys}: {dup[0]}")
     batch_schema = _schema_of(df)
-    with table_lock(table):
-        parent = _repair_current(table)
-        m = read_manifest(table)
-        _evolve_schema(m.get("schema"), batch_schema)  # fail before any rewrite
-        if not m["files"]:
-            return _commit(
-                table,
-                _write_data_files(df, table),
-                parent,
-                "merge",
-                batch_schema=batch_schema,
-            )
-        # incoming key bounds (one tiny agg) → which files COULD match;
-        # normalized into the stats' storage domain (datetimes/dates are
-        # ISO strings there — comparing raw datetime objects against them
-        # would TypeError and silently degrade to a full-table rewrite)
-        raw = df.agg(
-            *[F.min(k).alias(f"lo_{k}") for k in keys],
-            *[F.max(k).alias(f"hi_{k}") for k in keys],
-        ).collect()[0]
-        bounds = {c: _json_stat_value(raw[c]) for c in raw.asDict()}
+    parent = _repair_current(table)
+    m = read_manifest(table, parent) if parent > 0 else {"files": []}
+    _evolve_schema(m.get("schema"), batch_schema)  # fail before any rewrite
+    # incoming key bounds (one tiny agg) → which files COULD match;
+    # normalized into the stats' storage domain (datetimes/dates are
+    # ISO strings there — comparing raw datetime objects against them
+    # would TypeError and silently degrade to a full-table rewrite)
+    raw = df.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).collect()[0]
+    bounds = {c: _json_stat_value(raw[c]) for c in raw.asDict()}
 
-        def _overlaps(f: dict) -> bool:
-            for k in keys:
-                if k not in f.get("stats", {}):
-                    return True  # no stats → could match, must rewrite
-                lo, hi = f["stats"][k]
-                if raw[f"lo_{k}"] is None:
-                    # empty batch / all-NULL key: equality on NULL matches
-                    # nothing, so no file needs rewriting on this evidence
-                    return False
-                ilo, ihi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
-                if ilo is None or ihi is None:
-                    return True  # bound not stat-representable: conservative
-                try:
-                    if hi < ilo or lo > ihi:
-                        return False  # disjoint on this key col
-                except TypeError:
-                    return True  # incomparable stat types: keep conservative
-            return True
+    def _overlaps(f: dict) -> bool:
+        for k in keys:
+            if k not in f.get("stats", {}):
+                return True  # no stats → could match, must rewrite
+            lo, hi = f["stats"][k]
+            if raw[f"lo_{k}"] is None:
+                # empty batch / all-NULL key: equality on NULL matches
+                # nothing, so no file needs rewriting on this evidence
+                return False
+            ilo, ihi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if ilo is None or ihi is None:
+                return True  # bound not stat-representable: conservative
+            try:
+                if hi < ilo or lo > ihi:
+                    return False  # disjoint on this key col
+            except TypeError:
+                return True  # incomparable stat types: keep conservative
+        return True
 
-        touched = [f for f in m["files"] if _overlaps(f)]
-        untouched = [f for f in m["files"] if not _overlaps(f)]
-        new_files: list[dict] = []
-        if touched:
-            old = spark.read.option("mergeSchema", "true").parquet(
-                *sorted(f["path"] for f in touched)
-            )
-            survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
-            bc = _common_bloom_cols(touched)
-            new_files += _write_data_files(survivors, table, bloom_cols=bc)
-            new_files += _write_data_files(df, table, bloom_cols=bc)
-        else:
-            new_files += _write_data_files(df, table)
-        import pyarrow.parquet as pq
-
-        new_files = [
-            f for f in new_files if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-        ]
-        return _commit(
-            table, untouched + new_files, parent, "merge", batch_schema=batch_schema
+    touched = [f for f in m["files"] if _overlaps(f)]
+    new_files: list[dict] = []
+    if touched:
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(f["path"] for f in touched)
         )
+        survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
+        bc = _common_bloom_cols(touched)
+        new_files += _write_data_files(survivors, table, bloom_cols=bc)
+        new_files += _write_data_files(df, table, bloom_cols=bc)
+    else:
+        new_files += _write_data_files(df, table)
+    import pyarrow.parquet as pq
+
+    new_files = [
+        f for f in new_files if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+    ]
+    return _commit_rewrite(
+        table,
+        parent,
+        {f["path"] for f in touched},
+        new_files,
+        "merge",
+        batch_schema=batch_schema,
+        # an interleaved commit whose new rows could share a key with this
+        # batch would be silently shadowed by the rebase — recompute instead
+        delta_safe=lambda f: not _overlaps(f),
+    )
 
 
 _TAG_RE = None  # compiled lazily
@@ -1030,31 +1111,37 @@ def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
         raise ValueError("snapshot_delete requires a non-empty predicate")
     import pyarrow.parquet as pq
 
-    with table_lock(table):
-        parent = _repair_current(table)
-        m = read_manifest(table)
-        touched = plan_files(table, where=where)
-        touched_paths = {f["path"] for f in touched}
-        untouched = [f for f in m["files"] if f["path"] not in touched_paths]
-        new_files = []
-        if touched:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *sorted(touched_paths)
-            )
-            # DELETE semantics: remove rows where the predicate is TRUE.
-            # A NULL predicate (e.g. a NULL column value) must KEEP the row
-            # — plain ~cond would evaluate NULL and drop it
-            cond = _where_condition(df, where)
-            survivors = df.filter(cond.isNull() | ~cond)
-            written = _write_data_files(survivors, table)
-            # an all-deleted rewrite leaves empty part files — keep the
-            # manifest free of them (cheap footer check, no data read)
-            new_files = [
-                f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-            ]
-        if not new_files and not touched:
-            return parent  # stats prove nothing matched: no-op, no commit
-        return _commit(table, untouched + new_files, parent, "delete")
+    parent = _repair_current(table)
+    touched = plan_files(table, version=parent, where=where)
+    touched_paths = {f["path"] for f in touched}
+    new_files = []
+    if touched:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(touched_paths)
+        )
+        # DELETE semantics: remove rows where the predicate is TRUE.
+        # A NULL predicate (e.g. a NULL column value) must KEEP the row
+        # — plain ~cond would evaluate NULL and drop it
+        cond = _where_condition(df, where)
+        survivors = df.filter(cond.isNull() | ~cond)
+        written = _write_data_files(survivors, table)
+        # an all-deleted rewrite leaves empty part files — keep the
+        # manifest free of them (cheap footer check, no data read)
+        new_files = [
+            f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+        ]
+    if not new_files and not touched:
+        return parent  # stats prove nothing matched: no-op, no commit
+    return _commit_rewrite(
+        table,
+        parent,
+        touched_paths,
+        new_files,
+        "delete",
+        # an interleaved commit may have added rows the predicate matches —
+        # rebasing would resurrect them past the delete; recompute instead
+        delta_safe=lambda f: not _file_admits(f, where),
+    )
 
 
 @_retry_on_conflict
@@ -1075,32 +1162,40 @@ def snapshot_compact(
     equivalent when passed a Morton key column built with
     functions/zorder.py): a range repartition + within-file sort, so each
     rewritten file covers a tight key range and parquet min/max stats
-    prune multi-dimensional predicates."""
-    with table_lock(table):
-        parent = _repair_current(table)
-        m = read_manifest(table)
-        small = [f for f in m["files"] if f["bytes"] < small_bytes]
-        keep = [f for f in m["files"] if f["bytes"] >= small_bytes]
-        if len(small) <= 1:
-            return parent
-        # mergeSchema: small files may straddle a schema evolution — a
-        # plain read would take the first footer and silently DROP the
-        # newer columns from the compacted rewrite
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[f["path"] for f in small]
+    prune multi-dimensional predicates.
+
+    Lock-free since r5: compaction never conflicts with interleaved
+    APPENDS (their files simply stay uncompacted until the next run — the
+    rebase carries them through), and a concurrent rewrite of a file this
+    run consolidated triggers a recompute via file-level validation."""
+    parent = _repair_current(table)
+    m = read_manifest(table, parent) if parent > 0 else {"files": []}
+    small = [f for f in m["files"] if f["bytes"] < small_bytes]
+    if len(small) <= 1:
+        return parent
+    # mergeSchema: small files may straddle a schema evolution — a
+    # plain read would take the first footer and silently DROP the
+    # newer columns from the compacted rewrite
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[f["path"] for f in small]
+    )
+    total = sum(f["bytes"] for f in small)
+    target_files = int(max(1, total // small_bytes))
+    if sort_by:
+        df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+            *sort_by
         )
-        total = sum(f["bytes"] for f in small)
-        target_files = int(max(1, total // small_bytes))
-        if sort_by:
-            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
-                *sort_by
-            )
-        else:
-            df = df.coalesce(target_files)
-        new_files = _write_data_files(
-            df, table, bloom_cols=_common_bloom_cols(small)
-        )
-        return _commit(table, keep + new_files, parent, "compact")
+    else:
+        df = df.coalesce(target_files)
+    new_files = _write_data_files(df, table, bloom_cols=_common_bloom_cols(small))
+    return _commit_rewrite(
+        table,
+        parent,
+        {f["path"] for f in small},
+        new_files,
+        "compact",
+        delta_safe=None,  # any concurrent addition is compaction-safe
+    )
 
 
 def snapshot_diff(

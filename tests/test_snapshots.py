@@ -747,43 +747,230 @@ def test_concurrent_partial_overlap_rebases(spark, tmp_path, monkeypatch):
     assert len(rows) == 5  # the contested key exists exactly once
 
 
-def test_locked_rewrite_retries_over_occ_append(spark, tmp_path, monkeypatch):
-    """A lock-holding rewrite (merge) whose commit loses the CAS to an
-    optimistic append must retry on fresh state — the appended rows
-    survive, the merge applies, nothing is silently dropped."""
+def _race_append_on_first_publish(spark, snap, monkeypatch, rows, schema):
+    """Monkeypatch ``_publish`` so the FIRST commit attempt is beaten by an
+    interleaved optimistic append of ``rows`` — the deterministic twin of
+    an append landing between a rewrite's read and its commit."""
+    real_publish = snap._publish
+    fired = []
+
+    def racing_publish(table, files, parent, op, **kw):
+        if not fired and op != "append":
+            fired.append(True)
+            real_publish(
+                table,
+                snap.read_manifest(table)["files"]
+                + snap._write_data_files(
+                    spark.createDataFrame(rows, schema), table
+                ),
+                parent,
+                "append",
+            )
+        return real_publish(table, files, parent, op, **kw)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+
+
+def test_rewrite_rebases_over_disjoint_occ_append(spark, tmp_path, monkeypatch):
+    """r5 file-level OCC: a merge whose commit loses the CAS to an append
+    OUTSIDE its key range must REBASE (no recompute — the winner's files
+    carry through untouched), and nothing is silently dropped."""
     from agf_data_ingestion_spark.sources import snapshots as snap
     from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
 
     tbl = str(tmp_path / "tbl")
     snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
-
-    # interleave an OCC append between the merge's read and its commit by
-    # firing it from the first _commit call
-    real_commit = snap._commit
-    fired = []
-
-    def racing_commit(table, files, parent, op, **kw):
-        if not fired:
-            fired.append(True)
-            snap._publish(
-                table,
-                snap.read_manifest(table)["files"]
-                + snap._write_data_files(
-                    spark.createDataFrame([(99, "appended")], "k long, v string"),
-                    table,
-                ),
-                parent,
-                "append",
-            )
-        return real_commit(table, files, parent, op, **kw)
-
-    monkeypatch.setattr(snap, "_commit", racing_commit)
+    _race_append_on_first_publish(
+        spark, snap, monkeypatch, [(99, "appended")], "k long, v string"
+    )
     v = snapshot_merge(
         spark.createDataFrame([(2, "B!")], "k long, v string"), tbl, keys=["k"]
     )
-    assert v == 3  # append took v2, merge retried and committed v3
+    assert v == 3  # append took v2, merge rebased and committed v3
     got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
     assert got == [(1, "a"), (2, "B!"), (99, "appended")]
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_history
+
+    assert [h["op"] for h in snapshot_history(tbl)] == ["append", "append", "merge"]
+
+
+def test_merge_recomputes_over_inrange_occ_append(spark, tmp_path, monkeypatch):
+    """r5 file-level OCC: an interleaved append INSIDE the merge's key
+    range cannot be rebased over (its rows would shadow the merge) — the
+    transaction recomputes and the merge's row replaces the appended copy
+    too."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
+    # the racing append writes key 2 — the very key the merge replaces
+    _race_append_on_first_publish(
+        spark, snap, monkeypatch, [(2, "stale-race")], "k long, v string"
+    )
+    v = snapshot_merge(
+        spark.createDataFrame([(2, "B!")], "k long, v string"), tbl, keys=["k"]
+    )
+    assert v == 3
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    # exactly one copy of key 2, and it is the merge's (serialized last)
+    assert got == [(1, "a"), (2, "B!")]
+
+
+def test_delete_recomputes_over_matching_occ_append(spark, tmp_path, monkeypatch):
+    """r5 file-level OCC: DELETE serializes after every interleaved
+    commit — an appended row matching the predicate is deleted by the
+    recompute, never resurrected by a rebase (the GDPR semantics)."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (50, "keep")], "k long, v string"),
+        tbl,
+    )
+    _race_append_on_first_publish(
+        spark, snap, monkeypatch, [(3, "late-match")], "k long, v string"
+    )
+    v = snapshot_delete(spark, tbl, where=[("k", "<=", 10)])
+    assert v == 3
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(50, "keep")]
+
+
+def test_compact_rebases_over_any_occ_append(spark, tmp_path, monkeypatch):
+    """r5 file-level OCC: compaction rebases over ANY interleaved append —
+    the appended file simply stays uncompacted in the new manifest."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import (
+        read_manifest,
+        snapshot_compact,
+        snapshot_history,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):  # three small files via three appends
+        snapshot_write(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"),
+            tbl,
+            mode="append",
+        )
+    _race_append_on_first_publish(
+        spark, snap, monkeypatch, [(99, "inflight")], "k long, v string"
+    )
+    v = snapshot_compact(spark, tbl, small_bytes=8 << 20)
+    assert v == 5  # appends v1-3, racing append v4, compact v5
+    assert [h["op"] for h in snapshot_history(tbl)][-2:] == ["append", "compact"]
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2"), (99, "inflight")]
+    # the in-flight file is referenced verbatim (not rewritten by compact)
+    appended_paths = {f["path"] for f in read_manifest(tbl, 4)["files"]} - {
+        f["path"] for f in read_manifest(tbl, 3)["files"]
+    }
+    assert appended_paths <= {f["path"] for f in read_manifest(tbl, 5)["files"]}
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, tmp_path, monkeypatch):
+    """r5 headline: two merges over DISJOINT key ranges touching DISJOINT
+    files both commit — no table lock, no lost update; the CAS loser
+    rebases at file granularity instead of recomputing."""
+    import threading
+
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # two files with disjoint key ranges (separate appends)
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl
+    )
+    snapshot_write(
+        spark.createDataFrame([(11, "c"), (12, "d")], "k long, v string"),
+        tbl,
+        mode="append",
+    )
+
+    real_write = snap._write_data_files
+    gate = threading.Barrier(2, timeout=120)
+    passed = threading.local()
+
+    def gated_write(df, table, **kw):
+        files = real_write(df, table, **kw)
+        if not getattr(passed, "done", False):
+            passed.done = True
+            gate.wait()
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", gated_write)
+
+    def writer(i, barrier):
+        # writer 0 updates low-range keys, writer 1 high-range keys
+        df = spark.createDataFrame([(1 + 10 * i, f"w{i}")], "k long, v string")
+        barrier.wait()
+        return snapshot_merge(df, tbl, keys=["k"])
+
+    versions = _run_racers(2, writer)
+    assert sorted(versions) == [3, 4], versions
+    assert [h["op"] for h in snapshot_history(tbl)] == [
+        "append",
+        "append",
+        "merge",
+        "merge",
+    ]
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(1, "w0"), (2, "b"), (11, "w1"), (12, "d")]
+
+
+def test_concurrent_overlapping_merges_serialize_by_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """Two merges over the SAME key: the CAS loser detects the winner
+    replaced its touched file, recomputes on fresh state, and both commits
+    land — exactly one copy of the key survives (the recomputing loser's,
+    serialized last)."""
+    import threading
+
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_history,
+        snapshot_merge,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl
+    )
+
+    real_write = snap._write_data_files
+    gate = threading.Barrier(2, timeout=120)
+    passed = threading.local()
+
+    def gated_write(df, table, **kw):
+        files = real_write(df, table, **kw)
+        if not getattr(passed, "done", False):
+            passed.done = True
+            gate.wait()
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", gated_write)
+
+    def writer(i, barrier):
+        df = spark.createDataFrame([(2, f"w{i}")], "k long, v string")
+        barrier.wait()
+        return snapshot_merge(df, tbl, keys=["k"])
+
+    versions = _run_racers(2, writer)
+    assert sorted(versions) == [2, 3], versions
+    assert current_version(tbl) == 3
+    assert [h["op"] for h in snapshot_history(tbl)] == ["append", "merge", "merge"]
+    rows = snapshot_read(spark, tbl).collect()
+    by_key = {r["k"]: r["v"] for r in rows}
+    assert len(rows) == 2 and sorted(by_key) == [1, 2]
+    assert by_key[1] == "a" and by_key[2] in ("w0", "w1")
 
 
 def test_expire_keeps_inflight_orphans_reclaims_old(spark, tmp_path, monkeypatch):
