@@ -615,7 +615,240 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {_RRF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_bpe_train — iterative BPE tokenizer training (OP-X-BPETRAIN)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_EOW = "</w>"  # classic end-of-word marker symbol (Sennrich BPE)
+
+
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``_BPE_ROUNDS`` BPE merges over the corpus — the full
+    iterative tokenizer-training loop (docs_bpe_pairs is one round of the
+    pair-count step; this runs count → argmax → greedy merge → repeat).
+
+    Returns one row per round: (round, x, y, merged, pair_count) — the
+    merge table a tokenizer ships.
+
+    Exact-integer + deterministic, so bit-identical to the DuckDB oracle
+    (the same rounds unrolled as MATERIALIZED CTEs, plans/iterative.py
+    pattern): pair counts are integer sums of word frequencies
+    (order-free), the argmax is ``min(struct(-count, x, y))`` — the
+    engine-identical struct-min argmin with SMALLEST-pair tiebreak — and
+    the greedy left-to-right merge is a parity rule, not a fold.
+
+    Scale shape (the Sennrich formulation): the CORPUS is touched once —
+    the word-frequency aggregation — and every round runs over the symbol
+    table of the DISTINCT-word vocabulary weighted by those counts
+    (vocab-sized, corpus-size-independent).  Each round is ONE exchange:
+    every window (lead, running candidate count, island-start carry, lag)
+    shares the same (word, order i) sort, because greedy merge eligibility
+    is computed with RUNNING frames instead of re-partitioning —
+    ``crn`` = running count of candidate positions, ``scar`` = the
+    candidate count at the current island's first row carried forward with
+    ``last(..., ignorenulls)`` (verified engine-identical), and a
+    candidate is a merge START iff ``(crn - scar)`` is even (greedy
+    left-to-right consumes overlapping candidates in pairs; overlap only
+    occurs for x == y runs).  The dropped row is the one following a
+    start (``lag(is_start)``).  The pair-count argmax reduces to ONE row;
+    driver state is one merge pair per round.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # symbol rows (word, cnt, i, sym): chars 1..len plus the EOW marker
+    rows = (
+        words.select(
+            "word",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word") + 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "cnt",
+            "i",
+            F.when(
+                F.col("i") <= F.length("word"), F.expr("substring(word, i, 1)")
+            )
+            .otherwise(F.lit(_EOW))
+            .alias("sym"),
+        )
+        .repartition("word")
+        .localCheckpoint(eager=True)
+    )
+    wd = Window.partitionBy("word").orderBy("i")
+    run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        withnext = rows.withColumn("nxt", F.lead("sym").over(wd))
+        best = (
+            withnext.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("s"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("s")).alias("negs"),
+                        F.col("sym").alias("x"),
+                        F.col("nxt").alias("y"),
+                    )
+                ).alias("b")
+            )
+            .select("b.x", "b.y", (-F.col("b.negs")).alias("pair_count"))
+            .collect()[0]
+        )
+        x, y = best["x"], best["y"]
+        assert x is not None, "BPE round found no pairs (corpus too small)"
+        merges.append((r, x, y, x + y, int(best["pair_count"])))
+        cand = F.coalesce(
+            (F.col("sym") == F.lit(x)) & (F.col("nxt") == F.lit(y)), F.lit(False)
+        )
+        stepped = (
+            withnext.withColumn("cand", cand)
+            .withColumn(
+                "islstart",
+                F.col("cand") & ~F.coalesce(F.lag("cand").over(wd), F.lit(False)),
+            )
+            .withColumn(
+                "crn",
+                F.sum(F.when(F.col("cand"), 1).otherwise(0)).over(run),
+            )
+            .withColumn(
+                "scar",
+                F.last(
+                    F.when(F.col("islstart"), F.col("crn")), ignorenulls=True
+                ).over(run),
+            )
+            .withColumn(
+                "is_start",
+                F.col("cand") & ((F.col("crn") - F.col("scar")) % 2 == 0),
+            )
+            .withColumn(
+                "drop_row",
+                F.coalesce(F.lag("is_start").over(wd), F.lit(False)),
+            )
+        )
+        rows = (
+            stepped.filter(~F.col("drop_row"))
+            .select(
+                "word",
+                "cnt",
+                "i",
+                F.when(F.col("is_start"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, "round int, x string, y string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_train_sql() -> str:
+    """The same ``_BPE_ROUNDS`` rounds unrolled as chained MATERIALIZED
+    CTEs (DuckDB re-inlines un-materialized chains — plans/iterative.py).
+    Every construct is from the verified engine-identical set: struct-MIN
+    argmin, running-frame SUM, ``last_value IGNORE NULLS``, lead/lag,
+    BIGINT-cast sums."""
+    ctes = [
+        """words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT word, cnt, i,
+         CASE WHEN i <= length(word) THEN substr(word, i, 1)
+              ELSE '{_EOW}' END AS sym
+  FROM words, UNNEST(range(1, length(word) + 2)) AS u(i)
+)""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT word, cnt, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM v{r - 1}
+)"""
+        )
+        ctes.append(
+            f"""best{r} AS MATERIALIZED (
+  SELECT (MIN({{'negs': -s, 'x': x, 'y': y}})).x AS x,
+         (MIN({{'negs': -s, 'x': x, 'y': y}})).y AS y,
+         -((MIN({{'negs': -s, 'x': x, 'y': y}})).negs) AS pair_count
+  FROM (
+    SELECT sym AS x, nxt AS y, CAST(SUM(cnt) AS BIGINT) AS s
+    FROM p{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  )
+)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+  SELECT *,
+    COALESCE(sym = (SELECT x FROM best{r})
+             AND nxt = (SELECT y FROM best{r}), FALSE) AS cand
+  FROM p{r}
+)"""
+        )
+        ctes.append(
+            f"""t{r} AS (
+  SELECT *,
+    cand AND NOT COALESCE(lag(cand) OVER (PARTITION BY word ORDER BY i), FALSE) AS islstart,
+    SUM(CASE WHEN cand THEN 1 ELSE 0 END) OVER
+      (PARTITION BY word ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crn
+  FROM s{r}
+)"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+  SELECT *,
+    last_value(CASE WHEN islstart THEN crn END IGNORE NULLS) OVER
+      (PARTITION BY word ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scar
+  FROM t{r}
+)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+  SELECT *, cand AND ((crn - scar) % 2 = 0) AS is_start
+  FROM u{r}
+)"""
+        )
+        ctes.append(
+            f"""x{r} AS (
+  SELECT *,
+    COALESCE(lag(is_start) OVER (PARTITION BY word ORDER BY i), FALSE) AS drop_row
+  FROM w{r}
+)"""
+        )
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT word, cnt, i,
+         CASE WHEN is_start THEN sym || nxt ELSE sym END AS sym
+  FROM x{r} WHERE NOT drop_row
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, x, y, x || y AS merged, pair_count FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INT) AS round, x, y, merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM ({unions})"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "docs_bpe_train": QuerySpec(
+        docs_bpe_train, _bpe_train_sql(), ("OP-X-BPETRAIN", "OP-X-ITER", "OP-X-TEXT")
+    ),
     "docs_bigram_lm_score": QuerySpec(
         docs_bigram_lm_score, _LM_SQL, ("OP-X-LMSCORE", "OP-X-TEXT", "OP-AGG-SUM")
     ),

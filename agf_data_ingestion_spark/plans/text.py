@@ -301,7 +301,13 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams-per-doc × corpus — 40× the text itself).  doc_hash rides the
     exploded rows and folds back with first() (constant per doc), so the
     whole query is scan → repartition → map/agg with no further exchange
-    and no self-join."""
+    and no self-join.
+
+    r5: the per-doc DISTINCT runs on the raw 8-char gram BEFORE md5 —
+    distinct-then-hash ≡ hash-then-distinct (same hash set), but natural
+    text repeats grams heavily, so the md5 count drops to the distinct
+    gram count and the aggregated rows shrink 32→8 chars (measured 2.4×
+    at sf0.1×3)."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
     base = d.select("doc_id", F.md5(norm).alias("doc_hash"), norm.alias("nt"))
@@ -315,8 +321,9 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)))
             ).alias("i"),
         )
-        .select("doc_id", "doc_hash", F.expr("md5(substring(nt, i, 8))").alias("h"))
+        .select("doc_id", "doc_hash", F.expr("substring(nt, i, 8)").alias("g"))
         .distinct()
+        .select("doc_id", "doc_hash", F.md5("g").alias("h"))
     )
     w = Window.partitionBy("doc_id").orderBy("h")
     return (

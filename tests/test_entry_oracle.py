@@ -41,6 +41,8 @@ SUBSET = [
     "events_quantile_sketch",
     "docs_bm25_search",
     "events_daily_full_outer",
+    # round-5: iterative BPE tokenizer training (vocab-level rounds)
+    "docs_bpe_train",
 ]
 
 

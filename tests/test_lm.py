@@ -229,3 +229,57 @@ def test_hybrid_rrf_fusion_semantics(spark):
     only = [r for r in rows if (r.bm25_rank is None) != (r.cos_rank is None)]
     if both and only:
         assert max(r.rrf_score for r in both) > min(r.rrf_score for r in only)
+
+
+def test_bpe_train_matches_reference_greedy_merge(spark, tmp_path):
+    """r5 OP-X-BPETRAIN: the windows-only parity formulation of greedy
+    left-to-right merging must agree with a literal Sennrich-style Python
+    reference on a planted corpus exercising the overlap cases (x == y
+    runs of even/odd length, alternating x != y chains, ties)."""
+    import collections
+
+    texts = [
+        "aaaa aaa aaaa abab ababab banana",
+        "aaaa abab banana bananas",
+        "mississippi aaa abab riverbank riverbed",
+        "abcdefgh abcdefgh mississippi banana",
+    ]
+    rows = [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # reference implementation: pair counting with overlaps, argmax with
+    # (max count, lexicographically smallest pair), greedy left-to-right
+    # merge (Sennrich et al. 2016, the textbook loop)
+    wc = collections.Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    # identical words stay separate keys in the engine; counts are summed
+    # per pair either way, so a dict keyed by symbol tuple is equivalent
+    expected = []
+    for r in range(1, lm._BPE_ROUNDS + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (bx, by), bc = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r, bx, by, bx + by, bc))
+        nv = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bx and syms[i + 1] == by:
+                    out.append(bx + by)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = nv
+
+    got = [
+        (r["round"], r["x"], r["y"], r["merged"], r["pair_count"])
+        for r in lm.docs_bpe_train(spark, str(tmp_path)).collect()
+    ]
+    assert sorted(got) == expected, (got, expected)
