@@ -109,6 +109,86 @@ def _manifest_path(table: str, version: int) -> str:
     return os.path.join(_snap_path(table), f"v-{version:08d}.json")
 
 
+# -- segment manifests (r5) --------------------------------------------------
+# A manifest no longer inlines the full file list: it names immutable
+# SEGMENT files (Iceberg's manifest-list model), and a commit writes only
+# the segments its parent didn't already have — commit I/O is O(delta),
+# not O(table).  At 1M files an append used to rewrite the whole file list
+# every commit; now it writes one small segment + a tiny manifest.
+
+#: per-manifest segment-count bound; exceeding commits coalesce the two
+#: smallest segments (geometric merging, LSM-style) so manifests stay tiny
+#: while amortized rewrite cost stays O(N / _MAX_SEGMENTS) per commit
+_MAX_SEGMENTS = 64
+
+#: immutable segment cache (segments are content-frozen once linked into a
+#: manifest); bounded by periodic clear, entries must not be mutated
+_SEG_CACHE: dict[str, list] = {}
+
+
+def _segs_path(table: str) -> str:
+    return os.path.join(_snap_path(table), "segs")
+
+
+def _read_segment(table: str, name: str) -> list[dict]:
+    p = os.path.join(_segs_path(table), name)
+    ent = _SEG_CACHE.get(p)
+    if ent is None:
+        with open(p) as fh:
+            ent = json.load(fh)
+        if len(_SEG_CACHE) > 4096:
+            _SEG_CACHE.clear()
+        _SEG_CACHE[p] = ent
+    return ent
+
+
+def _write_segment(table: str, entries: list[dict]) -> str:
+    """Stage-then-rename an immutable segment file; a crash mid-write
+    leaves an unreferenced temp/orphan that expiry's grace window
+    reclaims, never a referenced-but-corrupt segment."""
+    os.makedirs(_segs_path(table), exist_ok=True)
+    name = f"seg-{uuid.uuid4().hex}.json"
+    p = os.path.join(_segs_path(table), name)
+    tmp = f"{p}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh)
+    os.rename(tmp, p)
+    _SEG_CACHE[p] = entries
+    return name
+
+
+def _derive_segments(
+    table: str, files: list[dict], parent_m: dict | None
+) -> list[str]:
+    """Split the committing file list into (reused parent segments +
+    one new segment for the delta).  A parent segment is reusable iff
+    EVERY path it lists survives into the new manifest — data files are
+    immutable, so path identity implies entry identity.  Derivation is
+    O(table) in MEMORY per commit (path-set checks) but the WRITE is
+    O(delta) — the same trade Iceberg's manifest list makes."""
+    target = {f["path"] for f in files}
+    covered: set[str] = set()
+    segs: list[tuple[str, int]] = []
+    for name in (parent_m or {}).get("segments") or []:
+        ent = _read_segment(table, name)
+        paths = [e["path"] for e in ent]
+        if (
+            paths
+            and all(p in target for p in paths)
+            and not any(p in covered for p in paths)
+        ):
+            segs.append((name, len(paths)))
+            covered.update(paths)
+    leftover = [f for f in files if f["path"] not in covered]
+    if leftover:
+        segs.append((_write_segment(table, leftover), len(leftover)))
+    while len(segs) > _MAX_SEGMENTS:
+        segs.sort(key=lambda s: s[1])
+        merged = _read_segment(table, segs[0][0]) + _read_segment(table, segs[1][0])
+        segs = [(_write_segment(table, merged), len(merged))] + segs[2:]
+    return [name for name, _ in segs]
+
+
 def current_version(table: str) -> int:
     """The committed version (0 = empty table, no commits yet)."""
     try:
@@ -119,14 +199,23 @@ def current_version(table: str) -> int:
 
 
 def read_manifest(table: str, version: int | None = None) -> dict:
+    """The manifest dict with ``files`` RESOLVED: segment-based manifests
+    (r5) materialize their file list by concatenating the named immutable
+    segments (cached per process); legacy inline-``files`` manifests pass
+    through unchanged.  Callers must not mutate the entry dicts."""
     v = current_version(table) if version is None else version
     if v == 0:
         return {"version": 0, "files": [], "parent": None}
     try:
         with open(_manifest_path(table, v)) as fh:
-            return json.load(fh)
+            m = json.load(fh)
     except FileNotFoundError:
         raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
+    if "files" not in m:
+        m["files"] = [
+            e for s in m.get("segments") or [] for e in _read_segment(table, s)
+        ]
+    return m
 
 
 def _commit_index(table: str) -> dict[int, float]:
@@ -321,14 +410,17 @@ def _publish(
     carries the parent schema forward unchanged."""
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
-    parent_schema = read_manifest(table, parent).get("schema") if parent > 0 else None
+    parent_m = read_manifest(table, parent) if parent > 0 else None
+    parent_schema = parent_m.get("schema") if parent_m else None
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "committed_at": time.time(),
         "schema": _evolve_schema(parent_schema, batch_schema, replace=replace),
-        "files": files,
+        # O(delta) commit: reuse the parent's untouched segments by name,
+        # write only the new entries (plus bounded geometric coalescing)
+        "segments": _derive_segments(table, files, parent_m),
     }
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.tmp-{uuid.uuid4()}"
@@ -1303,8 +1395,11 @@ def expire_snapshots(
             set(range(max(1, cur - keep_last + 1), cur + 1)) | tagged
         )
         referenced: set[str] = set()
+        referenced_segs: set[str] = set()
         for v in retained_versions:
-            referenced.update(f["path"] for f in read_manifest(table, v)["files"])
+            m = read_manifest(table, v)
+            referenced.update(f["path"] for f in m["files"])
+            referenced_segs.update(m.get("segments") or [])
         # every path ANY existing manifest lists is a COMMITTED file — if
         # no retained version needs it, it is reclaimable immediately; a
         # path in NO manifest is either a lost CAS attempt's leftover or
@@ -1341,6 +1436,20 @@ def expire_snapshots(
             if os.path.exists(mp):
                 os.remove(mp)
                 deleted.append(mp)
+        # segment files no retained manifest names; young unreferenced
+        # segments may belong to an in-flight commit (staged before its
+        # CAS) — same grace rule as data files
+        segs_dir = _segs_path(table)
+        if os.path.isdir(segs_dir):
+            for name in os.listdir(segs_dir):
+                p = os.path.join(segs_dir, name)
+                if name in referenced_segs:
+                    continue
+                if now - os.path.getmtime(p) < orphan_grace_s:
+                    continue
+                os.remove(p)
+                _SEG_CACHE.pop(p, None)
+                deleted.append(p)
         return deleted
 
 

@@ -1278,3 +1278,77 @@ def test_audited_write_records_bloom_cols(spark, tmp_path):
     )
     assert all("k" in f.get("bloom", {}) for f in read_manifest(tbl)["files"])
     assert plan_files(tbl, where=[("k", "==", 777)]) == []
+
+
+def test_segment_manifests_commit_o_delta(spark, tmp_path):
+    """r5 segment manifests: a commit writes only its DELTA segment and
+    names the parent's segments — manifest JSON stays tiny at any table
+    size (the Iceberg manifest-list model), resolution still yields the
+    full file list, and a rewrite carries untouched segments by name."""
+    import json
+
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(10):
+        snapshot_write(
+            spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1), tbl
+        )
+    raw9 = json.load(open(snap._manifest_path(tbl, 9)))
+    raw10 = json.load(open(snap._manifest_path(tbl, 10)))
+    assert "files" not in raw10 and len(raw10["segments"]) == 10
+    # exactly ONE new segment per append; the rest are reused by name
+    assert set(raw9["segments"]) <= set(raw10["segments"])
+    assert len(set(raw10["segments"]) - set(raw9["segments"])) == 1
+    # manifest growth is segment names (~50 B/commit), never file entries
+    s1 = os.path.getsize(snap._manifest_path(tbl, 1))
+    s10 = os.path.getsize(snap._manifest_path(tbl, 10))
+    assert s10 - s1 < 1500, (s1, s10)
+    assert snapshot_read(spark, tbl).count() == 10
+    # a single-key merge rewrites only the touched segment
+    v = snapshot_merge(
+        spark.createDataFrame([(3, "MERGED")], "k long, v string"), tbl, keys=["k"]
+    )
+    rawm = json.load(open(snap._manifest_path(tbl, v)))
+    assert len(set(rawm["segments"]) & set(raw10["segments"])) == 9
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
+    assert got[3] == "MERGED" and len(got) == 10
+
+
+def test_segment_coalescing_bounds_manifest_width(spark, tmp_path, monkeypatch):
+    """Geometric coalescing keeps the per-manifest segment count bounded
+    (LSM-style smallest-pair merges) without changing the resolved table."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+
+    monkeypatch.setattr(snap, "_MAX_SEGMENTS", 4)
+    tbl = str(tmp_path / "tbl")
+    for i in range(7):
+        snapshot_write(
+            spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1), tbl
+        )
+    m = read_manifest(tbl)
+    assert len(m["segments"]) <= 4
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == list(
+        range(7)
+    )
+
+
+def test_expiry_reclaims_unreferenced_segments(spark, tmp_path):
+    """Expiry deletes segment files no retained manifest names (with the
+    same in-flight grace rule as data files)."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    for i in range(3):
+        snapshot_write(
+            spark.createDataFrame([(i, "x")], "k long, v string").coalesce(1), tbl
+        )
+    snapshot_write(
+        spark.createDataFrame([(99, "y")], "k long, v string"), tbl, mode="overwrite"
+    )
+    expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0)
+    kept = set(read_manifest(tbl)["segments"])
+    on_disk = set(os.listdir(snap._segs_path(tbl)))
+    assert on_disk == kept
+    assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [99]
