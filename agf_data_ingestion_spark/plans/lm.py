@@ -654,6 +654,16 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     start (``lag(is_start)``).  The pair-count argmax reduces to ONE row;
     driver state is one merge pair per round.
     """
+    _, merges = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, x string, y string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (final per-word symbol rows,
+    merge list) — ``docs_bpe_train`` ships the merges, ``docs_bpe_tokens``
+    tokenizes with the trained vocabulary state."""
     d = t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -745,13 +755,69 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
-        merges, "round int, x string, y string, merged string, pair_count bigint"
+    return rows, merges
+
+
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained tokenizer: per-document word
+    and BPE-token counts under the ``_BPE_ROUNDS`` learned merges — the
+    apply half of OP-X-BPETRAIN (what a data pipeline runs to budget
+    sequence packing / pricing before real tokenization).
+
+    A word's token count is the number of symbols remaining in the final
+    training state, so tokenization is a VOCAB-sized aggregation + one
+    (word → count) join against the corpus words — the corpus is never
+    re-segmented (the trained state IS its segmentation).  The count
+    table grows with vocabulary, so the join is shuffle-hash pinned,
+    never broadcast."""
+    rows, _ = _bpe_fit(spark, sf_dir)
+    word_tok = rows.groupBy("word").agg(F.count("*").alias("n_sym"))
+    dw = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(word_tok.hint("shuffle_hash"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select("doc_id", "n_words", "n_bpe_tokens")
     )
 
 
 def _bpe_train_sql() -> str:
-    """The same ``_BPE_ROUNDS`` rounds unrolled as chained MATERIALIZED
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, x, y, x || y AS merged, pair_count FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes())
+        + f"\nSELECT CAST(round AS INT) AS round, x, y, merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM ({unions})"
+    )
+
+
+def _bpe_tokens_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes())
+        + f""",
+wt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+       FROM v{_BPE_ROUNDS} GROUP BY word),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, word FROM dw WHERE word <> '') j JOIN wt USING (word)
+GROUP BY doc_id"""
+    )
+
+
+def _bpe_ctes() -> list[str]:
+    """The ``_BPE_ROUNDS`` training rounds unrolled as chained MATERIALIZED
     CTEs (DuckDB re-inlines un-materialized chains — plans/iterative.py).
     Every construct is from the verified engine-identical set: struct-MIN
     argmin, running-frame SUM, ``last_value IGNORE NULLS``, lead/lag,
@@ -833,21 +899,15 @@ def _bpe_train_sql() -> str:
   FROM x{r} WHERE NOT drop_row
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, x, y, x || y AS merged, pair_count FROM best{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT CAST(round AS INT) AS round, x, y, merged,"
-        f" CAST(pair_count AS BIGINT) AS pair_count FROM ({unions})"
-    )
+    return ctes
 
 
 QUERIES: dict[str, QuerySpec] = {
     "docs_bpe_train": QuerySpec(
         docs_bpe_train, _bpe_train_sql(), ("OP-X-BPETRAIN", "OP-X-ITER", "OP-X-TEXT")
+    ),
+    "docs_bpe_tokens": QuerySpec(
+        docs_bpe_tokens, _bpe_tokens_sql(), ("OP-X-BPETRAIN", "OP-X-TEXT")
     ),
     "docs_bigram_lm_score": QuerySpec(
         docs_bigram_lm_score, _LM_SQL, ("OP-X-LMSCORE", "OP-X-TEXT", "OP-AGG-SUM")
