@@ -258,17 +258,20 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = F.sequence(F.lit(1), F.size("w") - (_PHASH_GRAM - 1))
     # hash ONCE per gram, before the ×60 bit fan-out (an inline md5 in
-    # the vote expression would re-hash per bit row — 60× per gram)
-    grams = media.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    idx, lambda i: F.array_join(F.slice("w", i, _PHASH_GRAM), " ")
-                )
-            )
-        ).alias("g"),
-    ).select("doc_id", F.md5("g").alias("gh"))
+    # the vote expression would re-hash per bit row — 60× per gram).
+    # r5: explode positions THEN build each gram with codegen slice/
+    # array_join and dedupe as an (exchange-free) aggregate — the
+    # transform+array_distinct form evaluated interpreted and O(n²) per
+    # array (measured 0.71 → 0.52 s for the gram stage at sf0.1)
+    grams = (
+        media.select("doc_id", "w", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(w, i, {_PHASH_GRAM}), ' ')").alias("g"),
+        )
+        .distinct()
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
     # shared nibble-count vote aggregation (plans/text.py simhash_votes)
     items = (
         simhash_votes(grams, "gh", _PHASH_BITS)

@@ -1063,10 +1063,15 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of three keyed exchanges of gram-count volumes
     d = t(spark, sf_dir, "documents").repartition("doc_id")
     # hash ONCE per word, before the nibble fan-out (explode first — a
-    # generator cannot nest inside md5)
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
-    ).select("doc_id", F.md5("w").alias("wh"))
+    # generator cannot nest inside md5).  r5: dedupe AFTER the explode —
+    # array_distinct is interpreted and O(n²) per array, while the
+    # post-explode distinct is an exchange-free aggregate here (the
+    # repartition above already clusters doc_id)
+    words = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .distinct()
+        .select("doc_id", F.md5("w").alias("wh"))
+    )
     votes = simhash_votes(words, "wh", 64)
     return votes.groupBy("doc_id").agg(
         F.array_join(
