@@ -45,11 +45,17 @@ agf-lambda-stack.yaml:134 / agf_ingestion_lambda.py:227-236):
   Disjoint-key writers therefore both commit, serialized only at the
   microsecond-scale reservation — never during their scans or file
   writes.
-* **Rewrite-shaped commits (merge / delete / compact) still take the
-  table lock** (they mutate overlapping file sets), but their commit
-  point uses the same CAS — an OCC append that slips past the lock is
-  DETECTED and the whole rewrite transaction retries on fresh state
-  instead of silently dropping the appended files.
+* **Rewrite-shaped commits (merge / delete / compact) are lock-free
+  too (r5)**: their commit point (``_commit_rewrite``) validates at FILE
+  granularity — a lost CAS rebases onto the winner iff every file this
+  rewrite replaced is still referenced and no interleaved commit added
+  rows inside the rewrite's key range / predicate (per-file stats
+  check); otherwise :class:`RewriteConflict` recomputes the whole
+  transaction on fresh state.  Disjoint-file rewrites commit
+  concurrently; DELETE serializes after every interleaved commit.
+* **Manifests are segment lists (r5)**: a commit names its parent's
+  immutable segment files and writes only the delta entries — commit
+  I/O is O(delta), not O(table); expiry vacuums unreferenced segments.
 * The CURRENT pointer advances monotonically under a separate
   microsecond pointer lock; a writer that crashes between reservation
   and pointer bump leaves a fully-written manifest that the next
@@ -451,7 +457,9 @@ def _commit(
     batch_schema: list | None = None,
     replace: bool = False,
 ) -> int:
-    """Commit point for LOCK-HOLDING transactions (merge/delete/compact).
+    """Commit point for LOCK-HOLDING transactions (since r5: only the MV
+    refresh fold, operators/mv.py — snapshot rewrites moved to the
+    lock-free ``_commit_rewrite``).
 
     The pre-publish ``assert_lock_held`` turns a mid-transaction lock
     theft (TTL breaker fired on a slow writer) into a loud abort BEFORE
@@ -468,9 +476,10 @@ def _commit(
 
 
 def _retry_on_conflict(fn):
-    """Re-run a whole lock-holding transaction when its commit point loses
-    the CAS to an optimistic append — each retry re-reads the current
-    manifest inside the lock, so the rewrite is recomputed on fresh state."""
+    """Re-run a whole rewrite transaction when its commit point raises a
+    non-rebasable conflict (:class:`RewriteConflict`, or CAS-race budget
+    exhaustion) — each retry re-reads the current manifest, so the rewrite
+    is recomputed on fresh state."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -1039,8 +1048,8 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
 
     # materialize the incoming batch ONCE: the dup check, bounds agg,
     # anti-join key set, and final file write would otherwise each re-run
-    # its lineage — mostly while holding the table lock (the same
-    # discipline as snapshot_upsert's checkpointed anti-join)
+    # its lineage (the same discipline as snapshot_upsert's checkpointed
+    # anti-join)
     df = df.localCheckpoint(eager=True)
     dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:

@@ -185,6 +185,10 @@ def main() -> None:
         "emb_matryoshka_topk",
         "docs_bigram_lm_score",
         "docs_dsir_weights",
+        # r5 flagships: composed ANN index, PQ codes, BPE training
+        "emb_ivfpq_topk",
+        "emb_pq_adc_topk",
+        "docs_bpe_train",
         "ingest_backfill_180",
         "reconcile_60k_keys",
     ]
