@@ -384,8 +384,23 @@ SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank, cosine FROM (
 # SemDeDup: semantic dedup via cluster-blocked cosine (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
-_SD_BITS = 6  # 2^6 = 64 cells at this sf; bits scale with log(corpus)
+_SD_MIN_BITS = 6  # floor: 64 cells
+_SD_MAX_BITS = 14  # cap: 16k cells (1e6+ vectors at target occupancy)
+_SD_TARGET_OCC = 64  # target mean vectors per cell
 _SD_TAU = 0.35  # within-cell cosine above which the higher id is dropped
+
+
+def _sd_bits(n: int) -> int:
+    """Cell-bit count for an ``n``-vector corpus: the smallest b in
+    [_SD_MIN_BITS, _SD_MAX_BITS] with ``n <= _SD_TARGET_OCC << b`` — mean
+    cell occupancy stays ≤ the target as the corpus grows (r5: the 10×
+    ladder showed a FIXED bit count steepening the within-cell quadratic
+    verify, 3.1× wall at 10× rows).  Integer-only comparisons so the SQL
+    twin computes the identical value (log2 would not be engine-exact)."""
+    for b in range(_SD_MIN_BITS, _SD_MAX_BITS + 1):
+        if n <= _SD_TARGET_OCC << b:
+            return b
+    return _SD_MAX_BITS
 
 
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,13 +424,15 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import hashlib
 
-    planes = np.empty((_SD_BITS, _DIM), dtype=np.int64)
-    for b in range(_SD_BITS):
+    e = t(spark, sf_dir, "embeddings")
+    n_bits = _sd_bits(e.count())  # driver scalar, like a centroid count
+    planes = np.empty((n_bits, _DIM), dtype=np.int64)
+    for b in range(n_bits):
         for d in range(_DIM):
             h = int(hashlib.md5(f"sd:{b}:{d}".encode()).hexdigest()[:10], 16)
             planes[b, d] = h % 2001 - 1000
     plane_mat = planes.T  # (dim, bits)
-    bit_weights = 1 << np.arange(_SD_BITS)
+    bit_weights = 1 << np.arange(n_bits)
 
     # no pd.Series type hints: this module has `from __future__ import
     # annotations`, under which string hints only resolve by accident
@@ -428,7 +445,6 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cell_of = pandas_udf(_cell_fn, "int")
 
-    e = t(spark, sf_dir, "embeddings")
     # deliberately NOT cached despite three consumers: v carries the raw
     # embedding arrays, and caching corpus-sized array columns costs more
     # in block serialization than recomputing the cell UDF + norm fold
@@ -454,7 +470,9 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-emb_semdedup.__doc__ = emb_semdedup.__doc__.format(tau=_SD_TAU, bits=_SD_BITS)
+emb_semdedup.__doc__ = emb_semdedup.__doc__.format(
+    tau=_SD_TAU, bits=f"adaptive (floor {_SD_MIN_BITS}, occupancy-targeted)"
+)
 
 
 _SEMDEDUP_SQL = f"""
@@ -464,12 +482,20 @@ WITH codes AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * {_ANN_CODE_SCALE}) AS BIGINT)) AS code
   FROM embeddings
 ),
+bb AS (
+  -- integer-only twin of _sd_bits(n): smallest b with n <= TARGET << b
+  SELECT COALESCE(MIN(b), {_SD_MAX_BITS}) AS bits
+  FROM (SELECT unnest(range({_SD_MIN_BITS}, {_SD_MAX_BITS} + 1)) AS b),
+       (SELECT COUNT(*) AS n FROM embeddings)
+  WHERE n <= {_SD_TARGET_OCC} * (1 << b)
+),
 planes AS (
   SELECT b, d,
          (('0x' || substr(md5('sd:' || b::VARCHAR || ':' || d::VARCHAR), 1, 10))::BIGINT
           % 2001) - 1000 AS p
-  FROM (SELECT unnest(range(0, {_SD_BITS})) AS b),
+  FROM (SELECT unnest(range(0, {_SD_MAX_BITS})) AS b),
        (SELECT unnest(range(0, {_DIM})) AS d)
+  WHERE b < (SELECT bits FROM bb)
 ),
 bits AS (
   SELECT c.vec_id, pl.b,
