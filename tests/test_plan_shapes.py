@@ -198,3 +198,28 @@ def test_bloom_broadcasts_filter_not_corpus(spark):
 def test_gap_fill_has_no_cartesian(spark):
     plan = _plan(spark, "events_gap_fill")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bpe_tokens_vocab_join_never_broadcast(spark):
+    # the (word -> symbol count) table grows with vocabulary — it must
+    # shuffle-hash join against corpus words, never broadcast (r5)
+    plan = _plan(spark, "docs_bpe_tokens")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_fingerprint_single_exchange_and_window_limit(spark):
+    # one explicit doc_id repartition carries every downstream doc-keyed
+    # op; the bottom-4 filter must reach the sort as a WindowGroupLimit
+    # (bounded per-group state, not a full sort+filter)
+    plan = _plan(spark, "docs_fingerprint")
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_simhash_gram_dedup_is_aggregate_not_array_distinct(spark):
+    # r5: the per-doc word dedup is a post-explode hash aggregate (codegen,
+    # exchange-free under the doc_id repartition), not the interpreted
+    # O(n^2)-per-array array_distinct
+    plan = _plan(spark, "docs_simhash")
+    assert "array_distinct" not in plan, plan

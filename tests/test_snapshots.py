@@ -1352,3 +1352,99 @@ def test_expiry_reclaims_unreferenced_segments(spark, tmp_path):
     on_disk = set(os.listdir(snap._segs_path(tbl)))
     assert on_disk == kept
     assert sorted(r["k"] for r in snapshot_read(spark, tbl).collect()) == [99]
+
+
+def test_merge_crash_before_commit_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """A rewrite that dies AFTER staging its data files but BEFORE the CAS
+    leaves the table untouched (readers see the old head), and the staged
+    orphans are reclaimed by expiry once past the grace window — the
+    rewrite twin of the r4 streaming crash-recovery invariants."""
+    from agf_data_ingestion_spark.sources import snapshots as snap
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tbl)
+
+    real = snap._commit_rewrite
+    died = []
+
+    def dying_commit(*a, **kw):
+        died.append(True)
+        raise RuntimeError("simulated crash before CAS")
+
+    monkeypatch.setattr(snap, "_commit_rewrite", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        snapshot_merge(
+            spark.createDataFrame([(2, "B!")], "k long, v string"), tbl, keys=["k"]
+        )
+    assert died and current_version(tbl) == 1
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a"), (2, "b")]
+
+    # restart: the same merge succeeds on the intact table
+    monkeypatch.setattr(snap, "_commit_rewrite", real)
+    assert snapshot_merge(
+        spark.createDataFrame([(2, "B!")], "k long, v string"), tbl, keys=["k"]
+    ) == 2
+    assert _rows(snapshot_read(spark, tbl)) == [(1, "a"), (2, "B!")]
+    # the crashed attempt's staged files are unreferenced orphans
+    expire_snapshots(tbl, keep_last=2, orphan_grace_s=0.0)
+    referenced = {f["path"] for f in read_manifest(tbl)["files"]} | {
+        f["path"] for f in read_manifest(tbl, 1)["files"]
+    }
+    on_disk = set()
+    for sub in os.listdir(os.path.join(tbl, "data")):
+        d = os.path.join(tbl, "data", sub)
+        on_disk.update(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+    assert on_disk == referenced
+
+
+def test_concurrent_mixed_upserts_and_merges_stress(spark, tmp_path):
+    """Free-running mixed writers (4 disjoint-key upserts + 2 disjoint-range
+    merges over pre-seeded rows): every commit lands, no lost update, one
+    copy per key, merges apply exactly — the file-level OCC invariants
+    under an arbitrary interleaving (no barrier: real thread timing)."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # two seed files with disjoint key ranges for the mergers to rewrite
+    snapshot_write(
+        spark.createDataFrame([(k, "seedA") for k in range(0, 5)], "k long, v string"),
+        tbl,
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(k, "seedB") for k in range(100, 105)], "k long, v string"
+        ),
+        tbl,
+    )
+
+    def writer(i, barrier):
+        barrier.wait()
+        if i < 4:  # upserters: fresh disjoint keys
+            df = spark.createDataFrame(
+                [(1000 + i * 10 + j, f"u{i}") for j in range(3)], "k long, v string"
+            )
+            return snapshot_upsert(df, tbl, keys=["k"])
+        lo = 0 if i == 4 else 100  # mergers: rewrite one seed range each
+        df = spark.createDataFrame(
+            [(lo + j, f"m{i}") for j in range(5)], "k long, v string"
+        )
+        return snapshot_merge(df, tbl, keys=["k"])
+
+    versions = _run_racers(6, writer)
+    assert sorted(versions) == [3, 4, 5, 6, 7, 8], versions
+    hist = snapshot_history(tbl)
+    assert [h["version"] for h in hist] == list(range(1, 9))
+    assert sorted(h["op"] for h in hist[2:]) == ["merge", "merge"] + ["upsert"] * 4
+    rows = snapshot_read(spark, tbl).collect()
+    by_key = {r["k"]: r["v"] for r in rows}
+    assert len(rows) == len(by_key) == 22  # 10 seeds + 12 upserted
+    assert all(by_key[k] == "m4" for k in range(0, 5))
+    assert all(by_key[k] == "m5" for k in range(100, 105))
+    for i in range(4):
+        assert all(by_key[1000 + i * 10 + j] == f"u{i}" for j in range(3))
