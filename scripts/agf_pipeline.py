@@ -14,6 +14,8 @@
         [--docs <dir with documents.parquet>] [--decontaminate] [--split]
         [--shards <dir> [--shard-tokens N] [--shard-seed S]]
         [--release-table <dir> [--release-tag NAME]]
+    python scripts/agf_pipeline.py tokenizer [--docs <dir>]
+        (train the corpus BPE merges; prints the merge table + token totals)
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -429,6 +431,45 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_tokenizer(args) -> int:
+    """Train the corpus BPE tokenizer (plans/lm.py docs_bpe_train) and
+    print the merge table — the artifact a downstream tokenizer ships —
+    plus corpus token totals under it, one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.plans.lm import docs_bpe_tokens, docs_bpe_train
+
+    spark = _spark()
+    merges = [
+        {
+            "round": r["round"],
+            "pair": [r["x"], r["y"]],
+            "merged": r["merged"],
+            "count": r["pair_count"],
+        }
+        for r in docs_bpe_train(spark, args.docs).collect()
+    ]
+    totals = (
+        docs_bpe_tokens(spark, args.docs)
+        .groupBy()
+        .agg(F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t"))
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "docs": args.docs,
+                "merges": merges,
+                "corpus_words": int(totals["w"]),
+                "corpus_bpe_tokens": int(totals["t"]),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_history(args) -> int:
     """Inspect a snapshot table: commit history, tags, current version,
     metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
@@ -514,6 +555,14 @@ def main() -> int:
     h = sub.add_parser("history")
     h.add_argument("--table", required=True, help="snapshot table root")
     h.set_defaults(fn=cmd_history)
+
+    tk = sub.add_parser("tokenizer")
+    tk.add_argument(
+        "--docs",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="directory with documents.parquet",
+    )
+    tk.set_defaults(fn=cmd_tokenizer)
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True, help="snapshot table root")

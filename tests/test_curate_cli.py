@@ -193,3 +193,23 @@ def test_history_cli(spark, tmp_path, capsys):
     assert out["tags"] == {"rel-1": 1}
     assert [h["version"] for h in out["history"]] == [1, 2]
     assert out["history"][-1]["total_rows"] == 3
+
+
+def test_tokenizer_subcommand_emits_merge_table(spark, capsys):
+    """r5: the tokenizer subcommand prints the trained merge table plus
+    corpus token totals as one JSON line, consistent with the catalog
+    queries it wraps."""
+    rc = _mod.cmd_tokenizer(argparse.Namespace(docs=SF))
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from agf_data_ingestion_spark.plans.lm import _BPE_ROUNDS, docs_bpe_train
+
+    assert [m["round"] for m in report["merges"]] == list(range(1, _BPE_ROUNDS + 1))
+    expected = {
+        r["round"]: (r["x"], r["y"], r["merged"], r["pair_count"])
+        for r in docs_bpe_train(spark, SF).collect()
+    }
+    for m in report["merges"]:
+        assert expected[m["round"]] == (m["pair"][0], m["pair"][1], m["merged"], m["count"])
+    # tokenization never inflates below 1 token/word or above chars/word
+    assert report["corpus_bpe_tokens"] >= report["corpus_words"]
