@@ -1281,6 +1281,207 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Appendix A) adapted to
+    the word-token structure of this corpus: per document, (1) the fraction
+    of word occurrences that are repeats of an earlier word, (2) the
+    fraction of word mass covered by the single most frequent bigram, and
+    (3) the fraction of word positions covered by 3-grams that occur at
+    least twice within the document (Gopher's duplicated-n-gram character
+    fraction, with word positions in place of characters — the documents
+    table has no line/paragraph structure to run the line-based rules on).
+
+    All three signals are exact integers (parts-per-million via
+    ``x · 10⁶ DIV n_words``; Spark ``DIV`` ≡ DuckDB ``//``), the top-bigram
+    argmax is the engine-identical ``min(struct(-cnt, bigram))`` with the
+    lexicographically-smallest tiebreak, and the duplicated-3-gram coverage
+    is an interval union — ``sum(least(3, start − lag(start)))`` over the
+    per-doc ordered duplicate starts — so every row is bit-identical to the
+    DuckDB oracle.  The overlap-counting convention means ``top_bigram_ppm``
+    can exceed 10⁶ for degenerate 'x x x …' docs, exactly as Gopher's
+    character fraction can; the threshold comparison is unaffected.
+
+    Scale shape: ONE physical corpus shuffle.  All four consumers (word
+    dedup, word count, bigram counts, 3-gram coverage) read the IDENTICAL
+    ``(doc_id, w)`` projection of one explicit doc_id repartition, so
+    Catalyst's exchange reuse materializes the shuffle once and the other
+    branches read its files (``ReusedExchange`` — test-pinned); the gram
+    branches guard short docs with ``when``-projected empty arrays instead
+    of ``filter`` precisely so predicate pushdown cannot differentiate the
+    shared subtree (a pushed filter would fork the exchange per branch).
+    Every downstream op is keyed on doc_id or a superset — HashPartitioning
+    survives Generate — and the per-doc aggregate joins are shuffle-hash
+    pinned (doc-count-sized frames must never broadcast), so they add no
+    exchange either.  Gram extraction is explode(sequence) + element_at
+    (whole-stage codegen), never a higher-order lambda; n-gram counting is
+    a window over (doc_id, gram), not a self-join.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    rep = d.repartition("doc_id")
+    n = F.size("w").cast("long")
+    # (1) repeated-word mass: n_words − distinct words.  Post-explode
+    # .distinct() + plain count, not count_distinct — the frame is already
+    # doc_id-partitioned so the dedup is exchange-free and skips the
+    # distinct-agg Expand (CLAUDE.md r5 rule).
+    starts = lambda k: F.when(  # noqa: E731
+        n >= k, F.sequence(F.lit(1), (n - (k - 1)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    # n_words comes from the SAME exploded shape as every other branch
+    # (count per doc over explode(starts(1))), not from size(w) on rep or a
+    # bare explode(w) — a pruned size() projection OR the non-empty-array
+    # filter Spark infers from explode(attribute) would land below the
+    # exchange and fork the shared subtree.
+    words = rep.select("doc_id", "w", F.explode(starts(1)).alias("i")).select(
+        "doc_id", F.element_at("w", F.col("i")).alias("word")
+    )
+    nw = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    uniq = (
+        words.distinct().groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    )
+    dupw = nw.join(uniq.hint("shuffle_hash"), "doc_id")
+    # (2) most-frequent bigram: count per (doc, bigram), then the
+    # engine-identical struct-min argmax (highest count, smallest bigram).
+    g2 = rep.select(
+        "doc_id", "w", F.explode(starts(2)).alias("i")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    topb = (
+        g2.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("bg").alias("bg"))).alias("s")
+        )
+        .select(
+            "doc_id",
+            F.col("s.bg").alias("top_bigram"),
+            (-F.col("s.nc")).alias("top_bigram_n"),
+        )
+    )
+    # (3) duplicated-3-gram coverage: starts whose gram text occurs ≥ 2×
+    # in the doc, interval-unioned (each start covers [start, start+2]).
+    g3 = rep.select(
+        "doc_id", "w", F.explode(starts(3)).alias("i")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("start"),
+        F.concat_ws(
+            " ",
+            F.element_at("w", F.col("i")),
+            F.element_at("w", F.col("i") + 1),
+            F.element_at("w", F.col("i") + 2),
+        ).alias("g"),
+    )
+    cnt_w = Window.partitionBy("doc_id", "g")
+    order_w = Window.partitionBy("doc_id").orderBy("start")
+    cov = (
+        g3.withColumn("cnt", F.count("*").over(cnt_w))
+        .filter(F.col("cnt") >= 2)
+        .withColumn(
+            "nn",
+            F.least(
+                F.lit(3).cast("long"),
+                F.col("start")
+                - F.coalesce(F.lag("start").over(order_w), F.col("start") - 3),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("nn").alias("dup3_cover"))
+    )
+    top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long"))
+    dup3 = F.coalesce(F.col("dup3_cover"), F.lit(0).cast("long"))
+    return (
+        dupw.join(topb.hint("shuffle_hash"), "doc_id", "left")
+        .join(cov.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            top_n.alias("top_bigram_n"),
+            F.expr("(n_words - n_distinct) * 1000000 DIV n_words").alias("dup_word_ppm"),
+            (top_n * 2 * 1000000).alias("_tb"),
+            dup3.alias("_d3"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "top_bigram",
+            "top_bigram_n",
+            "dup_word_ppm",
+            F.expr("_tb DIV n_words").alias("top_bigram_ppm"),
+            F.expr("_d3 * 1000000 DIV n_words").alias("dup3_ppm"),
+        )
+        .withColumn(
+            "passes_repetition",
+            (F.col("dup_word_ppm") <= 550000)
+            & (F.col("top_bigram_ppm") <= 100000)
+            & (F.col("dup3_ppm") <= 100000),
+        )
+    )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+dupw AS (
+  SELECT doc_id, any_value(n_words) AS n_words,
+         count(DISTINCT word) AS n_distinct
+  FROM (SELECT doc_id, n_words, unnest(w) AS word FROM base)
+  GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+  FROM base, unnest(range(1, n_words)) AS t(i)
+  WHERE n_words >= 2
+),
+topb AS (
+  SELECT doc_id,
+         (MIN({'nc': -cnt, 'bg': bg})).bg AS top_bigram,
+         -(MIN({'nc': -cnt, 'bg': bg})).nc AS top_bigram_n
+  FROM (SELECT doc_id, bg, count(*) AS cnt FROM g2 GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM base, unnest(range(1, n_words - 1)) AS t(i)
+  WHERE n_words >= 3
+),
+gc AS (
+  SELECT doc_id, start, count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM g3
+),
+cov AS (
+  SELECT doc_id, CAST(SUM(nn) AS BIGINT) AS dup3_cover FROM (
+    SELECT doc_id,
+           LEAST(CAST(3 AS BIGINT),
+                 start - COALESCE(lag(start) OVER (PARTITION BY doc_id ORDER BY start),
+                                  start - 3)) AS nn
+    FROM gc WHERE cnt >= 2)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, d.n_words,
+         COALESCE(t.top_bigram, '') AS top_bigram,
+         COALESCE(t.top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+         (d.n_words - d.n_distinct) * 1000000 // d.n_words AS dup_word_ppm,
+         COALESCE(t.top_bigram_n, CAST(0 AS BIGINT)) * 2 * 1000000 // d.n_words AS top_bigram_ppm,
+         COALESCE(c.dup3_cover, CAST(0 AS BIGINT)) * 1000000 // d.n_words AS dup3_ppm
+  FROM dupw d LEFT JOIN topb t USING (doc_id) LEFT JOIN cov c USING (doc_id)
+)
+SELECT *,
+       dup_word_ppm <= 550000 AND top_bigram_ppm <= 100000 AND dup3_ppm <= 100000
+         AS passes_repetition
+FROM j
+"""
+
+
 _QUALITY_GATE_SQL = f"""
 WITH m AS (
   SELECT doc_id,
@@ -1419,4 +1620,7 @@ QUERIES: dict[str, QuerySpec] = {
         docs_incremental_neardup, _INCREMENTAL_NEARDUP_SQL, ("OP-X-DEDUP-NEAR", "OP-X-DEDUP-INC")
     ),
     "docs_quality_gate": QuerySpec(docs_quality_gate, _QUALITY_GATE_SQL, ("OP-X-TEXT", "OP-X-QUALITY")),
+    "docs_repetition_signals": QuerySpec(
+        docs_repetition_signals, _REPETITION_SQL, ("OP-X-REPETITION", "OP-X-QUALITY", "OP-X-TEXT")
+    ),
 }
