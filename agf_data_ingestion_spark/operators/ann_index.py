@@ -1,0 +1,276 @@
+"""Persisted, incrementally-maintained IVF-PQ ANN index (OP-X-ANNINC).
+
+Composes the ANN ladder's IVF-PQ rung (plans/similarity.py: exact-integer
+coarse centroids + residual codebooks) with the snapshot table format
+(sources/snapshots.py): the index AT REST is a snapshot table of
+``(vec_id, cell, code)`` rows clustered by cell, plus a frozen KiB-sized
+codebook state committed through the statestore's atomic pointer swap.
+
+The serving contract is the standard one (FAISS ``IndexIVFPQ.add``; the
+reference system has no ANN surface — this is part of the 100 TB
+extension): TRAINING is a one-time pass over a sample; APPENDS never
+retrain — new vectors are assigned to their coarse cell and
+residual-encoded under the frozen codebooks, then committed as an O(batch)
+snapshot append.  That makes index maintenance a pure streaming fold: the
+table after any sequence of appends is bit-identical to a from-scratch
+encode of the union corpus under the same state (pinned in
+tests/test_ann_index.py), so readers never see a half-updated index and
+time travel / CDC / OCC all apply to the index like any other table.
+
+Scale shape: encode is ONE map-only Arrow pass (codebooks ride in the
+closure — the emb_kmeans_train pattern); the search probe reads ONLY the
+files whose recorded [min, max] cell stats admit a probed cell
+(``cluster_by=["cell"]`` makes those ranges tight), so a probe of
+``nprobe`` cells opens ~nprobe/ncells of the table regardless of corpus
+size; the ADC scan emits nprobe-bounded candidate rows per query and the
+only shuffle is the per-query top-k window.  All ranking quantities are
+exact int64 (LUT sums + coarse dots), so results are reproducible
+bit-for-bit across engines and runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.similarity import (
+    _IVFPQ_NPROBE,
+    _IVFPQ_Q,
+    _IVFPQ_SCALE,
+    _PQ_M,
+    _PQ_SUBDIM,
+    _ivfpq_assign,
+    _ivfpq_codes_from,
+    _ivfpq_rassign,
+    _ivfpq_residuals,
+    _ivfpq_train,
+)
+from agf_data_ingestion_spark.sources.snapshots import (
+    _file_admits,
+    read_manifest,
+    snapshot_write,
+)
+
+
+def _state_dir(table: str) -> str:
+    return table.rstrip("/") + ".index_state"
+
+
+def save_state(state: dict, table: str) -> None:
+    """Commit the frozen codebook state atomically (tmp + os.replace —
+    the statestore pointer discipline; the state is KiB-sized JSON)."""
+    d = _state_dir(table)
+    os.makedirs(d, exist_ok=True)
+    payload = {
+        "cells": [int(c) for c in state["cells"]],
+        "ccv": np.asarray(state["ccv"], dtype=np.int64).tolist(),
+        "rcb": {
+            str(m): {"ids": [int(i) for i in ids], "mat": mat.tolist()}
+            for m, (ids, mat) in state["rcb"].items()
+        },
+    }
+    tmp = os.path.join(d, "_state.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(d, "state.json"))
+
+
+def load_state(table: str) -> dict:
+    with open(os.path.join(_state_dir(table), "state.json")) as fh:
+        p = json.load(fh)
+    return {
+        "cells": [int(c) for c in p["cells"]],
+        "ccv": np.array(p["ccv"], dtype=np.int64),
+        "rcb": {
+            int(m): (
+                [int(i) for i in v["ids"]],
+                np.array(v["mat"], dtype=np.int64),
+            )
+            for m, v in p["rcb"].items()
+        },
+    }
+
+
+def train_index_state(vectors: DataFrame) -> dict:
+    """One-time codebook training over a (vec_id, embedding) frame —
+    coarse hyperplane seed + Lloyd round, residual PQ seed + Lloyd round
+    (plans/similarity._ivfpq_train; driver state is K·d ints only)."""
+    cells, ccv, rcb = _ivfpq_train(_ivfpq_codes_from(vectors))
+    return {"cells": cells, "ccv": ccv, "rcb": rcb}
+
+
+def encode(vectors: DataFrame, state: dict) -> DataFrame:
+    """(vec_id, cell, code): assign + residual-encode under the FROZEN
+    state in one map-only Arrow pass — the append path never shuffles."""
+    cells = np.array(state["cells"], dtype=np.int64)
+    ccv = state["ccv"]
+    rcb = state["rcb"]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            a = _ivfpq_assign(C, ccv)
+            cb = _ivfpq_rassign(_ivfpq_residuals(C, ccv), rcb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells[a],
+                    "code": [row.tolist() for row in cb],
+                }
+            )
+
+    return _ivfpq_codes_from(vectors).mapInPandas(
+        enc, "vec_id bigint, cell bigint, code array<bigint>"
+    )
+
+
+def ann_index_create(
+    vectors: DataFrame,
+    table: str,
+    *,
+    state: dict | None = None,
+    cluster_files: int | None = None,
+) -> int:
+    """Train (unless a frozen ``state`` is supplied), persist the state,
+    and commit the encoded corpus as the index table's first snapshot —
+    clustered by cell so per-file stats prune probes."""
+    st = state if state is not None else train_index_state(vectors)
+    save_state(st, table)
+    return snapshot_write(
+        encode(vectors, st),
+        table,
+        mode="overwrite",
+        cluster_by=["cell"],
+        cluster_files=cluster_files,
+    )
+
+
+def ann_index_append(
+    vectors: DataFrame, table: str, *, cluster_files: int | None = None
+) -> int:
+    """Fold a new vector batch into the index: encode under the frozen
+    state, snapshot-append.  O(batch) work + O(delta) commit; concurrent
+    appends compose through the snapshot format's lock-free OCC."""
+    return snapshot_write(
+        encode(vectors, load_state(table)),
+        table,
+        mode="append",
+        cluster_by=["cell"],
+        cluster_files=cluster_files,
+    )
+
+
+def probe_plan(table: str, cells: list[int]) -> tuple[list[str], int]:
+    """(paths to open, total file count): the files whose recorded cell
+    range admits ANY probed cell — the manifest-level pruning a probe
+    rides.  Exposed separately so tests and EXPLAIN evidence can assert
+    the pruning ratio."""
+    m = read_manifest(table, None)
+    keep = [
+        f["path"]
+        for f in m["files"]
+        if any(_file_admits(f, [("cell", "==", c)]) for c in cells)
+    ]
+    return keep, len(m["files"])
+
+
+def ann_index_search(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = _IVFPQ_NPROBE,
+) -> DataFrame:
+    """Top-k ADC search against the persisted index: per query, rank the
+    ``nprobe`` nearest coarse cells (exact integer d², lowest-cell tie),
+    open only the files those cells admit, LUT-scan their codes, and
+    window out the top-k by (ascore desc, neighbor_id asc).
+
+    ``queries`` is a bounded (query_id, embedding) frame (filter first —
+    never the corpus); codes/LUTs are computed driver-side with the SAME
+    order-preserving fold as the corpus encode, so scores are exact
+    int64 and reproducible.  Self-matches (neighbor_id == query_id) are
+    excluded, matching the catalog ANN queries."""
+    st = load_state(table)
+    cells, ccv, rcb = st["cells"], st["ccv"], st["rcb"]
+    qrows = sorted(queries.collect(), key=lambda r: int(r["query_id"]))
+    qids = [int(r["query_id"]) for r in qrows]
+    qC = []
+    for r in qrows:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        acc = 0.0
+        for x in v:  # the order-preserving fold, dim by dim
+            acc = acc + x * x
+        qC.append(np.floor(v / np.sqrt(acc) * _IVFPQ_SCALE).astype(np.int64))
+    qvq = np.stack(qC) * _IVFPQ_Q
+
+    probes: dict[int, list[int]] = {}
+    for qi, q in enumerate(qids):
+        diff = qvq[qi][None, :] - ccv
+        d2 = (diff * diff).sum(axis=1)
+        order = sorted(range(len(cells)), key=lambda ci: (int(d2[ci]), cells[ci]))
+        probes[q] = [cells[ci] for ci in order[:nprobe]]
+    probe_cells = sorted({c for cs in probes.values() for c in cs})
+
+    paths, _total = probe_plan(table, probe_cells)
+    scan = spark.read.parquet(*paths).filter(F.col("cell").isin(probe_cells))
+
+    lut = {
+        q: [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ rcb[m][1].T for m in range(_PQ_M)]
+        for qi, q in enumerate(qids)
+    }
+    coarse = {q: qvq[qi] @ ccv.T for qi, q in enumerate(qids)}
+    cell_pos = {c: ci for ci, c in enumerate(cells)}
+    probe_set = {q: set(cs) for q, cs in probes.items()}
+    rcb_ids = {m: np.array(rcb[m][0], dtype=np.int64) for m in range(_PQ_M)}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            cell = pdf["cell"].to_numpy().astype(np.int64)
+            code = np.stack(pdf["code"].to_numpy()).astype(np.int64)
+            pos = np.stack(
+                [np.searchsorted(rcb_ids[m], code[:, m]) for m in range(_PQ_M)],
+                axis=1,
+            )
+            cpos = np.array([cell_pos[c] for c in cell], dtype=np.int64)
+            outq, outn, outs = [], [], []
+            for q in qids:
+                mask = np.array(
+                    [c in probe_set[q] for c in cell], dtype=bool
+                ) & (vid != q)
+                if not mask.any():
+                    continue
+                rscore = np.zeros(int(mask.sum()), dtype=np.int64)
+                for m in range(_PQ_M):
+                    rscore += lut[q][m][pos[mask, m]]
+                outq.append(np.full(int(mask.sum()), q, dtype=np.int64))
+                outn.append(vid[mask])
+                outs.append(coarse[q][cpos[mask]] + rscore)
+            if not outq:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(outq),
+                    "neighbor_id": np.concatenate(outn),
+                    "ascore": np.concatenate(outs),
+                }
+            )
+
+    scored = scan.mapInPandas(score, "query_id bigint, neighbor_id bigint, ascore bigint")
+    w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "ascore")
+    )

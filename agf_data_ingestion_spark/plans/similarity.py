@@ -1603,7 +1603,13 @@ def _ivfpq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-correctly-rounded elementwise ops, so every code is bit-identical
     to the oracle's floor(x / sqrt(fold) * S).  Checkpointed eagerly: it
     is the ONLY corpus-sized frame every training pass rescans."""
-    e = t(spark, sf_dir, "embeddings")
+    return _ivfpq_codes_from(t(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_codes_from(e: DataFrame) -> DataFrame:
+    """The codes pass over an arbitrary (vec_id, embedding) frame — shared
+    with the persisted index (operators/ann_index.py), which encodes
+    append batches under a frozen codebook."""
 
     def codes_batches(batches):
         for pdf in batches:
@@ -1683,6 +1689,106 @@ def _ivfpq_codebook_from(merged: dict, scale: int):
     return ids, mat
 
 
+def _ivfpq_assign(C: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """argmin_cell Σ_i (vq − ccv)² over code rows: ties break to the FIRST
+    index = lowest cell id (rows sorted asc) — the struct-min argmin rule."""
+    VQ = C * _IVFPQ_Q
+    diff = VQ[:, None, :] - cent[None, :, :]
+    return (diff * diff).sum(axis=2).argmin(axis=1)
+
+
+def _ivfpq_residuals(C: "np.ndarray", ccv: "np.ndarray") -> "np.ndarray":
+    """(n, M, subdim) residual tensor against each row's assigned coarse
+    centroid (residuals carry the Q scale)."""
+    a = _ivfpq_assign(C, ccv)
+    R = C * _IVFPQ_Q - ccv[a]
+    return R.reshape(len(C), _PQ_M, _PQ_SUBDIM)
+
+
+def _ivfpq_rassign(Rs: "np.ndarray", rcb: dict) -> "np.ndarray":
+    """Per-subspace argmin_cb Σ_j (r − cv)², ties to lowest cb id."""
+    n = Rs.shape[0]
+    cb = np.zeros((n, _PQ_M), dtype=np.int64)
+    for m in range(_PQ_M):
+        ids, mat = rcb[m]
+        diff = Rs[:, m, None, :] - mat[None, :, :]
+        cb[:, m] = np.array(ids, dtype=np.int64)[
+            (diff * diff).sum(axis=2).argmin(axis=1)
+        ]
+    return cb
+
+
+def _ivfpq_flat_subspaces(Rs, cb):
+    # (m, cb) composite int64 keys + per-subspace residual vectors:
+    # _MKEY > any cb id, so keys decode as (k div _MKEY, k mod _MKEY)
+    n = Rs.shape[0]
+    keys = np.tile(np.arange(_PQ_M, dtype=np.int64), n) * _MKEY + cb.reshape(-1)
+    return keys, Rs.reshape(n * _PQ_M, _PQ_SUBDIM)
+
+
+def _ivfpq_rcb_from(merged: dict) -> dict:
+    rcb = {}
+    for m in range(_PQ_M):
+        sub = {k % _MKEY: v for k, v in merged.items() if k // _MKEY == m}
+        ids = sorted(sub)
+        # residuals already carry the Q scale — plain truncating mean
+        mat = np.stack([_tdiv(sub[c][0], sub[c][1]) for c in ids])
+        rcb[m] = (ids, mat)
+    return rcb
+
+
+def _ivfpq_train(codes: DataFrame):
+    """(cells, ccv, rcb) from a codes frame — coarse hyperplane seed + one
+    exact-integer Lloyd round, then residual PQ seed + one Lloyd round.
+    Each step is one Arrow scan + a K·d-bounded collect (the closure
+    pattern); shared by the `emb_ivfpq_topk` catalog query and the
+    persisted incremental index (operators/ann_index.py)."""
+    PC = _ivfpq_planes_mat("ivfpqc", _IVFPQ_COARSE_BITS)
+    bitsC = np.int64(1) << np.arange(_IVFPQ_COARSE_BITS, dtype=np.int64)
+
+    # ---- coarse quantizer: hyperplane seed cells → one Lloyd round ----
+    def seed_group(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        h = (((C @ PC) >= 0).astype(np.int64) * bitsC).sum(axis=1)
+        return h, C
+
+    cells0, ccv0 = _ivfpq_codebook_from(
+        _ivfpq_grouped_sums(codes, seed_group), _IVFPQ_Q
+    )
+
+    def assign_group(pdf):
+        cell_arr = np.array(cells0, dtype=np.int64)
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        return cell_arr[_ivfpq_assign(C, ccv0)], C
+
+    cells, ccv = _ivfpq_codebook_from(
+        _ivfpq_grouped_sums(codes, assign_group), _IVFPQ_Q
+    )
+
+    # ---- residual PQ: seed bits → codebook → one Lloyd round ----
+    PR = _ivfpq_planes_mat("ivfpq", _IVFPQ_SEED_BITS).reshape(
+        _PQ_M, _PQ_SUBDIM, _IVFPQ_SEED_BITS
+    )
+    bitsR = np.int64(1) << np.arange(_IVFPQ_SEED_BITS, dtype=np.int64)
+
+    def rseed_group(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        Rs = _ivfpq_residuals(C, ccv)
+        dv = np.einsum("nmj,mjb->nmb", Rs, PR)  # exact int64 dots
+        cb = ((dv >= 0).astype(np.int64) * bitsR).sum(axis=2)
+        return _ivfpq_flat_subspaces(Rs, cb)
+
+    rcb0 = _ivfpq_rcb_from(_ivfpq_grouped_sums(codes, rseed_group))
+
+    def rassign_group(pdf):
+        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+        Rs = _ivfpq_residuals(C, ccv)
+        return _ivfpq_flat_subspaces(Rs, _ivfpq_rassign(Rs, rcb0))
+
+    rcb = _ivfpq_rcb_from(_ivfpq_grouped_sums(codes, rassign_group))
+    return cells, ccv, rcb
+
+
 def _ivfpq_state(spark: SparkSession, sf_dir: str):
     """Train the IVF-PQ index with the closure pattern (CLAUDE.md /
     emb_kmeans_train precedent: KiB-sized centroid and codebook tables are
@@ -1703,34 +1809,7 @@ def _ivfpq_state(spark: SparkSession, sf_dir: str):
     ({query_id: [cell, …] by (d2 asc, cell asc)})."""
     e = t(spark, sf_dir, "embeddings")
     codes = _ivfpq_codes_df(spark, sf_dir)
-    PC = _ivfpq_planes_mat("ivfpqc", _IVFPQ_COARSE_BITS)
-    bitsC = np.int64(1) << np.arange(_IVFPQ_COARSE_BITS, dtype=np.int64)
-
-    # ---- coarse quantizer: hyperplane seed cells → one Lloyd round ----
-    def seed_group(pdf):
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
-        h = (((C @ PC) >= 0).astype(np.int64) * bitsC).sum(axis=1)
-        return h, C
-
-    cells0, ccv0 = _ivfpq_codebook_from(
-        _ivfpq_grouped_sums(codes, seed_group), _IVFPQ_Q
-    )
-
-    def _assign(C: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
-        # argmin_cell Σ_i (vq − ccv)²: ties break to the FIRST index =
-        # lowest cell id (rows sorted asc) — the struct-min argmin rule
-        VQ = C * _IVFPQ_Q
-        diff = VQ[:, None, :] - cent[None, :, :]
-        return (diff * diff).sum(axis=2).argmin(axis=1)
-
-    def assign_group(pdf):
-        cell_arr = np.array(cells0, dtype=np.int64)
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
-        return cell_arr[_assign(C, ccv0)], C
-
-    cells, ccv = _ivfpq_codebook_from(
-        _ivfpq_grouped_sums(codes, assign_group), _IVFPQ_Q
-    )
+    cells, ccv, rcb = _ivfpq_train(codes)
 
     # ---- queries: probe lists from exact integer d2 to every cell ----
     qrows = sorted(
@@ -1747,61 +1826,15 @@ def _ivfpq_state(spark: SparkSession, sf_dir: str):
         order = sorted(range(len(cells)), key=lambda ci: (int(d2[ci]), cells[ci]))
         probes[q] = [cells[ci] for ci in order[: _IVFPQ_NPROBE]]
 
-    # ---- residual PQ: seed bits → codebook → one Lloyd round ----
-    PR = _ivfpq_planes_mat("ivfpq", _IVFPQ_SEED_BITS).reshape(
-        _PQ_M, _PQ_SUBDIM, _IVFPQ_SEED_BITS
-    )
-    bitsR = np.int64(1) << np.arange(_IVFPQ_SEED_BITS, dtype=np.int64)
-    cent_mat = ccv
+    def _assign(C: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+        return _ivfpq_assign(C, cent)
 
     def _residuals(pdf):
         C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
-        a = _assign(C, cent_mat)
-        R = C * _IVFPQ_Q - cent_mat[a]
-        return R.reshape(len(C), _PQ_M, _PQ_SUBDIM)
-
-    def _flat_subspaces(Rs, cb):
-        # (m, cb) composite int64 keys + per-subspace residual vectors:
-        # _MKEY > any cb id, so keys decode as (k div _MKEY, k mod _MKEY)
-        n = Rs.shape[0]
-        keys = np.tile(np.arange(_PQ_M, dtype=np.int64), n) * _MKEY + cb.reshape(-1)
-        return keys, Rs.reshape(n * _PQ_M, _PQ_SUBDIM)
-
-    def _rcb_from(merged: dict) -> dict:
-        rcb = {}
-        for m in range(_PQ_M):
-            sub = {k % _MKEY: v for k, v in merged.items() if k // _MKEY == m}
-            ids = sorted(sub)
-            # residuals already carry the Q scale — plain truncating mean
-            mat = np.stack([_tdiv(sub[c][0], sub[c][1]) for c in ids])
-            rcb[m] = (ids, mat)
-        return rcb
-
-    def rseed_group(pdf):
-        Rs = _residuals(pdf)
-        dv = np.einsum("nmj,mjb->nmb", Rs, PR)  # exact int64 dots
-        cb = ((dv >= 0).astype(np.int64) * bitsR).sum(axis=2)
-        return _flat_subspaces(Rs, cb)
-
-    rcb0 = _rcb_from(_ivfpq_grouped_sums(codes, rseed_group))
+        return _ivfpq_residuals(C, ccv)
 
     def _rassign(Rs: "np.ndarray", rcb: dict) -> "np.ndarray":
-        # per-subspace argmin_cb Σ_j (r − cv)², ties to lowest cb id
-        n = Rs.shape[0]
-        cb = np.zeros((n, _PQ_M), dtype=np.int64)
-        for m in range(_PQ_M):
-            ids, mat = rcb[m]
-            diff = Rs[:, m, None, :] - mat[None, :, :]
-            cb[:, m] = np.array(ids, dtype=np.int64)[
-                (diff * diff).sum(axis=2).argmin(axis=1)
-            ]
-        return cb
-
-    def rassign_group(pdf):
-        Rs = _residuals(pdf)
-        return _flat_subspaces(Rs, _rassign(Rs, rcb0))
-
-    rcb = _rcb_from(_ivfpq_grouped_sums(codes, rassign_group))
+        return _ivfpq_rassign(Rs, rcb)
 
     st = {
         "cells": cells,

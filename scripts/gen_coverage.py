@@ -119,6 +119,10 @@ TEST_COVERED = {
         "sources/manifests.py / operators/reconcile.py (`url_decode` on file-URI keys)",
         "tests/test_reconcile.py",
     ),
+    "OP-X-ANNINC": (
+        "operators/ann_index.py (persisted IVF-PQ index over the snapshot format: frozen codebook state + cell-clustered (vec_id, cell, code) table; retrain-free appends, stats-pruned probes, exact-int64 ADC search)",
+        "tests/test_ann_index.py (append ≡ from-scratch rebuild under frozen state; state round-trip; probe opens a strict file subset; deterministic self-excluding search)",
+    ),
 }
 
 HEADER = """# COVERAGE — SURVEY.md §2 operator inventory → implementation audit
