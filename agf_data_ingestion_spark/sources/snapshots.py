@@ -1478,6 +1478,29 @@ def snapshot_rowcount(table: str, version: int | None = None) -> int:
     return total
 
 
+def snapshot_minmax(
+    table: str, col: str, version: int | None = None
+) -> tuple | None:
+    """(min, max) of ``col`` answered from per-file manifest stats alone —
+    O(files) metadata, no data read (the Delta/Iceberg stats-pushdown for
+    MIN/MAX aggregates).  Returns None when ANY live file lacks stats for
+    the column (a metadata answer would be wrong, not approximate — the
+    caller must fall back to a scan); deleted rows can't mislead because
+    this format rewrites files copy-on-write, so stats always describe
+    exactly the live rows."""
+    lo = hi = None
+    for f in read_manifest(table, version)["files"]:
+        st = f.get("stats", {}).get(col)
+        if st is None:
+            return None
+        flo, fhi = st
+        if flo is None or fhi is None:
+            return None
+        lo = flo if lo is None or flo < lo else lo
+        hi = fhi if hi is None or fhi > hi else hi
+    return None if lo is None else (lo, hi)
+
+
 def snapshot_restore(table: str, version: int | None = None, *, tag: str | None = None) -> int:
     """Roll the table BACK to an earlier state as a NEW commit (Delta
     RESTORE / Iceberg rollback): the restored version's exact file list is

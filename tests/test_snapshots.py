@@ -1198,6 +1198,25 @@ def test_rowcount_is_metadata_only(spark, tmp_path):
     assert snapshot_rowcount(tbl) == snapshot_read(spark, tbl).count()
 
 
+def test_minmax_is_metadata_only(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_minmax,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.range(100, 600).selectExpr("id AS k"), tbl)
+    snapshot_write(spark.range(0, 50).selectExpr("id AS k"), tbl)
+    assert snapshot_minmax(tbl, "k") == (0, 599)
+    assert snapshot_minmax(tbl, "k", version=1) == (100, 599)
+    # unknown column: conservative None, never a wrong answer
+    assert snapshot_minmax(tbl, "nope") is None
+    # copy-on-write delete rewrites the touched files, so stats keep
+    # describing exactly the live rows
+    snapshot_delete(spark, tbl, [("k", ">=", 500)])
+    assert snapshot_minmax(tbl, "k") == (0, 499)
+
+
 def test_expire_repairs_current_and_keeps_reserved_head(spark, tmp_path):
     """r4 ADVICE: a writer that crashed between CAS reservation and pointer
     bump leaves a fully-written manifest ABOVE CURRENT.  Expiry must roll
