@@ -153,17 +153,24 @@ def ann_index_create(
 
 
 def ann_index_append(
-    vectors: DataFrame, table: str, *, cluster_files: int | None = None
+    vectors: DataFrame,
+    table: str,
+    *,
+    cluster_files: int | None = None,
+    op: str | None = None,
 ) -> int:
     """Fold a new vector batch into the index: encode under the frozen
     state, snapshot-append.  O(batch) work + O(delta) commit; concurrent
-    appends compose through the snapshot format's lock-free OCC."""
+    appends compose through the snapshot format's lock-free OCC.  ``op``
+    labels the commit (the streaming maintainer records its micro-batch
+    bookmark there — streaming/ann_stream.py)."""
     return snapshot_write(
         encode(vectors, load_state(table)),
         table,
         mode="append",
         cluster_by=["cell"],
         cluster_files=cluster_files,
+        op=op,
     )
 
 

@@ -748,6 +748,7 @@ def snapshot_write(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
+    op: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
     file list; ``'overwrite'`` logically replaces it (old files stay on
@@ -775,7 +776,13 @@ def snapshot_write(
     unreferenced until a manifest lists them), then the CAS commit loop
     reserves parent+1 — on conflict an append simply rebases onto the
     winner's file list and retries (append commutes with every other
-    commit); an overwrite is last-writer-wins by definition."""
+    commit); an overwrite is last-writer-wins by definition.
+
+    ``op`` (r5): optional commit-operation label recorded in the manifest
+    in place of the bare mode string — idempotent writers (the streaming
+    ANN maintainer) encode their replay bookmark in it, the mv pattern
+    (operators/mv.py: the bookmark and the commit move in ONE atomic
+    manifest swap, so exactly-once needs no side table)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     batch_schema = _schema_of(df)
@@ -806,7 +813,7 @@ def snapshot_write(
                 table,
                 base + new_files,
                 parent,
-                mode,
+                op or mode,
                 batch_schema=batch_schema,
                 replace=(mode == "overwrite"),
             )

@@ -120,8 +120,8 @@ TEST_COVERED = {
         "tests/test_reconcile.py",
     ),
     "OP-X-ANNINC": (
-        "operators/ann_index.py (persisted IVF-PQ index over the snapshot format: frozen codebook state + cell-clustered (vec_id, cell, code) table; retrain-free appends, stats-pruned probes, exact-int64 ADC search)",
-        "tests/test_ann_index.py (append ≡ from-scratch rebuild under frozen state; state round-trip; probe opens a strict file subset; deterministic self-excluding search)",
+        "operators/ann_index.py (persisted IVF-PQ index over the snapshot format: frozen codebook state + cell-clustered (vec_id, cell, code) table; retrain-free appends, stats-pruned probes, exact-int64 ADC search) + streaming/ann_stream.py (continuous maintenance: foreachBatch folds with the micro-batch id recorded AS the commit op — bookmark and data move in one atomic manifest swap)",
+        "tests/test_ann_index.py (append ≡ from-scratch rebuild under frozen state; state round-trip; probe opens a strict file subset; deterministic self-excluding search); tests/test_ann_stream.py (stream ≡ batch rebuild; replayed batch id is a no-op; mid-stream crash + checkpoint restart resumes without duplicate folds)",
     ),
 }
 
