@@ -22,6 +22,7 @@ from agf_data_ingestion_spark.plans.base import QuerySpec
 from agf_data_ingestion_spark.plans import (
     analytics,
     behavior,
+    entity,
     ingest_queries,
     iterative,
     lm,
@@ -65,6 +66,7 @@ for _mod in (
     behavior,
     iterative,
     lm,
+    entity,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -81,15 +83,25 @@ _PRIORITY = [
     # so each query's bench time reflects ITS stage, not whichever family
     # member happens to run first absorbing the whole shared build
     # (BENCH r3: docs_best_of_cluster cold = 12-14 s vs 5.6 warm).
-    "docs_minhash_lsh",
+    "docs_minhash_lsh",  # r5 plan change (band-bucket skew cap) — re-certify
     "docs_dup_clusters",
     # (docs_deduped_corpus consumes the cluster-label cache built above and
     # is driver-green since r01 — it rides the unlisted tail, which still
     # orders it after the two base builders)
     "docs_best_of_cluster",
     "docs_incremental_neardup",
-    # round-2 additions with no driver CORRECTNESS row yet — these MUST land
+    # round-5 additions with no driver CORRECTNESS row yet — these MUST land
     # inside the ~50-row sample this round
+    "docs_bpe_train",
+    "docs_bpe_tokens",
+    "docs_repetition_signals",
+    "emb_ivfpq_topk",
+    "docs_export_zip_manifest",
+    "customers_entity_resolution",
+    # round-5 plan changes outside the head — re-certify under the driver
+    "docs_fingerprint",
+    "docs_simhash",
+    # round-2 additions (first driver-certified r3; keep in-window)
     "emb_kmeans_train",
     "emb_pca_power",
     "graph_pagerank",
