@@ -23,6 +23,7 @@ from agf_data_ingestion_spark.plans import (
     analytics,
     behavior,
     entity,
+    pii,
     ingest_queries,
     iterative,
     lm,
@@ -67,6 +68,7 @@ for _mod in (
     iterative,
     lm,
     entity,
+    pii,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -98,6 +100,7 @@ _PRIORITY = [
     "emb_ivfpq_topk",
     "docs_export_zip_manifest",
     "customers_entity_resolution",
+    "docs_pii_redaction",
     # round-5 plan changes outside the head — re-certify under the driver
     "docs_fingerprint",
     "docs_simhash",

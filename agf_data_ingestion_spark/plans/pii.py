@@ -1,0 +1,194 @@
+"""PII detection / redaction (OP-X-PII): scrub emails, phone numbers,
+and IPv4 addresses from a document corpus in one map-only pass.
+
+The reference system has no PII surface (its payloads are storage-object
+manifests — ``agf_ingestion_lambda.py`` never inspects document text);
+this is part of the 100 TB training/curation extension: every public
+LLM-corpus pipeline (ROOTS, Dolma, RefinedWeb) runs a regex-family PII
+scrubber over the full corpus before release, and at 100 TB that pass
+must stay scan-shaped — no shuffle, no Python, pure whole-stage-codegen
+column expressions (test-pinned: the physical plan contains ZERO
+exchanges).
+
+The PII is PLANTED deterministically inside the query (the
+planted-corpus pattern, cf. plans/entity.py): md5('pii:'||doc_id)
+selects which of the three kinds a doc carries (moduli 3/5/7) and
+derives the literal values, so both engines build the bit-identical
+augmented corpus and the query is self-evaluating — ``all_detected``
+asserts the detector count equals the planted count per kind, and
+``clean_after_redaction`` asserts re-running the detectors over the
+redacted text finds nothing.  The base corpus is digit- and @-free
+(checked empirically, and the synth generator vocabulary is
+lowercase words), so the planted counts are exact truths.
+
+The PRODUCTION scrubber is ``functions/pii.py`` (``scrub_pii`` /
+``pii_counts``, pytest-pinned in tests/test_pii.py): its phone pattern
+uses Java lookarounds to anchor on digit boundaries, which RE2 (DuckDB)
+lacks — so that exact pattern set can never be oracle-checked.  This
+catalog query runs the same redact/count machinery through an
+ENGINE-COMMON pattern subset instead: character classes,
+bounded/greedy repetition, NO lookaround, NO ``\\b`` (dialect-risk, and
+the planted values are space-delimited so anchors are unnecessary);
+both engines return non-overlapping leftmost-first matches, so
+``size(regexp_extract_all)`` ≡ ``len(regexp_extract_all)``.  DuckDB
+``regexp_replace`` needs the ``'g'`` flag to match Spark's replace-all
+default.  md5-derived plants only; integer rendering via plain casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.functions.pii import EMAIL_RE, count_matches, redact
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+
+#: engine-common detector regexes (see module docstring for the subset
+#: rule); the email pattern is already lookaround-free and shared with
+#: the production scrubber verbatim
+_RE_EMAIL = EMAIL_RE
+_RE_PHONE = r"555-[0-9]{3}-[0-9]{4}"
+_RE_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pii:"), F.col("doc_id").cast("string"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("b")
+    )
+    base = d.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"), b)
+
+    email = F.concat(
+        F.lit("user"),
+        F.substring(
+            F.md5(F.concat(F.lit("pii:e"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("b") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.expr("(b DIV 1000) % 10000").cast("string"), 4, "0"),
+    )
+    ip = F.concat_ws(
+        ".",
+        (F.col("b") % 256).cast("string"),
+        F.expr("(b DIV 256) % 256").cast("string"),
+        F.expr("(b DIV 65536) % 256").cast("string"),
+        F.expr("(b DIV 16777216) % 256").cast("string"),
+    )
+    aug = base.select(
+        "doc_id",
+        "b",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("b") % 3 == 0, F.concat(F.lit(" "), email)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("b") % 5 == 0, F.concat(F.lit(" "), phone)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("b") % 7 == 0, F.concat(F.lit(" "), ip)).otherwise(F.lit("")),
+        ).alias("aug"),
+    )
+
+    def _n(col, pat):
+        return count_matches(col, pat).cast("bigint")
+
+    redacted = redact(
+        redact(redact(F.col("aug"), _RE_EMAIL, "<EMAIL>"), _RE_PHONE, "<PHONE>"),
+        _RE_IPV4,
+        "<IP>",
+    )
+    counted = aug.select(
+        "doc_id",
+        "b",
+        _n(F.col("aug"), _RE_EMAIL).alias("n_email"),
+        _n(F.col("aug"), _RE_PHONE).alias("n_phone"),
+        _n(F.col("aug"), _RE_IPV4).alias("n_ipv4"),
+        redacted.alias("red"),
+    )
+    residual = (
+        _n(F.col("red"), _RE_EMAIL)
+        + _n(F.col("red"), _RE_PHONE)
+        + _n(F.col("red"), _RE_IPV4)
+    )
+    return counted.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias("pii_total"),
+        (
+            (F.col("n_email") == F.when(F.col("b") % 3 == 0, 1).otherwise(0))
+            & (F.col("n_phone") == F.when(F.col("b") % 5 == 0, 1).otherwise(0))
+            & (F.col("n_ipv4") == F.when(F.col("b") % 7 == 0, 1).otherwise(0))
+        ).alias("all_detected"),
+        (residual == 0).alias("clean_after_redaction"),
+        F.md5(F.col("red")).alias("redacted_hash"),
+    )
+
+
+_PII_SQL = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         ('0x' || substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS b
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, b,
+         text
+         || CASE WHEN b % 3 = 0
+                 THEN ' user' || substr(md5('pii:e' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      || '@example.com'
+                 ELSE '' END
+         || CASE WHEN b % 5 = 0
+                 THEN ' 555-' || lpad(CAST(b % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST((b // 1000) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN b % 7 = 0
+                 THEN ' ' || CAST(b % 256 AS VARCHAR)
+                      || '.' || CAST((b // 256) % 256 AS VARCHAR)
+                      || '.' || CAST((b // 65536) % 256 AS VARCHAR)
+                      || '.' || CAST((b // 16777216) % 256 AS VARCHAR)
+                 ELSE '' END AS aug
+  FROM base
+),
+counted AS (
+  SELECT doc_id, b,
+         CAST(len(regexp_extract_all(aug, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(aug, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(aug, '{_RE_IPV4}')) AS BIGINT) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_PHONE}', '<PHONE>', 'g'),
+           '{_RE_IPV4}', '<IP>', 'g') AS red
+  FROM aug
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       n_email + n_phone + n_ipv4 AS pii_total,
+       (n_email = CASE WHEN b % 3 = 0 THEN 1 ELSE 0 END
+        AND n_phone = CASE WHEN b % 5 = 0 THEN 1 ELSE 0 END
+        AND n_ipv4 = CASE WHEN b % 7 = 0 THEN 1 ELSE 0 END) AS all_detected,
+       (CAST(len(regexp_extract_all(red, '{_RE_EMAIL}')) AS BIGINT)
+        + CAST(len(regexp_extract_all(red, '{_RE_PHONE}')) AS BIGINT)
+        + CAST(len(regexp_extract_all(red, '{_RE_IPV4}')) AS BIGINT) = 0)
+         AS clean_after_redaction,
+       md5(red) AS redacted_hash
+FROM counted
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_pii_redaction": QuerySpec(docs_pii_redaction, _PII_SQL, ("OP-X-PII",)),
+}

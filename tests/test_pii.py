@@ -70,3 +70,40 @@ def test_scrub_is_codegen_not_udf(spark):
     )
     plan = df.select(scrub_pii("text"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# --- catalog query (plans/pii.py, OP-X-PII): the oracle-checked variant ---
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_catalog_planted_truth(spark):
+    """Every planted email/phone/IPv4 is detected exactly once and the
+    redaction removes all of them (corpus-level bit-identity vs DuckDB is
+    pinned by the oracle gate at all three scale factors)."""
+    from agf_data_ingestion_spark.plans.pii import docs_pii_redaction
+
+    out = docs_pii_redaction(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert all(r.all_detected for r in out)
+    assert all(r.clean_after_redaction for r in out)
+    # moduli 3/5/7 plant ~1/3, ~1/5, ~1/7 of docs — sanity-band the rates
+    assert 0.15 * n_docs < sum(r.n_email for r in out) < 0.55 * n_docs
+    assert 0.08 * n_docs < sum(r.n_phone for r in out) < 0.40 * n_docs
+    assert 0.05 * n_docs < sum(r.n_ipv4 for r in out) < 0.30 * n_docs
+
+
+def test_catalog_scrub_is_map_only(spark):
+    """The corpus scrub must be scan-shaped: zero exchanges, zero Python
+    eval nodes — at 100 TB this pass runs at read throughput."""
+    from agf_data_ingestion_spark.plans.pii import docs_pii_redaction
+
+    plan = (
+        docs_pii_redaction(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
