@@ -107,3 +107,52 @@ def test_catalog_scrub_is_map_only(spark):
     )
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_stream_scrub_equals_batch_scrub(spark, tmp_path):
+    """Batch-chopping must not change a single scrubbed row (the scrub is
+    row-local; streaming/pii_stream.py)."""
+    import os
+
+    from agf_data_ingestion_spark.streaming.pii_stream import (
+        scrub_transform,
+        start_scrub_stream,
+    )
+
+    rows = [
+        (1, "mail a@b.io now"),
+        (2, "call 555-123-4567 or +1 (555) 123 4567"),
+        (3, "host 10.0.0.1 clean text"),
+        (4, "nothing personal here 2024"),
+        (5, "both x@y.org and 192.168.0.9"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        3
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_scrub_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .drop("_batch_id")
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in scrub_transform(spark.read.parquet(src)).collect()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert "<EMAIL>" in by_id[1][1] and by_id[1][2] == 1
+    assert by_id[2][1].count("<PHONE>") == 2 and by_id[2][3] == 2
+    assert "<IP>" in by_id[3][1] and by_id[3][4] == 1
+    assert by_id[4][1] == "nothing personal here 2024"
