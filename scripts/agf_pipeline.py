@@ -470,6 +470,66 @@ def cmd_tokenizer(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """Scrub PII from a document corpus (streaming/pii_stream.py): redact
+    emails/phones/IPv4 in ``text`` and write the scrubbed table plus
+    per-category audit totals, one JSON line.  Batch by default; with
+    --stream the identical transform runs as an availableNow Structured
+    Streaming query (checkpointed, resumable)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.streaming.pii_stream import (
+        scrub_transform,
+        start_scrub_stream,
+    )
+
+    spark = _spark()
+    src = f"{args.docs}/documents.parquet"
+    if args.stream:
+        # FileStreamSource takes a directory: stream the sf dir filtered
+        # down to the documents table file(s)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(args.docs)
+        )
+        q = start_scrub_stream(
+            stream, args.out, f"{args.out}_ck", available_now=True
+        )
+        q.awaitTermination()
+    else:
+        scrub_transform(spark.read.parquet(src)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    totals = (
+        spark.read.parquet(args.out)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pii_emails").alias("e"),
+            F.sum("pii_phones").alias("p"),
+            F.sum("pii_ips").alias("i"),
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "docs": args.docs,
+                "out": args.out,
+                "mode": "stream" if args.stream else "batch",
+                "rows": int(totals["n"]),
+                "emails": int(totals["e"] or 0),
+                "phones": int(totals["p"] or 0),
+                "ips": int(totals["i"] or 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_history(args) -> int:
     """Inspect a snapshot table: commit history, tags, current version,
     metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
@@ -563,6 +623,16 @@ def main() -> int:
         help="directory with documents.parquet",
     )
     tk.set_defaults(fn=cmd_tokenizer)
+
+    sc = sub.add_parser("scrub")
+    sc.add_argument(
+        "--docs",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="directory with documents.parquet",
+    )
+    sc.add_argument("--out", required=True, help="scrubbed output table path")
+    sc.add_argument("--stream", action="store_true", help="run as a checkpointed stream")
+    sc.set_defaults(fn=cmd_scrub)
 
     m = sub.add_parser("maintain")
     m.add_argument("--table", required=True, help="snapshot table root")
