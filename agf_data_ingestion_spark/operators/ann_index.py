@@ -106,7 +106,17 @@ def train_index_state(vectors: DataFrame) -> dict:
 
 def encode(vectors: DataFrame, state: dict) -> DataFrame:
     """(vec_id, cell, code): assign + residual-encode under the FROZEN
-    state in one map-only Arrow pass — the append path never shuffles."""
+    state in one map-only Arrow pass — the append path never shuffles.
+    The codes pass is NOT checkpointed here: encode is its only consumer,
+    and an eager checkpoint would add a blocking job to every streaming
+    append micro-batch for nothing (the r4 single-consumer rule)."""
+    return _encode_codes(_ivfpq_codes_from(vectors, checkpoint=False), state)
+
+
+def _encode_codes(codes: DataFrame, state: dict) -> DataFrame:
+    """encode() over a pre-computed (vec_id, c) codes frame — lets
+    ``ann_index_create`` reuse the SAME (checkpointed) codes pass for
+    training and encoding instead of recomputing it."""
     cells = np.array(state["cells"], dtype=np.int64)
     ccv = state["ccv"]
     rcb = state["rcb"]
@@ -126,9 +136,7 @@ def encode(vectors: DataFrame, state: dict) -> DataFrame:
                 }
             )
 
-    return _ivfpq_codes_from(vectors).mapInPandas(
-        enc, "vec_id bigint, cell bigint, code array<bigint>"
-    )
+    return codes.mapInPandas(enc, "vec_id bigint, cell bigint, code array<bigint>")
 
 
 def ann_index_create(
@@ -140,11 +148,18 @@ def ann_index_create(
 ) -> int:
     """Train (unless a frozen ``state`` is supplied), persist the state,
     and commit the encoded corpus as the index table's first snapshot —
-    clustered by cell so per-file stats prune probes."""
-    st = state if state is not None else train_index_state(vectors)
+    clustered by cell so per-file stats prune probes.  The codes pass
+    runs ONCE: when training it is checkpointed (train + encode both
+    consume it); with a supplied state it feeds encode directly."""
+    codes = _ivfpq_codes_from(vectors, checkpoint=state is None)
+    if state is not None:
+        st = state
+    else:
+        cells, ccv, rcb = _ivfpq_train(codes)
+        st = {"cells": cells, "ccv": ccv, "rcb": rcb}
     save_state(st, table)
     return snapshot_write(
-        encode(vectors, st),
+        _encode_codes(codes, st),
         table,
         mode="overwrite",
         cluster_by=["cell"],
@@ -206,10 +221,13 @@ def ann_index_search(
     order-preserving fold as the corpus encode, so scores are exact
     int64 and reproducible.  Self-matches (neighbor_id == query_id) are
     excluded, matching the catalog ANN queries."""
+    empty = "query_id bigint, neighbor_id bigint, rank int, ascore bigint"
     st = load_state(table)
     cells, ccv, rcb = st["cells"], st["ccv"], st["rcb"]
     qrows = sorted(queries.collect(), key=lambda r: int(r["query_id"]))
     qids = [int(r["query_id"]) for r in qrows]
+    if not qids:
+        return spark.createDataFrame([], empty)
     qC = []
     for r in qrows:
         v = np.array(list(r["embedding"]), dtype=np.float64)
@@ -228,6 +246,10 @@ def ann_index_search(
     probe_cells = sorted({c for cs in probes.values() for c in cs})
 
     paths, _total = probe_plan(table, probe_cells)
+    if not paths:
+        # empty index table, or every probed cell's rows were removed by
+        # a later snapshot_delete — an empty result, not an unpack error
+        return spark.createDataFrame([], empty)
     scan = spark.read.parquet(*paths).filter(F.col("cell").isin(probe_cells))
 
     lut = {

@@ -1606,10 +1606,15 @@ def _ivfpq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_codes_from(t(spark, sf_dir, "embeddings"))
 
 
-def _ivfpq_codes_from(e: DataFrame) -> DataFrame:
+def _ivfpq_codes_from(e: DataFrame, *, checkpoint: bool = True) -> DataFrame:
     """The codes pass over an arbitrary (vec_id, embedding) frame — shared
     with the persisted index (operators/ann_index.py), which encodes
-    append batches under a frozen codebook."""
+    append batches under a frozen codebook.
+
+    ``checkpoint=False`` skips the eager localCheckpoint for SINGLE-
+    consumer callers (the index encode path): a checkpoint there is a
+    pure blocking job per streaming micro-batch with nothing to reuse
+    (the r4 rule: checkpoint only multi-consumer corpus aggregates)."""
 
     def codes_batches(batches):
         for pdf in batches:
@@ -1625,11 +1630,10 @@ def _ivfpq_codes_from(e: DataFrame) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "c": [row.tolist() for row in C]}
             )
 
-    return (
-        e.select("vec_id", "embedding")
-        .mapInPandas(codes_batches, "vec_id bigint, c array<bigint>")
-        .localCheckpoint(eager=True)
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        codes_batches, "vec_id bigint, c array<bigint>"
     )
+    return codes.localCheckpoint(eager=True) if checkpoint else codes
 
 
 def _ivfpq_grouped_sums(codes: DataFrame, group_fn) -> dict:

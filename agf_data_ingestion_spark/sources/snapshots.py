@@ -208,7 +208,10 @@ def read_manifest(table: str, version: int | None = None) -> dict:
     """The manifest dict with ``files`` RESOLVED: segment-based manifests
     (r5) materialize their file list by concatenating the named immutable
     segments (cached per process); legacy inline-``files`` manifests pass
-    through unchanged.  Callers must not mutate the entry dicts."""
+    through unchanged.  Entries are shallow COPIES of the cached segment
+    dicts — a caller mutating a returned entry can no longer corrupt the
+    process-wide ``_SEG_CACHE`` (manifest resolution is not hot enough
+    for the copy to matter)."""
     v = current_version(table) if version is None else version
     if v == 0:
         return {"version": 0, "files": [], "parent": None}
@@ -219,7 +222,7 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
     if "files" not in m:
         m["files"] = [
-            e for s in m.get("segments") or [] for e in _read_segment(table, s)
+            dict(e) for s in m.get("segments") or [] for e in _read_segment(table, s)
         ]
     return m
 

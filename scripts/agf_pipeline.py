@@ -475,8 +475,16 @@ def cmd_scrub(args) -> int:
     emails/phones/IPv4 in ``text`` and write the scrubbed table plus
     per-category audit totals, one JSON line.  Batch by default; with
     --stream the identical transform runs as an availableNow Structured
-    Streaming query (checkpointed, resumable)."""
+    Streaming query (checkpointed, resumable).  Both modes emit the SAME
+    schema (batch stamps the constant ``_batch_id = 0`` the single-batch
+    availableNow run would), and a stream re-run with a FRESH checkpoint
+    resets --out first — foreachBatch appends, so stale output under a
+    new checkpoint would duplicate rows; resuming on the existing
+    checkpoint keeps the output, exactly-once via the replayed offsets."""
     import json
+    import os
+    import shutil
+    import sys
 
     from pyspark.sql import functions as F
 
@@ -488,6 +496,12 @@ def cmd_scrub(args) -> int:
     spark = _spark()
     src = f"{args.docs}/documents.parquet"
     if args.stream:
+        ck = f"{args.out}_ck"
+        if os.path.exists(args.out) and not os.path.exists(ck):
+            # fresh checkpoint == fresh run: match batch mode's overwrite
+            # semantics instead of appending duplicates into stale output
+            print(f"scrub: fresh checkpoint — resetting {args.out}", file=sys.stderr)
+            shutil.rmtree(args.out)
         # FileStreamSource takes a directory: stream the sf dir filtered
         # down to the documents table file(s)
         stream = (
@@ -495,14 +509,12 @@ def cmd_scrub(args) -> int:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(args.docs)
         )
-        q = start_scrub_stream(
-            stream, args.out, f"{args.out}_ck", available_now=True
-        )
+        q = start_scrub_stream(stream, args.out, ck, available_now=True)
         q.awaitTermination()
     else:
-        scrub_transform(spark.read.parquet(src)).write.mode(
-            "overwrite"
-        ).parquet(args.out)
+        scrub_transform(spark.read.parquet(src)).withColumn(
+            "_batch_id", F.lit(0).cast("long")
+        ).write.mode("overwrite").parquet(args.out)
     totals = (
         spark.read.parquet(args.out)
         .groupBy()

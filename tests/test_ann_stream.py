@@ -117,6 +117,42 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert ann_applied_batch_ids(table) == {0, 1}
 
 
+def test_replay_survives_snapshot_expiry(spark, tmp_path):
+    """The ADVICE-flagged hole: if expire_snapshots (small keep_last)
+    drops the ann_append commit from retained history between a sink
+    commit and a crash-restart replay — while other writers advance the
+    table — the history bookmark is gone.  The durable HWM written
+    alongside the codebook state must still make the replay a no-op."""
+    from agf_data_ingestion_spark.operators.ann_index import ann_index_append
+    from agf_data_ingestion_spark.sources.snapshots import expire_snapshots
+    from agf_data_ingestion_spark.streaming.ann_stream import ann_batch_hwm
+
+    v, seed, table, feed = _seed_feed(spark, tmp_path)
+    batch = spark.read.parquet(feed)
+
+    assert ann_apply_batch(batch, 0, table, cluster_files=4) is not None
+    assert ann_batch_hwm(table) == 0
+    n = snapshot_read(spark, table).count()
+
+    # other (unlabeled) writers advance the table, then aggressive
+    # expiry rolls the labeled commit out of retained history
+    for _ in range(3):
+        ann_index_append(batch.limit(0), table, cluster_files=4)
+    expire_snapshots(table, keep_last=1, orphan_grace_s=0.0)
+    assert ann_applied_batch_ids(table) == set()  # history bookmark gone
+
+    # the crash-restart replay of batch 0 is STILL a no-op
+    assert ann_apply_batch(batch, 0, table, cluster_files=4) is None
+    assert snapshot_read(spark, table).count() == n
+
+    # a fresh checkpoint dir (new stream identity) restarting at batch 0
+    # is NOT deduped against the old stream's HWM
+    assert (
+        ann_apply_batch(batch.limit(0), 0, table, cluster_files=4, stream_id="s2")
+        is not None
+    )
+
+
 def test_restart_resumes_from_checkpoint(spark, tmp_path):
     """Stop after the first micro-batch; a restarted query (same
     checkpoint) drains only the remainder — no duplicate folds."""
