@@ -7,11 +7,11 @@ Spark 4 Python DataSource (``SimpleDataSourceStreamReader``, same
 machinery as sources/synth.py).  Offsets are ``{"version": v}``; a
 micro-batch advances over every newly committed version (one
 ``read()`` prefetch per trigger), emitting each commit's row-level
-delta with the same file-delta rule as ``snapshot_diff``: files
-present in both manifests cancel (identical
-row multisets on both sides), so only the commit's added/removed files
-are ever read — an append of one batch to a 100 TB table reads one
-batch.  Manifests are immutable, so ``readBetweenOffsets`` (checkpoint
+delta with the same entry-delta rule as ``snapshot_diff``: entries
+present in both manifests with the same deletion-vector list cancel
+(identical row multisets on both sides), so only the commit's
+added/removed/DV-touched files are ever read — an append of one batch
+to a 100 TB table reads one batch, a DV delete reads the touched slice.  Manifests are immutable, so ``readBetweenOffsets`` (checkpoint
 recovery) regenerates any batch bit-identically — the replayable-source
 contract, with no change-tracking metadata written at commit time.
 
@@ -80,8 +80,34 @@ def _table_schema_ddl(table: str) -> str:
     return f"_change string, _commit_version bigint, {cols}"
 
 
-def _rows_of(paths: list[str], names: list[str]) -> Counter:
-    """Multiset of row tuples (column order pinned to ``names``).
+def _dv_positions(entries: list[dict]) -> dict[str, set[int]]:
+    """{data file path: deleted physical positions} for the entries'
+    deletion vectors — read driver-side with pyarrow (DV filesets are
+    O(deleted rows), commit-sized by the same argument as the delta)."""
+    import pyarrow.parquet as pq
+
+    wanted = {f["path"] for f in entries if f.get("dv")}
+    if not wanted:
+        return {}
+    paths = sorted(
+        {p for f in entries for i in (f.get("dv") or []) for p in i["paths"]}
+    )
+    out: dict[str, set[int]] = {}
+    for p in paths:
+        tbl = pq.read_table(p)
+        for fp, pos in zip(
+            tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            if fp in wanted:
+                out.setdefault(fp, set()).add(pos)
+    return out
+
+
+def _rows_of(entries: list[dict], names: list[str]) -> Counter:
+    """Multiset of row tuples from manifest file ENTRIES, deletion
+    vectors applied (physical row index == pyarrow's whole-file read
+    order — the same contract ``_metadata.row_index`` exposes on the
+    Spark read path).  Column order pinned to ``names``.
     tz-aware timestamps (Spark TimestampType writes parquet as UTC-
     adjusted) normalize to naive UTC so they match the declared
     ``timestamp_ntz`` schema instead of being session-timezone-shifted
@@ -90,9 +116,10 @@ def _rows_of(paths: list[str], names: list[str]) -> Counter:
 
     import pyarrow.parquet as pq
 
+    dead = _dv_positions(entries)
     out: Counter = Counter()
-    for p in sorted(paths):
-        tbl = pq.read_table(p)
+    for f in sorted(entries, key=lambda e: e["path"]):
+        tbl = pq.read_table(f["path"])
         cols = []
         for n in names:
             vals = tbl.column(n).to_pylist()
@@ -103,7 +130,10 @@ def _rows_of(paths: list[str], names: list[str]) -> Counter:
                 for v in vals
             ]
             cols.append(vals)
-        for row in zip(*cols):
+        gone = dead.get(f["path"], ())
+        for idx, row in enumerate(zip(*cols)):
+            if idx in gone:
+                continue
             out[row] += 1
     return out
 
@@ -119,13 +149,29 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         return {"version": self._start}
 
     def _delta(self, v: int):
-        """The row-level changes committed by version ``v``."""
+        """The row-level changes committed by version ``v``.  Entries
+        cancel only when path AND deletion-vector list both match — a DV
+        delete changes an entry in place, and each side must read the
+        touched file with ITS version's DVs applied so the delta nets to
+        exactly the deleted rows (same rule as ``snapshot_diff``)."""
+        import json as _json
+
         mf = read_manifest(self.table, v - 1) if v > 1 else {"files": []}
         mt = read_manifest(self.table, v)
-        pf = {f["path"] for f in mf["files"]}
-        pt = {f["path"] for f in mt["files"]}
-        removed = _rows_of(sorted(pf - pt), self.names)
-        added = _rows_of(sorted(pt - pf), self.names)
+        ef = {f["path"]: f for f in mf["files"]}
+        et = {f["path"]: f for f in mt["files"]}
+
+        def _sig(f):
+            return _json.dumps(f.get("dv") or [], sort_keys=True)
+
+        removed = _rows_of(
+            [ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])],
+            self.names,
+        )
+        added = _rows_of(
+            [et[p] for p in sorted(et) if p not in ef or _sig(et[p]) != _sig(ef[p])],
+            self.names,
+        )
         rows = []
         for r in sorted(added.keys() | removed.keys(), key=repr):
             n = added[r] - removed[r]

@@ -7,6 +7,9 @@ Layout::
 
     table/
       data/<commit-uuid>/part-*.parquet   immutable data files
+      dv/<commit-uuid>/part-*.parquet     position-delete files (r6):
+                                          (file_path, pos) pairs a
+                                          merge-on-read DELETE committed
       _snapshots/v-00000001.json          manifest: the file list of v1
       _snapshots/CURRENT                  pointer file (atomic rename swap)
 
@@ -170,9 +173,14 @@ def _derive_segments(
     one new segment for the delta).  A parent segment is reusable iff
     EVERY path it lists survives into the new manifest — data files are
     immutable, so path identity implies entry identity.  Derivation is
-    O(table) in MEMORY per commit (path-set checks) but the WRITE is
-    O(delta) — the same trade Iceberg's manifest list makes."""
-    target = {f["path"] for f in files}
+    O(table) in MEMORY per commit (dict-equality checks) but the WRITE is
+    O(delta) — the same trade Iceberg's manifest list makes.
+
+    Reuse checks ENTRY identity, not just path identity: data files are
+    immutable, but since r6 an entry can change without its path changing
+    (a deletion-vector commit extends its ``dv`` list) — path-only reuse
+    would silently resurrect the pre-DV entry."""
+    target = {f["path"]: f for f in files}
     covered: set[str] = set()
     segs: list[tuple[str, int]] = []
     for name in (parent_m or {}).get("segments") or []:
@@ -180,7 +188,7 @@ def _derive_segments(
         paths = [e["path"] for e in ent]
         if (
             paths
-            and all(p in target for p in paths)
+            and all(target.get(e["path"]) == e for e in ent)
             and not any(p in covered for p in paths)
         ):
             segs.append((name, len(paths)))
@@ -303,9 +311,13 @@ def snapshot_history(table: str) -> list[dict]:
                 "n_cols": len(m["schema"]) if m.get("schema") is not None else None,
                 "added_cols": added,
                 "total_bytes": sum(f.get("bytes", 0) for f in m["files"]),
-                "total_rows": sum(f["rows"] for f in m["files"])
+                # LIVE rows: footer counts minus deletion-vector positions
+                "total_rows": sum(_live_rows(f) for f in m["files"])
                 if all("rows" in f for f in m["files"])
                 else None,
+                "dv_rows": sum(
+                    i["n"] for f in m["files"] for i in (f.get("dv") or [])
+                ),
             }
         )
     return out
@@ -524,6 +536,11 @@ def _commit_rewrite(
       transaction read, and its survivors frame is stale
       (:class:`RewriteConflict` → the caller's ``_retry_on_conflict``
       recomputes the whole transaction);
+    * every touched ENTRY is byte-identical in the winner's manifest (r6)
+      — a concurrent deletion-vector commit changes an entry without
+      changing its path; rebasing over it would resurrect the DV-deleted
+      rows (rewrites read with the OLD DV applied) or drop the winner's
+      DV (a same-file DV commit built from the stale entry);
     * ``delta_safe(f)`` is True for every file the interleaved commits
       ADDED — the per-op guard proving the new rows cannot fall inside
       this rewrite's key range / predicate (stats-based, conservative:
@@ -548,6 +565,15 @@ def _commit_rewrite(
                 raise RewriteConflict(
                     f"{table}: {len(missing)} file(s) this {op} rewrote were "
                     f"replaced by a concurrent commit — recomputing"
+                ) from None
+            base_by_path = {f["path"]: f for f in base}
+            cur_by_path = {f["path"]: f for f in cur_files}
+            if any(
+                cur_by_path[p] != base_by_path.get(p) for p in touched_paths
+            ):
+                raise RewriteConflict(
+                    f"{table}: a concurrent commit changed a touched entry "
+                    f"(deletion vectors) under this {op} — recomputing"
                 ) from None
             base_paths = {f["path"] for f in base}
             delta = [
@@ -882,6 +908,98 @@ def _file_admits(f: dict, where: list[tuple] | None) -> bool:
     return True
 
 
+# -- merge-on-read deletion vectors (r6) --------------------------------------
+# A DELETE can commit O(matches) POSITION-DELETE entries instead of copy-on-
+# write rewriting every touched file (the Iceberg-v2 position-delete / Delta
+# deletion-vector model): a manifest file entry gains
+#
+#     "dv": [{"paths": [<dv parquet files>], "n": <deleted positions in
+#             THIS file>}, ...]
+#
+# and every reader anti-joins (file, position) against the union of the
+# entry's delete vectors.  Positions are the parquet reader's physical row
+# index (``_metadata.row_index``) — produced and consumed by the same
+# mechanism, so they cannot drift — and each delete computes its positions
+# on the MERGED view (existing DVs applied), so per-commit ``n`` increments
+# are disjoint by construction and ``snapshot_rowcount`` stays exact
+# metadata-only.  Compaction applies and drops DVs; expiry reclaims DV
+# files no retained manifest references; file-level OCC treats a DV commit
+# as an entry change (see ``_commit_rewrite``), so DV commits on disjoint
+# files never conflict with concurrent rewrites.
+
+#: DV sets at or under this many positions ride a size-guarded broadcast
+#: in the merge-on-read anti-join (the exact count is in the manifest —
+#: never a blind estimate); larger sets fall back to AQE's pick and
+#: compaction is the cure
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+#: target positions per DV part file (bounds part count for huge deletes)
+_DV_FILE_TARGET_ROWS = 8_000_000
+
+
+def _dv_items(f: dict) -> list[dict]:
+    return f.get("dv") or []
+
+
+def _live_rows(f: dict) -> int | None:
+    """Rows a reader sees from this entry: footer rows minus DV'd
+    positions (None for a legacy entry without a recorded row count)."""
+    if "rows" not in f:
+        return None
+    return f["rows"] - sum(i["n"] for i in _dv_items(f))
+
+
+def _norm_file_path(col):
+    """``_metadata.file_path`` renders as ``file:/abs/path`` (scheme-slash
+    count varies) — normalize to the plain filesystem path the manifests
+    and DV records store."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _read_entries(
+    spark: SparkSession, entries: list[dict], *, keep_position: bool = False
+):
+    """Read manifest file entries WITH their deletion vectors applied —
+    the merge-on-read path every consumer of raw manifest file lists must
+    use (snapshot_read / merge / delete / compact / diff).  When no entry
+    carries a DV and positions aren't requested, this is a plain parquet
+    scan — zero overhead on the common path.
+
+    ``keep_position=True`` retains the physical ``(_dv_fp, _dv_pos)``
+    columns; the DV delete path computes its new positions on this merged
+    view, which is what keeps per-file DV counts disjoint across commits.
+
+    Scale: the corpus side never shuffles for a bounded DV set — the DV
+    side's EXACT row count is recorded in the manifest, so the anti-join
+    broadcasts it under ``_DV_BROADCAST_MAX_ROWS`` (a size-guarded hint,
+    never a blind small-sf estimate); an oversized DV set is left to AQE
+    and signals the table is due for compaction."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(f["path"] for f in entries)
+    )
+    items = [i for f in entries for i in _dv_items(f)]
+    if not items and not keep_position:
+        return df
+    cols = df.columns
+    df = df.select(
+        "*",
+        _norm_file_path(F.col("_metadata.file_path")).alias("_dv_fp"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    if items:
+        dv_paths = sorted({p for i in items for p in i["paths"]})
+        dv = spark.read.parquet(*dv_paths).select(
+            F.col("file_path").alias("_dv_fp"), F.col("pos").alias("_dv_pos")
+        )
+        if sum(i["n"] for i in items) <= _DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        df = df.join(dv, ["_dv_fp", "_dv_pos"], "left_anti")
+    return df if keep_position else df.select(cols)
+
+
 def snapshot_read(
     spark: SparkSession,
     table: str,
@@ -925,10 +1043,17 @@ def snapshot_read(
     if not m["files"]:
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
     kept = plan_files(table, version=version, where=where)
-    # all files pruned: keep one for the schema — the residual filter
-    # below returns its (provably empty) matching subset
-    paths = [f["path"] for f in kept] or [m["files"][0]["path"]]
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if kept:
+        # merge-on-read: entries carrying deletion vectors anti-join their
+        # (file, position) delete sets; plain entries read as a bare scan
+        df = _read_entries(spark, kept)
+    else:
+        # all files pruned: keep one for the schema — the residual filter
+        # below returns its (provably empty) matching subset, so applying
+        # the file's DVs would be wasted work
+        df = spark.read.option("mergeSchema", "true").parquet(
+            m["files"][0]["path"]
+        )
     cond = _where_condition(df, where)
     return df.filter(cond) if cond is not None else df
 
@@ -1100,9 +1225,9 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     touched = [f for f in m["files"] if _overlaps(f)]
     new_files: list[dict] = []
     if touched:
-        old = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(f["path"] for f in touched)
-        )
+        # merge-on-read: a raw path read would resurrect DV-deleted rows
+        # into the survivors rewrite
+        old = _read_entries(spark, touched)
         survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
         bc = _common_bloom_cols(touched)
         new_files += _write_data_files(survivors, table, bloom_cols=bc)
@@ -1202,34 +1327,55 @@ def snapshot_tags(table: str) -> dict[str, int]:
 
 
 @_retry_on_conflict
-def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
-    """Copy-on-write predicate DELETE as one atomic commit — the
-    right-to-be-forgotten primitive a training-data lake cannot ship
-    without.  ``where`` is the same ANDed ``(col, op, value)`` triple form
-    as ``snapshot_read``; rows matching ALL triples are removed.
+def snapshot_delete(
+    spark: SparkSession, table: str, where: list[tuple], *, mode: str = "cow"
+) -> int:
+    """Predicate DELETE as one atomic commit — the right-to-be-forgotten
+    primitive a training-data lake cannot ship without.  ``where`` is the
+    same ANDed ``(col, op, value)`` triple form as ``snapshot_read``; rows
+    matching ALL triples are removed.
+
+    ``mode='cow'`` (default) rewrites every touched file without the
+    matching rows; ``mode='dv'`` (r6) is MERGE-ON-READ: the commit writes
+    O(matches) position-delete entries and attaches them to the touched
+    entries — no data file is rewritten.  At 100 TB a GDPR erasure batch
+    touching 1% of files costs a terabyte of rewrite under COW and a few
+    MB of (file, position) pairs under DV; reads merge the DVs until
+    ``snapshot_compact`` applies and drops them.  Both modes produce
+    identical reader-visible results (pinned in
+    tests/test_deletion_vectors.py).
 
     Scale shape: the manifest stats decide which files COULD contain a
     matching row (``plan_files``); every other file is carried into the
-    new version untouched — at 100 TB a clustered delete rewrites the
+    new version untouched — at 100 TB a clustered delete touches the
     handful of overlapping files, never the table (this is why Z-order
     compaction and stats-skipping pay off at the writer too, not just the
     reader).  Old versions still reference the pre-delete files: time
     travel sees the data until ``expire_snapshots`` drops it — run expiry
     to make a deletion PHYSICAL, exactly the Iceberg/Delta operational
-    model.
+    model (under DV, expiry reclaims superseded DV files the same way).
+
+    Concurrency: a DV commit changes entries without replacing paths, so
+    file-level OCC (``_commit_rewrite`` entry-identity validation) lets a
+    DV delete commit concurrently with any rewrite or DV touching
+    DISJOINT files; same-file races recompute transparently.
     """
     if not where:
         raise ValueError("snapshot_delete requires a non-empty predicate")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     import pyarrow.parquet as pq
 
     parent = _repair_current(table)
     touched = plan_files(table, version=parent, where=where)
+    if mode == "dv":
+        return _delete_dv(spark, table, parent, touched, where)
     touched_paths = {f["path"] for f in touched}
     new_files = []
     if touched:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(touched_paths)
-        )
+        # merge-on-read: apply any existing DVs before rewriting, or the
+        # rewrite would resurrect previously DV-deleted rows
+        df = _read_entries(spark, touched)
         # DELETE semantics: remove rows where the predicate is TRUE.
         # A NULL predicate (e.g. a NULL column value) must KEEP the row
         # — plain ~cond would evaluate NULL and drop it
@@ -1251,6 +1397,71 @@ def snapshot_delete(spark: SparkSession, table: str, where: list[tuple]) -> int:
         "delete",
         # an interleaved commit may have added rows the predicate matches —
         # rebasing would resurrect them past the delete; recompute instead
+        delta_safe=lambda f: not _file_admits(f, where),
+    )
+
+
+def _delete_dv(
+    spark: SparkSession,
+    table: str,
+    parent: int,
+    touched: list[dict],
+    where: list[tuple],
+) -> int:
+    """The merge-on-read DELETE commit body: compute matching (file,
+    position) pairs on the MERGED view of the touched files (existing DVs
+    applied — new positions are therefore disjoint from every earlier
+    commit's, keeping per-entry ``n`` sums exact), write them as a DV
+    fileset, and commit entry updates only.  O(matches) data written; the
+    table's data files are untouched."""
+    from pyspark.sql import functions as F
+
+    if not touched:
+        return parent  # stats prove nothing matched: no-op, no commit
+    scan = _read_entries(spark, touched, keep_position=True)
+    cond = _where_condition(scan, where)
+    matches = scan.filter(cond).select(
+        F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
+    )
+    # part count bounded by the worst case (every live row matches) so a
+    # huge erasure batch neither funnels through one task nor sprays files
+    worst = sum(_live_rows(f) or 0 for f in touched)
+    nparts = int(max(1, min(64, worst // _DV_FILE_TARGET_ROWS + 1)))
+    dv_dir = os.path.join(table, "dv", uuid.uuid4().hex)
+    matches.repartition(nparts).write.mode("error").parquet(dv_dir)
+    dv_paths = sorted(
+        os.path.join(dv_dir, n)
+        for n in os.listdir(dv_dir)
+        if n.endswith(".parquet")
+    )
+    # per-file counts read back from the WRITTEN fileset, so the recorded
+    # n is exactly what readers will anti-join (never a recomputed twin)
+    counts = {
+        r["file_path"]: int(r["n"])
+        for r in spark.read.parquet(*dv_paths)
+        .groupBy("file_path")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        # predicate matched nothing: no commit (the empty DV fileset is an
+        # unreferenced orphan; expiry's grace window reclaims it)
+        return parent
+    new_entries = []
+    for f in touched:
+        n = counts.get(f["path"])
+        if n:
+            e = dict(f)
+            e["dv"] = _dv_items(f) + [{"paths": dv_paths, "n": n}]
+            new_entries.append(e)
+    return _commit_rewrite(
+        table,
+        parent,
+        {e["path"] for e in new_entries},
+        new_entries,
+        "delete-dv",
+        # same guard as COW delete: an interleaved commit may have added
+        # rows the predicate matches — rebasing would let them escape
         delta_safe=lambda f: not _file_admits(f, where),
     )
 
@@ -1278,18 +1489,21 @@ def snapshot_compact(
     Lock-free since r5: compaction never conflicts with interleaved
     APPENDS (their files simply stay uncompacted until the next run — the
     rebase carries them through), and a concurrent rewrite of a file this
-    run consolidated triggers a recompute via file-level validation."""
+    run consolidated triggers a recompute via file-level validation.
+
+    Deletion vectors (r6): every entry carrying a DV is compacted
+    REGARDLESS of size — compaction is where merge-on-read deletes become
+    physical: the rewrite reads the merged view (DVs applied), the new
+    entries carry no DVs, and expiry reclaims the unreferenced DV files."""
     parent = _repair_current(table)
     m = read_manifest(table, parent) if parent > 0 else {"files": []}
-    small = [f for f in m["files"] if f["bytes"] < small_bytes]
-    if len(small) <= 1:
+    small = [f for f in m["files"] if f["bytes"] < small_bytes or _dv_items(f)]
+    if not small or (len(small) == 1 and not _dv_items(small[0])):
         return parent
     # mergeSchema: small files may straddle a schema evolution — a
     # plain read would take the first footer and silently DROP the
-    # newer columns from the compacted rewrite
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[f["path"] for f in small]
-    )
+    # newer columns from the compacted rewrite; DVs applied merge-on-read
+    df = _read_entries(spark, small)
     total = sum(f["bytes"] for f in small)
     target_files = int(max(1, total // small_bytes))
     if sort_by:
@@ -1298,7 +1512,13 @@ def snapshot_compact(
         )
     else:
         df = df.coalesce(target_files)
-    new_files = _write_data_files(df, table, bloom_cols=_common_bloom_cols(small))
+    import pyarrow.parquet as pq
+
+    written = _write_data_files(df, table, bloom_cols=_common_bloom_cols(small))
+    # a fully-DV'd input can compact to zero rows — keep empty parts out
+    new_files = [
+        f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+    ]
     return _commit_rewrite(
         table,
         parent,
@@ -1323,27 +1543,39 @@ def snapshot_diff(
     difference (``exceptAll``) each way and needs no change-tracking
     metadata at write time.
 
-    Scale shape: the exceptAll runs over ONLY the file-list delta — files
-    present in both manifests contribute identical row multisets to both
-    sides and therefore cancel, so skipping them provably cannot change
-    the result.  An append of 1 GB to a 100 TB table diffs 1 GB; a
-    compaction (same rows, new files) diffs the rewritten slice and nets
-    to zero rows."""
+    Scale shape: the exceptAll runs over ONLY the entry delta — entries
+    IDENTICAL in both manifests (same path AND same deletion-vector list)
+    contribute identical row multisets to both sides and therefore
+    cancel, so skipping them provably cannot change the result.  An
+    append of 1 GB to a 100 TB table diffs 1 GB; a compaction (same rows,
+    new files) diffs the rewritten slice and nets to zero rows; a DV
+    delete diffs the touched files (each side reads them with ITS
+    version's DVs applied) and nets to exactly the deleted rows."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
     mf = read_manifest(table, v_from)
     mt = read_manifest(table, v_to)
-    pf = {f["path"] for f in mf["files"]}
-    pt = {f["path"] for f in mt["files"]}
-    only_old = sorted(pf - pt)
-    only_new = sorted(pt - pf)
-    schema_hint = sorted(pf | pt)
+    ef = {f["path"]: f for f in mf["files"]}
+    et = {f["path"]: f for f in mt["files"]}
+
+    def _sig(f: dict) -> str:
+        return _json.dumps(_dv_items(f), sort_keys=True)
+
+    only_old = [
+        ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])
+    ]
+    only_new = [
+        et[p] for p in sorted(et) if p not in ef or _sig(et[p]) != _sig(ef[p])
+    ]
+    schema_hint = sorted(set(ef) | set(et))
     if not schema_hint:
         raise NoSuchVersionError(f"{table}: both versions have no data files")
 
-    def _read(paths, other=None):
-        if paths:
-            return spark.read.option("mergeSchema", "true").parquet(*paths)
+    def _read(entries, other=None):
+        if entries:
+            return _read_entries(spark, entries)
         # empty side: take the schema from the populated side (free), or —
         # only when BOTH sides are empty — from a single file's footer.
         # Merging footers of every file in both manifests here would cost
@@ -1417,7 +1649,12 @@ def expire_snapshots(
         referenced_segs: set[str] = set()
         for v in retained_versions:
             m = read_manifest(table, v)
-            referenced.update(f["path"] for f in m["files"])
+            for f in m["files"]:
+                referenced.add(f["path"])
+                # deletion-vector files live exactly as long as an entry
+                # references them; compaction drops the reference and the
+                # next expiry reclaims the DV bytes
+                referenced.update(p for i in _dv_items(f) for p in i["paths"])
             referenced_segs.update(m.get("segments") or [])
         # every path ANY existing manifest lists is a COMMITTED file — if
         # no retained version needs it, it is reclaimable immediately; a
@@ -1426,17 +1663,22 @@ def expire_snapshots(
         ever_committed: set[str] = set()
         for v in range(1, cur + 1):
             try:
-                ever_committed.update(
-                    f["path"] for f in read_manifest(table, v)["files"]
-                )
+                for f in read_manifest(table, v)["files"]:
+                    ever_committed.add(f["path"])
+                    ever_committed.update(
+                        p for i in _dv_items(f) for p in i["paths"]
+                    )
             except NoSuchVersionError:
                 continue
         deleted = []
         now = time.time()
-        data_root = os.path.join(table, "data")
-        if os.path.isdir(data_root):
-            for sub in os.listdir(data_root):
-                d = os.path.join(data_root, sub)
+        # data files and DV filesets share the same reclaim rule
+        for root_name in ("data", "dv"):
+            root = os.path.join(table, root_name)
+            if not os.path.isdir(root):
+                continue
+            for sub in os.listdir(root):
+                d = os.path.join(root, sub)
                 for name in os.listdir(d):
                     p = os.path.join(d, name)
                     if not name.endswith(".parquet") or p in referenced:
@@ -1474,17 +1716,22 @@ def expire_snapshots(
 
 def snapshot_rowcount(table: str, version: int | None = None) -> int:
     """COUNT(*) answered from the manifest alone — O(files) metadata, no
-    data read (the Delta log-stats count pushdown).  Falls back to one
-    footer read per legacy file entry written before row counts were
-    recorded."""
+    data read (the Delta log-stats count pushdown).  Deletion vectors
+    keep this EXACT: each entry subtracts its recorded DV position counts
+    (disjoint across commits by construction — positions are computed on
+    the merged view).  Falls back to one footer read per legacy file
+    entry written before row counts were recorded."""
     total = 0
     for f in read_manifest(table, version)["files"]:
-        if "rows" in f:
-            total += f["rows"]
+        live = _live_rows(f)
+        if live is not None:
+            total += live
         else:  # legacy entry: footer metadata read, still no data scan
             import pyarrow.parquet as pq
 
-            total += pq.ParquetFile(f["path"]).metadata.num_rows
+            total += pq.ParquetFile(f["path"]).metadata.num_rows - sum(
+                i["n"] for i in _dv_items(f)
+            )
     return total
 
 
@@ -1495,11 +1742,16 @@ def snapshot_minmax(
     O(files) metadata, no data read (the Delta/Iceberg stats-pushdown for
     MIN/MAX aggregates).  Returns None when ANY live file lacks stats for
     the column (a metadata answer would be wrong, not approximate — the
-    caller must fall back to a scan); deleted rows can't mislead because
-    this format rewrites files copy-on-write, so stats always describe
-    exactly the live rows."""
+    caller must fall back to a scan).  COW rewrites keep stats exact for
+    live rows; a file carrying a DELETION VECTOR does not — its stats may
+    describe only DV-deleted rows, so any DV'd file forces the None
+    fallback (pruning via ``plan_files`` stays valid: stats remain
+    conservative bounds; only the exact metadata-only ANSWER is off the
+    table until compaction applies the DVs)."""
     lo = hi = None
     for f in read_manifest(table, version)["files"]:
+        if _dv_items(f):
+            return None  # min/max row may be deleted: metadata can't prove it
         st = f.get("stats", {}).get(col)
         if st is None:
             return None
@@ -1541,10 +1793,13 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
         restored = read_manifest(table, version)  # raises if expired
         files = restored["files"]
         for f in files:
-            if not os.path.exists(f["path"]):
-                raise NoSuchVersionError(
-                    f"{table}: v{version} references expired data file {f['path']}"
-                )
+            for p in [f["path"]] + [
+                q for i in _dv_items(f) for q in i["paths"]
+            ]:
+                if not os.path.exists(p):
+                    raise NoSuchVersionError(
+                        f"{table}: v{version} references expired file {p}"
+                    )
         parent = _repair_current(table)
         if parent == version:
             return parent

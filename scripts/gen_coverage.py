@@ -35,6 +35,10 @@ TEST_COVERED = {
         "functions/udtfs.py (Spark 4 Python UDTF: sentence segmentation with source offsets, LATERAL join shape, lazy handle; JVM-native twin is the production path)",
         "tests/test_udtf.py (UDTF ≡ native twin on corpus + adversarial edge cases; span-offset reconstruction)",
     ),
+    "OP-X-DV": (
+        "sources/snapshots.py (merge-on-read deletion vectors: snapshot_delete(mode='dv') commits O(matches) position-delete files and entry updates only; merge-on-read reads via _read_entries anti-join with size-guarded broadcast; compaction applies-and-purges; expiry reclaims; entry-identity OCC + segment reuse)",
+        "tests/test_deletion_vectors.py (DV ≡ COW result, zero-rewrite commit, exact rowcount across overlapping deletes, honest MIN/MAX, CDC/diff + streaming CDC emit the deletes, compaction purge + reclaim, upsert/merge over DVs, disjoint-rewrite concurrency, same-file race convergence, restore/expiry retention)",
+    ),
     "OP-X-OCC": (
         "sources/snapshots.py (optimistic concurrency: CAS manifest reservation via atomic link, lock-free append/upsert with manifest-delta conflict rebase, lock-held rewrite retry, pointer repair, vacuum grace for in-flight writers)",
         "tests/test_snapshots.py (CAS loss + pointer repair; deterministic races: disjoint-key dual commit, first-writer-wins overlap, partial-overlap rebase, merge-vs-append retry, orphan grace)",
