@@ -25,7 +25,10 @@ insertion's parent is in the child's deletion set), so candidate
 generation is an equi-join on the key — never an all-pairs scan.  Keys
 per record = len+1, so the blocking table is O(corpus × name-length)
 and the join is hash-partitioned on the key (``shuffle_hash``-pinned:
-registry-sized sides are never broadcast).  Verification is the usual
+registry-sized sides are never broadcast).  Oversized blocks are
+rank-capped (``_ER_BLOCK_CAP``, r6): mass-duplicate names cannot make
+the candidate join quadratic — see the constant's docstring.
+Verification is the usual
 ER conjunct — name edit distance ≤ 2 AND exact agreement on the stable
 attributes (nation, balance, segment) — which rejects the
 adjacent-serial-number false candidates blocking necessarily admits
@@ -45,7 +48,7 @@ block keys (zero-runs in names make many deletions coincide).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import QuerySpec, t
@@ -55,6 +58,20 @@ from agf_data_ingestion_spark.plans.base import QuerySpec, t
 _ER_MAX_EDIT = 2
 #: insertion alphabet (md5-indexed)
 _ER_ALPHA = "abcdefghij"
+#: hot-block guard (VERDICT r5 finding #1): a real dirty registry carries
+#: mass duplicates ("john smith" × 50k) — one block key whose candidate
+#: join is quadratic.  Same rule as the LSH ``_LSH_BUCKET_CAP``: block
+#: members are row_number-ranked by rec_id ON THE SAME key the join
+#: shuffles on (no extra exchange) and a pair is admitted only when the
+#: ranks are within the cap, so a B-member block emits ≤ B·cap pairs
+#: (not B²/2) while adjacent ranks keep the block CONNECTED for
+#: clustering.  Honest blocks (≤ cap+1 members) still emit their full
+#: clique — the planted TPC-H-style blocks are far under it at every sf,
+#: so the catalog oracle is unchanged; the identical row_number rule runs
+#: in the DuckDB twin so results stay bit-identical at ANY block size
+#: (tests/test_entity.py plants a 5k same-name registry to pin the
+#: O(n·cap) candidate bound).
+_ER_BLOCK_CAP = 32
 
 
 def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,15 +136,12 @@ def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.unionByName(v1).unionByName(v2)
 
 
-def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the registry, verified-edge, and label frames are all NARROW
-    # (id/name-width rows) and multiply consumed — cache() them so the
-    # blocking→verify chain runs once instead of once per downstream
-    # branch (the CLAUDE.md narrow-frame rule; measured 5.6 → 3.2 s
-    # fresh / 1.0 s warm at sf0.1).  No corpus-sized ARRAY columns are
-    # cached here.
-    recs = _registry(spark, sf_dir).cache()
-
+def _er_candidates(recs: DataFrame) -> DataFrame:
+    """Blocking → capped candidate pairs (ra < rb) over any (rec_id, name)
+    frame: depth-1 deletion-neighborhood keys, equi-join on the key with
+    the ``_ER_BLOCK_CAP`` rank guard — a mass-duplicate block emits
+    O(B·cap) pairs, never B²/2.  Factored out so the skew pytest can pin
+    the bound on a planted hot-block registry."""
     # depth-1 deletion neighborhood as block keys; i=0 keeps the name
     # itself.  DISTINCT after the explode (zero-runs make deletions
     # coincide; post-explode distinct is the exchange-cheap form).
@@ -147,14 +161,34 @@ def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ka = keys.select(F.col("rec_id").alias("ra"), "k")
-    kb = keys.select(F.col("rec_id").alias("rb"), "k")
-    cand = (
-        ka.join(kb.hint("shuffle_hash"), "k")
-        .filter(F.col("ra") < F.col("rb"))
+    # rank on the SAME key the join shuffles on: the guard adds no exchange
+    wk = Window.partitionBy("k").orderBy("rec_id")
+    keys = keys.withColumn("rk", F.row_number().over(wk))
+    ka = keys.select(F.col("rec_id").alias("ra"), "k", F.col("rk").alias("rka"))
+    kb = keys.select(
+        F.col("rec_id").alias("rb"), F.col("k").alias("kb"), F.col("rk").alias("rkb")
+    )
+    return (
+        ka.join(
+            kb.hint("shuffle_hash"),
+            (F.col("k") == F.col("kb"))
+            & (F.col("ra") < F.col("rb"))
+            & (F.col("rkb") - F.col("rka") <= _ER_BLOCK_CAP),
+        )
         .select("ra", "rb")
         .distinct()
     )
+
+
+def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the registry, verified-edge, and label frames are all NARROW
+    # (id/name-width rows) and multiply consumed — cache() them so the
+    # blocking→verify chain runs once instead of once per downstream
+    # branch (the CLAUDE.md narrow-frame rule; measured 5.6 → 3.2 s
+    # fresh / 1.0 s warm at sf0.1).  No corpus-sized ARRAY columns are
+    # cached here.
+    recs = _registry(spark, sf_dir).cache()
+    cand = _er_candidates(recs)
 
     attrs = recs.select("rec_id", "name", "nat", "acct", "seg")
     xa = attrs.select(*[F.col(c).alias(f"{c}_a") for c in attrs.columns])
@@ -236,9 +270,15 @@ keys AS (
               ELSE substr(name, 1, i - 1) || substr(name, i + 1, length(name)) END AS k
   FROM (SELECT rec_id, name, UNNEST(range(0, length(name) + 1)) AS i FROM recs)
 ),
+krk AS (
+  SELECT rec_id, k,
+         row_number() OVER (PARTITION BY k ORDER BY rec_id) AS rk
+  FROM keys
+),
 cand AS (
   SELECT DISTINCT a.rec_id AS ra, b.rec_id AS rb
-  FROM keys a JOIN keys b ON a.k = b.k AND a.rec_id < b.rec_id
+  FROM krk a JOIN krk b
+    ON a.k = b.k AND a.rec_id < b.rec_id AND b.rk - a.rk <= {_ER_BLOCK_CAP}
 ),
 ver AS (
   SELECT c.ra, c.rb
