@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import (
     QuerySpec,
+    bdim,
     davg,
     dsum,
     o_davg,
@@ -80,7 +81,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bdim(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -121,8 +122,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(bdim(c), o.o_custkey == c.c_custkey)
+        .join(bdim(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -157,7 +158,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(bdim(p), l.l_partkey == p.p_partkey)
     return joined.agg(
         (
             100.0
@@ -328,7 +329,7 @@ WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
 def orders_of_building_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi").select(
+    return o.join(bdim(c), o.o_custkey == c.c_custkey, "left_semi").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
 
@@ -370,7 +371,7 @@ SELECT DISTINCT key_id FROM (
 def lineitem_part_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left").select(
+    return l.join(bdim(p), l.l_partkey == p.p_partkey, "left").select(
         "l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand"
     )
 

@@ -66,6 +66,36 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: size guard for dimension broadcasts: frames whose optimizer estimate
+#: exceeds this are NOT hint-pinned (AQE decides from runtime sizes).
+#: 64 MiB is comfortably driver-safe and ~350× the largest sf0.1 dim
+#: estimate, so every bench-scale plan keeps its broadcast.
+_BDIM_MAX_BYTES = 64 << 20
+
+
+def bdim(df: DataFrame) -> DataFrame:
+    """Size-guarded broadcast hint for LINEARLY-SCALING dimension frames
+    (part / customer / supplier and frames derived from them) — VERDICT
+    r5 finding #2: an unconditional ``F.broadcast`` never degrades
+    gracefully (AQE cannot override an explicit hint), so at 1000×+ the
+    pinned dims OOM the driver.  The hint is applied only while the
+    optimizer's size estimate (file-size based for scans — the same
+    evidence Spark's own planner uses) is under ``_BDIM_MAX_BYTES``;
+    above it the join is left unhinted and AQE picks the strategy from
+    RUNTIME sizes — a genuinely small filtered dim still broadcasts, an
+    oversized one falls back to a shuffle join instead of a forced OOM.
+
+    Constant-size frames (nation/region, scalar aggregates, filtered
+    query sets) keep plain ``F.broadcast`` — they are bounded at any sf.
+    Corpus-sized frames must NEVER go through either form (the
+    ``shuffle_hash`` rule in CLAUDE.md)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimate unavailable: leave the choice to AQE
+        return df
+    return F.broadcast(df) if est <= _BDIM_MAX_BYTES else df
+
+
 def dsum(col: Column, dec: str = DEC_MONEY) -> Column:
     """Order-independent exact sum of a floating column, emitted as DOUBLE.
 

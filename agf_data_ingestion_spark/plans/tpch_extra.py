@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from agf_data_ingestion_spark.plans.base import QuerySpec, dsum, o_dsum, t
+from agf_data_ingestion_spark.plans.base import QuerySpec, bdim, dsum, o_dsum, t
 
 # ---------------------------------------------------------------------------
 # Q7-style: trade volume between two nations, by direction and year
@@ -30,8 +30,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bdim(c), o.o_custkey == c.c_custkey)
+        .join(bdim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .filter(
@@ -78,7 +78,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bdim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -117,7 +117,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bdim(c), o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from agf_data_ingestion_spark.plans.base import (
     DEC_MONEY,
     QuerySpec,
+    bdim,
     davg,
     dsum,
     o_davg,
@@ -82,8 +83,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(bdim(p), l.l_partkey == p.p_partkey)
+        .join(bdim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("int").alias("o_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
@@ -195,7 +196,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(bdim(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -232,7 +233,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bdim(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -259,14 +260,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic decimal-sum/count divide from plans/base.py."""
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     l = t(spark, sf_dir, "lineitem")
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    lp = l.join(bdim(p), l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         davg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        lp.join(F.broadcast(avg_qty), lp.l_partkey == F.col("a_partkey"))
+        lp.join(bdim(avg_qty), lp.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
@@ -301,7 +302,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates into a single broadcast-hash-join pass."""
     p = t(spark, sf_dir, "part")
     l = t(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(bdim(p), l.l_partkey == p.p_partkey)
     q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     cond = (
         ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
@@ -341,13 +342,13 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     bulk = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bdim(p), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_quantity")).alias("qty_shipped"))
         .filter(F.col("qty_shipped") > 300.0)
     )
     return (
-        bulk.join(F.broadcast(s), bulk.l_suppkey == s.s_suppkey)
+        bulk.join(bdim(s), bulk.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name", "qty_shipped")
     )
@@ -394,12 +395,12 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_MONEY)
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bdim(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bdim(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
         .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey, "left_semi")
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bdim(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
     )
     agg = joined.groupBy(
@@ -465,7 +466,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC_MONEY)
     per_part = (
-        l.join(F.broadcast(amer_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        l.join(bdim(amer_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(vol).alias("v_dec"))
     )
@@ -539,7 +540,7 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.groupBy("blamed_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("blamed_suppkey") == s.s_suppkey)
+        .join(bdim(s), F.col("blamed_suppkey") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)

@@ -223,3 +223,48 @@ def test_simhash_gram_dedup_is_aggregate_not_array_distinct(spark):
     # O(n^2)-per-array array_distinct
     plan = _plan(spark, "docs_simhash")
     assert "array_distinct" not in plan, plan
+
+
+def test_bdim_is_size_guarded(spark, monkeypatch):
+    """VERDICT r5 finding #2: scaling-dimension broadcasts (part /
+    customer / supplier) go through base.bdim — hinted at bench scale
+    (estimates ~KBs), UNHINTED when the optimizer estimate exceeds the
+    guard, so AQE can pick a shuffle join at 1000× instead of a forced
+    driver-OOM broadcast."""
+    import agf_data_ingestion_spark.plans.base as base
+
+    df = spark.read.parquet(f"{SF}/part.parquet")
+    hinted = base.bdim(df)
+    assert hinted is not df  # under the guard: hint applied
+    assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
+
+    monkeypatch.setattr(base, "_BDIM_MAX_BYTES", -1)
+    assert base.bdim(df) is df  # oversized: no forced hint
+
+
+def test_oversized_dim_falls_back_to_shuffle_join(spark, monkeypatch):
+    """With the guard tripped AND auto-broadcast off (emulating a dim too
+    big to broadcast), the dimension joins plan as shuffle joins and the
+    result is unchanged — graceful degradation, not an OOM."""
+    import agf_data_ingestion_spark.plans.base as base
+    from agf_data_ingestion_spark.plans import QUERIES
+
+    want = sorted(map(tuple, QUERIES["q9_product_profit"].fn(spark, SF).collect()))
+    monkeypatch.setattr(base, "_BDIM_MAX_BYTES", -1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q9_product_profit"].fn(spark, SF)
+        got = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+    # the SCALING dims (part on p_partkey, supplier on s_suppkey) must not
+    # be broadcast; the constant-size nation join legitimately keeps its
+    # unconditional F.broadcast
+    import re
+
+    for bhj in re.findall(r"BroadcastHashJoin \[[^\]]*\], \[[^\]]*\]", plan):
+        assert "p_partkey" not in bhj and "s_suppkey" not in bhj, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
