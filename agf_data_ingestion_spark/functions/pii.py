@@ -27,6 +27,14 @@ PHONE_RE = (
 )
 #: dotted-quad IPv4 (octet range not enforced — redaction favors recall)
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+#: full-form IPv6 (8 hex groups, case-insensitive classes); the common
+#: ::-compressed forms are also caught by allowing 2–7 groups before a
+#: trailing '::'-joined tail — recall-favoring like IPV4_RE, anchored on
+#: word boundaries so hex-ish prose ("be:ef") never trips it
+IPV6_RE = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})?\b"
+)
 
 
 def redact(col: Column | str, pattern: str, token: str) -> Column:
@@ -40,12 +48,16 @@ def count_matches(col: Column | str, pattern: str) -> Column:
 
 
 def scrub_pii(col: Column | str) -> Column:
-    """Mask emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP> (in that order:
-    emails first so their digits never half-match the phone pattern)."""
+    """Mask emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>, IPv6 → <IP6>
+    (in that order: emails first so their digits never half-match the
+    phone pattern; IPv6 last — its groups are ≤4 hex chars, too short for
+    the 10-digit phone pattern to span, so earlier passes can't mangle
+    it)."""
     c = F.col(col) if isinstance(col, str) else col
     c = redact(c, EMAIL_RE, "<EMAIL>")
     c = redact(c, PHONE_RE, "<PHONE>")
     c = redact(c, IPV4_RE, "<IP>")
+    c = redact(c, IPV6_RE, "<IP6>")
     return c
 
 
@@ -62,4 +74,5 @@ def pii_counts(col: Column | str) -> Column:
         count_matches(c, EMAIL_RE).alias("emails"),
         count_matches(redact(c, EMAIL_RE, "<EMAIL>"), PHONE_RE).alias("phones"),
         count_matches(c, IPV4_RE).alias("ips"),
+        count_matches(c, IPV6_RE).alias("ips6"),
     )

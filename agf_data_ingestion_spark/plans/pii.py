@@ -48,7 +48,18 @@ from agf_data_ingestion_spark.plans.base import QuerySpec, t
 #: the production scrubber verbatim
 _RE_EMAIL = EMAIL_RE
 _RE_PHONE = r"555-[0-9]{3}-[0-9]{4}"
-_RE_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+#: honest octet-range alternation (r6, VERDICT r5 finding #4): rejects
+#: 999.999.999.999 while staying in the Java∩RE2 subset (alternation
+#: preference is leftmost-first in BOTH engines — cross-verified on
+#: adversarial strings incl. 256.1.2.3 / 300.300.300.300 / digit runs);
+#: longest-first alternative order so 255 never half-matches as 25
+_RE_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_RE_IPV4 = rf"{_RE_OCTET}\.{_RE_OCTET}\.{_RE_OCTET}\.{_RE_OCTET}"
+#: E.164-ish international phone, common subset (no lookaround): '+',
+#: non-zero lead digit, 7–15 digits total
+_RE_INTL = r"\+[1-9][0-9]{6,14}"
+#: full-form IPv6 (8 hex groups) — hex classes + bounded repetition only
+_RE_IPV6 = r"([0-9a-f]{1,4}:){7}[0-9a-f]{1,4}"
 
 
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +97,17 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(b DIV 65536) % 256").cast("string"),
         F.expr("(b DIV 16777216) % 256").cast("string"),
     )
+    # E.164-ish: '+', non-zero lead, 8 more digits (9 total, inside 7–15)
+    intl = F.concat(
+        F.lit("+"),
+        (F.col("b") % 9 + 1).cast("string"),
+        F.lpad(F.expr("(b DIV 9) % 100000000").cast("string"), 8, "0"),
+    )
+    # full-form IPv6: md5 is exactly 32 lowercase hex chars = 8 groups of 4
+    h6 = F.md5(F.concat(F.lit("pii:6"), F.col("doc_id").cast("string")))
+    ip6 = F.concat_ws(
+        ":", *[F.substring(h6, 1 + 4 * g, 4) for g in range(8)]
+    )
     aug = base.select(
         "doc_id",
         "b",
@@ -98,6 +120,12 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("")
             ),
             F.when(F.col("b") % 7 == 0, F.concat(F.lit(" "), ip)).otherwise(F.lit("")),
+            F.when(F.col("b") % 11 == 0, F.concat(F.lit(" "), intl)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("b") % 13 == 0, F.concat(F.lit(" "), ip6)).otherwise(
+                F.lit("")
+            ),
         ).alias("aug"),
     )
 
@@ -105,9 +133,17 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return count_matches(col, pat).cast("bigint")
 
     redacted = redact(
-        redact(redact(F.col("aug"), _RE_EMAIL, "<EMAIL>"), _RE_PHONE, "<PHONE>"),
-        _RE_IPV4,
-        "<IP>",
+        redact(
+            redact(
+                redact(redact(F.col("aug"), _RE_EMAIL, "<EMAIL>"), _RE_PHONE, "<PHONE>"),
+                _RE_INTL,
+                "<INTL>",
+            ),
+            _RE_IPV4,
+            "<IP>",
+        ),
+        _RE_IPV6,
+        "<IP6>",
     )
     counted = aug.select(
         "doc_id",
@@ -115,23 +151,37 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(F.col("aug"), _RE_EMAIL).alias("n_email"),
         _n(F.col("aug"), _RE_PHONE).alias("n_phone"),
         _n(F.col("aug"), _RE_IPV4).alias("n_ipv4"),
+        _n(F.col("aug"), _RE_INTL).alias("n_intl"),
+        _n(F.col("aug"), _RE_IPV6).alias("n_ipv6"),
         redacted.alias("red"),
     )
     residual = (
         _n(F.col("red"), _RE_EMAIL)
         + _n(F.col("red"), _RE_PHONE)
         + _n(F.col("red"), _RE_IPV4)
+        + _n(F.col("red"), _RE_INTL)
+        + _n(F.col("red"), _RE_IPV6)
     )
     return counted.select(
         "doc_id",
         "n_email",
         "n_phone",
         "n_ipv4",
-        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias("pii_total"),
+        "n_intl",
+        "n_ipv6",
+        (
+            F.col("n_email")
+            + F.col("n_phone")
+            + F.col("n_ipv4")
+            + F.col("n_intl")
+            + F.col("n_ipv6")
+        ).alias("pii_total"),
         (
             (F.col("n_email") == F.when(F.col("b") % 3 == 0, 1).otherwise(0))
             & (F.col("n_phone") == F.when(F.col("b") % 5 == 0, 1).otherwise(0))
             & (F.col("n_ipv4") == F.when(F.col("b") % 7 == 0, 1).otherwise(0))
+            & (F.col("n_intl") == F.when(F.col("b") % 11 == 0, 1).otherwise(0))
+            & (F.col("n_ipv6") == F.when(F.col("b") % 13 == 0, 1).otherwise(0))
         ).alias("all_detected"),
         (residual == 0).alias("clean_after_redaction"),
         F.md5(F.col("red")).alias("redacted_hash"),
@@ -160,6 +210,20 @@ aug AS (
                       || '.' || CAST((b // 256) % 256 AS VARCHAR)
                       || '.' || CAST((b // 65536) % 256 AS VARCHAR)
                       || '.' || CAST((b // 16777216) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN b % 11 = 0
+                 THEN ' +' || CAST(b % 9 + 1 AS VARCHAR)
+                      || lpad(CAST((b // 9) % 100000000 AS VARCHAR), 8, '0')
+                 ELSE '' END
+         || CASE WHEN b % 13 = 0
+                 THEN ' ' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 5, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 9, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 13, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 17, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 21, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 25, 4)
+                      || ':' || substr(md5('pii:6' || CAST(doc_id AS VARCHAR)), 29, 4)
                  ELSE '' END AS aug
   FROM base
 ),
@@ -168,21 +232,31 @@ counted AS (
          CAST(len(regexp_extract_all(aug, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
          CAST(len(regexp_extract_all(aug, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
          CAST(len(regexp_extract_all(aug, '{_RE_IPV4}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(aug, '{_RE_INTL}')) AS BIGINT) AS n_intl,
+         CAST(len(regexp_extract_all(aug, '{_RE_IPV6}')) AS BIGINT) AS n_ipv6,
          regexp_replace(
            regexp_replace(
-             regexp_replace(aug, '{_RE_EMAIL}', '<EMAIL>', 'g'),
-             '{_RE_PHONE}', '<PHONE>', 'g'),
-           '{_RE_IPV4}', '<IP>', 'g') AS red
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(aug, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{_RE_PHONE}', '<PHONE>', 'g'),
+               '{_RE_INTL}', '<INTL>', 'g'),
+             '{_RE_IPV4}', '<IP>', 'g'),
+           '{_RE_IPV6}', '<IP6>', 'g') AS red
   FROM aug
 )
-SELECT doc_id, n_email, n_phone, n_ipv4,
-       n_email + n_phone + n_ipv4 AS pii_total,
+SELECT doc_id, n_email, n_phone, n_ipv4, n_intl, n_ipv6,
+       n_email + n_phone + n_ipv4 + n_intl + n_ipv6 AS pii_total,
        (n_email = CASE WHEN b % 3 = 0 THEN 1 ELSE 0 END
         AND n_phone = CASE WHEN b % 5 = 0 THEN 1 ELSE 0 END
-        AND n_ipv4 = CASE WHEN b % 7 = 0 THEN 1 ELSE 0 END) AS all_detected,
+        AND n_ipv4 = CASE WHEN b % 7 = 0 THEN 1 ELSE 0 END
+        AND n_intl = CASE WHEN b % 11 = 0 THEN 1 ELSE 0 END
+        AND n_ipv6 = CASE WHEN b % 13 = 0 THEN 1 ELSE 0 END) AS all_detected,
        (CAST(len(regexp_extract_all(red, '{_RE_EMAIL}')) AS BIGINT)
         + CAST(len(regexp_extract_all(red, '{_RE_PHONE}')) AS BIGINT)
-        + CAST(len(regexp_extract_all(red, '{_RE_IPV4}')) AS BIGINT) = 0)
+        + CAST(len(regexp_extract_all(red, '{_RE_IPV4}')) AS BIGINT)
+        + CAST(len(regexp_extract_all(red, '{_RE_INTL}')) AS BIGINT)
+        + CAST(len(regexp_extract_all(red, '{_RE_IPV6}')) AS BIGINT) = 0)
          AS clean_after_redaction,
        md5(red) AS redacted_hash
 FROM counted
