@@ -22,6 +22,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: shared-cost attribution (VERDICT r5 finding #3): these queries consume
+#: session-cached / localCheckpointed state built by whichever family
+#: member runs FIRST in catalog order, so their individual timings are
+#: marginal costs — read the family's end-to-end cost from the first
+#: member, and don't read round-over-round deltas on the later ones as
+#: plan changes.  Keys share state with every query in their value list.
+SHARED_COST = {
+    # _cluster_labels: one localCheckpointed (doc_id, cluster_id) frame
+    # per session (plans/text.py) — built by docs_dup_clusters, reused by
+    # the two downstream dedup policies
+    "docs_dup_clusters": ["docs_deduped_corpus", "docs_best_of_cluster"],
+    "docs_deduped_corpus": ["docs_dup_clusters", "docs_best_of_cluster"],
+    "docs_best_of_cluster": ["docs_dup_clusters", "docs_deduped_corpus"],
+    # _minhash_sigs cache(): CacheManager dedupes the signature fold by
+    # canonicalized plan across the LSH family (CLAUDE.md r4 note)
+    "docs_minhash_lsh": ["docs_neardup_verified", "docs_incremental_neardup"],
+    "docs_neardup_verified": ["docs_minhash_lsh", "docs_incremental_neardup"],
+    "docs_incremental_neardup": ["docs_minhash_lsh", "docs_neardup_verified"],
+}
+
+
 def _ingest_bench(spark, lake_root: str) -> tuple[float, int]:
     """Batch ingest of the fixture lake (backfill-equivalent: BASELINE.md
     targets 180 manifests ≪ 15 min).  Returns (seconds, rows_produced)."""
@@ -160,6 +181,18 @@ def main() -> None:
         "samples": samples,
         "reps": reps,
         "sf": sf,
+        # marginal-cost queries: timing rides state built by the family
+        # member that ran first (see SHARED_COST)
+        "shared_with": {k: v for k, v in SHARED_COST.items() if k in timings},
+        "family_total_s": {
+            "lsh_dedup_family": round(
+                sum(
+                    timings.get(q, 0.0)
+                    for q in sorted({q for kv in SHARED_COST.items() for q in [kv[0], *kv[1]]})
+                ),
+                3,
+            )
+        },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
