@@ -11,7 +11,14 @@ reference system has no ANN surface — this is part of the 100 TB
 extension): TRAINING is a one-time pass over a sample; APPENDS never
 retrain — new vectors are assigned to their coarse cell and
 residual-encoded under the frozen codebooks, then committed as an O(batch)
-snapshot append.  That makes index maintenance a pure streaming fold: the
+snapshot append.  When corpus drift decays recall, ``ann_index_retrain``
+(r6) retrains + re-encodes the whole index as ONE lock-free rewrite
+transaction with CODEBOOK VERSIONING: each create/retrain binds its state
+file to the commit via the op marker, probes resolve the codebook
+matching the snapshot version they read (time travel searches with the
+codebook its codes were encoded under), and appends validate their
+codebook version at the commit point — an append racing a retrain
+re-encodes itself instead of committing mixed-codebook rows.  That makes index maintenance a pure streaming fold: the
 table after any sequence of appends is bit-identical to a from-scratch
 encode of the union corpus under the same state (pinned in
 tests/test_ann_index.py), so readers never see a half-updated index and
@@ -32,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -51,19 +59,45 @@ from agf_data_ingestion_spark.plans.similarity import (
     _ivfpq_train,
 )
 from agf_data_ingestion_spark.sources.snapshots import (
+    CommitConflict,
+    RewriteConflict,
+    _commit_rewrite,
     _file_admits,
+    _OCC_MAX_RETRIES,
+    _publish,
+    _repair_current,
+    _schema_of,
+    _write_data_files,
+    current_version,
     read_manifest,
+    snapshot_history,
     snapshot_write,
 )
+
+
+class StaleCodebook(RuntimeError):
+    """An append encoded its batch under a codebook version a concurrent
+    retrain replaced before the commit could land — the batch must be
+    re-encoded under the new state (handled inside ann_index_append)."""
 
 
 def _state_dir(table: str) -> str:
     return table.rstrip("/") + ".index_state"
 
 
-def save_state(state: dict, table: str) -> None:
-    """Commit the frozen codebook state atomically (tmp + os.replace —
-    the statestore pointer discipline; the state is KiB-sized JSON)."""
+#: commit-op markers that introduce a codebook version; the state-file
+#: name rides IN the atomic manifest swap (the mv/ann_append bookmark
+#: pattern), so readers always resolve the codebook their snapshot
+#: version was encoded under — no separate pointer race
+_CREATE_PREFIX = "ann_create@"
+_RETRAIN_PREFIX = "ann_retrain@"
+
+
+def save_state(state: dict, table: str, name: str = "state.json") -> None:
+    """Write a frozen codebook state file atomically (tmp + os.replace —
+    the statestore pointer discipline; the state is KiB-sized JSON).
+    Versioned states use unique ``state-<uuid>.json`` names and become
+    live only when a commit's op references them."""
     d = _state_dir(table)
     os.makedirs(d, exist_ok=True)
     payload = {
@@ -74,14 +108,67 @@ def save_state(state: dict, table: str) -> None:
             for m, (ids, mat) in state["rcb"].items()
         },
     }
-    tmp = os.path.join(d, "_state.json.tmp")
+    tmp = os.path.join(d, f"_{name}.tmp")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
-    os.replace(tmp, os.path.join(d, "state.json"))
+    os.replace(tmp, os.path.join(d, name))
 
 
-def load_state(table: str) -> dict:
-    with open(os.path.join(_state_dir(table), "state.json")) as fh:
+def _pointer_path(table: str) -> str:
+    return os.path.join(_state_dir(table), "current_state.json")
+
+
+def _update_pointer(table: str, name: str, since_version: int) -> None:
+    """Advance the durable current-codebook pointer monotonically — the
+    post-expiry fallback for state resolution (the committed op marker is
+    the source of truth while its manifest is retained)."""
+    p = _pointer_path(table)
+    try:
+        with open(p) as fh:
+            cur = json.load(fh)
+        if int(cur.get("since", -1)) >= since_version:
+            return
+    except FileNotFoundError:
+        pass
+    tmp = f"{p}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "since": since_version}, fh)
+    os.replace(tmp, p)
+
+
+def _effective_state_name(table: str, version: int | None = None) -> str:
+    """The codebook state a given snapshot version's codes were encoded
+    under: the LAST ``ann_create@``/``ann_retrain@`` marker at or before
+    ``version`` in retained history; falls back to the durable pointer
+    (markers expired) and finally the legacy unversioned ``state.json``."""
+    v = current_version(table) if version is None else version
+    best = None
+    for h in snapshot_history(table):
+        op = h.get("op") or ""
+        if h["version"] <= v and (
+            op.startswith(_CREATE_PREFIX) or op.startswith(_RETRAIN_PREFIX)
+        ):
+            best = op.split("@", 1)[1]
+    if best is not None:
+        return best
+    try:
+        with open(_pointer_path(table)) as fh:
+            cur = json.load(fh)
+        if int(cur.get("since", -1)) <= v:
+            return cur["name"]
+    except FileNotFoundError:
+        pass
+    return "state.json"  # pre-versioning table
+
+
+def load_state(
+    table: str, *, version: int | None = None, name: str | None = None
+) -> dict:
+    """The frozen codebook state for ``version`` (default: current) — or
+    a specific state file by ``name`` (internal)."""
+    if name is None:
+        name = _effective_state_name(table, version)
+    with open(os.path.join(_state_dir(table), name)) as fh:
         p = json.load(fh)
     return {
         "cells": [int(c) for c in p["cells"]],
@@ -146,25 +233,68 @@ def ann_index_create(
     state: dict | None = None,
     cluster_files: int | None = None,
 ) -> int:
-    """Train (unless a frozen ``state`` is supplied), persist the state,
-    and commit the encoded corpus as the index table's first snapshot —
-    clustered by cell so per-file stats prune probes.  The codes pass
-    runs ONCE: when training it is checkpointed (train + encode both
-    consume it); with a supplied state it feeds encode directly."""
+    """Train (unless a frozen ``state`` is supplied), persist the state
+    under a fresh versioned name, and commit the encoded corpus as the
+    index table's first snapshot — the ``ann_create@<state>`` op marker
+    binds the codebook version to the commit atomically.  Clustered by
+    cell so per-file stats prune probes.  The codes pass runs ONCE: when
+    training it is checkpointed (train + encode both consume it); with a
+    supplied state it feeds encode directly."""
     codes = _ivfpq_codes_from(vectors, checkpoint=state is None)
     if state is not None:
         st = state
     else:
         cells, ccv, rcb = _ivfpq_train(codes)
         st = {"cells": cells, "ccv": ccv, "rcb": rcb}
-    save_state(st, table)
-    return snapshot_write(
+    name = f"state-{uuid.uuid4().hex}.json"
+    save_state(st, table, name=name)
+    v = snapshot_write(
         _encode_codes(codes, st),
         table,
         mode="overwrite",
         cluster_by=["cell"],
         cluster_files=cluster_files,
+        op=f"{_CREATE_PREFIX}{name}",
     )
+    _update_pointer(table, name, v)
+    return v
+
+
+def _cluster_cells(df: DataFrame, cluster_files: int | None) -> DataFrame:
+    """The cell-clustered write layout (same shape snapshot_write's
+    cluster_by produces): tight per-file cell ranges so probes prune."""
+    if cluster_files:
+        df = df.repartitionByRange(cluster_files, "cell")
+    else:
+        df = df.repartitionByRange("cell")
+    return df.sortWithinPartitions("cell")
+
+
+def _append_commit(
+    table: str, new_files: list[dict], batch_schema, encoded_name: str, op: str | None
+) -> int:
+    """Append commit with a CODEBOOK VERSION CHECK inside the OCC loop:
+    publishing parent+1 proves no commit interleaved after we read
+    ``parent``, so checking the effective state at ``parent`` is atomic
+    with the commit — an append encoded under a codebook a concurrent
+    retrain replaced raises :class:`StaleCodebook` instead of committing
+    mixed-codebook rows (the marker rides in the manifest op, so there is
+    no pointer-update window to race)."""
+    parent = current_version(table)
+    for _ in range(_OCC_MAX_RETRIES):
+        if _effective_state_name(table, parent) != encoded_name:
+            raise StaleCodebook(
+                f"{table}: codebook changed while appending — re-encode"
+            )
+        base = read_manifest(table, parent)["files"] if parent > 0 else []
+        try:
+            return _publish(
+                table, base + new_files, parent, op or "append",
+                batch_schema=batch_schema,
+            )
+        except CommitConflict:
+            parent = _repair_current(table)
+    raise CommitConflict(f"ann append on {table} lost {_OCC_MAX_RETRIES} CAS races")
 
 
 def ann_index_append(
@@ -174,27 +304,107 @@ def ann_index_append(
     cluster_files: int | None = None,
     op: str | None = None,
 ) -> int:
-    """Fold a new vector batch into the index: encode under the frozen
-    state, snapshot-append.  O(batch) work + O(delta) commit; concurrent
-    appends compose through the snapshot format's lock-free OCC.  ``op``
-    labels the commit (the streaming maintainer records its micro-batch
-    bookmark there — streaming/ann_stream.py)."""
-    return snapshot_write(
-        encode(vectors, load_state(table)),
-        table,
-        mode="append",
-        cluster_by=["cell"],
-        cluster_files=cluster_files,
-        op=op,
+    """Fold a new vector batch into the index: encode under the CURRENT
+    frozen state, snapshot-append.  O(batch) work + O(delta) commit;
+    concurrent appends compose through the snapshot format's lock-free
+    OCC, and a concurrent RETRAIN is detected at the commit point
+    (:class:`StaleCodebook`) — the batch transparently re-encodes under
+    the new codebook and retries, so appends never mix codebook versions.
+    ``op`` labels the commit (the streaming maintainer records its
+    micro-batch bookmark there — streaming/ann_stream.py)."""
+    for _ in range(3):  # a retrain can steal at most one re-encode per race
+        name = _effective_state_name(table)
+        df = _cluster_cells(
+            encode(vectors, load_state(table, name=name)), cluster_files
+        )
+        schema = _schema_of(df)
+        files = _write_data_files(df, table)
+        try:
+            return _append_commit(table, files, schema, name, op)
+        except StaleCodebook:
+            continue  # orphaned files: expiry's grace window reclaims them
+    raise StaleCodebook(
+        f"{table}: codebook retrained repeatedly during one append"
     )
 
 
-def probe_plan(table: str, cells: list[int]) -> tuple[list[str], int]:
+def ann_index_retrain(
+    vectors: DataFrame, table: str, *, cluster_files: int | None = None
+) -> int:
+    """Retrain the codebooks and re-encode the WHOLE index as one
+    lock-free rewrite transaction (VERDICT r5 next-round #4): a
+    continuously-ingesting corpus drifts and recall decays under the
+    frozen create-time codebook; this is the recourse.
+
+    ``vectors`` must cover every vec_id currently in the index (it is the
+    authoritative corpus — codes are not invertible, so rows it misses
+    cannot be re-encoded; a gap raises rather than silently dropping
+    rows).  The new state file is staged first and bound to the commit by
+    the ``ann_retrain@<state>`` op marker, so probes resolve the codebook
+    matching the snapshot version they read — time travel to a
+    pre-retrain version searches with the OLD codebook.
+
+    Concurrency: the commit validates at file granularity with
+    ``delta_safe = never`` — ANY interleaved commit (its rows are encoded
+    under the old state) forces a transparent recompute on fresh state,
+    and an append landing AFTER the retrain re-encodes itself via the
+    :class:`StaleCodebook` check.  Either order converges to one
+    codebook version covering every row (tests/test_ann_index.py)."""
+    spark = vectors.sparkSession
+    codes = _ivfpq_codes_from(vectors)  # checkpointed: train + encode + cover
+    cells, ccv, rcb = _ivfpq_train(codes)
+    st = {"cells": cells, "ccv": ccv, "rcb": rcb}
+    name = f"state-{uuid.uuid4().hex}.json"
+    save_state(st, table, name=name)
+    df = _cluster_cells(_encode_codes(codes, st), cluster_files)
+    schema = _schema_of(df)
+    # encoding depends only on (vectors, state): the rewrite files are
+    # valid across recomputes, so write them once
+    new_files = _write_data_files(df, table)
+    for _ in range(_OCC_MAX_RETRIES):
+        parent = _repair_current(table)
+        m = read_manifest(table, parent)
+        paths = sorted(f["path"] for f in m["files"])
+        if paths:
+            missing = (
+                spark.read.parquet(*paths)
+                .select("vec_id")
+                .join(codes.select("vec_id"), "vec_id", "left_anti")
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"ann_index_retrain: {missing} indexed vec_id(s) are not "
+                    f"in the supplied corpus — rows cannot be re-encoded"
+                )
+        try:
+            v = _commit_rewrite(
+                table,
+                parent,
+                {f["path"] for f in m["files"]},
+                new_files,
+                f"{_RETRAIN_PREFIX}{name}",
+                batch_schema=schema,
+                # any interleaved commit carries OLD-codebook rows: recompute
+                delta_safe=lambda f: False,
+            )
+        except RewriteConflict:
+            continue
+        _update_pointer(table, name, v)
+        return v
+    raise CommitConflict(
+        f"ann_index_retrain on {table} lost {_OCC_MAX_RETRIES} recompute races"
+    )
+
+
+def probe_plan(
+    table: str, cells: list[int], version: int | None = None
+) -> tuple[list[str], int]:
     """(paths to open, total file count): the files whose recorded cell
     range admits ANY probed cell — the manifest-level pruning a probe
     rides.  Exposed separately so tests and EXPLAIN evidence can assert
     the pruning ratio."""
-    m = read_manifest(table, None)
+    m = read_manifest(table, version)
     keep = [
         f["path"]
         for f in m["files"]
@@ -210,6 +420,7 @@ def ann_index_search(
     *,
     k: int = 3,
     nprobe: int = _IVFPQ_NPROBE,
+    version: int | None = None,
 ) -> DataFrame:
     """Top-k ADC search against the persisted index: per query, rank the
     ``nprobe`` nearest coarse cells (exact integer d², lowest-cell tie),
@@ -220,9 +431,13 @@ def ann_index_search(
     never the corpus); codes/LUTs are computed driver-side with the SAME
     order-preserving fold as the corpus encode, so scores are exact
     int64 and reproducible.  Self-matches (neighbor_id == query_id) are
-    excluded, matching the catalog ANN queries."""
+    excluded, matching the catalog ANN queries.
+
+    ``version`` time-travels the search: the manifest AND the codebook
+    both resolve to that snapshot (a pre-retrain version searches with
+    the codebook its codes were encoded under)."""
     empty = "query_id bigint, neighbor_id bigint, rank int, ascore bigint"
-    st = load_state(table)
+    st = load_state(table, version=version)
     cells, ccv, rcb = st["cells"], st["ccv"], st["rcb"]
     qrows = sorted(queries.collect(), key=lambda r: int(r["query_id"]))
     qids = [int(r["query_id"]) for r in qrows]
@@ -245,7 +460,7 @@ def ann_index_search(
         probes[q] = [cells[ci] for ci in order[:nprobe]]
     probe_cells = sorted({c for cs in probes.values() for c in cs})
 
-    paths, _total = probe_plan(table, probe_cells)
+    paths, _total = probe_plan(table, probe_cells, version)
     if not paths:
         # empty index table, or every probed cell's rows were removed by
         # a later snapshot_delete — an empty result, not an unpack error

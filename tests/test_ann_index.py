@@ -108,3 +108,102 @@ def test_search_is_deterministic_and_excludes_self(spark, tmp_path):
     r2 = sorted(map(tuple, ann_index_search(spark, table, q, k=3).collect()))
     assert r1 == r2 and len(r1) == 15
     assert all(qid != nid for qid, nid, _rank, _s in r1)
+
+
+def _search_rows(spark, table, queries, **kw):
+    from agf_data_ingestion_spark.operators.ann_index import ann_index_search
+
+    return sorted(map(tuple, ann_index_search(spark, table, queries, k=3, **kw).collect()))
+
+
+def test_retrain_equals_fresh_create(spark, tmp_path):
+    """ann_index_retrain ≡ a fresh ann_index_create on the same rows:
+    same table content, same search results (VERDICT r5 #4 done-bar)."""
+    from agf_data_ingestion_spark.operators.ann_index import ann_index_retrain
+    from agf_data_ingestion_spark.sources.snapshots import current_version
+
+    v = _vectors(spark)
+    seed = v.filter(F.col("vec_id") < 300)
+    tbl = str(tmp_path / "idx")
+    ann_index_create(seed, tbl, cluster_files=4)
+    ann_index_append(v.filter(F.col("vec_id") >= 300), tbl, cluster_files=4)
+    v_pre = current_version(tbl)
+    queries = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = _search_rows(spark, tbl, queries)
+
+    v_rt = ann_index_retrain(v, tbl, cluster_files=4)
+    assert v_rt == v_pre + 1
+
+    fresh = str(tmp_path / "fresh")
+    ann_index_create(v, fresh, cluster_files=4)
+    assert _rows(snapshot_read(spark, tbl)) == _rows(snapshot_read(spark, fresh))
+    assert _search_rows(spark, tbl, queries) == _search_rows(spark, fresh, queries)
+
+    # time travel: the pre-retrain version searches with the OLD codebook
+    assert _search_rows(spark, tbl, queries, version=v_pre) == pre
+    # append after retrain encodes under the NEW state and folds cleanly
+    ann_index_append(v.limit(0), tbl, cluster_files=4)
+    assert _search_rows(spark, tbl, queries) == _search_rows(spark, fresh, queries)
+
+
+def test_retrain_requires_covering_corpus(spark, tmp_path):
+    """Rows the supplied corpus misses cannot be re-encoded — loud error,
+    never silent row loss."""
+    import pytest
+
+    from agf_data_ingestion_spark.operators.ann_index import ann_index_retrain
+
+    v = _vectors(spark)
+    tbl = str(tmp_path / "idx")
+    ann_index_create(v, tbl, cluster_files=4)
+    with pytest.raises(ValueError, match="not in the supplied corpus"):
+        ann_index_retrain(v.filter(F.col("vec_id") >= 100), tbl, cluster_files=4)
+
+
+def test_append_vs_retrain_race_converges(spark, tmp_path):
+    """Either interleaving converges to ONE codebook version covering
+    every row: a retrain landing first makes the append re-encode
+    (StaleCodebook path); an append landing first forces the retrain
+    recompute (delta_safe=never)."""
+    import threading
+
+    from agf_data_ingestion_spark.operators.ann_index import (
+        _effective_state_name,
+        ann_index_retrain,
+    )
+
+    v = _vectors(spark)
+    seed = v.filter(F.col("vec_id") < 400)
+    batch = v.filter(F.col("vec_id") >= 400).localCheckpoint(eager=True)
+    tbl = str(tmp_path / "idx")
+    ann_index_create(seed, tbl, cluster_files=4)
+
+    errs: list[Exception] = []
+
+    def _append():
+        try:
+            ann_index_append(batch, tbl, cluster_files=4)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def _retrain():
+        try:
+            # the union corpus: covers the concurrent append's rows
+            ann_index_retrain(v, tbl, cluster_files=4)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=_append), threading.Thread(target=_retrain)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+
+    # one surviving codebook version; the table decodes consistently:
+    # every row re-encodes to itself under the effective state
+    name = _effective_state_name(tbl)
+    from agf_data_ingestion_spark.operators.ann_index import encode, load_state
+
+    want = _rows(encode(v, load_state(tbl, name=name)))
+    got = _rows(snapshot_read(spark, tbl))
+    assert got == want
