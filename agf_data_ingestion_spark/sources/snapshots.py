@@ -853,6 +853,74 @@ def snapshot_write(
     )
 
 
+def snapshot_commit_files(
+    table: str,
+    src_dir: str,
+    *,
+    schema_from: DataFrame,
+    mode: str = "append",
+    op: str | None = None,
+) -> int:
+    """Commit PRE-WRITTEN parquet files as a snapshot (r6): each file in
+    ``src_dir`` is hardlinked into a fresh commit dir PRESERVING its
+    basename, then committed through the usual optimistic CAS loop.
+
+    This is the bridge between Spark's catalog-only bucketed writer and
+    the snapshot format: a bucketed write encodes the bucket id in the
+    FILE NAME (``part-*_00012.c000``), which the bucketed scan keys on —
+    so ingesting the files by link (no rewrite, no rename) preserves the
+    bucket layout while the manifest adds OCC / time travel / expiry on
+    top (sources/bucketed.py:write_bucketed_snapshot).
+
+    ``schema_from`` supplies the committed Spark schema (the frame the
+    files were written from) — additive evolution is validated exactly
+    like ``snapshot_write``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    import pyarrow.parquet as pq
+
+    batch_schema = _schema_of(schema_from)
+    if mode == "append":
+        _evolve_schema(read_manifest(table).get("schema"), batch_schema)
+    commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
+    os.makedirs(commit_dir)
+    new_files = []
+    for name in sorted(os.listdir(src_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(commit_dir, name)
+        os.link(os.path.join(src_dir, name), p)
+        new_files.append(
+            {
+                "path": p,
+                "bytes": os.path.getsize(p),
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+                "stats": _file_stats(p),
+            }
+        )
+    parent = current_version(table)
+    for _ in range(_OCC_MAX_RETRIES):
+        base = (
+            read_manifest(table, parent)["files"]
+            if (mode == "append" and parent > 0)
+            else []
+        )
+        try:
+            return _publish(
+                table,
+                base + new_files,
+                parent,
+                op or mode,
+                batch_schema=batch_schema,
+                replace=(mode == "overwrite"),
+            )
+        except CommitConflict:
+            parent = _repair_current(table)
+    raise CommitConflict(
+        f"snapshot_commit_files({mode}) on {table} lost {_OCC_MAX_RETRIES} CAS races"
+    )
+
+
 #: predicate op → (file survives pruning given its [lo, hi] stat range)
 _PRUNE_OPS = {
     ">=": lambda lo, hi, v: hi >= v,
@@ -1697,6 +1765,15 @@ def expire_snapshots(
             if os.path.exists(mp):
                 os.remove(mp)
                 deleted.append(mp)
+            # an expired version's bucketed probe dir (hardlinks created
+            # by bucketed_snapshot_frame) would otherwise keep the data
+            # inodes alive after their last manifest reference is gone
+            pd = os.path.join(table, "_probe", f"v{v:08d}")
+            if os.path.isdir(pd):
+                import shutil
+
+                shutil.rmtree(pd, ignore_errors=True)
+                deleted.append(pd)
         # segment files no retained manifest names; young unreferenced
         # segments may belong to an in-flight commit (staged before its
         # CAS) — same grace rule as data files

@@ -16,14 +16,22 @@ dup table (asserted by tests/test_neardup_stream.py).  If out-of-id-order
 arrival is possible, the (new_id, dup_of) ORIENTATION of a pair can flip
 versus the single-batch run — the pair membership itself cannot.
 
+Storage (r6, VERDICT r5 next-round #5): all three stores are SNAPSHOT
+tables (sources/snapshots.py) — concurrent writers compose through the
+lock-free OCC, expiry/time-travel/CDC apply, and a crash between store
+appends leaves committed-or-absent versions, never half-written parquet
+directories.  The band store additionally keeps the BUCKETED ``(band,
+bsig)`` file layout (sources/bucketed.py:write_bucketed_snapshot): the
+corpus-sized store side of the probe join plans as a bucketed scan with
+NO Exchange — only the micro-batch side shuffles to the bucket count
+(plan-pinned).  At 1e9 docs that converts the probe from
+"move the corpus every batch" to "move the batch".
+
 Scale shape (the measured r3 claim in SCALE.md): per batch the work is
 hash(|batch|) + band-probe(|batch| × collisions) + verify(|candidates|).
-The stores are corpus-sized but are parquet appends — nothing corpus-sized
-is shuffled, collected, or broadcast; the band-store probe side carries a
-``shuffle_hash`` hint per the never-broadcast-the-corpus invariant.  At
-scale the band store would be bucket-stored by (band, bsig) so the probe
-co-locates (sources/bucketed.py); the parquet-append store here keeps the
-same join shape.
+The stores are corpus-sized but are snapshot appends — nothing
+corpus-sized is shuffled, collected, or broadcast; the shuffle_hash hint
+rides the BATCH side (the build side must be the small one).
 
 Reference lineage: the at-least-once re-delivery tolerance mirrors the
 reference's idempotent conditional writes (agf_ingestion_lambda.py:226-236)
@@ -44,24 +52,28 @@ from agf_data_ingestion_spark.plans.text import (
     _sigs_of,
     best_jaccard_matches,
 )
+from agf_data_ingestion_spark.sources.bucketed import (
+    bucketed_snapshot_frame,
+    write_bucketed_snapshot,
+)
+from agf_data_ingestion_spark.sources.snapshots import (
+    current_version,
+    snapshot_read,
+    snapshot_write,
+)
+
+#: band-store bucket count — the ONE fixed shuffle width every probe and
+#: append reuses; at 100 TB this is sized to executor count, not data
+N_BAND_BUCKETS = 16
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Absent store → None; CORRUPT store → raise.  Swallowing a read
-    error here would silently skip corpus dedup for every later batch
-    (the store would look absent forever) — only the two analyzer errors
-    that genuinely mean "nothing committed yet" map to None."""
-    if not os.path.isdir(path):
+def _store_or_none(spark: SparkSession, table: str, **kw) -> DataFrame | None:
+    """Absent snapshot store (no commits yet) → None; a CORRUPT store
+    still raises — swallowing errors here would silently skip corpus
+    dedup for every later batch."""
+    if current_version(table) == 0:
         return None
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force analysis
-        return df
-    except Exception as exc:  # noqa: BLE001
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
-            return None
-        raise
+    return snapshot_read(spark, table, **kw)
 
 
 def neardup_sink(
@@ -70,11 +82,12 @@ def neardup_sink(
     *,
     threshold: float = 0.2,
 ):
-    """``foreachBatch`` function maintaining band/shingle stores and a dup
-    table under ``store_dir`` (``bands/``, ``sets/``, ``dups/``)."""
-    bands_dir = os.path.join(store_dir, "bands")
-    sets_dir = os.path.join(store_dir, "sets")
-    dups_dir = os.path.join(store_dir, "dups")
+    """``foreachBatch`` function maintaining band/shingle snapshot stores
+    and a dup snapshot table under ``store_dir`` (``bands/``, ``sets/``,
+    ``dups/``)."""
+    bands_tbl = os.path.join(store_dir, "bands")
+    sets_tbl = os.path.join(store_dir, "sets")
+    dups_tbl = os.path.join(store_dir, "dups")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
@@ -99,8 +112,17 @@ def neardup_sink(
             & (F.col("n.bsig") == F.col("c.bsig"))
             & (F.col("n.doc_id") > F.col("c.doc_id")),
         ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
-        stored_bands = _read_or_none(spark, bands_dir)
-        if stored_bands is not None:
+        if current_version(bands_tbl) > 0:
+            # the bucketed probe: the store side scans its (band, bsig)
+            # buckets with NO exchange; only the batch side shuffles, and
+            # the shuffle_hash hint makes the BATCH the build side
+            stored_bands = bucketed_snapshot_frame(
+                spark,
+                bands_tbl,
+                bucket_by=["band", "bsig"],
+                n_buckets=N_BAND_BUCKETS,
+                sort_by=["band", "bsig"],
+            )
             # At-least-once tolerance: a re-delivered batch finds its OWN
             # rows in the store (the prior attempt appended them before the
             # checkpoint commit failed).  Those are not "earlier" documents
@@ -110,13 +132,18 @@ def neardup_sink(
             stored_bands = stored_bands.join(
                 batch.select("doc_id"), "doc_id", "left_anti"
             )
-            sb = stored_bands.hint("shuffle_hash").alias("c")
+            sb = stored_bands.alias("c")
             cands = cands.unionByName(
-                nb.join(
+                nb.hint("shuffle_hash")
+                .join(
                     sb,
                     (F.col("n.band") == F.col("c.band"))
                     & (F.col("n.bsig") == F.col("c.bsig")),
-                ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("c.doc_id").alias("dup_of"),
+                )
             )
         cands = cands.distinct()
 
@@ -124,17 +151,24 @@ def neardup_sink(
         # sets — via the SAME helper as the catalog query, so the
         # verify/tiebreak semantics cannot drift between batch and stream
         dup_side = sets_
-        stored_sets = _read_or_none(spark, sets_dir)
+        stored_sets = _store_or_none(spark, sets_tbl)
         if stored_sets is not None:
             dup_side = dup_side.unionByName(stored_sets)
         flagged = best_jaccard_matches(
             cands, sets_, dup_side.drop("sz"), threshold=threshold
         )
-        flagged.write.mode("append").parquet(dups_dir)
+        snapshot_write(flagged, dups_tbl, op=f"neardup_dups@{batch_id}")
         # append the batch to the stores AFTER flagging (a doc never
         # matches itself; same-batch earlier docs were handled above)
-        bands.write.mode("append").parquet(bands_dir)
-        sets_.write.mode("append").parquet(sets_dir)
+        write_bucketed_snapshot(
+            bands,
+            bands_tbl,
+            bucket_by=["band", "bsig"],
+            n_buckets=N_BAND_BUCKETS,
+            sort_by=["band", "bsig"],
+            op=f"neardup_bands@{batch_id}",
+        )
+        snapshot_write(sets_, sets_tbl, op=f"neardup_sets@{batch_id}")
 
     return sink
 
@@ -142,6 +176,6 @@ def neardup_sink(
 def read_dups(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accumulated dup table; keyed by new_id (re-deliveries dropped,
     keeping the best-jaccard/lowest-dup_of row like the sink's window)."""
-    d = spark.read.parquet(os.path.join(store_dir, "dups"))
+    d = snapshot_read(spark, os.path.join(store_dir, "dups"))
     w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
     return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

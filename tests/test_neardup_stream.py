@@ -139,3 +139,84 @@ def test_redelivered_batch_adds_no_self_matches(spark, tmp_path, docs_rows):
     twice = {(r.new_id, r.dup_of): r.jaccard for r in read_dups(spark, store).collect()}
     assert twice == once
     assert all(n != d for (n, d) in twice)
+
+
+def test_band_store_two_writer_race(spark, tmp_path):
+    """r6: the stores are snapshot tables — two concurrent band-store
+    appends compose through the lock-free OCC (both commit; union
+    content), instead of interleaving half-written parquet files."""
+    import threading
+
+    from agf_data_ingestion_spark.sources.bucketed import write_bucketed_snapshot
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "bands")
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    bands = _lsh_bands(_sigs_of(docs)).localCheckpoint(eager=True)
+    lo = bands.filter(F.col("doc_id") < 250)
+    hi = bands.filter(F.col("doc_id") >= 250)
+
+    errs = []
+
+    def _w(frame):
+        def run():
+            try:
+                write_bucketed_snapshot(
+                    frame, tbl, bucket_by=["band", "bsig"], n_buckets=8,
+                    sort_by=["band", "bsig"],
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+        return run
+
+    t1, t2 = threading.Thread(target=_w(lo)), threading.Thread(target=_w(hi))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs and current_version(tbl) == 2
+    got = sorted(map(tuple, snapshot_read(spark, tbl).collect()))
+    assert got == sorted(map(tuple, bands.collect()))
+
+
+def test_bucketed_probe_is_exchange_free_on_store_side(spark, tmp_path):
+    """r6 plan pin: the corpus band store scans as a BUCKETED table —
+    the probe join carries exactly ONE Exchange (the micro-batch side,
+    hashed to the bucket count) and none above the store scan."""
+    from agf_data_ingestion_spark.sources.bucketed import (
+        bucketed_snapshot_frame,
+        write_bucketed_snapshot,
+    )
+
+    tbl = str(tmp_path / "bands")
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    bands = _lsh_bands(_sigs_of(docs)).localCheckpoint(eager=True)
+    # two commits: the probe view must span multiple commit file sets
+    write_bucketed_snapshot(
+        bands.filter(F.col("doc_id") < 250), tbl,
+        bucket_by=["band", "bsig"], n_buckets=8, sort_by=["band", "bsig"],
+    )
+    write_bucketed_snapshot(
+        bands.filter(F.col("doc_id") >= 250), tbl,
+        bucket_by=["band", "bsig"], n_buckets=8, sort_by=["band", "bsig"],
+    )
+    store = bucketed_snapshot_frame(
+        spark, tbl, bucket_by=["band", "bsig"], n_buckets=8,
+        sort_by=["band", "bsig"],
+    )
+    probe = bands.filter(F.col("doc_id") < 20).alias("n")
+    j = probe.hint("shuffle_hash").join(
+        store.alias("c"),
+        (F.col("n.band") == F.col("c.band")) & (F.col("n.bsig") == F.col("c.bsig")),
+    )
+    n = j.count()
+    assert n > 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # correctness of the bucketed layout: same rows as a plain join
+    want = probe.join(
+        bands.alias("c"),
+        (F.col("n.band") == F.col("c.band")) & (F.col("n.bsig") == F.col("c.bsig")),
+    ).count()
+    assert n == want
