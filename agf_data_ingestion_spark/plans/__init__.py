@@ -26,6 +26,7 @@ from agf_data_ingestion_spark.plans import (
     pii,
     ingest_queries,
     iterative,
+    langid,
     lm,
     media,
     similarity,
@@ -68,6 +69,7 @@ for _mod in (
     iterative,
     lm,
     entity,
+    langid,
     pii,
 ):
     for _name, _spec in _mod.QUERIES.items():
@@ -92,6 +94,11 @@ _PRIORITY = [
     # orders it after the two base builders)
     "docs_best_of_cluster",
     "docs_incremental_neardup",
+    # round-6 additions — need first driver certification
+    "docs_langid_train",
+    "docs_langid_apply",
+    "docs_pii_redaction",  # r6 plan change (new planted kinds) — re-certify
+    "customers_entity_resolution",  # r6 plan change (hot-block cap)
     # round-5 additions with no driver CORRECTNESS row yet — these MUST land
     # inside the ~50-row sample this round
     "docs_bpe_train",
@@ -99,8 +106,6 @@ _PRIORITY = [
     "docs_repetition_signals",
     "emb_ivfpq_topk",
     "docs_export_zip_manifest",
-    "customers_entity_resolution",
-    "docs_pii_redaction",
     # round-5 plan changes outside the head — re-certify under the driver
     "docs_fingerprint",
     "docs_simhash",
