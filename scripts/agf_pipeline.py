@@ -431,6 +431,66 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_forget(args) -> int:
+    """Right-to-be-forgotten erasure over a snapshot table: a predicate
+    DELETE — merge-on-read deletion vectors by default (O(matches)
+    commit; r6), copy-on-write with ``--cow``.  ``--physical`` chases the
+    logical delete with compaction (applies + purges the DVs) and
+    aggressive expiry so the erased bytes leave disk in the same run —
+    the GDPR operational loop.  One JSON line.
+
+    Predicates are ``col:op:value`` triples (op ∈ ==,<,<=,>,>=), ANDed;
+    values parse as int → float → string."""
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        expire_snapshots,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_rowcount,
+    )
+
+    def _val(s: str):
+        for cast in (int, float):
+            try:
+                return cast(s)
+            except ValueError:
+                continue
+        return s
+
+    where = []
+    for triple in args.where:
+        col, op, value = triple.split(":", 2)
+        where.append((col, op, _val(value)))
+
+    spark = _spark()
+    rows_before = snapshot_rowcount(args.table)
+    v_before = current_version(args.table)
+    v = snapshot_delete(spark, args.table, where, mode="cow" if args.cow else "dv")
+    reclaimed = 0
+    if args.physical:
+        snapshot_compact(spark, args.table, small_bytes=args.small_bytes)
+        reclaimed = len(
+            expire_snapshots(args.table, keep_last=1, orphan_grace_s=0.0)
+        )
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "where": [list(w) for w in where],
+                "mode": "cow" if args.cow else "dv",
+                "rows_deleted": rows_before - snapshot_rowcount(args.table),
+                "version": current_version(args.table),
+                "committed": v > v_before,
+                "physical": bool(args.physical),
+                "paths_reclaimed": reclaimed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_tokenizer(args) -> int:
     """Train the corpus BPE tokenizer (plans/lm.py docs_bpe_train) and
     print the merge table — the artifact a downstream tokenizer ships —
@@ -652,6 +712,25 @@ def main() -> int:
     m.add_argument("--keep-last", type=int, default=2)
     m.add_argument("--orphan-grace-s", type=float, default=3600.0)
     m.set_defaults(fn=cmd_maintain)
+
+    fg = sub.add_parser("forget")
+    fg.add_argument("--table", required=True, help="snapshot table root")
+    fg.add_argument(
+        "--where",
+        required=True,
+        nargs="+",
+        help="ANDed col:op:value triples (op in ==,<,<=,>,>=)",
+    )
+    fg.add_argument(
+        "--cow", action="store_true", help="copy-on-write instead of DV"
+    )
+    fg.add_argument(
+        "--physical",
+        action="store_true",
+        help="compact + expire so erased bytes leave disk now",
+    )
+    fg.add_argument("--small-bytes", type=int, default=8 << 20)
+    fg.set_defaults(fn=cmd_forget)
 
     args = ap.parse_args()
     return args.fn(args)
