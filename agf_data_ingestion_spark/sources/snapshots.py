@@ -1222,14 +1222,24 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
 
 
 @_retry_on_conflict
-def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
-    """Copy-on-write MERGE: rows of ``df`` REPLACE same-keyed rows in the
-    table, unmatched rows insert — the update primitive
-    ``snapshot_upsert`` deliberately lacks (upsert is first-writer-wins
-    insert-only).  One atomic commit, LOCK-FREE since r5: the commit
-    validates at file granularity (``_commit_rewrite``), so merges whose
-    key ranges touch disjoint files commit concurrently; an interleaved
-    commit inside this merge's key range forces a transparent recompute.
+def snapshot_merge(
+    df: DataFrame, table: str, keys: list[str], *, mode: str = "cow"
+) -> int:
+    """MERGE: rows of ``df`` REPLACE same-keyed rows in the table,
+    unmatched rows insert — the update primitive ``snapshot_upsert``
+    deliberately lacks (upsert is first-writer-wins insert-only).  One
+    atomic commit, LOCK-FREE since r5: the commit validates at file
+    granularity (``_commit_rewrite``), so merges whose key ranges touch
+    disjoint files commit concurrently; an interleaved commit inside this
+    merge's key range forces a transparent recompute.
+
+    ``mode='cow'`` (default) rewrites every touched file; ``mode='dv'``
+    (r6) is MERGE-ON-READ: matched rows are shadowed by O(matches)
+    position-delete entries and the batch appends as new files — an
+    UPDATE therefore costs O(matches + batch), never a file rewrite
+    (Iceberg-v2 MOR merge).  Both modes produce identical reader-visible
+    results; a DV merge's update surfaces in CDC as delete(old) +
+    insert(new), exactly the ``snapshot_diff`` contract.
 
     Scale shape mirrors ``snapshot_delete``: the incoming batch's per-key
     [min, max] bounds are compared against each file's manifest stats and
@@ -1246,6 +1256,8 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
     """
     if not keys:
         raise ValueError("snapshot_merge requires at least one key column")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     spark = df.sparkSession
     from pyspark.sql import functions as F
 
@@ -1291,6 +1303,37 @@ def snapshot_merge(df: DataFrame, table: str, keys: list[str]) -> int:
         return True
 
     touched = [f for f in m["files"] if _overlaps(f)]
+    if mode == "dv":
+        # merge-on-read: shadow the matched rows with position deletes,
+        # append the whole batch as new files — O(matches + batch)
+        import pyarrow.parquet as pq
+
+        appended = [
+            f
+            for f in _write_data_files(df, table)
+            if pq.ParquetFile(f["path"]).metadata.num_rows > 0
+        ]
+        dv_upd: list[dict] = []
+        if touched:
+            scan = _read_entries(spark, touched, keep_position=True)
+            matches = scan.join(df.select(*keys).distinct(), keys, "left_semi").select(
+                F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
+            )
+            dv_paths, counts = _write_dv(spark, table, touched, matches)
+            dv_upd = _dv_entries(touched, dv_paths, counts)
+        if not dv_upd and not appended:
+            return parent
+        return _commit_rewrite(
+            table,
+            parent,
+            {e["path"] for e in dv_upd},
+            dv_upd + appended,
+            "merge-dv",
+            batch_schema=batch_schema,
+            # an interleaved commit may have added rows sharing this
+            # batch's keys — rebasing would leave them un-replaced
+            delta_safe=lambda f: not _overlaps(f),
+        )
     new_files: list[dict] = []
     if touched:
         # merge-on-read: a raw path read would resurrect DV-deleted rows
@@ -1469,6 +1512,52 @@ def snapshot_delete(
     )
 
 
+def _write_dv(
+    spark: SparkSession, table: str, touched: list[dict], matches: DataFrame
+) -> tuple[list[str], dict[str, int]]:
+    """Write a (file_path, pos) DV fileset and return (paths, per-file
+    counts).  Part count is bounded by the worst case (every live row
+    matches) so a huge erasure batch neither funnels through one task nor
+    sprays files; per-file counts are read back from the WRITTEN fileset,
+    so the recorded ``n`` is exactly what readers will anti-join (never a
+    recomputed twin)."""
+    from pyspark.sql import functions as F
+
+    worst = sum(_live_rows(f) or 0 for f in touched)
+    nparts = int(max(1, min(64, worst // _DV_FILE_TARGET_ROWS + 1)))
+    dv_dir = os.path.join(table, "dv", uuid.uuid4().hex)
+    matches.repartition(nparts).write.mode("error").parquet(dv_dir)
+    dv_paths = sorted(
+        os.path.join(dv_dir, n)
+        for n in os.listdir(dv_dir)
+        if n.endswith(".parquet")
+    )
+    counts = {
+        r["file_path"]: int(r["n"])
+        for r in spark.read.parquet(*dv_paths)
+        .groupBy("file_path")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return dv_paths, counts
+
+
+def _dv_entries(
+    touched: list[dict], dv_paths: list[str], counts: dict[str, int]
+) -> list[dict]:
+    """Touched entries with a new DV item appended (entries with zero
+    matching positions are left untouched — they stay in the manifest as
+    their base entries)."""
+    out = []
+    for f in touched:
+        n = counts.get(f["path"])
+        if n:
+            e = dict(f)
+            e["dv"] = _dv_items(f) + [{"paths": dv_paths, "n": n}]
+            out.append(e)
+    return out
+
+
 def _delete_dv(
     spark: SparkSession,
     table: str,
@@ -1491,37 +1580,12 @@ def _delete_dv(
     matches = scan.filter(cond).select(
         F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
     )
-    # part count bounded by the worst case (every live row matches) so a
-    # huge erasure batch neither funnels through one task nor sprays files
-    worst = sum(_live_rows(f) or 0 for f in touched)
-    nparts = int(max(1, min(64, worst // _DV_FILE_TARGET_ROWS + 1)))
-    dv_dir = os.path.join(table, "dv", uuid.uuid4().hex)
-    matches.repartition(nparts).write.mode("error").parquet(dv_dir)
-    dv_paths = sorted(
-        os.path.join(dv_dir, n)
-        for n in os.listdir(dv_dir)
-        if n.endswith(".parquet")
-    )
-    # per-file counts read back from the WRITTEN fileset, so the recorded
-    # n is exactly what readers will anti-join (never a recomputed twin)
-    counts = {
-        r["file_path"]: int(r["n"])
-        for r in spark.read.parquet(*dv_paths)
-        .groupBy("file_path")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    dv_paths, counts = _write_dv(spark, table, touched, matches)
     if not counts:
         # predicate matched nothing: no commit (the empty DV fileset is an
         # unreferenced orphan; expiry's grace window reclaims it)
         return parent
-    new_entries = []
-    for f in touched:
-        n = counts.get(f["path"])
-        if n:
-            e = dict(f)
-            e["dv"] = _dv_items(f) + [{"paths": dv_paths, "n": n}]
-            new_entries.append(e)
+    new_entries = _dv_entries(touched, dv_paths, counts)
     return _commit_rewrite(
         table,
         parent,

@@ -236,3 +236,40 @@ def test_dv_restore_and_expiry_keep_dv_files(spark, tmp_path):
     assert snapshot_read(spark, tbl, version=v_dv).count() == 30
     v_r = snapshot_restore(tbl, v_dv)
     assert v_r > v_dv and snapshot_rowcount(tbl) == 30
+
+
+def test_merge_dv_equals_merge_cow(spark, tmp_path):
+    """mode='dv' MERGE (shadow matched rows + append batch) produces the
+    same reader-visible table as the copy-on-write merge, without
+    rewriting any pre-existing data file."""
+    a = _mk(spark, tmp_path, "cowm")
+    b = _mk(spark, tmp_path, "dvm")
+    batch = spark.createDataFrame(
+        [(5, "FIVE"), (15, "FIFTEEN"), (100, "NEW")], "k long, v string"
+    )
+    snapshot_merge(batch, a, keys=["k"])
+    before = {f["path"] for f in read_manifest(b)["files"]}
+    snapshot_merge(batch, b, keys=["k"], mode="dv")
+    assert _rows(snapshot_read(spark, a)) == _rows(snapshot_read(spark, b))
+    after = read_manifest(b)["files"]
+    assert before <= {f["path"] for f in after}  # no pre-existing rewrite
+    assert any(f.get("dv") for f in after)
+    assert snapshot_rowcount(b) == 41 == snapshot_read(spark, b).count()
+
+
+def test_merge_dv_cdc_emits_update_as_delete_insert(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    v0 = current_version(tbl)
+    batch = spark.createDataFrame([(7, "SEVEN")], "k long, v string")
+    v1 = snapshot_merge(batch, tbl, keys=["k"], mode="dv")
+    d = snapshot_diff(spark, tbl, v_from=v0, v_to=v1)
+    got = sorted((r["_change"], r["k"], r["v"]) for r in d.collect())
+    assert got == [("delete", 7, "v7"), ("insert", 7, "SEVEN")]
+
+
+def test_merge_dv_insert_only_batch(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, n=10, files=1)
+    batch = spark.createDataFrame([(50, "x"), (51, "y")], "k long, v string")
+    snapshot_merge(batch, tbl, keys=["k"], mode="dv")
+    assert snapshot_rowcount(tbl) == 12
+    assert not any(f.get("dv") for f in read_manifest(tbl)["files"])
