@@ -404,9 +404,16 @@ def probe_plan(
     range admits ANY probed cell — the manifest-level pruning a probe
     rides.  Exposed separately so tests and EXPLAIN evidence can assert
     the pruning ratio."""
+    keep, total = _probe_entries(table, cells, version)
+    return [f["path"] for f in keep], total
+
+
+def _probe_entries(
+    table: str, cells: list[int], version: int | None = None
+) -> tuple[list[dict], int]:
     m = read_manifest(table, version)
     keep = [
-        f["path"]
+        f
         for f in m["files"]
         if any(_file_admits(f, [("cell", "==", c)]) for c in cells)
     ]
@@ -460,12 +467,16 @@ def ann_index_search(
         probes[q] = [cells[ci] for ci in order[:nprobe]]
     probe_cells = sorted({c for cs in probes.values() for c in cs})
 
-    paths, _total = probe_plan(table, probe_cells, version)
-    if not paths:
+    kept, _total = _probe_entries(table, probe_cells, version)
+    if not kept:
         # empty index table, or every probed cell's rows were removed by
         # a later snapshot_delete — an empty result, not an unpack error
         return spark.createDataFrame([], empty)
-    scan = spark.read.parquet(*paths).filter(F.col("cell").isin(probe_cells))
+    # merge-on-read: entries carrying deletion vectors (a snapshot_delete
+    # over the index) anti-join their positions; plain entries = bare scan
+    from agf_data_ingestion_spark.sources.snapshots import _read_entries
+
+    scan = _read_entries(spark, kept).filter(F.col("cell").isin(probe_cells))
 
     lut = {
         q: [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ rcb[m][1].T for m in range(_PQ_M)]

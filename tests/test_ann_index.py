@@ -207,3 +207,23 @@ def test_append_vs_retrain_race_converges(spark, tmp_path):
     want = _rows(encode(v, load_state(tbl, name=name)))
     got = _rows(snapshot_read(spark, tbl))
     assert got == want
+
+
+def test_search_respects_deletion_vectors(spark, tmp_path):
+    """A snapshot_delete(mode='dv') over the index table removes vectors
+    from search results — the probe scan reads merge-on-read, so
+    DV-deleted rows never resurrect as neighbors."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    v = _vectors(spark)
+    tbl = str(tmp_path / "idx")
+    ann_index_create(v, tbl, cluster_files=4)
+    queries = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = ann_index_search(spark, tbl, queries, k=3).collect()
+    victim = int(before[0].neighbor_id)
+    snapshot_delete(spark, tbl, [("vec_id", "==", victim)], mode="dv")
+    after = ann_index_search(spark, tbl, queries, k=3).collect()
+    assert all(int(r.neighbor_id) != victim for r in after)
+    assert len(after) == 6  # still top-3 per query from the survivors
