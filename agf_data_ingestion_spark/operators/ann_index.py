@@ -118,46 +118,64 @@ def _pointer_path(table: str) -> str:
     return os.path.join(_state_dir(table), "current_state.json")
 
 
-def _update_pointer(table: str, name: str, since_version: int) -> None:
-    """Advance the durable current-codebook pointer monotonically — the
-    post-expiry fallback for state resolution (the committed op marker is
-    the source of truth while its manifest is retained)."""
-    p = _pointer_path(table)
+def _state_log(table: str) -> list[dict]:
+    """The durable [{name, since}] codebook-version log (since-sorted) —
+    the post-expiry fallback for state resolution.  Reads the legacy
+    single-pointer format too."""
     try:
-        with open(p) as fh:
-            cur = json.load(fh)
-        if int(cur.get("since", -1)) >= since_version:
-            return
+        with open(_pointer_path(table)) as fh:
+            p = json.load(fh)
     except FileNotFoundError:
-        pass
+        return []
+    if "log" in p:
+        return p["log"]
+    return [{"name": p["name"], "since": int(p["since"])}]
+
+
+def _update_pointer(table: str, name: str, since_version: int) -> None:
+    """Append to the durable codebook-version LOG (atomic tmp+replace) —
+    a log, not just the latest pointer, so a RETAINED pre-retrain version
+    whose create/retrain marker has expired still resolves to ITS state
+    file instead of a nonexistent legacy name.  The committed op marker
+    stays the source of truth while its manifest is retained (it moves
+    with the commit atomically); the log is written right after."""
+    log = [e for e in _state_log(table) if int(e["since"]) != since_version]
+    log.append({"name": name, "since": since_version})
+    log.sort(key=lambda e: int(e["since"]))
+    p = _pointer_path(table)
+    os.makedirs(_state_dir(table), exist_ok=True)
     tmp = f"{p}.tmp"
     with open(tmp, "w") as fh:
-        json.dump({"name": name, "since": since_version}, fh)
+        json.dump({"log": log}, fh)
     os.replace(tmp, p)
 
 
 def _effective_state_name(table: str, version: int | None = None) -> str:
     """The codebook state a given snapshot version's codes were encoded
     under: the LAST ``ann_create@``/``ann_retrain@`` marker at or before
-    ``version`` in retained history; falls back to the durable pointer
-    (markers expired) and finally the legacy unversioned ``state.json``."""
+    ``version`` — found by a BACKWARD op-only manifest scan (O(versions
+    since the last retrain), no file-list resolution); falls back to the
+    durable state log (markers expired) and finally the legacy
+    unversioned ``state.json``."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        NoSuchVersionError,
+        _manifest_op,
+    )
+
     v = current_version(table) if version is None else version
+    for vv in range(v, 0, -1):
+        try:
+            op = _manifest_op(table, vv) or ""
+        except NoSuchVersionError:
+            continue  # expired hole (tagged versions may survive below)
+        if op.startswith(_CREATE_PREFIX) or op.startswith(_RETRAIN_PREFIX):
+            return op.split("@", 1)[1]
     best = None
-    for h in snapshot_history(table):
-        op = h.get("op") or ""
-        if h["version"] <= v and (
-            op.startswith(_CREATE_PREFIX) or op.startswith(_RETRAIN_PREFIX)
-        ):
-            best = op.split("@", 1)[1]
+    for e in _state_log(table):
+        if int(e["since"]) <= v:
+            best = e["name"]
     if best is not None:
         return best
-    try:
-        with open(_pointer_path(table)) as fh:
-            cur = json.load(fh)
-        if int(cur.get("since", -1)) <= v:
-            return cur["name"]
-    except FileNotFoundError:
-        pass
     return "state.json"  # pre-versioning table
 
 
@@ -336,10 +354,13 @@ def ann_index_retrain(
     continuously-ingesting corpus drifts and recall decays under the
     frozen create-time codebook; this is the recourse.
 
-    ``vectors`` must cover every vec_id currently in the index (it is the
+    ``vectors`` must cover every LIVE vec_id in the index (it is the
     authoritative corpus — codes are not invertible, so rows it misses
     cannot be re-encoded; a gap raises rather than silently dropping
-    rows).  The new state file is staged first and bound to the commit by
+    rows).  "Live" is merge-on-read: rows removed by a
+    ``snapshot_delete(mode='dv')`` are neither demanded of the corpus nor
+    resurrected by the rewrite — the retrained index contains exactly the
+    live rows, re-encoded.  The new state file is staged first and bound to the commit by
     the ``ann_retrain@<state>`` op marker, so probes resolve the codebook
     matching the snapshot version they read — time travel to a
     pre-retrain version searches with the OLD codebook.
@@ -350,33 +371,45 @@ def ann_index_retrain(
     and an append landing AFTER the retrain re-encodes itself via the
     :class:`StaleCodebook` check.  Either order converges to one
     codebook version covering every row (tests/test_ann_index.py)."""
+    from agf_data_ingestion_spark.sources.snapshots import _read_entries
+
     spark = vectors.sparkSession
     codes = _ivfpq_codes_from(vectors)  # checkpointed: train + encode + cover
-    cells, ccv, rcb = _ivfpq_train(codes)
-    st = {"cells": cells, "ccv": ccv, "rcb": rcb}
     name = f"state-{uuid.uuid4().hex}.json"
-    save_state(st, table, name=name)
-    df = _cluster_cells(_encode_codes(codes, st), cluster_files)
-    schema = _schema_of(df)
-    # encoding depends only on (vectors, state): the rewrite files are
-    # valid across recomputes, so write them once
-    new_files = _write_data_files(df, table)
+    st = None
     for _ in range(_OCC_MAX_RETRIES):
         parent = _repair_current(table)
         m = read_manifest(table, parent)
-        paths = sorted(f["path"] for f in m["files"])
-        if paths:
-            missing = (
-                spark.read.parquet(*paths)
-                .select("vec_id")
-                .join(codes.select("vec_id"), "vec_id", "left_anti")
-                .count()
-            )
+        # the index CONTENT to rebuild = the LIVE rows of the current
+        # version — merge-on-read, so a snapshot_delete(mode='dv') stays
+        # deleted through a retrain (never resurrected), and DV'd ids are
+        # not demanded of the corpus
+        live_ids = (
+            _read_entries(spark, m["files"]).select("vec_id")
+            if m["files"]
+            else None
+        )
+        live_codes = codes
+        if live_ids is not None:
+            missing = live_ids.join(
+                codes.select("vec_id"), "vec_id", "left_anti"
+            ).count()
             if missing:
                 raise ValueError(
-                    f"ann_index_retrain: {missing} indexed vec_id(s) are not "
-                    f"in the supplied corpus — rows cannot be re-encoded"
+                    f"ann_index_retrain: {missing} live indexed vec_id(s) are "
+                    f"not in the supplied corpus — rows cannot be re-encoded"
                 )
+            live_codes = codes.join(live_ids, "vec_id", "left_semi")
+        if st is None:  # train once; the codebook is corpus-derived state
+            cells, ccv, rcb = _ivfpq_train(live_codes)
+            st = {"cells": cells, "ccv": ccv, "rcb": rcb}
+            save_state(st, table, name=name)
+        # re-encode per attempt: a RewriteConflict means the live set
+        # changed (an interleaved append/delete) — the rewrite files must
+        # cover exactly the NEW live rows
+        df = _cluster_cells(_encode_codes(live_codes, st), cluster_files)
+        schema = _schema_of(df)
+        new_files = _write_data_files(df, table)
         try:
             v = _commit_rewrite(
                 table,

@@ -116,6 +116,13 @@ def bucketed_snapshot_frame(
 
     v = current_version(table) if version is None else version
     m = read_manifest(table, v)
+    if any(f.get("dv") for f in m["files"]):
+        # a hardlinked bucketed scan cannot apply deletion vectors; fall
+        # back to the merge-on-read path (correct, loses the exchange-free
+        # layout) until compaction applies the DVs and restores it
+        from agf_data_ingestion_spark.sources.snapshots import _read_entries
+
+        return _read_entries(spark, m["files"])
     probe_dir = os.path.join(table, "_probe", f"v{v:08d}")
     if not os.path.isdir(probe_dir):
         tmp = f"{probe_dir}.tmp-{uuid.uuid4().hex}"
@@ -138,6 +145,35 @@ def bucketed_snapshot_frame(
         f"LOCATION '{probe_dir}'"
     )
     return spark.table(name)
+
+
+def prune_probe_dirs(
+    spark: SparkSession, table: str, *, keep_last: int = 2
+) -> int:
+    """Drop per-version probe dirs (and their session catalog tables)
+    older than the newest ``keep_last`` versions that have one — the
+    in-stream growth bound for continuous writers (a per-batch probe dir
+    is O(files) hardlinks; N batches would otherwise accumulate N dirs).
+    Deleting a hardlink under an OPEN scan is safe on POSIX (the inode
+    survives until the handle closes); readers pinned to an expired-probe
+    version simply re-create the dir from the still-live data files."""
+    root = os.path.join(table, "_probe")
+    if not os.path.isdir(root):
+        return 0
+    versions = sorted(
+        int(n[1:]) for n in os.listdir(root)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+    dropped = 0
+    for v in versions[:-keep_last] if keep_last else versions:
+        shutil.rmtree(os.path.join(root, f"v{v:08d}"), ignore_errors=True)
+        name = f"agf_probe_{hashlib.md5(f'{table}@{v}'.encode()).hexdigest()[:16]}"
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:  # catalog may be gone mid-shutdown; best-effort
+            pass
+        dropped += 1
+    return dropped
 
 
 def bucketed_join(

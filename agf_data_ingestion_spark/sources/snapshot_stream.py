@@ -81,12 +81,17 @@ def _table_schema_ddl(table: str) -> str:
 
 
 def _dv_positions(entries: list[dict]) -> dict[str, set[int]]:
-    """{data file path: deleted physical positions} for the entries'
-    deletion vectors — read driver-side with pyarrow (DV filesets are
-    O(deleted rows), commit-sized by the same argument as the delta)."""
+    """{SCAN-side absolute data file path: deleted physical positions}
+    for the entries' deletion vectors — read driver-side with pyarrow
+    (DV filesets are O(deleted rows), commit-sized by the same argument
+    as the delta).  DV records are keyed by the scan-side absolute path
+    (``_scan_path``): manifests may store relative paths, so lookups must
+    normalize through the same helper."""
     import pyarrow.parquet as pq
 
-    wanted = {f["path"] for f in entries if f.get("dv")}
+    from agf_data_ingestion_spark.sources.snapshots import _scan_path
+
+    wanted = {_scan_path(f["path"]) for f in entries if f.get("dv")}
     if not wanted:
         return {}
     paths = sorted(
@@ -116,6 +121,8 @@ def _rows_of(entries: list[dict], names: list[str]) -> Counter:
 
     import pyarrow.parquet as pq
 
+    from agf_data_ingestion_spark.sources.snapshots import _scan_path
+
     dead = _dv_positions(entries)
     out: Counter = Counter()
     for f in sorted(entries, key=lambda e: e["path"]):
@@ -130,7 +137,7 @@ def _rows_of(entries: list[dict], names: list[str]) -> Counter:
                 for v in vals
             ]
             cols.append(vals)
-        gone = dead.get(f["path"], ())
+        gone = dead.get(_scan_path(f["path"]), ())
         for idx, row in enumerate(zip(*cols)):
             if idx in gone:
                 continue
@@ -154,16 +161,14 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         delete changes an entry in place, and each side must read the
         touched file with ITS version's DVs applied so the delta nets to
         exactly the deleted rows (same rule as ``snapshot_diff``)."""
-        import json as _json
+        from agf_data_ingestion_spark.sources.snapshots import (
+            _dv_signature as _sig,
+        )
 
         mf = read_manifest(self.table, v - 1) if v > 1 else {"files": []}
         mt = read_manifest(self.table, v)
         ef = {f["path"]: f for f in mf["files"]}
         et = {f["path"]: f for f in mt["files"]}
-
-        def _sig(f):
-            return _json.dumps(f.get("dv") or [], sort_keys=True)
-
         removed = _rows_of(
             [ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])],
             self.names,

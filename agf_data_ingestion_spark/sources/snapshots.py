@@ -235,6 +235,19 @@ def read_manifest(table: str, version: int | None = None) -> dict:
     return m
 
 
+def _manifest_op(table: str, version: int) -> str | None:
+    """A version's commit-op label WITHOUT resolving its file list —
+    segment manifests keep the raw JSON tiny, so bookmark scans
+    (ann_applied_batch_ids, codebook-version resolution) stay O(1) per
+    version instead of materializing every retained manifest's files.
+    Raises ``NoSuchVersionError`` for an expired version."""
+    try:
+        with open(_manifest_path(table, version)) as fh:
+            return json.load(fh).get("op")
+    except FileNotFoundError:
+        raise NoSuchVersionError(f"{table}: no snapshot v{version}") from None
+
+
 def _commit_index(table: str) -> dict[int, float]:
     """{version: committed_at} from the append-only ``COMMITS`` index
     (one line per commit, written by ``_commit``) — O(versions) tiny-line
@@ -1008,6 +1021,23 @@ def _dv_items(f: dict) -> list[dict]:
     return f.get("dv") or []
 
 
+def _dv_signature(f: dict) -> str:
+    """Entry-delta cancellation key: two entries with the same path are
+    the same row multiset iff their DV lists match.  Shared by
+    ``snapshot_diff`` and the streaming CDC source so the rule cannot
+    desynchronize."""
+    return json.dumps(_dv_items(f), sort_keys=True)
+
+
+def _scan_path(p: str) -> str:
+    """A manifest entry path in the domain ``_metadata.file_path``
+    renders (absolute): manifests store paths as given to the writer,
+    which may be RELATIVE — DV records are keyed by the scan-side
+    absolute form, so every counts/positions lookup must go through
+    this."""
+    return os.path.abspath(p)
+
+
 def _live_rows(f: dict) -> int | None:
     """Rows a reader sees from this entry: footer rows minus DV'd
     positions (None for a legacy entry without a recorded row count)."""
@@ -1062,7 +1092,15 @@ def _read_entries(
         dv = spark.read.parquet(*dv_paths).select(
             F.col("file_path").alias("_dv_fp"), F.col("pos").alias("_dv_pos")
         )
-        if sum(i["n"] for i in items) <= _DV_BROADCAST_MAX_ROWS:
+        # a DV fileset is shared by every file its commit touched; restrict
+        # it to THIS read's files so the size guard below measures what is
+        # actually broadcast (a pruned read of 3 files must not broadcast a
+        # 2000-file commit's full position set), and so the guard's sum of
+        # the KEPT entries' n is exact by construction
+        dv = dv.where(
+            F.col("_dv_fp").isin([_scan_path(f["path"]) for f in entries])
+        )
+        if sum(i["n"] for f in entries for i in _dv_items(f)) <= _DV_BROADCAST_MAX_ROWS:
             dv = F.broadcast(dv)
         df = df.join(dv, ["_dv_fp", "_dv_pos"], "left_anti")
     return df if keep_position else df.select(cols)
@@ -1306,13 +1344,7 @@ def snapshot_merge(
     if mode == "dv":
         # merge-on-read: shadow the matched rows with position deletes,
         # append the whole batch as new files — O(matches + batch)
-        import pyarrow.parquet as pq
-
-        appended = [
-            f
-            for f in _write_data_files(df, table)
-            if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-        ]
+        appended = [f for f in _write_data_files(df, table) if f["rows"] > 0]
         dv_upd: list[dict] = []
         if touched:
             scan = _read_entries(spark, touched, keep_position=True)
@@ -1345,11 +1377,7 @@ def snapshot_merge(
         new_files += _write_data_files(df, table, bloom_cols=bc)
     else:
         new_files += _write_data_files(df, table)
-    import pyarrow.parquet as pq
-
-    new_files = [
-        f for f in new_files if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-    ]
+    new_files = [f for f in new_files if f["rows"] > 0]
     return _commit_rewrite(
         table,
         parent,
@@ -1475,8 +1503,6 @@ def snapshot_delete(
         raise ValueError("snapshot_delete requires a non-empty predicate")
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be cow|dv, got {mode!r}")
-    import pyarrow.parquet as pq
-
     parent = _repair_current(table)
     touched = plan_files(table, version=parent, where=where)
     if mode == "dv":
@@ -1495,9 +1521,7 @@ def snapshot_delete(
         written = _write_data_files(survivors, table)
         # an all-deleted rewrite leaves empty part files — keep the
         # manifest free of them (cheap footer check, no data read)
-        new_files = [
-            f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-        ]
+        new_files = [f for f in written if f["rows"] > 0]
     if not new_files and not touched:
         return parent  # stats prove nothing matched: no-op, no commit
     return _commit_rewrite(
@@ -1547,14 +1571,25 @@ def _dv_entries(
 ) -> list[dict]:
     """Touched entries with a new DV item appended (entries with zero
     matching positions are left untouched — they stay in the manifest as
-    their base entries)."""
+    their base entries).  ``counts`` is keyed by the SCAN-side absolute
+    path (``_scan_path``); a non-empty counts map that matches NO touched
+    entry means the path domains diverged (symlinked roots etc.) — raise
+    loudly, a silent no-op delete must never commit."""
     out = []
+    matched = 0
     for f in touched:
-        n = counts.get(f["path"])
+        n = counts.get(_scan_path(f["path"]))
         if n:
+            matched += n
             e = dict(f)
             e["dv"] = _dv_items(f) + [{"paths": dv_paths, "n": n}]
             out.append(e)
+    if counts and matched != sum(counts.values()):
+        raise RuntimeError(
+            "deletion-vector path-domain mismatch: scan positions reference "
+            "files no touched manifest entry resolves to — refusing to "
+            "commit a partial delete"
+        )
     return out
 
 
@@ -1644,13 +1679,9 @@ def snapshot_compact(
         )
     else:
         df = df.coalesce(target_files)
-    import pyarrow.parquet as pq
-
     written = _write_data_files(df, table, bloom_cols=_common_bloom_cols(small))
     # a fully-DV'd input can compact to zero rows — keep empty parts out
-    new_files = [
-        f for f in written if pq.ParquetFile(f["path"]).metadata.num_rows > 0
-    ]
+    new_files = [f for f in written if f["rows"] > 0]
     return _commit_rewrite(
         table,
         parent,
@@ -1683,18 +1714,13 @@ def snapshot_diff(
     new files) diffs the rewritten slice and nets to zero rows; a DV
     delete diffs the touched files (each side reads them with ITS
     version's DVs applied) and nets to exactly the deleted rows."""
-    import json as _json
-
     from pyspark.sql import functions as F
 
     mf = read_manifest(table, v_from)
     mt = read_manifest(table, v_to)
     ef = {f["path"]: f for f in mf["files"]}
     et = {f["path"]: f for f in mt["files"]}
-
-    def _sig(f: dict) -> str:
-        return _json.dumps(_dv_items(f), sort_keys=True)
-
+    _sig = _dv_signature
     only_old = [
         ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])
     ]
@@ -1838,6 +1864,18 @@ def expire_snapshots(
 
                 shutil.rmtree(pd, ignore_errors=True)
                 deleted.append(pd)
+        # bucketed-writer scratch dirs (sources/bucketed.py) are normally
+        # removed by their writer's finally block; a crashed writer leaks
+        # one — reclaim it after the same in-flight grace window
+        scratch_root = os.path.join(table, "_scratch")
+        if os.path.isdir(scratch_root):
+            import shutil
+
+            for sub in os.listdir(scratch_root):
+                d = os.path.join(scratch_root, sub)
+                if now - os.path.getmtime(d) >= orphan_grace_s:
+                    shutil.rmtree(d, ignore_errors=True)
+                    deleted.append(d)
         # segment files no retained manifest names; young unreferenced
         # segments may belong to an in-flight commit (staged before its
         # CAS) — same grace rule as data files

@@ -44,7 +44,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from agf_data_ingestion_spark.operators.ann_index import _state_dir, ann_index_append
 from agf_data_ingestion_spark.operators.locking import table_lock
-from agf_data_ingestion_spark.sources.snapshots import snapshot_history
+from agf_data_ingestion_spark.sources.snapshots import (
+    NoSuchVersionError,
+    _manifest_op,
+    current_version,
+)
 
 _OP_PREFIX = "ann_append@"
 
@@ -104,10 +108,16 @@ def ann_applied_batch_ids(table: str, stream_id: str | None = None) -> set[int]:
     scopes to that stream (legacy unscoped labels count as stream "").
     History length is bounded by snapshot retention (expire_snapshots) —
     which is exactly why :func:`ann_apply_batch` ALSO consults the
-    durable HWM; this set alone is not a sufficient replay guard."""
+    durable HWM; this set alone is not a sufficient replay guard.
+    The scan reads only each retained manifest's op label
+    (``_manifest_op`` — no file-list resolution), so the per-batch cost
+    stays O(retained versions), not O(versions × files)."""
     out = set()
-    for h in snapshot_history(table):
-        parsed = _parse_op(h.get("op"))
+    for v in range(current_version(table), 0, -1):
+        try:
+            parsed = _parse_op(_manifest_op(table, v))
+        except NoSuchVersionError:
+            continue  # expired hole; tagged versions may survive below
         if parsed is not None and (stream_id is None or parsed[0] == stream_id):
             out.add(parsed[1])
     return out

@@ -54,6 +54,7 @@ from agf_data_ingestion_spark.plans.text import (
 )
 from agf_data_ingestion_spark.sources.bucketed import (
     bucketed_snapshot_frame,
+    prune_probe_dirs,
     write_bucketed_snapshot,
 )
 from agf_data_ingestion_spark.sources.snapshots import (
@@ -169,6 +170,9 @@ def neardup_sink(
             op=f"neardup_bands@{batch_id}",
         )
         snapshot_write(sets_, sets_tbl, op=f"neardup_sets@{batch_id}")
+        # bound in-stream growth: keep only the trailing probe dirs (each
+        # is O(files) hardlinks; N batches would accumulate N of them)
+        prune_probe_dirs(spark, bands_tbl, keep_last=2)
 
     return sink
 

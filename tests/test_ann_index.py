@@ -227,3 +227,29 @@ def test_search_respects_deletion_vectors(spark, tmp_path):
     after = ann_index_search(spark, tbl, queries, k=3).collect()
     assert all(int(r.neighbor_id) != victim for r in after)
     assert len(after) == 6  # still top-3 per query from the survivors
+
+
+def test_retrain_preserves_dv_deletes(spark, tmp_path):
+    """Retrain rebuilds the LIVE rows: a snapshot_delete(mode='dv') stays
+    deleted through a retrain (never resurrected), and the deleted id is
+    not demanded of the corpus."""
+    from agf_data_ingestion_spark.operators.ann_index import ann_index_retrain
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_rowcount,
+    )
+
+    v = _vectors(spark)
+    tbl = str(tmp_path / "idx")
+    ann_index_create(v, tbl, cluster_files=4)
+    n = snapshot_rowcount(tbl)
+    snapshot_delete(spark, tbl, [("vec_id", "==", 3)], mode="dv")
+    # corpus WITHOUT the deleted id satisfies the coverage check
+    ann_index_retrain(v.filter(F.col("vec_id") != 3), tbl, cluster_files=4)
+    ids = {int(r.vec_id) for r in snapshot_read(spark, tbl).select("vec_id").collect()}
+    assert 3 not in ids and len(ids) == n - 1
+    queries = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    after = ann_index_search(spark, tbl, queries, k=3).collect()
+    assert all(int(r.neighbor_id) != 3 for r in after)

@@ -273,3 +273,25 @@ def test_merge_dv_insert_only_batch(spark, tmp_path):
     snapshot_merge(batch, tbl, keys=["k"], mode="dv")
     assert snapshot_rowcount(tbl) == 12
     assert not any(f.get("dv") for f in read_manifest(tbl)["files"])
+
+
+def test_dv_delete_on_relative_table_path(spark, tmp_path):
+    """Manifests may store RELATIVE paths (os.path.join verbatim) while
+    DV records are keyed by the scan's absolute _metadata.file_path —
+    the counts lookup must normalize or the delete silently no-ops.
+    (Relative paths resolve against the shared Python/JVM cwd; the test
+    builds one that lands in tmp_path.)"""
+    tbl = os.path.relpath(str(tmp_path / "rel_tbl"), os.getcwd())
+    assert not os.path.isabs(tbl)
+    df = spark.range(30).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    snapshot_write(df, tbl, cluster_by=["k"], cluster_files=2)
+    v = snapshot_delete(spark, tbl, [("k", "<", 10)], mode="dv")
+    assert v == 2  # a real commit, not a silent no-op
+    assert snapshot_rowcount(tbl) == 20 == snapshot_read(spark, tbl).count()
+    # CDC over the relative-path table also applies the DVs
+    d = snapshot_diff(spark, tbl, v_from=1, v_to=2)
+    assert sorted(r["k"] for r in d.collect() if r["_change"] == "delete") == list(
+        range(10)
+    )

@@ -220,3 +220,45 @@ def test_bucketed_probe_is_exchange_free_on_store_side(spark, tmp_path):
         (F.col("n.band") == F.col("c.band")) & (F.col("n.bsig") == F.col("c.bsig")),
     ).count()
     assert n == want
+
+
+def test_bucketed_frame_falls_back_under_dvs_and_prunes_dirs(spark, tmp_path):
+    """A DV delete on the band store makes the probe frame fall back to
+    the merge-on-read read (bucketed hardlinks can't apply DVs) — rows
+    stay deleted; compaction restores the bucketed path.  prune_probe_dirs
+    bounds the per-version probe dirs a continuous stream accumulates."""
+    import os
+
+    from agf_data_ingestion_spark.sources.bucketed import (
+        bucketed_snapshot_frame,
+        prune_probe_dirs,
+        write_bucketed_snapshot,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = str(tmp_path / "bands")
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    bands = _lsh_bands(_sigs_of(docs)).localCheckpoint(eager=True)
+    for lo, hi in ((0, 150), (150, 300), (300, 10**9)):
+        write_bucketed_snapshot(
+            bands.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            tbl, bucket_by=["band", "bsig"], n_buckets=8, sort_by=["band", "bsig"],
+        )
+        bucketed_snapshot_frame(
+            spark, tbl, bucket_by=["band", "bsig"], n_buckets=8,
+            sort_by=["band", "bsig"],
+        )
+    probe_root = os.path.join(tbl, "_probe")
+    assert len(os.listdir(probe_root)) == 3
+    assert prune_probe_dirs(spark, tbl, keep_last=2) == 1
+    assert len(os.listdir(probe_root)) == 2
+
+    total = bands.count()
+    snapshot_delete(spark, tbl, [("doc_id", "==", 0)], mode="dv")
+    store = bucketed_snapshot_frame(
+        spark, tbl, bucket_by=["band", "bsig"], n_buckets=8,
+        sort_by=["band", "bsig"],
+    )
+    got = store.count()
+    assert got == total - bands.filter(F.col("doc_id") == 0).count()
+    assert store.filter(F.col("doc_id") == 0).count() == 0
