@@ -165,12 +165,21 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     )
 
     seen = []
+    # the crashing maintainer must use the SAME stream identity the real
+    # restart will derive from the checkpoint dir — a mismatched id would
+    # model a different (fresh-checkpoint) scenario and hide a double-fold
+    import os as _os
+
+    sid = _os.path.abspath(ckpt)
 
     def _one(batch_df, batch_id):
-        if seen:  # simulate a crash after the first sink commit
-            raise RuntimeError("injected crash")
+        ann_apply_batch(batch_df, batch_id, table, cluster_files=4, stream_id=sid)
         seen.append(batch_id)
-        ann_apply_batch(batch_df, batch_id, table, cluster_files=4)
+        if batch_id >= 1:
+            # crash BETWEEN the sink commit and the offset commit: the
+            # restart will RE-DELIVER this batch id — the exactly-once
+            # window the HWM/commit-op bookmarks exist for
+            raise RuntimeError("injected crash")
 
     q = stream.writeStream.foreachBatch(_one).option(
         "checkpointLocation", ckpt
