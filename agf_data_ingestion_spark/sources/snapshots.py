@@ -1096,10 +1096,16 @@ def _read_entries(
         # it to THIS read's files so the size guard below measures what is
         # actually broadcast (a pruned read of 3 files must not broadcast a
         # 2000-file commit's full position set), and so the guard's sum of
-        # the KEPT entries' n is exact by construction
-        dv = dv.where(
-            F.col("_dv_fp").isin([_scan_path(f["path"]) for f in entries])
-        )
+        # the KEPT entries' n is exact by construction.  Small file lists
+        # inline as an In-set; large ones go through a broadcast semi-join
+        # (a 100k-literal expression bloats analysis, a KiB/path frame
+        # doesn't)
+        keep = [_scan_path(f["path"]) for f in entries]
+        if len(keep) <= 1000:
+            dv = dv.where(F.col("_dv_fp").isin(keep))
+        else:
+            paths_df = spark.createDataFrame([(p,) for p in keep], "_dv_fp string")
+            dv = dv.join(F.broadcast(paths_df), "_dv_fp", "left_semi")
         if sum(i["n"] for f in entries for i in _dv_items(f)) <= _DV_BROADCAST_MAX_ROWS:
             dv = F.broadcast(dv)
         df = df.join(dv, ["_dv_fp", "_dv_pos"], "left_anti")
