@@ -35,6 +35,7 @@ from agf_data_ingestion_spark.plans import (
     tpch_extra,
     tpch_more,
     training_data,
+    urls,
     windows,
 )
 
@@ -71,6 +72,7 @@ for _mod in (
     entity,
     langid,
     pii,
+    urls,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
