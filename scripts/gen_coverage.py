@@ -39,6 +39,10 @@ TEST_COVERED = {
         "sources/snapshots.py (merge-on-read deletion vectors: snapshot_delete(mode='dv') commits O(matches) position-delete files and entry updates only; merge-on-read reads via _read_entries anti-join with size-guarded broadcast; compaction applies-and-purges; expiry reclaims; entry-identity OCC + segment reuse)",
         "tests/test_deletion_vectors.py (DV ≡ COW result, zero-rewrite commit, exact rowcount across overlapping deletes, honest MIN/MAX, CDC/diff + streaming CDC emit the deletes, compaction purge + reclaim, upsert/merge over DVs, disjoint-rewrite concurrency, same-file race convergence, restore/expiry retention)",
     ),
+    "OP-X-BRANCH": (
+        "sources/branches.py (zero-copy branch fork: fork-version tag-pinned on the parent, branch is a full snapshot table under <table>/_branches/<name> — every snapshot op works on it unchanged; strict fast-forward publish as ONE replace-shaped parent commit with branch-local files hardlinked into the parent tree under the table lock; drop releases the pin)",
+        "tests/test_branches.py (zero-copy fork + isolation both directions, fast-forward publish incl. DV entries with append-only history, divergence refusal commits nothing, parent-expiry starvation safety via the fork tag, drop-after-publish inode safety through expiry, name reuse, idle-branch no-op publish)",
+    ),
     "OP-X-OCC": (
         "sources/snapshots.py (optimistic concurrency: CAS manifest reservation via atomic link, lock-free append/upsert with manifest-delta conflict rebase, lock-held rewrite retry, pointer repair, vacuum grace for in-flight writers)",
         "tests/test_snapshots.py (CAS loss + pointer repair; deterministic races: disjoint-key dual commit, first-writer-wins overlap, partial-overlap rebase, merge-vs-append retry, orphan grace)",

@@ -1,0 +1,150 @@
+"""OP-X-BRANCH: zero-copy forks, isolation, fast-forward publish,
+divergence, expiry safety, drop safety (sources/branches.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.sources.branches import (
+    BranchDiverged,
+    branch_fork_version,
+    branch_root,
+    snapshot_branch,
+    snapshot_branch_drop,
+    snapshot_branch_publish,
+    snapshot_branches,
+)
+from agf_data_ingestion_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    read_manifest,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_rowcount,
+    snapshot_tags,
+    snapshot_write,
+)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
+
+
+def _mk(spark, tmp_path, name="tbl", n=40, files=4):
+    tbl = str(tmp_path / name)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    snapshot_write(df, tbl, cluster_by=["k"], cluster_files=files)
+    return tbl
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("b"), F.col("id")).alias("v")
+    )
+
+
+def test_fork_is_zero_copy_and_isolated(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    root = snapshot_branch(tbl, "exp")
+    # zero copy: branch v1 references the parent's files verbatim
+    assert [f["path"] for f in read_manifest(root, 1)["files"]] == [
+        f["path"] for f in read_manifest(tbl)["files"]
+    ]
+    assert _rows(snapshot_read(spark, root)) == _rows(snapshot_read(spark, tbl))
+    assert branch_fork_version(tbl, "exp") == 1
+    # writes on either side are invisible to the other
+    snapshot_write(_batch(spark, 100, 110), root)
+    snapshot_write(_batch(spark, 200, 205), tbl)
+    assert len(_rows(snapshot_read(spark, root))) == 50
+    assert len(_rows(snapshot_read(spark, tbl))) == 45
+    assert snapshot_branches(tbl) == {"exp": {"fork": 1, "current": 2}}
+    # the branch name is reserved while it exists
+    with pytest.raises(ValueError):
+        snapshot_branch(tbl, "exp")
+
+
+def test_publish_fast_forward(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    root = snapshot_branch(tbl, "wap")
+    snapshot_write(_batch(spark, 100, 110), root)
+    snapshot_delete(spark, root, [("k", "<", 5)], mode="dv")
+    expected = _rows(snapshot_read(spark, root))
+    pre = current_version(tbl)
+    v = snapshot_branch_publish(tbl, "wap")
+    assert v == pre + 1
+    assert _rows(snapshot_read(spark, tbl)) == expected
+    assert snapshot_rowcount(tbl) == len(expected) == 45
+    # history stays append-only: the pre-publish state is still readable
+    assert len(_rows(snapshot_read(spark, tbl, version=pre))) == 40
+    # publish commits by hardlink: every published path is parent-owned
+    root_abs = os.path.abspath(root)
+    for f in read_manifest(tbl, v)["files"]:
+        assert not os.path.abspath(f["path"]).startswith(root_abs + os.sep)
+        for item in f.get("dv") or []:
+            for p in item["paths"]:
+                assert not os.path.abspath(p).startswith(root_abs + os.sep)
+
+
+def test_publish_diverged_raises_and_commits_nothing(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    snapshot_branch(tbl, "exp")
+    snapshot_write(_batch(spark, 100, 110), branch_root(tbl, "exp"))
+    snapshot_write(_batch(spark, 200, 205), tbl)  # parent advances
+    pre = current_version(tbl)
+    with pytest.raises(BranchDiverged):
+        snapshot_branch_publish(tbl, "exp")
+    assert current_version(tbl) == pre
+
+
+def test_parent_expiry_cannot_starve_a_branch(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    root = snapshot_branch(tbl, "keep")
+    before = _rows(snapshot_read(spark, root))
+    # parent rewrites everything, then expires aggressively
+    snapshot_write(_batch(spark, 500, 510), tbl, mode="overwrite")
+    expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0)
+    # the fork tag pinned v1: the branch still reads its exact fork state
+    assert _rows(snapshot_read(spark, root)) == before
+    assert snapshot_tags(tbl) == {"branch-keep": 1}
+
+
+def test_drop_after_publish_is_safe(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    root = snapshot_branch(tbl, "exp")
+    snapshot_write(_batch(spark, 100, 110), root)
+    snapshot_compact(spark, root)  # branch-local rewrite of parent files
+    expected = _rows(snapshot_read(spark, root))
+    snapshot_branch_publish(tbl, "exp", drop=True)
+    assert snapshot_branches(tbl) == {}
+    assert "branch-exp" not in snapshot_tags(tbl)
+    assert not os.path.isdir(root)
+    # hardlinked inodes survive the branch rmtree
+    assert _rows(snapshot_read(spark, tbl)) == expected
+    # and the published state survives parent expiry too
+    expire_snapshots(tbl, keep_last=1, orphan_grace_s=0.0)
+    assert _rows(snapshot_read(spark, tbl)) == expected
+
+
+def test_unpublished_branch_drop_leaves_parent_untouched(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    snapshot_branch(tbl, "scrap")
+    snapshot_write(_batch(spark, 100, 110), branch_root(tbl, "scrap"))
+    before = _rows(snapshot_read(spark, tbl))
+    snapshot_branch_drop(tbl, "scrap")
+    assert _rows(snapshot_read(spark, tbl)) == before
+    assert snapshot_branches(tbl) == {}
+    # name is reusable after drop
+    snapshot_branch(tbl, "scrap")
+    assert snapshot_branches(tbl)["scrap"]["fork"] == 1
+
+
+def test_publish_of_untouched_branch_is_noop(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    snapshot_branch(tbl, "idle")
+    assert snapshot_branch_publish(tbl, "idle") == current_version(tbl) == 1
