@@ -122,7 +122,18 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
     # tag FIRST (under the parent lock, inside snapshot_tag): once the tag
     # lands, neither the manifest nor its files can expire under us; the
     # tag also reserves the branch name (immutable — re-create raises)
-    v = snapshot_tag(table, _fork_tag(name), version)
+    try:
+        v = snapshot_tag(table, _fork_tag(name), version)
+    except ValueError:
+        # tag exists but the branch has no manifest: a fork crashed between
+        # tag and v1 (or we lost a same-name race mid-create).  Resume the
+        # fork at the TAG's version iff it matches the request — idempotent
+        # crash repair; a concurrent same-name creator then races the v1
+        # CAS below and exactly one wins.
+        pinned = snapshot_tags(table).get(_fork_tag(name))
+        if pinned is None or (version is not None and version != pinned):
+            raise
+        v = pinned
     m = read_manifest(table, v)
     os.makedirs(root, exist_ok=True)
     _publish(
@@ -137,7 +148,13 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
 
 
 def branch_fork_version(table: str, name: str) -> int:
-    """The parent version this branch was forked from."""
+    """The parent version this branch was forked from.  The parent-side
+    fork TAG is the durable record (it lives until branch drop); the
+    branch's own v1 op label is the fallback — branch-side
+    ``expire_snapshots`` may legitimately age the v1 manifest out."""
+    pinned = snapshot_tags(table).get(_fork_tag(name))
+    if pinned is not None:
+        return pinned
     op = _manifest_op(branch_root(table, name), 1) or ""
     if not op.startswith("branch_fork@"):
         raise NoSuchVersionError(f"{table}: {name!r} is not a branch")

@@ -148,3 +148,32 @@ def test_publish_of_untouched_branch_is_noop(spark, tmp_path):
     tbl = _mk(spark, tmp_path)
     snapshot_branch(tbl, "idle")
     assert snapshot_branch_publish(tbl, "idle") == current_version(tbl) == 1
+
+
+def test_crashed_fork_is_resumable(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_tag
+
+    tbl = _mk(spark, tmp_path)
+    # simulate a fork that crashed between tag and branch-v1 creation
+    snapshot_tag(tbl, "branch-lost", 1)
+    root = snapshot_branch(tbl, "lost")  # resumes at the tag's version
+    assert branch_fork_version(tbl, "lost") == 1
+    assert _rows(snapshot_read(spark, root)) == _rows(snapshot_read(spark, tbl, version=1))
+    # a conflicting explicit version still refuses
+    snapshot_branch_drop(tbl, "lost")
+    snapshot_write(_batch(spark, 100, 105), tbl)
+    snapshot_tag(tbl, "branch-lost2", 1)
+    with pytest.raises(ValueError):
+        snapshot_branch(tbl, "lost2", version=2)
+
+
+def test_fork_version_survives_branch_side_expiry(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    root = snapshot_branch(tbl, "exp")
+    for lo in (100, 110, 120):
+        snapshot_write(_batch(spark, lo, lo + 10), root)
+    expire_snapshots(root, keep_last=1, orphan_grace_s=0.0)  # v1 op label gone
+    assert branch_fork_version(tbl, "exp") == 1  # the parent tag is durable
+    assert snapshot_branches(tbl)["exp"]["fork"] == 1
+    v = snapshot_branch_publish(tbl, "exp")
+    assert snapshot_rowcount(tbl, v) == 70
