@@ -16,6 +16,10 @@
         [--release-table <dir> [--release-tag NAME]]
     python scripts/agf_pipeline.py tokenizer [--docs <dir>]
         (train the corpus BPE merges; prints the merge table + token totals)
+    python scripts/agf_pipeline.py branch <create|publish|drop|list>
+        --table <dir> [--name N] [--version V] [--drop]
+        (zero-copy fork / fast-forward publish / drop / list — the
+        multi-commit write-audit-publish staging loop)
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -628,6 +632,41 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Branch lifecycle over a snapshot table (sources/branches.py):
+    create a zero-copy fork, list branches, fast-forward publish, drop.
+    All metadata-only — no Spark session, one JSON line."""
+    import json
+
+    from agf_data_ingestion_spark.sources.branches import (
+        BranchDiverged,
+        branch_root,
+        snapshot_branch,
+        snapshot_branch_drop,
+        snapshot_branch_publish,
+        snapshot_branches,
+    )
+
+    out = {"table": args.table, "action": args.action, "branch": args.name}
+    if args.action == "list":
+        out["branches"] = snapshot_branches(args.table)
+    elif args.action == "create":
+        out["root"] = snapshot_branch(args.table, args.name, args.version)
+    elif args.action == "publish":
+        try:
+            out["published_version"] = snapshot_branch_publish(
+                args.table, args.name, drop=args.drop
+            )
+        except BranchDiverged as exc:
+            print(json.dumps({**out, "error": "diverged", "detail": str(exc)}))
+            return 1
+    elif args.action == "drop":
+        snapshot_branch_drop(args.table, args.name)
+        out["dropped_root"] = branch_root(args.table, args.name)
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -732,7 +771,19 @@ def main() -> int:
     fg.add_argument("--small-bytes", type=int, default=8 << 20)
     fg.set_defaults(fn=cmd_forget)
 
+    br = sub.add_parser("branch")
+    br.add_argument("action", choices=["create", "publish", "drop", "list"])
+    br.add_argument("--table", required=True, help="snapshot table root")
+    br.add_argument("--name", help="branch name (all actions except list)")
+    br.add_argument("--version", type=int, help="create: fork version (default current)")
+    br.add_argument(
+        "--drop", action="store_true", help="publish: also drop the branch"
+    )
+    br.set_defaults(fn=cmd_branch)
+
     args = ap.parse_args()
+    if args.cmd == "branch" and args.action != "list" and not args.name:
+        ap.error("branch %s requires --name" % args.action)
     return args.fn(args)
 
 
