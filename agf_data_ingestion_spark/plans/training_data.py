@@ -600,6 +600,237 @@ GROUP BY c.doc_id
 """
 
 
+def docs_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination: instead of dropping a
+    contaminated document wholesale (:func:`docs_contamination` flags;
+    real pipelines lose the whole doc), remove only the word spans
+    covered by benchmark-shared ``_CONTAM_N``-grams — the
+    span-removal decontamination OLMo/Dolma run, built from the exact
+    substring-dedup span machinery (``docs_dup_span_extract``,
+    plans/lm.py) pointed at a benchmark shingle set.
+
+    Per contaminated corpus doc: flagged gram start positions merge into
+    maximal disjoint spans (gap ≤ N overlaps/touches — one island rule,
+    cf. lm.py), every covered word position is removed, and the output
+    carries the span count, removed-word total, exact-integer removed
+    ppm, and the md5 of the cleaned text.  ``clean_after_removal``
+    re-shingles each kept SEGMENT independently (windows never cross a
+    removal boundary — crossing windows are NEW grams the original text
+    never contained, the Lee et al. caveat) and asserts zero residual
+    benchmark shingles; by construction every window fully inside a kept
+    segment was unflagged, so the column is a machine-checked TRUE on
+    every row in both engines.
+
+    Scale shape: the benchmark side is tiny → broadcast (the corpus is
+    never shuffled to find hits); spans/removed positions are
+    benchmark-bounded, but the CONTAMINATED-doc set is not provably so —
+    the reconstruction semi-join keeps it shuffle-hash, never broadcast
+    (the corpus-broadcast ban, CLAUDE.md); all windows and rebuilds are
+    doc_id-partitioned with per-doc bounded frames.
+    """
+    k = _CONTAM_N
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    corpus = d.filter((F.col("doc_id") >= _BENCH_DOCS) & (F.size("w") >= k))
+
+    def sh_of(arr):
+        idx = F.sequence(F.lit(1), F.size(arr) - (k - 1))
+        return F.transform(
+            idx,
+            lambda i: F.substring(F.md5(F.array_join(F.slice(arr, i, k), " ")), 1, 16),
+        )
+
+    bench_sh = (
+        d.filter((F.col("doc_id") < _BENCH_DOCS) & (F.size("w") >= k))
+        .select(F.explode(sh_of(F.col("w"))).alias("sh"))
+        .distinct()
+    )
+    pos = corpus.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.posexplode(sh_of(F.col("w"))).alias("p0", "sh"),
+    ).select("doc_id", "n_words", (F.col("p0") + 1).cast("long").alias("i"), "sh")
+    hits = pos.join(F.broadcast(bench_sh), "sh").select("doc_id", "n_words", "i")
+
+    win = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("i") - F.lag("i").over(win) > k, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "n_words", "grp")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id", "n_words").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("words_removed"),
+    )
+    removed = spans.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+    )
+    # rebuild only the contaminated docs; the set is not provably tiny →
+    # semi-join stays a shuffle join
+    kept = (
+        corpus.join(per_doc.select("doc_id").hint("shuffle_hash"), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("w").alias("p0", "word"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "word")
+        .join(removed, ["doc_id", "pos"], "left_anti")
+    )
+    winp = Window.partitionBy("doc_id").orderBy("pos")
+    kept_seg = kept.withColumn(
+        "sbrk",
+        F.when(F.col("pos") - F.lag("pos").over(winp) > 1, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "seg",
+        F.sum("sbrk").over(
+            winp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cleaned = kept_seg.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash")
+    )
+    seg_words = kept_seg.groupBy("doc_id", "seg").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
+        ).alias("sw")
+    )
+    residual = (
+        seg_words.filter(F.size("sw") >= k)
+        .select("doc_id", F.explode(sh_of(F.col("sw"))).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("res_n"))
+    )
+    return (
+        per_doc.join(cleaned, "doc_id", "left")
+        .join(residual, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_spans",
+            "words_removed",
+            F.expr("CAST(words_removed * 1000000 DIV n_words AS BIGINT)").alias(
+                "removed_ppm"
+            ),
+            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias("cleaned_hash"),
+            (F.coalesce(F.col("res_n"), F.lit(0)) == 0).alias("clean_after_removal"),
+        )
+    )
+
+
+_DECONTAM_SPAN_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+corpus AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words FROM w
+  WHERE doc_id >= {_BENCH_DOCS} AND len(w) >= {_CONTAM_N}
+),
+bench_sh AS (
+  SELECT DISTINCT substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM w, unnest(range(1, len(w) - {_CONTAM_N - 2})) AS t(i)
+  WHERE doc_id < {_BENCH_DOCS} AND len(w) >= {_CONTAM_N}
+),
+pos AS (
+  SELECT doc_id, n_words, i,
+         substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM corpus, unnest(range(1, n_words - {_CONTAM_N - 2})) AS t(i)
+),
+hits AS (SELECT doc_id, n_words, i FROM pos JOIN bench_sh USING (sh)),
+flagged AS (
+  SELECT doc_id, n_words, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {_CONTAM_N} THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, n_words, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, n_words, grp, MIN(i) AS s, MAX(i) + {_CONTAM_N - 1} AS e
+  FROM islands GROUP BY doc_id, n_words, grp
+),
+per_doc AS (
+  SELECT doc_id, n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS words_removed
+  FROM spans GROUP BY doc_id, n_words
+),
+removed AS (
+  SELECT doc_id, pos FROM spans, unnest(range(s, e + 1)) AS t(pos)
+),
+allw AS (
+  SELECT c.doc_id, t.pos, c.w[t.pos] AS word
+  FROM corpus c, unnest(range(1, c.n_words + 1)) AS t(pos)
+  WHERE c.doc_id IN (SELECT doc_id FROM per_doc)
+),
+kept AS (
+  SELECT a.doc_id, a.pos, a.word
+  FROM allw a LEFT JOIN removed r ON a.doc_id = r.doc_id AND a.pos = r.pos
+  WHERE r.pos IS NULL
+),
+kflag AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 1 THEN 1 ELSE 0 END AS sbrk
+  FROM kept
+),
+kseg AS (
+  SELECT doc_id, pos, word,
+         SUM(sbrk) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS seg
+  FROM kflag
+),
+cleaned AS (
+  SELECT doc_id,
+         md5(array_to_string(list(word ORDER BY pos), ' ')) AS cleaned_hash
+  FROM kseg GROUP BY doc_id
+),
+segw AS (
+  SELECT doc_id, seg, list(word ORDER BY pos) AS sw
+  FROM kseg GROUP BY doc_id, seg
+),
+seg_sh AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(sw[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM segw, unnest(range(1, len(sw) - {_CONTAM_N - 2})) AS t(i)
+  WHERE len(sw) >= {_CONTAM_N}
+),
+residual AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS res_n
+  FROM seg_sh JOIN bench_sh USING (sh) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_words, p.n_spans, p.words_removed,
+       CAST(p.words_removed * 1000000 // p.n_words AS BIGINT) AS removed_ppm,
+       coalesce(c.cleaned_hash, md5('')) AS cleaned_hash,
+       (coalesce(r.res_n, 0) = 0) AS clean_after_removal
+FROM per_doc p
+LEFT JOIN cleaned c ON p.doc_id = c.doc_id
+LEFT JOIN residual r ON p.doc_id = r.doc_id
+"""
+
+
 # --- Bloom-filter decontamination (OP-X-BLOOM) ------------------------------
 
 _BLOOM_BITS = 65536  # m: filter size in bits (power of two)
@@ -1198,6 +1429,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_contamination": QuerySpec(
         docs_contamination, _CONTAM_SQL, ("OP-X-TEXT", "OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
+    ),
+    "docs_decontam_spans": QuerySpec(
+        docs_decontam_spans,
+        _DECONTAM_SPAN_SQL,
+        ("OP-X-DECONTAMSPAN", "OP-X-TEXT", "OP-X-DUPSPAN"),
     ),
     "docs_deduped_corpus": QuerySpec(
         docs_deduped_corpus, _deduped_sql(), ("OP-X-DEDUP-NEAR", "OP-JOIN-SEMI")
