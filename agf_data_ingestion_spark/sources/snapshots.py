@@ -1640,6 +1640,115 @@ def _delete_dv(
 
 
 @_retry_on_conflict
+def snapshot_update(
+    spark: SparkSession,
+    table: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+    *,
+    mode: str = "cow",
+) -> int:
+    """Predicate UPDATE as one atomic commit — completes the DML triad
+    (INSERT = write/upsert, DELETE, MERGE = keyed update; this is the
+    ``UPDATE ... SET ... WHERE ...`` statement).  ``where`` is the ANDed
+    triple form; ``set_exprs`` maps column → SQL expression evaluated per
+    matched row.  Every SET expression sees the OLD row (standard UPDATE
+    semantics — expressions never observe each other's writes), and
+    expressions must be deterministic (the format's global rule; a
+    rand()-ful expression would break rewrite-vs-recompute convergence).
+
+    ``mode='cow'`` rewrites the stats-pruned touched files with the
+    projection applied; ``mode='dv'`` (merge-on-read) shadows matched
+    rows with O(matches) position deletes and appends the updated rows —
+    an UPDATE costs O(matches), never a file rewrite, and CDC shows
+    delete(old) + insert(new), exactly the MERGE-DV contract.  Both
+    modes produce identical reader-visible results (test-pinned).
+
+    Retyping a column raises :class:`SchemaEvolutionError` before any
+    commit (additive-only evolution, same as every write path).  Scale
+    and concurrency shape are ``snapshot_delete``'s: manifest stats
+    bound the touched set, ``_commit_rewrite`` validates at file/entry
+    granularity, and an interleaved commit whose files admit the
+    predicate forces a transparent recompute.
+    """
+    from pyspark.sql import functions as F
+
+    if not where:
+        raise ValueError("snapshot_update requires a non-empty predicate")
+    if not set_exprs:
+        raise ValueError("snapshot_update requires at least one SET expression")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
+    parent = _repair_current(table)
+    cols = [c for c, _ in snapshot_schema(table, parent)]
+    unknown = sorted(set(set_exprs) - set(cols))
+    if unknown:
+        raise ValueError(f"snapshot_update: no such column(s) {unknown}")
+    touched = plan_files(table, version=parent, where=where)
+    if not touched:
+        return parent  # stats prove nothing matched: no-op, no commit
+
+    def _apply(df: DataFrame, only_matched: bool) -> DataFrame:
+        cond = _where_condition(df, where)
+        data_cols = [c for c in df.columns if c not in ("_dv_fp", "_dv_pos")]
+        if only_matched:
+            df = df.filter(cond)  # NULL predicate rows are unmatched
+            proj = [
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in data_cols
+            ]
+        else:
+            proj = [
+                # NULL cond → otherwise branch → old value (unmatched)
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in data_cols
+            ]
+        return df.select(*proj)
+
+    if mode == "dv":
+        scan = _read_entries(spark, touched, keep_position=True)
+        cond = _where_condition(scan, where)
+        matched = scan.filter(cond)
+        # one scan feeds both the DV positions and the updated-row append
+        matched = matched.localCheckpoint(eager=True)
+        matches = matched.select(
+            F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
+        )
+        dv_paths, counts = _write_dv(spark, table, touched, matches)
+        if not counts:
+            return parent  # predicate matched nothing
+        dv_upd = _dv_entries(touched, dv_paths, counts)
+        updated = _apply(matched, only_matched=True)
+        appended = [f for f in _write_data_files(updated, table) if f["rows"] > 0]
+        return _commit_rewrite(
+            table,
+            parent,
+            {e["path"] for e in dv_upd},
+            dv_upd + appended,
+            "update-dv",
+            batch_schema=_schema_of(updated),
+            delta_safe=lambda f: not _file_admits(f, where),
+        )
+    df = _read_entries(spark, touched)
+    updated = _apply(df, only_matched=False)
+    bc = _common_bloom_cols(touched)
+    new_files = [
+        f for f in _write_data_files(updated, table, bloom_cols=bc) if f["rows"] > 0
+    ]
+    return _commit_rewrite(
+        table,
+        parent,
+        {f["path"] for f in touched},
+        new_files,
+        "update",
+        batch_schema=_schema_of(updated),
+        delta_safe=lambda f: not _file_admits(f, where),
+    )
+
+
+@_retry_on_conflict
 def snapshot_compact(
     spark: SparkSession,
     table: str,
