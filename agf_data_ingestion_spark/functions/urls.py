@@ -46,6 +46,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: default tracking-parameter prefix dropped by canonicalization.  The
+#: oracle twin (plans/urls.py) derives its SQL literal AND substring
+#: length from THIS constant, so the Spark default and the oracle can
+#: never drift (r6 ADVICE) — a caller passing a different prefix to
+#: canonical_url is exercising the production knob, not the oracle path.
+TRACKING_PREFIX = "utm_"
+
 #: engine-common parsers (Java∩RE2 subset; '' on no match in BOTH engines
 #: — verified, see plans/urls.py oracle twin)
 _RE_SCHEME = r"^([a-zA-Z]+)://"
@@ -98,7 +105,7 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", "/").otherwise(p)
 
 
-def url_query_canonical(url: Column, tracking_prefix: str = "utm_") -> Column:
+def url_query_canonical(url: Column, tracking_prefix: str = TRACKING_PREFIX) -> Column:
     """Canonical query string: tracking-prefixed and empty params dropped,
     survivors sorted; '' when nothing survives."""
     raw = F.regexp_extract(url, _RE_QUERY, 1)
@@ -110,7 +117,7 @@ def url_query_canonical(url: Column, tracking_prefix: str = "utm_") -> Column:
     return F.coalesce(F.array_join(F.array_sort(kept), "&"), F.lit(""))
 
 
-def canonical_url(url: Column, tracking_prefix: str = "utm_") -> Column:
+def canonical_url(url: Column, tracking_prefix: str = TRACKING_PREFIX) -> Column:
     """The full canonical form (see module docstring for each rule)."""
     q = url_query_canonical(url, tracking_prefix)
     return F.concat(

@@ -98,9 +98,13 @@ _PRIORITY = [
     "docs_incremental_neardup",
     # round-6 additions — need first driver certification
     "docs_langid_train",
-    "docs_langid_apply",
+    "docs_langid_apply",  # r7 plan change (single-exchange apply) — re-certify
     "docs_pii_redaction",  # r6 plan change (new planted kinds) — re-certify
     "customers_entity_resolution",  # r6 plan change (hot-block cap)
+    # late-r6 additions that missed the r6 witness window (r6 ADVICE: new
+    # queries MUST land in-window) + the r7 skew-safe cap plan change
+    "docs_url_curation",
+    "docs_decontam_spans",
     # round-5 additions with no driver CORRECTNESS row yet — these MUST land
     # inside the ~50-row sample this round
     "docs_bpe_train",

@@ -138,31 +138,53 @@ def docs_langid_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify the HELD-OUT 20%: integer dot product of the document's
     bucket counts with each language's weights, argmax with lowest-lang
     tie-break; ``correct`` is the planted self-evaluation (pytest pins
-    accuracy ≥ 95%)."""
+    accuracy ≥ 95%).
+
+    Scale shape (r7, VERDICT r6 finding #4): the r6 form computed
+    per-(doc, lang) score rows and LEFT-joined them back to the held-out
+    corpus — TWO corpus exchanges on doc_id feeding a SortMergeJoin.
+    Languages are a fixed model constant, so the per-language scores are
+    now conditional sums in ONE ``groupBy(doc_id)`` over the
+    broadcast-joined bigram rows (map-side partials collapse each doc to
+    one row before the wire — a doc's bigrams never leave their input
+    partition), and the argmin runs in the projection over the
+    ``len(_MAPS)``-element (−score, lang) struct array (interpreted
+    higher-order ops on a 3-element array, never corpus-sized — the
+    CLAUDE.md lambda rule).  One corpus exchange carrying ~1 row/doc,
+    no join, no window (plan-shape test pins it).  A bigram bucket
+    absent from the training weights keeps its doc alive through the
+    LEFT join (all-null scores → pred −1), preserving the r6 left-join
+    semantics exactly — the DuckDB twin keeps its clearer
+    feats/scores/argmin/left-join form and hash-matches bit-for-bit."""
     bg = _bigrams(_corpus(spark, sf_dir))
     w = _weights(bg)
-    held = bg.filter(~F.col("is_train"))
-    feats = held.groupBy("doc_id", F.col("lang").alias("true_lang"), "bucket").agg(
-        F.count("*").alias("cnt")
+    held = bg.filter(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "bucket"
     )
-    scores = (
-        feats.join(F.broadcast(w.select("bucket", "lang", "weight")), "bucket")
-        .groupBy("doc_id", "true_lang", "lang")
-        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+    joined = held.join(
+        F.broadcast(w.select("bucket", "lang", "weight")), "bucket", "left"
     )
-    preds = scores.groupBy("doc_id", "true_lang").agg(
-        F.min(F.struct((-F.col("score")).alias("d"), F.col("lang").alias("l")))[
-            "l"
-        ].alias("pred_lang")
+    langs = range(len(_MAPS))
+    scores = joined.groupBy("doc_id", "true_lang").agg(
+        *[
+            F.sum(F.when(F.col("lang") == i, F.col("weight"))).alias(f"s{i}")
+            for i in langs
+        ]
     )
-    docs = _corpus(spark, sf_dir).filter(~F.col("is_train")).select(
-        "doc_id", F.col("lang").alias("true_lang")
+    # argmin over the languages that matched ≥1 trained bucket (null score
+    # = unmatched): the verified struct-min rule, lowest lang breaks ties
+    cands = F.array(
+        *[
+            F.struct((-F.col(f"s{i}")).alias("d"), F.lit(i).cast("long").alias("l"))
+            for i in langs
+        ]
     )
-    return docs.join(preds.select("doc_id", "pred_lang"), "doc_id", "left").select(
+    pred = F.array_min(F.filter(cands, lambda x: x["d"].isNotNull()))["l"]
+    return scores.select(
         "doc_id",
         "true_lang",
-        F.coalesce("pred_lang", F.lit(-1)).alias("pred_lang"),
-        (F.coalesce("pred_lang", F.lit(-1)) == F.col("true_lang")).alias("correct"),
+        F.coalesce(pred, F.lit(-1)).alias("pred_lang"),
+        (F.coalesce(pred, F.lit(-1)) == F.col("true_lang")).alias("correct"),
     )
 
 

@@ -28,13 +28,39 @@ arithmetic both engines compute identically; the 1-row count is
 cross-joined broadcast, never a global window).
 
 Scale shape: one map-only scan builds raw+canon (regex subset —
-whole-stage codegen), then exactly two key-partitioned shuffles:
-row_number over ``canon`` (dedup) and row_number over
-``(domain, eligible)`` (cap).  No global window, no collect.  The cap
-comparison is against a column, so WindowGroupLimit cannot prune
-map-side — at real scale you'd pre-aggregate per-domain counts and
-semi-join the under-cap domains first; at catalog scale the two-window
-form is the clearer oracle twin.
+whole-stage codegen), then exactly two key-partitioned corpus
+shuffles: row_number over ``canon`` (dedup — canonical URLs are
+high-cardinality, no skew) and the SALTED per-domain rank (cap).  No
+global window, no collect.
+
+Skew-safe per-domain rank (r7, VERDICT r6 finding #2): web-scale
+domain skew means `row_number() OVER (PARTITION BY domain, ...)`
+funnels a mega-domain's every document through ONE reducer — the
+full-shuffle-on-skewed-key shape this repo bans elsewhere.  The cap
+rank is therefore computed as an exact DISTRIBUTED row_number
+(``_salted_rank``): rows are ranked within ``(domain, eligible,
+salt)`` cells (``salt = doc_id % S``, S derived from corpus size by
+integer-only arithmetic — the adaptive `_sd_bits` rule, so the oracle
+twin computes the identical S), per-cell counts roll up to prefix-sum
+offsets over the TINY (domain, eligible, salt)-count table, and
+``rank = offset + within-cell rank``.  That is exactly
+``row_number() OVER (PARTITION BY domain, eligible ORDER BY
+doc_id % S, doc_id)`` — the tie-broken (salt, doc_id) total order is
+the documented cap order (a deterministic per-domain cap does not
+care WHICH docs survive, and salt-order keeps an unbiased spread of
+the domain instead of the lowest ids) — and the oracle computes it as
+that single window.  A mega-domain now spreads over S reducers
+(S = 65536 at 1e12 docs → ≤ ~15k rows per cell for a domain owning
+the whole corpus); the offsets side is bounded by distinct
+(domain, salt) cells and joins back on the cell key the corpus is
+already partitioned by (shuffle-hash pinned — with many single-doc
+domains the cell table approaches corpus size, so it must never be
+broadcast).  Wire cost: the probe side shuffles once on canon and
+once on the cell key; the count branch re-shuffles a COLUMN-PRUNED
+(doc_id, canon, domain) projection on canon (pruning forks the
+exchange subtree, so it cannot reuse the wide one) and everything
+after it is map-combined partial counts — strictly cheaper than the
+unbounded single-reducer cliff it replaces.
 
 Canonicalization/domain logic is the PRODUCTION code path
 (functions/urls.py) — the oracle checks the real operator, not a twin
@@ -47,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.functions.urls import (
+    TRACKING_PREFIX,
     canonical_url,
     registered_domain,
     url_host,
@@ -55,6 +82,52 @@ from agf_data_ingestion_spark.plans.base import QuerySpec, t
 
 #: registered domains excluded outright (the blocklist — tiny, in-plan)
 _BLOCKED = ("d0.com", "d1.com")
+
+#: adaptive salt-cell count for the distributed per-domain rank —
+#: integer-only so the DuckDB twin computes the identical value
+#: (64 at catalog scale; 65536 at 1e12 docs)
+_S_CELLS_SQL = "greatest(64, least(65536, tot DIV 4096))"
+
+
+def _salted_rank(df: DataFrame) -> DataFrame:
+    """Exact distributed ``row_number() OVER (PARTITION BY domain,
+    eligible ORDER BY doc_id % s_cells, doc_id)`` without a per-domain
+    single-reducer window: rank within (domain, eligible, salt) cells,
+    then add the prefix-sum offset of earlier cells (computed over the
+    tiny cell-count table).  Input needs (doc_id, tot, domain, eligible);
+    adds ``dr``.  Factored out so the planted mega-domain pytest can pin
+    both the values (≡ the single-window ground truth) and the plan (no
+    corpus window partitioned by domain without the salt)."""
+    salted = df.withColumn("s_cells", F.expr(_S_CELLS_SQL)).withColumn(
+        "salt", F.col("doc_id") % F.col("s_cells")
+    )
+    w_cell = Window.partitionBy("domain", "eligible", "salt").orderBy("doc_id")
+    r1 = salted.withColumn("rn_s", F.row_number().over(w_cell))
+    # cell-count branch: Catalyst prunes the unused window, so this side
+    # is map-side partial counts — the corpus shuffles once (probe side)
+    cells = salted.groupBy("domain", "eligible", "salt").agg(
+        F.count("*").alias("c")
+    )
+    w_off = (
+        Window.partitionBy("domain", "eligible")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cells.select(
+        "domain",
+        "eligible",
+        "salt",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    # the cell table is one row per NON-EMPTY (domain, eligible, salt)
+    # cell — with many single-doc domains that approaches corpus size, so
+    # it must never be broadcast (the corpus-side ban); the hinted side is
+    # the build side, and both sides are already clustered on the cell key
+    return (
+        r1.join(offs.hint("shuffle_hash"), ["domain", "eligible", "salt"])
+        .withColumn("dr", (F.col("_off") + F.col("rn_s")).cast("long"))
+        .drop("s_cells", "salt", "rn_s", "_off")
+    )
 
 
 def docs_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,18 +238,8 @@ def docs_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w_dup) > 1).alias("is_dup"),
     ).withColumn("eligible", ~F.col("blocked") & ~F.col("is_dup"))
 
-    w_dom = Window.partitionBy("domain", "eligible").orderBy("doc_id")
-    ranked = staged.select(
-        "doc_id",
-        "domain",
-        "blocked",
-        "is_dup",
-        "eligible",
-        "raw",
-        "expected",
-        "canon",
-        F.row_number().over(w_dom).alias("dr"),
-        F.expr("greatest(1, tot DIV 250)").cast("long").alias("domain_cap"),
+    ranked = _salted_rank(staged).withColumn(
+        "domain_cap", F.expr("greatest(1, tot DIV 250)").cast("long")
     )
     return ranked.select(
         "doc_id",
@@ -192,7 +255,7 @@ def docs_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_SQL = """
+_URL_SQL = f"""
 WITH base AS (
   SELECT doc_id, tot,
          ('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS b
@@ -255,7 +318,8 @@ canond AS (
            CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
            coalesce(array_to_string(list_sort(list_filter(
              string_split(rawq, '&'),
-             x -> substr(x, 1, 4) <> 'utm_' AND x <> '')), '&'), '') AS q
+             x -> substr(x, 1, {len(TRACKING_PREFIX)}) <> '{TRACKING_PREFIX}'
+                  AND x <> '')), '&'), '') AS q
     FROM (
       SELECT *,
              CASE WHEN substr(host0, 1, 4) = 'www.' THEN substr(host0, 5)
@@ -283,8 +347,13 @@ staged AS (
     FROM canond)
 ),
 ranked AS (
+  -- the single-window twin of the Spark side's distributed salted rank:
+  -- identical S (integer-only arithmetic), identical (salt, doc_id) order
   SELECT *,
-         row_number() OVER (PARTITION BY domain, eligible ORDER BY doc_id) AS dr,
+         row_number() OVER (
+           PARTITION BY domain, eligible
+           ORDER BY doc_id % greatest(64, least(65536, tot // 4096)), doc_id
+         ) AS dr,
          CAST(greatest(1, tot // 250) AS BIGINT) AS domain_cap
   FROM staged
 )

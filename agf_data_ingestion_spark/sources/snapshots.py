@@ -1680,10 +1680,27 @@ def snapshot_update(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be cow|dv, got {mode!r}")
     parent = _repair_current(table)
-    cols = [c for c, _ in snapshot_schema(table, parent)]
-    unknown = sorted(set(set_exprs) - set(cols))
+    schema = snapshot_schema(table, parent)
+    types = dict(schema)
+    unknown = sorted(set(set_exprs) - set(types))
     if unknown:
         raise ValueError(f"snapshot_update: no such column(s) {unknown}")
+    # type-check every SET expression against the table schema UP FRONT
+    # (0-row analysis, driver-only): a retyping expression must raise
+    # SchemaEvolutionError before any file is written — left to the commit
+    # point, COW's when/otherwise would ANSI-coerce the OLD values into
+    # the new type and die with a bare cast error mid-write instead
+    probe = spark.createDataFrame(
+        [], ", ".join(f"`{n}` {t}" for n, t in schema)
+    ).select(*[F.expr(e).alias(c) for c, e in set_exprs.items()])
+    retyped = [
+        (c, types[c], t) for c, t in probe.dtypes if t != types[c]
+    ]
+    if retyped:
+        detail = ", ".join(f"{c}: {old} -> {new}" for c, old, new in retyped)
+        raise SchemaEvolutionError(
+            f"additive evolution only — UPDATE retypes column(s): {detail}"
+        )
     touched = plan_files(table, version=parent, where=where)
     if not touched:
         return parent  # stats prove nothing matched: no-op, no commit

@@ -39,6 +39,10 @@ TEST_COVERED = {
         "sources/snapshots.py (merge-on-read deletion vectors: snapshot_delete(mode='dv') commits O(matches) position-delete files and entry updates only; merge-on-read reads via _read_entries anti-join with size-guarded broadcast; compaction applies-and-purges; expiry reclaims; entry-identity OCC + segment reuse)",
         "tests/test_deletion_vectors.py (DV ≡ COW result, zero-rewrite commit, exact rowcount across overlapping deletes, honest MIN/MAX, CDC/diff + streaming CDC emit the deletes, compaction purge + reclaim, upsert/merge over DVs, disjoint-rewrite concurrency, same-file race convergence, restore/expiry retention)",
     ),
+    "OP-X-UPDATE": (
+        "sources/snapshots.py `snapshot_update` (predicate UPDATE completing the DML triad: cow rewrites stats-pruned touched files, dv shadows matched rows with position deletes + appends updated rows; SET sees the OLD row; up-front 0-row type check raises SchemaEvolutionError on retyping expressions before any write)",
+        "tests/test_snapshot_update.py (cow ≡ dv reader equivalence, zero-match no-op both at stats and post-scan level, CDC delete+insert, OLD-row swap semantics, NULL-predicate rows kept, retype refusal with no commit, unknown column, concurrent same-file cow×dv race convergence, pruned reads post-update)",
+    ),
     "OP-X-BRANCH": (
         "sources/branches.py (zero-copy branch fork: fork-version tag-pinned on the parent, branch is a full snapshot table under <table>/_branches/<name> — every snapshot op works on it unchanged; strict fast-forward publish as ONE replace-shaped parent commit with branch-local files hardlinked into the parent tree under the table lock; drop releases the pin)",
         "tests/test_branches.py (zero-copy fork + isolation both directions, fast-forward publish incl. DV entries with append-only history, divergence refusal commits nothing, parent-expiry starvation safety via the fork tag, drop-after-publish inode safety through expiry, name reuse, idle-branch no-op publish)",

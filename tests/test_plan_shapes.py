@@ -268,3 +268,20 @@ def test_oversized_dim_falls_back_to_shuffle_join(spark, monkeypatch):
     for bhj in re.findall(r"BroadcastHashJoin \[[^\]]*\], \[[^\]]*\]", plan):
         assert "p_partkey" not in bhj and "s_suppkey" not in bhj, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_langid_apply_single_corpus_exchange(spark):
+    # r7 (VERDICT r6 finding #4): the held-out corpus is shuffled ONCE on
+    # doc_id — per-language scores are conditional sums in one groupBy,
+    # argmin runs in the projection, and the r6 preds-to-corpus
+    # SortMergeJoin (two doc_id exchanges) is gone; the only other
+    # exchanges are the constant-size model aggregations
+    plan = _plan(spark, "docs_langid_apply")
+    doc_ex = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "doc_id" in l
+    ]
+    assert len(doc_ex) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert " Window " not in plan, plan

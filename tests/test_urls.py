@@ -74,6 +74,44 @@ def test_registered_domain_and_host(spark):
         assert r.h == r.host and r.d == r.dom
 
 
+def test_salted_rank_mega_domain_exact_and_skew_safe(spark):
+    """VERDICT r6 finding #2: the per-domain cap rank must survive a
+    mega-domain.  Values: the distributed salted rank ≡ the single-window
+    ground truth in (doc_id % S, doc_id) order.  Plan: no corpus
+    row_number window partitioned by domain WITHOUT the salt, and the
+    cell-offset join stays a shuffle join (the cell table approaches
+    corpus size under many tiny domains — never broadcast)."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.plans.urls import _salted_rank
+
+    n = 20_000  # 95% of rows in ONE domain
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(n).cast("long").alias("tot"),
+        F.when(F.col("id") % 20 != 0, F.lit("mega.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 7).cast("string"), F.lit(".com")))
+        .alias("domain"),
+        (F.col("id") % 13 != 0).alias("eligible"),
+    )
+    got = _salted_rank(base)
+    s = F.expr("greatest(64, least(65536, tot DIV 4096))")
+    w = Window.partitionBy("domain", "eligible").orderBy(
+        (F.col("doc_id") % s).asc(), F.col("doc_id").asc()
+    )
+    want = base.select("doc_id", F.row_number().over(w).cast("long").alias("dr"))
+    gm = {r["doc_id"]: r["dr"] for r in got.select("doc_id", "dr").collect()}
+    wm = {r["doc_id"]: r["dr"] for r in want.collect()}
+    assert gm == wm
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition(domain" in line:
+            assert "salt" in line, line  # never a bare per-domain window
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_curation_invariants(spark):
     out = docs_url_curation(spark, SF_SMOKE)
     agg = out.agg(
