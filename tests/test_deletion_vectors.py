@@ -295,3 +295,21 @@ def test_dv_delete_on_relative_table_path(spark, tmp_path):
     assert sorted(r["k"] for r in d.collect() if r["_change"] == "delete") == list(
         range(10)
     )
+
+
+def test_dv_anti_join_broadcasts_int_ids_not_paths(spark, tmp_path):
+    """r7 (VERDICT r6 finding #3): the merge-on-read anti-join's broadcast
+    side must carry (int file id, position) rows — never the absolute-path
+    string per position — and the byte guard must hint the broadcast for
+    a bounded set."""
+    tbl = _mk(spark, tmp_path)
+    snapshot_delete(spark, tbl, [("k", "<", 10)], mode="dv")
+    df = snapshot_read(spark, tbl)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan
+    # the anti-join keys are the encoded id + position, not the path
+    assert all("_dv_fid" in l and "_dv_pos" in l for l in anti), anti
+    assert all("_dv_fp" not in l for l in anti), anti
+    assert "BroadcastHashJoin" in anti[0], anti  # guard hinted the build side
+    assert df.count() == 30  # and the merged read is still exact
