@@ -385,7 +385,9 @@ def ann_index_retrain(
         # deleted through a retrain (never resurrected), and DV'd ids are
         # not demanded of the corpus
         live_ids = (
-            _read_entries(spark, m["files"]).select("vec_id")
+            _read_entries(
+                spark, m["files"], eq_deletes=m.get("eq_deletes")
+            ).select("vec_id")
             if m["files"]
             else None
         )
@@ -506,10 +508,15 @@ def ann_index_search(
         # a later snapshot_delete — an empty result, not an unpack error
         return spark.createDataFrame([], empty)
     # merge-on-read: entries carrying deletion vectors (a snapshot_delete
-    # over the index) anti-join their positions; plain entries = bare scan
+    # over the index) anti-join their positions, equality deletes their
+    # keys; plain entries = bare scan
     from agf_data_ingestion_spark.sources.snapshots import _read_entries
 
-    scan = _read_entries(spark, kept).filter(F.col("cell").isin(probe_cells))
+    scan = _read_entries(
+        spark,
+        kept,
+        eq_deletes=read_manifest(table, version).get("eq_deletes"),
+    ).filter(F.col("cell").isin(probe_cells))
 
     lut = {
         q: [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ rcb[m][1].T for m in range(_PQ_M)]

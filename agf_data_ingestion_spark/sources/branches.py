@@ -136,6 +136,11 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
         v = pinned
     m = read_manifest(table, v)
     os.makedirs(root, exist_ok=True)
+    # the fork carries the parent's equality-delete context AND its
+    # sequence counter (r7): entries keep their parent-domain seqs, so
+    # parent eq items keep applying on the branch, and branch-local
+    # commits continue the SAME monotone sequence — publish can then move
+    # branch seqs back to the parent with no cross-domain translation
     _publish(
         root,
         _deep_entries(m),
@@ -143,6 +148,8 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
         f"branch_fork@{v}",
         batch_schema=m.get("schema"),
         replace=m.get("schema") is not None,
+        eq_deletes=json.loads(json.dumps(m.get("eq_deletes") or [])),
+        last_seq_floor=m.get("last_seq", v),
     )
     return root
 
@@ -218,12 +225,20 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
             )
         data_dest = os.path.join(table, "data", f"publish-{run}")
         dv_dest = os.path.join(table, "dv", f"publish-{run}")
+        eq_dest = os.path.join(table, "eqd", f"publish-{run}")
         for f in files:
             f["path"] = _relocate(f["path"], root_abs, data_dest)
             for item in _dv_items(f):
                 item["paths"] = [
                     _relocate(p, root_abs, dv_dest) for p in item["paths"]
                 ]
+        # branch-local equality-delete key filesets relocate like DVs;
+        # item seqs are already in the shared counter domain (fork rule)
+        eq = json.loads(json.dumps(bm.get("eq_deletes") or []))
+        for item in eq:
+            item["paths"] = [
+                _relocate(p, root_abs, eq_dest) for p in item["paths"]
+            ]
         try:
             v = _publish(
                 table,
@@ -232,6 +247,8 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
                 f"branch_publish@{name}:{bm['version']}",
                 batch_schema=bm.get("schema"),
                 replace=bm.get("schema") is not None,
+                eq_deletes=eq,
+                last_seq_floor=bm.get("last_seq", bm["version"]),
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(

@@ -116,13 +116,13 @@ def bucketed_snapshot_frame(
 
     v = current_version(table) if version is None else version
     m = read_manifest(table, v)
-    if any(f.get("dv") for f in m["files"]):
-        # a hardlinked bucketed scan cannot apply deletion vectors; fall
-        # back to the merge-on-read path (correct, loses the exchange-free
-        # layout) until compaction applies the DVs and restores it
+    if any(f.get("dv") for f in m["files"]) or m.get("eq_deletes"):
+        # a hardlinked bucketed scan cannot apply deletion vectors or
+        # equality deletes; fall back to the merge-on-read path (correct,
+        # loses the exchange-free layout) until compaction applies them
         from agf_data_ingestion_spark.sources.snapshots import _read_entries
 
-        return _read_entries(spark, m["files"])
+        return _read_entries(spark, m["files"], eq_deletes=m.get("eq_deletes"))
     probe_dir = os.path.join(table, "_probe", f"v{v:08d}")
     if not os.path.isdir(probe_dir):
         tmp = f"{probe_dir}.tmp-{uuid.uuid4().hex}"

@@ -108,38 +108,69 @@ def _dv_positions(entries: list[dict]) -> dict[str, set[int]]:
     return out
 
 
-def _rows_of(entries: list[dict], names: list[str]) -> Counter:
-    """Multiset of row tuples from manifest file ENTRIES, deletion
-    vectors applied (physical row index == pyarrow's whole-file read
-    order — the same contract ``_metadata.row_index`` exposes on the
-    Spark read path).  Column order pinned to ``names``.
-    tz-aware timestamps (Spark TimestampType writes parquet as UTC-
+def _norm_val(v):
+    """tz-aware timestamps (Spark TimestampType writes parquet as UTC-
     adjusted) normalize to naive UTC so they match the declared
     ``timestamp_ntz`` schema instead of being session-timezone-shifted
-    by the converter."""
+    by the converter — applied to data rows AND eq-delete keys so the
+    two compare in one domain."""
     import datetime as _dt
 
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _eq_key_sets(eq_list: list[dict], names: list[str]):
+    """[(key column indices into ``names``, seq, set of key tuples)] for
+    the version's equality deletes — loaded driver-side with pyarrow
+    (key filesets are O(deleted keys), commit-sized)."""
     import pyarrow.parquet as pq
 
-    from agf_data_ingestion_spark.sources.snapshots import _scan_path
+    out = []
+    for it in eq_list or []:
+        idx = [names.index(c) for c in it["key_cols"]]
+        keys: set = set()
+        for p in sorted(it["paths"]):
+            tbl = pq.read_table(p)
+            cols = [
+                [_norm_val(v) for v in tbl.column(c).to_pylist()]
+                for c in it["key_cols"]
+            ]
+            keys.update(zip(*cols))
+        out.append((idx, it, keys))
+    return out
+
+
+def _rows_of(entries: list[dict], names: list[str], eq_list=None) -> Counter:
+    """Multiset of row tuples from manifest file ENTRIES, deletion
+    vectors AND applicable equality deletes applied (physical row index
+    == pyarrow's whole-file read order — the same contract
+    ``_metadata.row_index`` exposes on the Spark read path).  Column
+    order pinned to ``names``."""
+    import pyarrow.parquet as pq
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        _eq_applies,
+        _scan_path,
+    )
 
     dead = _dv_positions(entries)
+    eq_sets = _eq_key_sets(eq_list, names)
     out: Counter = Counter()
     for f in sorted(entries, key=lambda e: e["path"]):
         tbl = pq.read_table(f["path"])
-        cols = []
-        for n in names:
-            vals = tbl.column(n).to_pylist()
-            vals = [
-                v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-                if isinstance(v, _dt.datetime) and v.tzinfo is not None
-                else v
-                for v in vals
-            ]
-            cols.append(vals)
+        cols = [[_norm_val(v) for v in tbl.column(n).to_pylist()] for n in names]
         gone = dead.get(_scan_path(f["path"]), ())
-        for idx, row in enumerate(zip(*cols)):
-            if idx in gone:
+        applicable = [
+            (idx, keys) for idx, it, keys in eq_sets if _eq_applies(f, it)
+        ]
+        for pos, row in enumerate(zip(*cols)):
+            if pos in gone:
+                continue
+            if any(
+                tuple(row[i] for i in idx) in keys for idx, keys in applicable
+            ):
                 continue
             out[row] += 1
     return out
@@ -157,25 +188,43 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
 
     def _delta(self, v: int):
         """The row-level changes committed by version ``v``.  Entries
-        cancel only when path AND deletion-vector list both match — a DV
-        delete changes an entry in place, and each side must read the
-        touched file with ITS version's DVs applied so the delta nets to
-        exactly the deleted rows (same rule as ``snapshot_diff``)."""
+        cancel only when path, deletion-vector list AND applicable
+        equality-delete set all match — both delete forms change what an
+        unmoved file reads as, and each side must read the touched file
+        with ITS version's delete context so the delta nets to exactly
+        the deleted rows (same rule as ``snapshot_diff``)."""
         from agf_data_ingestion_spark.sources.snapshots import (
-            _dv_signature as _sig,
+            _dv_signature,
+            _eq_sig,
         )
 
         mf = read_manifest(self.table, v - 1) if v > 1 else {"files": []}
         mt = read_manifest(self.table, v)
+        eq_f = mf.get("eq_deletes") or []
+        eq_t = mt.get("eq_deletes") or []
+
+        def _sig(f, eq):
+            return _dv_signature(f) + "|" + _eq_sig(f, eq)
+
         ef = {f["path"]: f for f in mf["files"]}
         et = {f["path"]: f for f in mt["files"]}
         removed = _rows_of(
-            [ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])],
+            [
+                ef[p]
+                for p in sorted(ef)
+                if p not in et or _sig(ef[p], eq_f) != _sig(et[p], eq_t)
+            ],
             self.names,
+            eq_f,
         )
         added = _rows_of(
-            [et[p] for p in sorted(et) if p not in ef or _sig(et[p]) != _sig(ef[p])],
+            [
+                et[p]
+                for p in sorted(et)
+                if p not in ef or _sig(et[p], eq_t) != _sig(ef[p], eq_f)
+            ],
             self.names,
+            eq_t,
         )
         rows = []
         for r in sorted(added.keys() | removed.keys(), key=repr):

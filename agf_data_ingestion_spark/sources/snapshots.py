@@ -10,6 +10,11 @@ Layout::
       dv/<commit-uuid>/part-*.parquet     position-delete files (r6):
                                           (file_path, pos) pairs a
                                           merge-on-read DELETE committed
+      eqd/<commit-uuid>/part-*.parquet    equality-delete key files (r7):
+                                          key rows a zero-read
+                                          DELETE-BY-KEY / eq-MERGE
+                                          committed; scoped by sequence
+                                          number (manifest "eq_deletes")
       _snapshots/v-00000001.json          manifest: the file list of v1
       _snapshots/CURRENT                  pointer file (atomic rename swap)
 
@@ -324,12 +329,17 @@ def snapshot_history(table: str) -> list[dict]:
                 "n_cols": len(m["schema"]) if m.get("schema") is not None else None,
                 "added_cols": added,
                 "total_bytes": sum(f.get("bytes", 0) for f in m["files"]),
-                # LIVE rows: footer counts minus deletion-vector positions
+                # LIVE rows: footer counts minus deletion-vector positions;
+                # unknowable (None) while an equality delete is live
                 "total_rows": sum(_live_rows(f) for f in m["files"])
                 if all("rows" in f for f in m["files"])
+                and not m.get("eq_deletes")
                 else None,
                 "dv_rows": sum(
                     i["n"] for f in m["files"] for i in (f.get("dv") or [])
+                ),
+                "eq_delete_keys": sum(
+                    it["n"] for it in m.get("eq_deletes") or []
                 ),
             }
         )
@@ -430,6 +440,9 @@ def _publish(
     *,
     batch_schema: list | None = None,
     replace: bool = False,
+    add_eq: list | None = None,
+    eq_deletes: list | None = None,
+    last_seq_floor: int = 0,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -441,21 +454,68 @@ def _publish(
     against the PARENT manifest's schema at this exact commit point, so a
     racing writer's incompatible evolution is caught on the loser's rebase
     retry (the winner's schema is the new parent).  None (delete/compact)
-    carries the parent schema forward unchanged."""
+    carries the parent schema forward unchanged.
+
+    Sequence numbers (r7, equality deletes): every manifest carries a
+    monotone ``last_seq``; entries NEW to this commit (no ``seq`` key —
+    callers never pre-stamp) are stamped with this commit's sequence AS
+    COPIES, re-stamped fresh on every CAS retry so a lost race can never
+    leak a stale ordering.  Entries inherited from the parent pass
+    through byte-identical (pre-r7 entries stay unstamped and read as
+    seq 0 — they predate every possible equality delete), which is what
+    keeps segment reuse and ``_commit_rewrite`` entry-identity
+    validation working unchanged.  ``last_seq_floor`` lets restore /
+    branch publish carry a foreign counter forward so the global
+    ordering stays monotone.
+
+    Equality deletes ride the manifest: ``eq_deletes=None`` inherits the
+    parent's list (reset by ``replace``), an explicit list overrides
+    (restore / branch publish), and ``add_eq`` items are stamped with
+    this commit's sequence — so a merge that appends its batch and adds
+    an equality delete in ONE commit shadows only PRIOR rows (the
+    Iceberg same-sequence rule).  Items no live entry admits
+    (``_eq_applies``: sequence + key-bounds check) are garbage-collected
+    at every commit, so a non-empty list always means "some live file
+    may carry deleted keys"."""
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
     parent_m = read_manifest(table, parent) if parent > 0 else None
     parent_schema = parent_m.get("schema") if parent_m else None
+    last_seq = (
+        max((parent_m or {}).get("last_seq", parent), last_seq_floor) + 1
+    )
+    # stamp ONLY entries new to this commit: an unstamped entry already in
+    # the parent is pre-r7 and must stay unstamped (seq 0 — older than any
+    # equality delete); stamping it would both exempt it from earlier eq
+    # deletes and churn its entry identity under segment reuse / OCC
+    parent_paths = {f["path"] for f in (parent_m or {}).get("files") or []}
+    files = [
+        f
+        if ("seq" in f or f["path"] in parent_paths)
+        else dict(f, seq=last_seq)
+        for f in files
+    ]
+    if eq_deletes is not None:
+        eq = [dict(it) for it in eq_deletes]
+    elif replace:
+        eq = []  # logical replace: no prior rows survive to be eq-deleted
+    else:
+        eq = [dict(it) for it in (parent_m or {}).get("eq_deletes") or []]
+    eq += [dict(it, seq=last_seq) for it in add_eq or []]
+    eq = [it for it in eq if any(_eq_applies(f, it) for f in files)]
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "committed_at": time.time(),
+        "last_seq": last_seq,
         "schema": _evolve_schema(parent_schema, batch_schema, replace=replace),
         # O(delta) commit: reuse the parent's untouched segments by name,
         # write only the new entries (plus bounded geometric coalescing)
         "segments": _derive_segments(table, files, parent_m),
     }
+    if eq:
+        manifest["eq_deletes"] = eq
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.tmp-{uuid.uuid4()}"
     with open(tmp, "w") as fh:
@@ -559,9 +619,17 @@ def _commit_rewrite(
       this rewrite's key range / predicate (stats-based, conservative:
       a stats-less delta file always forces a recompute).  ``None``
       means any addition is safe (compaction: later appends simply stay
-      uncompacted until the next run).
+      uncompacted until the next run);
+    * the winner's EQUALITY-DELETE list is unchanged (r7) — an
+      interleaved equality delete shadows rows this rewrite already
+      read without it, and the rewrite's output files get a FRESH
+      sequence the delete would no longer apply to; rebasing would
+      therefore resurrect the deleted keys inside the rewritten files
+      (:class:`RewriteConflict` → recompute sees the new eq context).
     """
-    base = read_manifest(table, parent)["files"] if parent > 0 else []
+    parent_m = read_manifest(table, parent) if parent > 0 else {}
+    base = parent_m.get("files") or []
+    base_eq = json.dumps(_eq_items(parent_m), sort_keys=True)
     new_paths = {f["path"] for f in new_files}
     for _ in range(_OCC_MAX_RETRIES):
         files = [f for f in base if f["path"] not in touched_paths] + new_files
@@ -571,7 +639,13 @@ def _commit_rewrite(
             )
         except CommitConflict:
             cur = _repair_current(table)
-            cur_files = read_manifest(table, cur)["files"]
+            cur_m = read_manifest(table, cur)
+            if json.dumps(_eq_items(cur_m), sort_keys=True) != base_eq:
+                raise RewriteConflict(
+                    f"{table}: a concurrent equality delete landed under "
+                    f"this {op} — recomputing"
+                ) from None
+            cur_files = cur_m["files"]
             cur_paths = {f["path"] for f in cur_files}
             missing = touched_paths - cur_paths
             if missing:
@@ -1064,8 +1138,76 @@ def _norm_file_path(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+# -- equality deletes (r7) -----------------------------------------------------
+# The Iceberg-v2 equality-delete rung UNDER the position-delete one: a
+# DELETE-BY-KEY commits O(batch) key rows and manifest metadata with ZERO
+# target reads — the writer does not know (and never finds out) which files
+# hold the keys.  The manifest carries
+#
+#     "eq_deletes": [{"paths": [<key parquet files>], "key_cols": [...],
+#                     "n": <key rows>, "seq": s, "bounds": {col: [lo, hi]}}]
+#
+# and an item applies to a data entry iff entry.seq < item.seq (files
+# appended AFTER the delete are never shadowed — the same-sequence rule
+# lets a merge append its batch and delete prior copies in ONE commit) and
+# the entry's key-column stats overlap the item's key bounds.  Readers
+# anti-join rows on (key columns, row seq < item seq); compaction rewrites
+# shadowed entries off the merged view (fresh seq → items stop applying)
+# and every commit garbage-collects items no live entry admits, after
+# which expiry reclaims the key filesets.  Exact metadata row counts are
+# UNKNOWABLE while an item is live (matches were never counted) —
+# ``snapshot_rowcount`` refuses rather than guesses.
+
+#: per-key-row byte estimate for the eq anti-join broadcast guard (keys
+#: are a few scalar columns; hashed-relation overhead dominates, as
+#: measured for the position-delete form)
+_EQ_BROADCAST_ROW_BYTES = 128
+
+
+def _eq_items(m: dict) -> list[dict]:
+    return m.get("eq_deletes") or []
+
+
+def _eq_applies(entry: dict, item: dict) -> bool:
+    """Could equality-delete ``item`` shadow any row of ``entry``?
+    Sequence rule first (strictly-prior files only), then the per-column
+    key bounds vs the entry's parquet stats — a disjoint range on ANY key
+    column proves no row can equal any deleted key (both are conservative
+    min/max, so False here is a proof, True is merely "cannot disprove")."""
+    if entry.get("seq", 0) >= item["seq"]:
+        return False
+    st = entry.get("stats") or {}
+    for c, (lo, hi) in (item.get("bounds") or {}).items():
+        if c in st:
+            flo, fhi = st[c]
+            try:
+                if fhi < lo or flo > hi:
+                    return False
+            except TypeError:
+                pass  # incomparable stat domains: cannot disprove
+    return True
+
+
+def _eq_sig(entry: dict, eq_list: list[dict] | None) -> str:
+    """The identity of the equality deletes APPLICABLE to an entry — the
+    eq twin of ``_dv_signature``: two same-path entries read as the same
+    row multiset iff their DV lists AND their applicable eq sets match.
+    Shared by ``snapshot_diff`` and the streaming CDC source."""
+    return json.dumps(
+        sorted(
+            [sorted(it["paths"]), it["seq"]]
+            for it in eq_list or []
+            if _eq_applies(entry, it)
+        )
+    )
+
+
 def _read_entries(
-    spark: SparkSession, entries: list[dict], *, keep_position: bool = False
+    spark: SparkSession,
+    entries: list[dict],
+    *,
+    keep_position: bool = False,
+    eq_deletes: list | None = None,
 ):
     """Read manifest file entries WITH their deletion vectors applied —
     the merge-on-read path every consumer of raw manifest file lists must
@@ -1095,7 +1237,12 @@ def _read_entries(
         *sorted(f["path"] for f in entries)
     )
     items = [i for f in entries for i in _dv_items(f)]
-    if not items and not keep_position:
+    eq = [
+        it
+        for it in eq_deletes or []
+        if any(_eq_applies(f, it) for f in entries)
+    ]
+    if not items and not eq and not keep_position:
         return df
     cols = df.columns
     df = df.select(
@@ -1103,14 +1250,22 @@ def _read_entries(
         _norm_file_path(F.col("_metadata.file_path")).alias("_dv_fp"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
+    if items or eq:
+        # one tiny (path → int id, sequence) mapping frame serves both
+        # delete forms, attached to the scan with a broadcast LEFT join so
+        # a path that somehow fails to map gets NULL id/seq, which no
+        # anti-join condition can match — the row is KEPT, never dropped
+        keep = sorted({_scan_path(f["path"]) for f in entries})
+        seq_of = {_scan_path(f["path"]): f.get("seq", 0) for f in entries}
+        mapping = spark.createDataFrame(
+            [(p, i, seq_of[p]) for i, p in enumerate(keep)],
+            "_dv_fp string, _dv_fid int, _dv_seq long",
+        )
+        df = df.join(F.broadcast(mapping), "_dv_fp", "left")
     if items:
         dv_paths = sorted({p for i in items for p in i["paths"]})
         dv = spark.read.parquet(*dv_paths).select(
             F.col("file_path").alias("_dv_fp"), F.col("pos").alias("_dv_pos")
-        )
-        keep = sorted({_scan_path(f["path"]) for f in entries})
-        mapping = spark.createDataFrame(
-            [(p, i) for i, p in enumerate(keep)], "_dv_fp string, _dv_fid int"
         )
         # inner mapping join: encodes path → int id AND drops positions of
         # files outside this read in one pass
@@ -1120,14 +1275,39 @@ def _read_entries(
         n_pos = sum(i["n"] for f in entries for i in _dv_items(f))
         if n_pos * _DV_ROW_BYTES <= _DV_BROADCAST_MAX_BYTES:
             dv = F.broadcast(dv)
-        # LEFT mapping join on the scan side (map-side broadcast): a path
-        # that somehow fails to map gets a NULL id, which the anti-join
-        # can never match — the row is KEPT, never silently dropped
-        df = (
-            df.join(F.broadcast(mapping), "_dv_fp", "left")
-            .join(dv, ["_dv_fid", "_dv_pos"], "left_anti")
-            .drop("_dv_fid")
-        )
+        df = df.join(dv, ["_dv_fid", "_dv_pos"], "left_anti")
+    if eq:
+        # one anti-join per key-column set: rows are shadowed iff their
+        # key tuple appears in an item whose sequence is strictly LATER
+        # than the row's file (`_dv_seq < _eq_seq` as the join residual) —
+        # a NULL key on either side matches nothing (SQL equality)
+        groups: dict[tuple, list[dict]] = {}
+        for it in eq:
+            groups.setdefault(tuple(it["key_cols"]), []).append(it)
+        for key_cols, its in sorted(groups.items()):
+            parts = [
+                spark.read.parquet(*sorted(it["paths"])).select(
+                    *[
+                        F.col(c).alias(f"_eqk_{j}")
+                        for j, c in enumerate(key_cols)
+                    ],
+                    F.lit(it["seq"]).cast("long").alias("_eq_seq"),
+                )
+                for it in its
+            ]
+            keys = parts[0]
+            for p in parts[1:]:
+                keys = keys.unionByName(p)
+            if (
+                sum(it["n"] for it in its) * _EQ_BROADCAST_ROW_BYTES
+                <= _DV_BROADCAST_MAX_BYTES
+            ):
+                keys = F.broadcast(keys)
+            cond = df["_dv_seq"] < keys["_eq_seq"]
+            for j, c in enumerate(key_cols):
+                cond = cond & (df[c] == keys[f"_eqk_{j}"])
+            df = df.join(keys, cond, "left_anti")
+    df = df.drop("_dv_fid", "_dv_seq")
     return df if keep_position else df.select(cols)
 
 
@@ -1176,8 +1356,9 @@ def snapshot_read(
     kept = plan_files(table, version=version, where=where)
     if kept:
         # merge-on-read: entries carrying deletion vectors anti-join their
-        # (file, position) delete sets; plain entries read as a bare scan
-        df = _read_entries(spark, kept)
+        # (file, position) delete sets, equality deletes anti-join their
+        # key sets; plain entries read as a bare scan
+        df = _read_entries(spark, kept, eq_deletes=_eq_items(m))
     else:
         # all files pruned: keep one for the schema — the residual filter
         # below returns its (provably empty) matching subset, so applying
@@ -1300,8 +1481,14 @@ def snapshot_merge(
     (r6) is MERGE-ON-READ: matched rows are shadowed by O(matches)
     position-delete entries and the batch appends as new files — an
     UPDATE therefore costs O(matches + batch), never a file rewrite
-    (Iceberg-v2 MOR merge).  Both modes produce identical reader-visible
-    results; a DV merge's update surfaces in CDC as delete(old) +
+    (Iceberg-v2 MOR merge).  ``mode='eq'`` (r7) goes one rung further:
+    the batch appends and prior same-keyed rows are shadowed by an
+    EQUALITY delete carrying the batch's key rows, stamped at the same
+    commit sequence so it applies strictly to PRIOR files — the target
+    is never scanned at all (zero reads, O(batch) writes), which is the
+    streaming-CDC-upsert shape: a micro-batch commits without touching
+    100 TB of history.  All modes produce identical reader-visible
+    results; a dv/eq merge's update surfaces in CDC as delete(old) +
     insert(new), exactly the ``snapshot_diff`` contract.
 
     Scale shape mirrors ``snapshot_delete``: the incoming batch's per-key
@@ -1319,8 +1506,8 @@ def snapshot_merge(
     """
     if not keys:
         raise ValueError("snapshot_merge requires at least one key column")
-    if mode not in ("cow", "dv"):
-        raise ValueError(f"mode must be cow|dv, got {mode!r}")
+    if mode not in ("cow", "dv", "eq"):
+        raise ValueError(f"mode must be cow|dv|eq, got {mode!r}")
     spark = df.sparkSession
     from pyspark.sql import functions as F
 
@@ -1336,6 +1523,36 @@ def snapshot_merge(
     parent = _repair_current(table)
     m = read_manifest(table, parent) if parent > 0 else {"files": []}
     _evolve_schema(m.get("schema"), batch_schema)  # fail before any rewrite
+    if mode == "eq":
+        # ZERO target reads: append the batch; shadow prior same-keyed
+        # rows with an equality delete stamped at this commit's sequence
+        # (the same-sequence rule exempts the batch itself).  NULL-keyed
+        # batch rows shadow nothing and simply append — identical to the
+        # cow/dv no-match behavior.
+        appended = [f for f in _write_data_files(df, table) if f["rows"] > 0]
+        paths, n, bounds = _write_eq_keys(
+            df.select(*keys).filter(
+                " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
+            ),
+            table,
+        )
+        item = {"paths": paths, "key_cols": list(keys), "n": n, "bounds": bounds}
+        for _ in range(_OCC_MAX_RETRIES):
+            base = read_manifest(table, parent)["files"] if parent > 0 else []
+            try:
+                return _publish(
+                    table,
+                    base + appended,
+                    parent,
+                    "merge-eq",
+                    batch_schema=batch_schema,
+                    add_eq=[item] if n else None,
+                )
+            except CommitConflict:
+                parent = _repair_current(table)
+        raise CommitConflict(
+            f"snapshot_merge(eq) on {table} lost {_OCC_MAX_RETRIES} CAS races"
+        )
     # incoming key bounds (one tiny agg) → which files COULD match;
     # normalized into the stats' storage domain (datetimes/dates are
     # ISO strings there — comparing raw datetime objects against them
@@ -1372,7 +1589,9 @@ def snapshot_merge(
         appended = [f for f in _write_data_files(df, table) if f["rows"] > 0]
         dv_upd: list[dict] = []
         if touched:
-            scan = _read_entries(spark, touched, keep_position=True)
+            scan = _read_entries(
+                spark, touched, keep_position=True, eq_deletes=_eq_items(m)
+            )
             matches = scan.join(df.select(*keys).distinct(), keys, "left_semi").select(
                 F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
             )
@@ -1393,9 +1612,9 @@ def snapshot_merge(
         )
     new_files: list[dict] = []
     if touched:
-        # merge-on-read: a raw path read would resurrect DV-deleted rows
-        # into the survivors rewrite
-        old = _read_entries(spark, touched)
+        # merge-on-read: a raw path read would resurrect DV/eq-deleted
+        # rows into the survivors rewrite
+        old = _read_entries(spark, touched, eq_deletes=_eq_items(m))
         survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
         bc = _common_bloom_cols(touched)
         new_files += _write_data_files(survivors, table, bloom_cols=bc)
@@ -1535,9 +1754,13 @@ def snapshot_delete(
     touched_paths = {f["path"] for f in touched}
     new_files = []
     if touched:
-        # merge-on-read: apply any existing DVs before rewriting, or the
-        # rewrite would resurrect previously DV-deleted rows
-        df = _read_entries(spark, touched)
+        # merge-on-read: apply any existing DVs/eq-deletes before
+        # rewriting, or the rewrite would resurrect deleted rows
+        df = _read_entries(
+            spark,
+            touched,
+            eq_deletes=_eq_items(read_manifest(table, parent)),
+        )
         # DELETE semantics: remove rows where the predicate is TRUE.
         # A NULL predicate (e.g. a NULL column value) must KEEP the row
         # — plain ~cond would evaluate NULL and drop it
@@ -1635,7 +1858,12 @@ def _delete_dv(
 
     if not touched:
         return parent  # stats prove nothing matched: no-op, no commit
-    scan = _read_entries(spark, touched, keep_position=True)
+    scan = _read_entries(
+        spark,
+        touched,
+        keep_position=True,
+        eq_deletes=_eq_items(read_manifest(table, parent)),
+    )
     cond = _where_condition(scan, where)
     matches = scan.filter(cond).select(
         F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
@@ -1655,6 +1883,99 @@ def _delete_dv(
         # same guard as COW delete: an interleaved commit may have added
         # rows the predicate matches — rebasing would let them escape
         delta_safe=lambda f: not _file_admits(f, where),
+    )
+
+
+def _write_eq_keys(df: DataFrame, table: str) -> tuple[list[str], int, dict]:
+    """Write key rows as an equality-delete fileset under ``eqd/``;
+    returns (paths, row count, merged per-column bounds).  Bounds come
+    from the WRITTEN files' parquet footers (the same conservative
+    ``_file_stats`` machinery data entries use), merged across the
+    fileset — a column missing stats in any file is simply unbounded."""
+    import pyarrow.parquet as pq
+
+    eq_dir = os.path.join(table, "eqd", uuid.uuid4().hex)
+    df.write.mode("error").parquet(eq_dir)
+    paths = sorted(
+        os.path.join(eq_dir, name)
+        for name in os.listdir(eq_dir)
+        if name.endswith(".parquet")
+    )
+    n = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    per = [_file_stats(p) for p in paths if pq.ParquetFile(p).metadata.num_rows]
+    bounds: dict = {}
+    for c in set.intersection(*[set(s) for s in per]) if per else ():
+        bounds[c] = [
+            min(s[c][0] for s in per),
+            max(s[c][1] for s in per),
+        ]
+    return paths, n, bounds
+
+
+def snapshot_delete_keys(df: DataFrame, table: str) -> int:
+    """Equality DELETE (delete-by-key, r7): remove every row whose
+    ``df.columns`` key tuple appears in ``df`` — as ONE commit of
+    O(batch) key rows plus manifest metadata, with ZERO reads of the
+    table (the Iceberg-v2 equality-delete rung under the position-delete
+    one).  This is the primitive for keyed GDPR erasure and streaming
+    CDC at 100 TB: a position delete must SCAN the touched files to find
+    its positions; an equality delete only knows the keys — readers
+    anti-join them (size-guarded broadcast), compaction converts the
+    shadowed files to clean rewrites, and every commit garbage-collects
+    fully-applied items.
+
+    The key columns must exist in the table with EXACTLY matching types
+    (a silently coerced key would match nothing).  NULL key values are
+    refused loudly — SQL equality can never match them, and a silent
+    no-op erasure must never commit (the ``_dv_entries`` rule).
+
+    Lock-free append-shaped commit: the key fileset is unreferenced
+    until the manifest lands; a lost CAS rebases onto the winner's file
+    list (an equality delete commutes with every commit — it applies
+    only to files with a strictly smaller sequence, and a concurrently
+    appended file gets this read's parent+1 sequence, i.e. the delete
+    serializes last, the DELETE-GDPR rule).  If the live files' key
+    stats PROVE no key can match, nothing is committed."""
+    from pyspark.sql import functions as F
+
+    key_cols = list(df.columns)
+    if not key_cols:
+        raise ValueError("snapshot_delete_keys requires at least one key column")
+    types = dict(snapshot_schema(table))
+    missing = sorted(set(key_cols) - set(types))
+    if missing:
+        raise ValueError(f"snapshot_delete_keys: no such column(s) {missing}")
+    bad = [(c, t, types[c]) for c, t in df.dtypes if t != types[c]]
+    if bad:
+        detail = ", ".join(f"{c}: {t} (table: {tt})" for c, t, tt in bad)
+        raise ValueError(f"snapshot_delete_keys: key type mismatch — {detail}")
+    batch = df.dropDuplicates(key_cols).localCheckpoint(eager=True)
+    null_cond = None
+    for c in key_cols:
+        clause = F.col(c).isNull()
+        null_cond = clause if null_cond is None else (null_cond | clause)
+    if batch.filter(null_cond).limit(1).count():
+        raise ValueError(
+            "snapshot_delete_keys: NULL key values match nothing — refusing "
+            "to commit a partial erasure"
+        )
+    paths, n, bounds = _write_eq_keys(batch, table)
+    if n == 0:
+        return _repair_current(table)
+    item = {"paths": paths, "key_cols": key_cols, "n": n, "bounds": bounds}
+    for _ in range(_OCC_MAX_RETRIES):
+        parent = _repair_current(table)
+        files = read_manifest(table, parent)["files"] if parent > 0 else []
+        # a probe with an always-later sequence: if no live entry admits
+        # the key bounds, stats PROVE nothing matches — no-op, no commit
+        if not any(_eq_applies(f, dict(item, seq=1 << 62)) for f in files):
+            return parent
+        try:
+            return _publish(table, files, parent, "delete-eq", add_eq=[item])
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"snapshot_delete_keys on {table} lost {_OCC_MAX_RETRIES} CAS races"
     )
 
 
@@ -1743,8 +2064,11 @@ def snapshot_update(
             ]
         return df.select(*proj)
 
+    eq_ctx = _eq_items(read_manifest(table, parent))
     if mode == "dv":
-        scan = _read_entries(spark, touched, keep_position=True)
+        scan = _read_entries(
+            spark, touched, keep_position=True, eq_deletes=eq_ctx
+        )
         cond = _where_condition(scan, where)
         matched = scan.filter(cond)
         # one scan feeds both the DV positions and the updated-row append
@@ -1767,7 +2091,7 @@ def snapshot_update(
             batch_schema=_schema_of(updated),
             delta_safe=lambda f: not _file_admits(f, where),
         )
-    df = _read_entries(spark, touched)
+    df = _read_entries(spark, touched, eq_deletes=eq_ctx)
     updated = _apply(df, only_matched=False)
     bc = _common_bloom_cols(touched)
     new_files = [
@@ -1809,19 +2133,28 @@ def snapshot_compact(
     rebase carries them through), and a concurrent rewrite of a file this
     run consolidated triggers a recompute via file-level validation.
 
-    Deletion vectors (r6): every entry carrying a DV is compacted
-    REGARDLESS of size — compaction is where merge-on-read deletes become
-    physical: the rewrite reads the merged view (DVs applied), the new
-    entries carry no DVs, and expiry reclaims the unreferenced DV files."""
+    Deletion vectors (r6) and equality deletes (r7): every entry carrying
+    a DV or admitting a live equality delete is compacted REGARDLESS of
+    size — compaction is where merge-on-read deletes become physical: the
+    rewrite reads the merged view (DVs + eq keys applied), the new
+    entries carry no DVs and a FRESH sequence (so eq items stop applying
+    to them), the commit's GC drops fully-applied eq items, and expiry
+    reclaims the unreferenced DV/key filesets."""
     parent = _repair_current(table)
     m = read_manifest(table, parent) if parent > 0 else {"files": []}
-    small = [f for f in m["files"] if f["bytes"] < small_bytes or _dv_items(f)]
-    if not small or (len(small) == 1 and not _dv_items(small[0])):
+    eq = _eq_items(m)
+
+    def _shadowed(f: dict) -> bool:
+        return bool(_dv_items(f)) or any(_eq_applies(f, it) for it in eq)
+
+    small = [f for f in m["files"] if f["bytes"] < small_bytes or _shadowed(f)]
+    if not small or (len(small) == 1 and not _shadowed(small[0])):
         return parent
     # mergeSchema: small files may straddle a schema evolution — a
     # plain read would take the first footer and silently DROP the
-    # newer columns from the compacted rewrite; DVs applied merge-on-read
-    df = _read_entries(spark, small)
+    # newer columns from the compacted rewrite; DVs/eq applied
+    # merge-on-read
+    df = _read_entries(spark, small, eq_deletes=eq)
     total = sum(f["bytes"] for f in small)
     target_files = int(max(1, total // small_bytes))
     if sort_by:
@@ -1858,33 +2191,45 @@ def snapshot_diff(
     metadata at write time.
 
     Scale shape: the exceptAll runs over ONLY the entry delta — entries
-    IDENTICAL in both manifests (same path AND same deletion-vector list)
-    contribute identical row multisets to both sides and therefore
-    cancel, so skipping them provably cannot change the result.  An
-    append of 1 GB to a 100 TB table diffs 1 GB; a compaction (same rows,
-    new files) diffs the rewritten slice and nets to zero rows; a DV
-    delete diffs the touched files (each side reads them with ITS
-    version's DVs applied) and nets to exactly the deleted rows."""
+    IDENTICAL in both manifests (same path, same deletion-vector list,
+    same APPLICABLE equality-delete set) contribute identical row
+    multisets to both sides and therefore cancel, so skipping them
+    provably cannot change the result.  An append of 1 GB to a 100 TB
+    table diffs 1 GB; a compaction (same rows, new files) diffs the
+    rewritten slice and nets to zero rows; a DV delete diffs the touched
+    files (each side reads them with ITS version's DVs applied) and nets
+    to exactly the deleted rows; an equality delete diffs the files its
+    key bounds admit (each side reads with ITS version's eq context) —
+    the honest cost of a zero-read commit is a bounds-bounded read at
+    diff time."""
     from pyspark.sql import functions as F
 
     mf = read_manifest(table, v_from)
     mt = read_manifest(table, v_to)
+    eq_f, eq_t = _eq_items(mf), _eq_items(mt)
     ef = {f["path"]: f for f in mf["files"]}
     et = {f["path"]: f for f in mt["files"]}
-    _sig = _dv_signature
+
+    def _sig(f: dict, eq: list) -> str:
+        return _dv_signature(f) + "|" + _eq_sig(f, eq)
+
     only_old = [
-        ef[p] for p in sorted(ef) if p not in et or _sig(ef[p]) != _sig(et[p])
+        ef[p]
+        for p in sorted(ef)
+        if p not in et or _sig(ef[p], eq_f) != _sig(et[p], eq_t)
     ]
     only_new = [
-        et[p] for p in sorted(et) if p not in ef or _sig(et[p]) != _sig(ef[p])
+        et[p]
+        for p in sorted(et)
+        if p not in ef or _sig(et[p], eq_t) != _sig(ef[p], eq_f)
     ]
     schema_hint = sorted(set(ef) | set(et))
     if not schema_hint:
         raise NoSuchVersionError(f"{table}: both versions have no data files")
 
-    def _read(entries, other=None):
+    def _read(entries, other=None, eq=None):
         if entries:
-            return _read_entries(spark, entries)
+            return _read_entries(spark, entries, eq_deletes=eq)
         # empty side: take the schema from the populated side (free), or —
         # only when BOTH sides are empty — from a single file's footer.
         # Merging footers of every file in both manifests here would cost
@@ -1895,11 +2240,11 @@ def snapshot_diff(
         return spark.read.parquet(schema_hint[0]).limit(0)
 
     if only_new:
-        new = _read(only_new)
-        old = _read(only_old, other=new)
+        new = _read(only_new, eq=eq_t)
+        old = _read(only_old, other=new, eq=eq_f)
     else:
-        old = _read(only_old)
-        new = _read(only_new, other=old)
+        old = _read(only_old, eq=eq_f)
+        new = _read(only_new, other=old, eq=eq_t)
     if set(old.columns) != set(new.columns):
         # the diff straddles a schema evolution: align both sides to the
         # union schema (NULL for the missing side) so exceptAll is legal —
@@ -1964,6 +2309,9 @@ def expire_snapshots(
                 # references them; compaction drops the reference and the
                 # next expiry reclaims the DV bytes
                 referenced.update(p for i in _dv_items(f) for p in i["paths"])
+            # equality-delete key filesets: live while any retained
+            # manifest lists the item (commit-time GC drops applied items)
+            referenced.update(p for it in _eq_items(m) for p in it["paths"])
             referenced_segs.update(m.get("segments") or [])
         # every path ANY existing manifest lists is a COMMITTED file — if
         # no retained version needs it, it is reclaimable immediately; a
@@ -1972,17 +2320,22 @@ def expire_snapshots(
         ever_committed: set[str] = set()
         for v in range(1, cur + 1):
             try:
-                for f in read_manifest(table, v)["files"]:
+                mv = read_manifest(table, v)
+                for f in mv["files"]:
                     ever_committed.add(f["path"])
                     ever_committed.update(
                         p for i in _dv_items(f) for p in i["paths"]
                     )
+                ever_committed.update(
+                    p for it in _eq_items(mv) for p in it["paths"]
+                )
             except NoSuchVersionError:
                 continue
         deleted = []
         now = time.time()
-        # data files and DV filesets share the same reclaim rule
-        for root_name in ("data", "dv"):
+        # data files, DV filesets, and eq-delete key filesets share the
+        # same reclaim rule
+        for root_name in ("data", "dv", "eqd"):
             root = os.path.join(table, root_name)
             if not os.path.isdir(root):
                 continue
@@ -2050,9 +2403,21 @@ def snapshot_rowcount(table: str, version: int | None = None) -> int:
     keep this EXACT: each entry subtracts its recorded DV position counts
     (disjoint across commits by construction — positions are computed on
     the merged view).  Falls back to one footer read per legacy file
-    entry written before row counts were recorded."""
+    entry written before row counts were recorded.
+
+    Live EQUALITY deletes make the exact count UNKNOWABLE without a data
+    read (the delete never counted its matches — that is the point of a
+    zero-read commit), so this REFUSES rather than guesses; run
+    ``snapshot_compact`` to apply the deletes and restore metadata
+    counts, or count via ``snapshot_read``."""
+    m = read_manifest(table, version)
+    if _eq_items(m):
+        raise RuntimeError(
+            f"{table}: live equality deletes make the metadata row count "
+            "unknowable — compact to apply them, or count via snapshot_read"
+        )
     total = 0
-    for f in read_manifest(table, version)["files"]:
+    for f in m["files"]:
         live = _live_rows(f)
         if live is not None:
             total += live
@@ -2077,9 +2442,13 @@ def snapshot_minmax(
     describe only DV-deleted rows, so any DV'd file forces the None
     fallback (pruning via ``plan_files`` stays valid: stats remain
     conservative bounds; only the exact metadata-only ANSWER is off the
-    table until compaction applies the DVs)."""
+    table until compaction applies the DVs).  Live equality deletes
+    force the same honest None — any matching row might be the extreme."""
+    m = read_manifest(table, version)
+    if _eq_items(m):
+        return None
     lo = hi = None
-    for f in read_manifest(table, version)["files"]:
+    for f in m["files"]:
         if _dv_items(f):
             return None  # min/max row may be deleted: metadata can't prove it
         st = f.get("stats", {}).get(col)
@@ -2122,10 +2491,13 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
     with table_lock(table):
         restored = read_manifest(table, version)  # raises if expired
         files = restored["files"]
+        eq_paths = [p for it in _eq_items(restored) for p in it["paths"]]
         for f in files:
-            for p in [f["path"]] + [
-                q for i in _dv_items(f) for q in i["paths"]
-            ]:
+            for p in (
+                [f["path"]]
+                + [q for i in _dv_items(f) for q in i["paths"]]
+                + eq_paths
+            ):
                 if not os.path.exists(p):
                     raise NoSuchVersionError(
                         f"{table}: v{version} references expired file {p}"
@@ -2135,8 +2507,10 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
             return parent
         for _ in range(_OCC_MAX_RETRIES):
             try:
-                # restore rolls the SCHEMA back with the data: the head once
-                # again shows exactly what version N's readers saw
+                # restore rolls the SCHEMA back with the data — and the
+                # EQUALITY-DELETE context and sequence floor with it, so
+                # the restored entries (which keep their original seqs)
+                # read exactly as version N's readers saw them
                 return _publish(
                     table,
                     files,
@@ -2144,6 +2518,8 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
                     f"restore@{version}",
                     batch_schema=restored.get("schema"),
                     replace=restored.get("schema") is not None,
+                    eq_deletes=_eq_items(restored),
+                    last_seq_floor=restored.get("last_seq", version),
                 )
             except CommitConflict:
                 parent = _repair_current(table)

@@ -438,13 +438,17 @@ def cmd_maintain(args) -> int:
 def cmd_forget(args) -> int:
     """Right-to-be-forgotten erasure over a snapshot table: a predicate
     DELETE — merge-on-read deletion vectors by default (O(matches)
-    commit; r6), copy-on-write with ``--cow``.  ``--physical`` chases the
-    logical delete with compaction (applies + purges the DVs) and
+    commit; r6), copy-on-write with ``--cow``, or a zero-read EQUALITY
+    delete with ``--keys col=v1,v2,...`` (r7: the writer never scans the
+    table — the keyed GDPR shape).  ``--physical`` chases the logical
+    delete with compaction (applies + purges DVs / eq key sets) and
     aggressive expiry so the erased bytes leave disk in the same run —
     the GDPR operational loop.  One JSON line.
 
     Predicates are ``col:op:value`` triples (op ∈ ==,<,<=,>,>=), ANDed;
-    values parse as int → float → string."""
+    values parse as int → float → string.  ``rows_deleted`` is null when
+    a live equality delete makes the metadata count unknowable (honest
+    refusal; ``--physical`` restores it)."""
     import json
 
     from agf_data_ingestion_spark.sources.snapshots import (
@@ -452,7 +456,9 @@ def cmd_forget(args) -> int:
         expire_snapshots,
         snapshot_compact,
         snapshot_delete,
+        snapshot_delete_keys,
         snapshot_rowcount,
+        snapshot_schema,
     )
 
     def _val(s: str):
@@ -463,28 +469,50 @@ def cmd_forget(args) -> int:
                 continue
         return s
 
-    where = []
-    for triple in args.where:
-        col, op, value = triple.split(":", 2)
-        where.append((col, op, _val(value)))
+    def _count(table):
+        try:
+            return snapshot_rowcount(table)
+        except RuntimeError:  # live equality deletes: unknowable
+            return None
 
+    if bool(args.keys) == bool(args.where):
+        raise SystemExit("forget: pass exactly one of --where / --keys")
     spark = _spark()
-    rows_before = snapshot_rowcount(args.table)
+    rows_before = _count(args.table)
     v_before = current_version(args.table)
-    v = snapshot_delete(spark, args.table, where, mode="cow" if args.cow else "dv")
+    if args.keys:
+        col, _, vals = args.keys.partition("=")
+        dtype = dict(snapshot_schema(args.table)).get(col)
+        if dtype is None:
+            raise SystemExit(f"forget: no such column {col!r}")
+        keys = spark.createDataFrame(
+            [(_val(s),) for s in vals.split(",")], f"`{col}` {dtype}"
+        )
+        where, mode = [[col, "in", vals]], "eq"
+        v = snapshot_delete_keys(keys, args.table)
+    else:
+        where = []
+        for triple in args.where:
+            col, op, value = triple.split(":", 2)
+            where.append((col, op, _val(value)))
+        mode = "cow" if args.cow else "dv"
+        v = snapshot_delete(spark, args.table, where, mode=mode)
     reclaimed = 0
     if args.physical:
         snapshot_compact(spark, args.table, small_bytes=args.small_bytes)
         reclaimed = len(
             expire_snapshots(args.table, keep_last=1, orphan_grace_s=0.0)
         )
+    rows_after = _count(args.table)
     print(
         json.dumps(
             {
                 "table": args.table,
                 "where": [list(w) for w in where],
-                "mode": "cow" if args.cow else "dv",
-                "rows_deleted": rows_before - snapshot_rowcount(args.table),
+                "mode": mode,
+                "rows_deleted": rows_before - rows_after
+                if rows_before is not None and rows_after is not None
+                else None,
                 "version": current_version(args.table),
                 "committed": v > v_before,
                 "physical": bool(args.physical),
@@ -756,9 +784,12 @@ def main() -> int:
     fg.add_argument("--table", required=True, help="snapshot table root")
     fg.add_argument(
         "--where",
-        required=True,
         nargs="+",
         help="ANDed col:op:value triples (op in ==,<,<=,>,>=)",
+    )
+    fg.add_argument(
+        "--keys",
+        help="zero-read equality delete: col=v1,v2,... (r7)",
     )
     fg.add_argument(
         "--cow", action="store_true", help="copy-on-write instead of DV"
