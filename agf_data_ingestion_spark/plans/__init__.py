@@ -29,6 +29,7 @@ from agf_data_ingestion_spark.plans import (
     langid,
     lm,
     media,
+    quality_model,
     similarity,
     sketches,
     text,
@@ -73,6 +74,7 @@ for _mod in (
     langid,
     pii,
     urls,
+    quality_model,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -84,6 +86,9 @@ for _mod in (
 # driver re-certifies them.  Everything else was driver-green in r01/r02 and
 # keeps local-replica coverage via scripts/check_oracle.py.
 _PRIORITY = [
+    # round-7 additions — need first driver certification
+    "docs_quality_train",
+    "docs_quality_apply",
     # Stage-warming order within the witness window: the MinHash/cluster
     # family runs base-first (sigs cache → cluster-label cache → consumers)
     # so each query's bench time reflects ITS stage, not whichever family

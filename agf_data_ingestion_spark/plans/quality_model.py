@@ -1,0 +1,284 @@
+"""Trained document-quality classifier (OP-X-QUALTRAIN, r7): a binary
+hashed-character-bigram linear model, trained and applied as catalog
+queries with bit-identical DuckDB oracles, calibrated per-language with
+the OP-X-CALIBRATE percent-rank.
+
+Every public corpus pipeline gates on a TRAINED quality score, not just
+heuristics: CCNet's wiki-vs-crawl LM, Dolma's fastText quality model,
+RefinedWeb's line-level classifiers.  The rule-based rung is
+``docs_quality_gate`` (OP-X-QUALITY) and the percentile rung is
+``docs_quality_calibrated`` (OP-X-CALIBRATE); this module is the trained
+rung, built on the langid machinery (plans/langid.py — the r6 proof that
+trained linear models are oracle-able).  The reference system has no
+text surface (SURVEY §2.9 extension).
+
+Planted corpus (the langid/entity/pii pattern): md5('qm:'||doc_id)
+assigns each document a language ∈ {0,1,2}, an 80/20 train/held-out
+split, and a HIGH/LOW quality label; its 12 pseudo-words
+translate-map md5 hex digits through the language's alphabet, and LOW
+documents additionally route every third word through a junk alphabet
+(keyboard-mash bigrams — the boilerplate/gibberish signal real quality
+models key on).  Both engines derive the bit-identical corpus, so
+training, scoring, AND the planted ground truth are all cross-checked;
+accuracy is pytest-pinned ≥ 95%.
+
+Model (exact-integer end-to-end — the CLAUDE.md no-log rule):
+
+* features = character bigrams md5-hashed into ``_D`` buckets;
+* ONE closed-form counting pass: weight(bucket) = per-million rate of
+  the bucket in HIGH training bigrams − per-million rate in LOW
+  training bigrams (truncating integer division, Spark ``DIV`` ≡ DuckDB
+  ``//``; the subtraction is exact int64);
+* score(doc) = Σ occurrences · weight — a pure int64 sum; predict HIGH
+  iff score > 0;
+* calibration: ``lang_pctile`` = percent_rank of the score WITHIN the
+  document's language (unique doc_id tiebreaker — the verified
+  BIGINT/BIGINT→DOUBLE construct of OP-X-CALIBRATE), so a downstream
+  gate keeps the same quantile of every language instead of letting the
+  score scale of one language starve another.
+
+Scale shape: training is one corpus scan (bigram explode + ONE
+map-combining groupBy(bucket) with conditional hi/lo sums + a broadcast
+1-row totals cross join) into a CONSTANT ≤ ``_D``-row model.  Apply is
+the r7 single-exchange langid shape: broadcast the model, LEFT-join
+bigram rows, ONE groupBy(doc_id, ...) whose map-side partials collapse
+each doc to one row before the wire, then the percent-rank window over
+the 1-row-per-doc scores frame (3 language partitions of doc-count
+rows — the same documented cost as docs_quality_calibrated; the CORPUS
+is never windowed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.base import QuerySpec, t
+from agf_data_ingestion_spark.plans.langid import _MAPS
+
+#: hashed-feature buckets (shared sizing rationale with plans/langid._D)
+_D = 4096
+_WORDS = 12
+#: junk alphabet for LOW-quality word injection: 16 hex digits map onto
+#: keyboard-mash letters whose bigrams barely occur in the language maps
+_JUNK = "qxzkqxzkwqxzkqxz"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, is_train, hi, text): the planted labeled corpus.
+    Independent md5-derived bits: lang = b%3, split = (b DIV 3)%5,
+    label = (b DIV 15)%2."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qm:"), F.col("doc_id").cast("string"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    base = d.select("doc_id", b.alias("b")).select(
+        "doc_id",
+        (F.col("b") % 3).alias("lang"),
+        (F.expr("(b DIV 3) % 5") != 0).alias("is_train"),
+        (F.expr("(b DIV 15) % 2") == 0).alias("hi"),
+    )
+    words = []
+    for i in range(1, _WORDS + 1):
+        h = F.md5(F.concat(F.lit(f"qm:w{i}:"), F.col("doc_id").cast("string")))
+        raw = F.substring(h, 1, 4 + (i % 3))
+        by_lang = (
+            F.when(F.col("lang") == 0, F.translate(raw, "0123456789abcdef", _MAPS[0]))
+            .when(F.col("lang") == 1, F.translate(raw, "0123456789abcdef", _MAPS[1]))
+            .otherwise(F.translate(raw, "0123456789abcdef", _MAPS[2]))
+        )
+        if i % 3 == 0:
+            # LOW documents mash every third word through the junk map
+            word = F.when(
+                F.col("hi"), by_lang
+            ).otherwise(F.translate(raw, "0123456789abcdef", _JUNK))
+        else:
+            word = by_lang
+        words.append(word)
+    return base.select(
+        "doc_id", "lang", "is_train", "hi", F.concat_ws(" ", *words).alias("text")
+    )
+
+
+def _bigrams(c: DataFrame) -> DataFrame:
+    """One row per character bigram, md5-hashed into ``_D`` buckets
+    (the langid feature pipeline over the quality-labeled corpus)."""
+    return (
+        c.select(
+            "doc_id",
+            "lang",
+            "is_train",
+            "hi",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            "hi",
+            F.col("text").substr(F.col("i"), F.lit(2)).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            "hi",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 6), 16, 10).cast("long") % _D
+            ).alias("bucket"),
+        )
+    )
+
+
+def _weights(bg: DataFrame) -> DataFrame:
+    """(bucket, n_hi, n_lo, weight): per-million rate difference between
+    HIGH and LOW training bigrams — one groupBy(bucket) with conditional
+    sums + a broadcast 1-row totals cross join."""
+    train = bg.filter(F.col("is_train"))
+    counts = train.groupBy("bucket").agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
+        F.sum(F.when(~F.col("hi"), 1).otherwise(0)).cast("long").alias("n_lo"),
+    )
+    totals = train.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long"),
+        ).alias("tot_hi"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0)).cast("long"),
+        ).alias("tot_lo"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_hi",
+        "n_lo",
+        F.expr("(n_hi * 1000000) DIV tot_hi - (n_lo * 1000000) DIV tot_lo").alias(
+            "weight"
+        ),
+    )
+
+
+def docs_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model table: per feature bucket, the raw HIGH/LOW
+    training counts and the integer rate-difference weight."""
+    return _weights(_bigrams(_corpus(spark, sf_dir))).select(
+        "bucket", "n_hi", "n_lo", "weight"
+    )
+
+
+def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the HELD-OUT 20%: int64 dot product of bucket counts with
+    the trained weights, HIGH iff score > 0, per-language percent-rank
+    calibration; ``correct`` is the planted self-evaluation (pytest pins
+    accuracy ≥ 95%).  Single-exchange corpus shape (see module
+    docstring)."""
+    bg = _bigrams(_corpus(spark, sf_dir))
+    w = _weights(bg)
+    held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
+    joined = held.join(
+        F.broadcast(w.select("bucket", "weight")), "bucket", "left"
+    )
+    scores = joined.groupBy("doc_id", "lang", "hi").agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score")
+    )
+    wl = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return scores.select(
+        "doc_id",
+        "lang",
+        F.col("hi").alias("true_hi"),
+        "score",
+        (F.col("score") > 0).alias("pred_hi"),
+        ((F.col("score") > 0) == F.col("hi")).alias("correct"),
+        F.percent_rank().over(wl).alias("lang_pctile"),
+    )
+
+
+def _word_sql(i: int) -> str:
+    raw = f"substr(md5('qm:w{i}:' || CAST(doc_id AS VARCHAR)), 1, {4 + (i % 3)})"
+    by_lang = (
+        f"CASE lang WHEN 0 THEN translate({raw}, '0123456789abcdef', '{_MAPS[0]}')"
+        f" WHEN 1 THEN translate({raw}, '0123456789abcdef', '{_MAPS[1]}')"
+        f" ELSE translate({raw}, '0123456789abcdef', '{_MAPS[2]}') END"
+    )
+    if i % 3 == 0:
+        return (
+            f"CASE WHEN hi THEN {by_lang}"
+            f" ELSE translate({raw}, '0123456789abcdef', '{_JUNK}') END"
+        )
+    return by_lang
+
+
+_CORPUS_CTES = f"""base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qm:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS b
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id, b % 3 AS lang, ((b // 3) % 5) <> 0 AS is_train,
+         ((b // 15) % 2) = 0 AS hi
+  FROM base
+),
+corpus AS (
+  SELECT doc_id, lang, is_train, hi,
+         concat_ws(' ', {", ".join(_word_sql(i) for i in range(1, _WORDS + 1))}) AS text
+  FROM labeled
+),
+bg AS (
+  SELECT doc_id, lang, is_train, hi,
+         ('0x' || substr(md5(substr(text, i, 2)), 1, 6))::BIGINT % {_D} AS bucket
+  FROM (SELECT *, UNNEST(range(1, length(text))) AS i FROM corpus)
+),
+w AS (
+  SELECT bucket, n_hi, n_lo,
+         (n_hi * 1000000) // tot_hi - (n_lo * 1000000) // tot_lo AS weight
+  FROM (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_lo
+    FROM bg WHERE is_train GROUP BY 1) c
+  CROSS JOIN (
+    SELECT greatest(1, CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT)) AS tot_hi,
+           greatest(1, CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT)) AS tot_lo
+    FROM bg WHERE is_train) t
+)"""
+
+_TRAIN_SQL = f"""
+WITH {_CORPUS_CTES}
+SELECT bucket, n_hi, n_lo, weight FROM w
+"""
+
+_APPLY_SQL = f"""
+WITH {_CORPUS_CTES},
+scores AS (
+  SELECT b.doc_id, b.lang, b.hi,
+         CAST(coalesce(SUM(w.weight), 0) AS BIGINT) AS score
+  FROM bg b LEFT JOIN w ON b.bucket = w.bucket
+  WHERE NOT b.is_train
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, hi AS true_hi, score,
+       score > 0 AS pred_hi,
+       (score > 0) = hi AS correct,
+       percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id)
+         AS lang_pctile
+FROM scores
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_quality_train": QuerySpec(
+        docs_quality_train, _TRAIN_SQL, ("OP-X-QUALTRAIN",)
+    ),
+    "docs_quality_apply": QuerySpec(
+        docs_quality_apply, _APPLY_SQL, ("OP-X-QUALTRAIN", "OP-X-CALIBRATE")
+    ),
+}

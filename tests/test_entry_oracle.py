@@ -159,15 +159,22 @@ def test_catalog_integrity_and_priority_names():
         assert spec.ops and all(op.startswith("OP-") for op in spec.ops), name
     missing = [n for n in plans._PRIORITY if n not in plans.QUERIES]
     assert not missing, f"priority names not in catalog: {missing}"
-    # the driver samples ~50 rows: the round-3 additions must sit inside
+    # the driver samples ~50 rows: every query that still NEEDS driver
+    # certification (new this round, plan changed this round, or added
+    # late last round and never witnessed) must sit inside the window;
+    # long-green tail entries rotate out (they were all driver-certified
+    # in r6's CORRECTNESS window and stay local-replica-covered)
     order = list(plans.QUERIES)
-    r3_new = [
-        "q8_national_market_share", "q11_important_parts",
-        "docs_bloom_contamination", "docs_dataset_split", "docs_pmi_bigrams",
-        "events_countmin_err", "docs_editdist_neardup", "events_value_corr",
-        "orders_profile", "emb_semdedup", "events_pit_enrich",
-        "events_gap_fill", "emb_hard_negatives", "docs_epoch_order",
-        "graph_triangles",
+    must_certify = [
+        # r7 additions
+        "docs_quality_train", "docs_quality_apply",
+        # r7 plan changes — re-certify
+        "docs_url_curation", "docs_langid_apply",
+        # late-r6 additions the r6 window never recorded
+        "docs_decontam_spans",
+        # r6 additions first witnessed in r6 — keep one more round
+        "docs_langid_train", "docs_pii_redaction",
+        "customers_entity_resolution",
     ]
-    late = {n: order.index(n) for n in r3_new if order.index(n) >= 50}
-    assert not late, f"round-3 queries outside the driver witness window: {late}"
+    late = {n: order.index(n) for n in must_certify if order.index(n) >= 50}
+    assert not late, f"queries outside the driver witness window: {late}"

@@ -1,0 +1,65 @@
+"""OP-X-QUALTRAIN (r7): trained binary quality classifier — planted
+ground-truth accuracy, model size bound, calibration contract, and the
+single-exchange apply plan shape.  Cross-engine bit-identity is covered
+by scripts/check_oracle.py (driver gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.plans.quality_model import (
+    _D,
+    docs_quality_apply,
+    docs_quality_train,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_accuracy_on_planted_truth(spark):
+    out = docs_quality_apply(spark, SF_SMOKE)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("correct").cast("int")).alias("ok"),
+        F.sum(F.col("true_hi").cast("int")).alias("hi"),
+    ).first()
+    assert agg.n > 50 and 0 < agg.hi < agg.n  # both classes planted
+    assert agg.ok / agg.n >= 0.95
+
+
+def test_model_is_broadcast_sized(spark):
+    m = docs_quality_train(spark, SF_SMOKE)
+    assert m.count() <= _D  # constant-bounded, never corpus-sized
+    # junk bigrams must separate: strongly negative weights exist, and
+    # language bigrams carry positive mass
+    stats = m.agg(F.min("weight").alias("lo"), F.max("weight").alias("hi")).first()
+    assert stats.lo < -1000 and stats.hi > 1000
+
+
+def test_calibration_is_per_language_percent_rank(spark):
+    rows = docs_quality_apply(spark, SF_SMOKE).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["score"], r["doc_id"], r["lang_pctile"]))
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for rank, (_, _, pct) in enumerate(vals):
+            want = rank / (n - 1) if n > 1 else 0.0
+            assert abs(pct - want) < 1e-12, (lang, rank, pct, want)
+
+
+def test_apply_plan_single_corpus_exchange(spark):
+    # the langid r7 shape: model broadcast, one groupBy collapses each
+    # doc map-side, ONE doc-keyed corpus exchange; the only other
+    # exchanges are the constant-size model aggs and the 1-row-per-doc
+    # calibration window — never a corpus join or corpus window
+    df = docs_quality_apply(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_ex = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "doc_id" in l
+    ]
+    assert len(doc_ex) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
