@@ -259,6 +259,119 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
     return v
 
 
+def _eq_identity(m: dict) -> set:
+    """Equality-delete items as an identity set (paths + key columns +
+    sequence).  GC removals are harmless (a dropped item applied to
+    nothing); only ADDITIONS relative to the fork make a rebase unsafe."""
+    return {
+        json.dumps([sorted(it["paths"]), it["key_cols"], it["seq"]])
+        for it in m.get("eq_deletes") or []
+    }
+
+
+def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
+    """Publish a DIVERGED branch by replaying its net delta onto the
+    advanced parent head — the lock-free-append story extended to
+    branches (VERDICT r6 ask #7).  Returns the new parent version.
+
+    The branch's net effect vs its fork point is (touched fork entries —
+    removed or changed in place, e.g. a DV delete) + (added entries).
+    The rebase commits ``parent head − branch-touched + branch-added``
+    iff it is PROVABLY equivalent to replaying the branch's commits on
+    the new head, validated at the same granularity `_commit_rewrite`
+    uses:
+
+    * the fork entries the branch touched must be byte-identical in the
+      parent head (a parent rewrite/DV of the same file means both sides
+      changed one file — :class:`BranchDiverged`, re-fork and replay);
+    * neither side may have ADDED equality deletes since the fork — the
+      two sides extended the shared sequence counter independently, so
+      a new eq item's strictly-prior scope is no longer well-defined
+      across the merge (fork-inherited items stay valid: their sequences
+      predate every post-fork file on BOTH sides);
+    * the branch schema evolves additively against the parent head
+      (:class:`SchemaEvolutionError` propagates on a retype fork).
+
+    This is snapshot-isolation, not serializability: a parent append
+    whose ROWS would have matched a branch-side keyed merge is carried
+    through un-merged, exactly Iceberg's fast-forward-with-validation
+    semantics — refusal stays the answer when file sets overlap.
+    Like publish, a no-op branch just repairs and returns the head, and
+    everything runs under the parent table lock (fresh hardlinks must
+    not be visible to expiry before the manifest references them)."""
+    root = branch_root(table, name)
+    fork_v = branch_fork_version(table, name)
+    bm = read_manifest(root)
+    if bm["version"] == 1:
+        return _repair_current(table)
+    root_abs = _scan_path(root)
+    run = uuid.uuid4().hex
+    with table_lock(table):
+        cur = _repair_current(table)
+        fm = read_manifest(table, fork_v)  # fork tag pins it through expiry
+        pm = read_manifest(table, cur)
+        fork_e = {f["path"]: f for f in fm["files"]}
+        br_e = {f["path"]: f for f in _deep_entries(bm)}
+        par_e = {f["path"]: f for f in pm["files"]}
+        br_touched = {
+            p for p, f in fork_e.items() if p not in br_e or br_e[p] != f
+        }
+        par_touched = {
+            p for p, f in fork_e.items() if p not in par_e or par_e[p] != f
+        }
+        overlap = sorted(br_touched & par_touched)
+        if overlap:
+            raise BranchDiverged(
+                f"{table}: branch {name!r} and the parent both touched "
+                f"{len(overlap)} file(s) since v{fork_v} (e.g. {overlap[0]})"
+            )
+        if _eq_identity(bm) - _eq_identity(fm):
+            raise BranchDiverged(
+                f"{table}: branch {name!r} added equality deletes since the "
+                f"fork — their sequence scope cannot survive a rebase"
+            )
+        if _eq_identity(pm) - _eq_identity(fm):
+            raise BranchDiverged(
+                f"{table}: the parent added equality deletes since v{fork_v} "
+                f"— re-fork so branch files inherit their scope"
+            )
+        files = []
+        for p, f in par_e.items():
+            if p in br_touched:
+                if p in br_e:
+                    files.append(br_e[p])  # branch-changed entry (DV list)
+                # else: the branch removed it
+            else:
+                files.append(f)  # parent state carries through
+        files += [
+            f for p, f in br_e.items() if p not in fork_e and p not in par_e
+        ]
+        data_dest = os.path.join(table, "data", f"rebase-{run}")
+        dv_dest = os.path.join(table, "dv", f"rebase-{run}")
+        for f in files:
+            f["path"] = _relocate(f["path"], root_abs, data_dest)
+            for item in _dv_items(f):
+                item["paths"] = [
+                    _relocate(p, root_abs, dv_dest) for p in item["paths"]
+                ]
+        try:
+            v = _publish(
+                table,
+                files,
+                cur,
+                f"branch_rebase@{name}:{bm['version']}",
+                batch_schema=bm.get("schema"),
+                last_seq_floor=bm.get("last_seq", bm["version"]),
+            )
+        except CommitConflict as exc:  # a lock-free append interleaved
+            raise BranchDiverged(
+                f"{table} advanced during rebase of branch {name!r}"
+            ) from exc
+    if drop:
+        snapshot_branch_drop(table, name)
+    return v
+
+
 def snapshot_branch_drop(table: str, name: str) -> None:
     """Delete the branch and release the parent's fork-version pin.  Safe
     after publish: the parent owns hardlinked inodes, not branch paths."""

@@ -16,10 +16,11 @@
         [--release-table <dir> [--release-tag NAME]]
     python scripts/agf_pipeline.py tokenizer [--docs <dir>]
         (train the corpus BPE merges; prints the merge table + token totals)
-    python scripts/agf_pipeline.py branch <create|publish|drop|list>
+    python scripts/agf_pipeline.py branch <create|publish|rebase|drop|list>
         --table <dir> [--name N] [--version V] [--drop]
-        (zero-copy fork / fast-forward publish / drop / list — the
-        multi-commit write-audit-publish staging loop)
+        (zero-copy fork / fast-forward publish / rebase onto an advanced
+        parent / drop / list — the multi-commit write-audit-publish
+        staging loop)
 
 Reference parity: ``scripts/backfill_s3_data.py`` (CLI flags --file-type /
 --dry-run, summary counts), the EventBridge-triggered ingest (stream), the
@@ -672,6 +673,7 @@ def cmd_branch(args) -> int:
         snapshot_branch,
         snapshot_branch_drop,
         snapshot_branch_publish,
+        snapshot_branch_rebase,
         snapshot_branches,
     )
 
@@ -680,11 +682,10 @@ def cmd_branch(args) -> int:
         out["branches"] = snapshot_branches(args.table)
     elif args.action == "create":
         out["root"] = snapshot_branch(args.table, args.name, args.version)
-    elif args.action == "publish":
+    elif args.action in ("publish", "rebase"):
+        fn = snapshot_branch_publish if args.action == "publish" else snapshot_branch_rebase
         try:
-            out["published_version"] = snapshot_branch_publish(
-                args.table, args.name, drop=args.drop
-            )
+            out["published_version"] = fn(args.table, args.name, drop=args.drop)
         except BranchDiverged as exc:
             print(json.dumps({**out, "error": "diverged", "detail": str(exc)}))
             return 1
@@ -803,7 +804,7 @@ def main() -> int:
     fg.set_defaults(fn=cmd_forget)
 
     br = sub.add_parser("branch")
-    br.add_argument("action", choices=["create", "publish", "drop", "list"])
+    br.add_argument("action", choices=["create", "publish", "rebase", "drop", "list"])
     br.add_argument("--table", required=True, help="snapshot table root")
     br.add_argument("--name", help="branch name (all actions except list)")
     br.add_argument("--version", type=int, help="create: fork version (default current)")

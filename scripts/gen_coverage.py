@@ -48,8 +48,8 @@ TEST_COVERED = {
         "tests/test_snapshot_update.py (cow ≡ dv reader equivalence, zero-match no-op both at stats and post-scan level, CDC delete+insert, OLD-row swap semantics, NULL-predicate rows kept, retype refusal with no commit, unknown column, concurrent same-file cow×dv race convergence, pruned reads post-update)",
     ),
     "OP-X-BRANCH": (
-        "sources/branches.py (zero-copy branch fork: fork-version tag-pinned on the parent, branch is a full snapshot table under <table>/_branches/<name> — every snapshot op works on it unchanged; strict fast-forward publish as ONE replace-shaped parent commit with branch-local files hardlinked into the parent tree under the table lock; drop releases the pin)",
-        "tests/test_branches.py (zero-copy fork + isolation both directions, fast-forward publish incl. DV entries with append-only history, divergence refusal commits nothing, parent-expiry starvation safety via the fork tag, drop-after-publish inode safety through expiry, name reuse, idle-branch no-op publish)",
+        "sources/branches.py (zero-copy branch fork: fork-version tag-pinned on the parent, branch is a full snapshot table under <table>/_branches/<name> — every snapshot op works on it unchanged; strict fast-forward publish as ONE replace-shaped parent commit with branch-local files hardlinked into the parent tree under the table lock; r7: snapshot_branch_rebase publishes a DIVERGED branch by replaying its net entry delta onto the advanced parent head when the touched file sets are disjoint and neither side added equality deletes — else BranchDiverged commits nothing; drop releases the pin)",
+        "tests/test_branches.py (zero-copy fork + isolation both directions, fast-forward publish incl. DV entries with append-only history, divergence refusal commits nothing, parent-expiry starvation safety via the fork tag, drop-after-publish inode safety through expiry, name reuse, idle-branch no-op publish; r7 rebase: parent-append-then-publish lands both sides atomically, overlapping-file touch refuses, eq-delete divergence refuses both directions, unadvanced-parent rebase == publish)",
     ),
     "OP-X-OCC": (
         "sources/snapshots.py (optimistic concurrency: CAS manifest reservation via atomic link, lock-free append/upsert with manifest-delta conflict rebase, lock-held rewrite retry, pointer repair, vacuum grace for in-flight writers)",

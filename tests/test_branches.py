@@ -177,3 +177,96 @@ def test_fork_version_survives_branch_side_expiry(spark, tmp_path):
     assert snapshot_branches(tbl)["exp"]["fork"] == 1
     v = snapshot_branch_publish(tbl, "exp")
     assert snapshot_rowcount(tbl, v) == 70
+
+
+def test_rebase_publishes_onto_advanced_parent(spark, tmp_path):
+    """VERDICT r6 ask #7: parent-append-then-publish succeeds via rebase —
+    the parent's post-fork append AND the branch's work (an append plus a
+    DV delete of a fork file) both land in one atomic commit."""
+    from agf_data_ingestion_spark.sources.branches import (
+        BranchDiverged,
+        snapshot_branch,
+        snapshot_branch_publish,
+        snapshot_branch_rebase,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = _mk(spark, tmp_path, n=20, files=2)
+    root = snapshot_branch(tbl, "work")
+    # branch work: DV-delete a fork slice + append new rows
+    snapshot_delete(spark, root, [("k", "<", 3)], mode="dv")
+    snapshot_write(
+        spark.createDataFrame([(100, "b")], "k long, v string"), root
+    )
+    # parent advances — strict publish must refuse
+    snapshot_write(spark.createDataFrame([(200, "p")], "k long, v string"), tbl)
+    with pytest.raises(BranchDiverged):
+        snapshot_branch_publish(tbl, "work")
+    v = snapshot_branch_rebase(tbl, "work", drop=True)
+    assert v == current_version(tbl)
+    rows = _rows(snapshot_read(spark, tbl))
+    assert (100, "b") in rows and (200, "p") in rows
+    assert all(k >= 3 for k, _ in rows if k < 100)
+    assert len(rows) == 17 + 2
+    # history stays append-only: the pre-rebase parent state is intact
+    assert len(_rows(snapshot_read(spark, tbl, version=v - 1))) == 21
+
+
+def test_rebase_refuses_overlapping_file_touch(spark, tmp_path):
+    """Both sides changed the same fork file (parent COW-deleted from it,
+    branch DV'd it): rebase must refuse and commit nothing."""
+    from agf_data_ingestion_spark.sources.branches import (
+        BranchDiverged,
+        snapshot_branch,
+        snapshot_branch_rebase,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete
+
+    tbl = _mk(spark, tmp_path, n=20, files=1)  # ONE file: any touch overlaps
+    root = snapshot_branch(tbl, "work")
+    snapshot_delete(spark, root, [("k", "==", 5)], mode="dv")
+    snapshot_delete(spark, tbl, [("k", "==", 7)])  # parent rewrites the file
+    v_before = current_version(tbl)
+    with pytest.raises(BranchDiverged, match="both touched"):
+        snapshot_branch_rebase(tbl, "work")
+    assert current_version(tbl) == v_before  # nothing committed
+    assert (5, "v5") in _rows(snapshot_read(spark, tbl))
+
+
+def test_rebase_refuses_eq_delete_divergence(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.branches import (
+        BranchDiverged,
+        snapshot_branch,
+        snapshot_branch_rebase,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete_keys
+
+    tbl = _mk(spark, tmp_path, n=20, files=2)
+    root = snapshot_branch(tbl, "work")
+    snapshot_delete_keys(
+        spark.createDataFrame([(5,)], "k long"), root
+    )
+    snapshot_write(spark.createDataFrame([(200, "p")], "k long, v string"), tbl)
+    with pytest.raises(BranchDiverged, match="equality deletes"):
+        snapshot_branch_rebase(tbl, "work")
+    # and the mirror: the PARENT adding an eq delete also refuses
+    tbl2 = _mk(spark, tmp_path, "tbl2", n=20, files=2)
+    root2 = snapshot_branch(tbl2, "work")
+    snapshot_write(spark.createDataFrame([(100, "b")], "k long, v string"), root2)
+    snapshot_delete_keys(spark.createDataFrame([(5,)], "k long"), tbl2)
+    with pytest.raises(BranchDiverged, match="parent added equality"):
+        snapshot_branch_rebase(tbl2, "work")
+
+
+def test_rebase_on_unadvanced_parent_acts_like_publish(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.branches import (
+        snapshot_branch,
+        snapshot_branch_rebase,
+    )
+
+    tbl = _mk(spark, tmp_path, n=10, files=1)
+    root = snapshot_branch(tbl, "work")
+    snapshot_write(spark.createDataFrame([(100, "b")], "k long, v string"), root)
+    snapshot_branch_rebase(tbl, "work", drop=True)
+    assert (100, "b") in _rows(snapshot_read(spark, tbl))
+    assert snapshot_rowcount(tbl) == 11
