@@ -68,6 +68,7 @@ from agf_data_ingestion_spark.sources.snapshots import (
     CommitConflict,
     NoSuchVersionError,
     _dv_items,
+    _fields_of,
     _manifest_op,
     _publish,
     _repair_current,
@@ -150,6 +151,8 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
         replace=m.get("schema") is not None,
         eq_deletes=json.loads(json.dumps(m.get("eq_deletes") or [])),
         last_seq_floor=m.get("last_seq", v),
+        fields=_fields_of(m),
+        retired=m.get("retired_phys"),
     )
     return root
 
@@ -249,6 +252,8 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
                 replace=bm.get("schema") is not None,
                 eq_deletes=eq,
                 last_seq_floor=bm.get("last_seq", bm["version"]),
+                fields=_fields_of(bm),
+                retired=bm.get("retired_phys"),
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(
@@ -335,6 +340,23 @@ def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
                 f"{table}: the parent added equality deletes since v{fork_v} "
                 f"— re-fork so branch files inherit their scope"
             )
+
+        # field-registry divergence (r7 rename/drop/widen): at most ONE
+        # side may have evolved the registry since the fork — independent
+        # evolutions could assign colliding field ids with different
+        # meanings; the evolved side's registry wins (physical names are
+        # immutable, so the other side's files read correctly under it)
+        def _reg(m):
+            return json.dumps(
+                [_fields_of(m), m.get("retired_phys") or []], sort_keys=True
+            )
+
+        if _reg(pm) != _reg(fm) and _reg(bm) != _reg(fm):
+            raise BranchDiverged(
+                f"{table}: branch {name!r} and the parent both evolved the "
+                f"schema registry since v{fork_v} — re-fork and replay"
+            )
+        reg_m = bm if _reg(bm) != _reg(fm) else pm
         files = []
         for p, f in par_e.items():
             if p in br_touched:
@@ -360,8 +382,9 @@ def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
                 files,
                 cur,
                 f"branch_rebase@{name}:{bm['version']}",
-                batch_schema=bm.get("schema"),
                 last_seq_floor=bm.get("last_seq", bm["version"]),
+                fields=_fields_of(reg_m),
+                retired=reg_m.get("retired_phys"),
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(

@@ -65,14 +65,24 @@ def _table_schema_ddl(table: str) -> str:
     # empty overwrite) still has a well-defined CDC replay, so fall back
     # through retained history for any schema-bearing manifest
     m = read_manifest(table)
-    if not m["files"]:
+    if not m["files"] and not m.get("schema"):
         for v in range(current_version(table), 0, -1):
             try:
                 m = read_manifest(table, v)
             except Exception:
                 continue
-            if m["files"]:
+            if m["files"] or m.get("schema"):
                 break
+    if m.get("schema"):
+        # the manifest's LOGICAL schema (r7: registry names — renamed
+        # columns stream under their current name, dropped ones are
+        # hidden); Spark TimestampType rows are normalized to naive UTC
+        # by _norm_val, so they must be declared ntz
+        cols = ", ".join(
+            f"`{n}` {'timestamp_ntz' if t == 'timestamp' else t}"
+            for n, t in m["schema"]
+        )
+        return f"_change string, _commit_version bigint, {cols}"
     if not m["files"]:
         raise ValueError(f"{table}: no committed data files to infer a schema from")
     sch = pq.read_schema(m["files"][0]["path"])
@@ -142,12 +152,16 @@ def _eq_key_sets(eq_list: list[dict], names: list[str]):
     return out
 
 
-def _rows_of(entries: list[dict], names: list[str], eq_list=None) -> Counter:
+def _rows_of(
+    entries: list[dict], names: list[str], eq_list=None, phys=None
+) -> Counter:
     """Multiset of row tuples from manifest file ENTRIES, deletion
     vectors AND applicable equality deletes applied (physical row index
     == pyarrow's whole-file read order — the same contract
     ``_metadata.row_index`` exposes on the Spark read path).  Column
-    order pinned to ``names``."""
+    order pinned to ``names``; ``phys`` (r7) is the parallel list of
+    PHYSICAL column names under this version's field registry — None for
+    a column that did not exist at this version (reads as NULL)."""
     import pyarrow.parquet as pq
 
     from agf_data_ingestion_spark.sources.snapshots import (
@@ -157,10 +171,16 @@ def _rows_of(entries: list[dict], names: list[str], eq_list=None) -> Counter:
 
     dead = _dv_positions(entries)
     eq_sets = _eq_key_sets(eq_list, names)
+    phys = phys or list(names)
     out: Counter = Counter()
     for f in sorted(entries, key=lambda e: e["path"]):
         tbl = pq.read_table(f["path"])
-        cols = [[_norm_val(v) for v in tbl.column(n).to_pylist()] for n in names]
+        cols = [
+            [_norm_val(v) for v in tbl.column(p).to_pylist()]
+            if p is not None and p in tbl.column_names
+            else [None] * tbl.num_rows
+            for p in phys
+        ]
         gone = dead.get(_scan_path(f["path"]), ())
         applicable = [
             (idx, keys) for idx, it, keys in eq_sets if _eq_applies(f, it)
@@ -182,6 +202,24 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         self.names = names
         start = options.get("startingVersion")
         self._start = int(start) if start is not None else 0
+        # the stream's names are the CURRENT logical schema; per-version
+        # deltas map each to that version's PHYSICAL column by field id
+        # (r7 renames — ids are stable, physical names immutable)
+        from agf_data_ingestion_spark.sources.snapshots import _fields_of
+
+        self._id_of = {
+            f["name"]: f["id"]
+            for f in _fields_of(read_manifest(self.table)) or []
+        }
+
+    def _phys_for(self, m: dict) -> list:
+        from agf_data_ingestion_spark.sources.snapshots import _fields_of
+
+        fields_v = _fields_of(m)
+        if fields_v is None or not self._id_of:
+            return list(self.names)  # legacy: logical == physical
+        by_id = {f["id"]: f["phys"] for f in fields_v}
+        return [by_id.get(self._id_of.get(n)) for n in self.names]
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -216,6 +254,7 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
             ],
             self.names,
             eq_f,
+            self._phys_for(mf),
         )
         added = _rows_of(
             [
@@ -225,6 +264,7 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
             ],
             self.names,
             eq_t,
+            self._phys_for(mt),
         )
         rows = []
         for r in sorted(added.keys() | removed.keys(), key=repr):

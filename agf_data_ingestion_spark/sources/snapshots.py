@@ -346,6 +346,127 @@ def snapshot_history(table: str) -> list[dict]:
     return out
 
 
+# -- field registry: non-additive schema evolution (r7) ------------------------
+# Iceberg evolves schemas by FIELD ID; Delta's column-mapping "name mode"
+# keeps an immutable PHYSICAL column name per field.  This format uses the
+# Delta shape (parquet files written here carry no field ids to key on):
+# the manifest records
+#
+#     "fields": [{"id": 1, "name": <logical>, "phys": <physical>,
+#                 "type": <spark simpleString>}, ...]
+#     "retired_phys": [<physical names of dropped columns>]
+#
+# where ``phys`` is the column's name AT CREATION and never changes.
+# RENAME updates only ``name`` (metadata-only commit; old files read
+# correctly because their physical columns still match ``phys``); DROP
+# removes the field and retires its phys (old files keep the bytes, every
+# reader — snapshot_read, CDC, diff — hides them); WIDEN updates ``type``
+# along the safe lattice (int→bigint etc.; Spark 4's parquet reader
+# upcasts int32 files into a bigint read schema exactly).  Writers rename
+# logical → phys before writing; readers scan with the (phys, type)
+# schema and alias back.  A table never renamed/dropped has phys == name
+# everywhere and every mapping below is the identity.
+#
+# Re-USING a reserved name (any live field's phys under a different
+# logical name, or a retired phys) as a new column is REFUSED: old files'
+# physical bytes would leak into the new column.  This is also the
+# loud-failure path for a rename racing a concurrent append — the
+# append's re-evolution at the CAS sees its old column name reserved and
+# raises instead of silently forking a column.
+
+#: safe type widenings (batch/file type → table type) — value-preserving,
+#: supported by Spark 4's parquet vectorized type promotion
+_WIDENS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _fields_of(m: dict | None) -> list[dict] | None:
+    """The manifest's field registry; derived as the identity registry
+    from the logical schema for manifests that predate it."""
+    if not m:
+        return None
+    if m.get("fields") is not None:
+        return m["fields"]
+    if m.get("schema") is None:
+        return None
+    return [
+        {"id": i + 1, "name": n, "phys": n, "type": t}
+        for i, (n, t) in enumerate(m["schema"])
+    ]
+
+
+def _phys_of(fields: list[dict] | None) -> dict[str, str]:
+    """logical name → physical name ({} means identity)."""
+    return {
+        f["name"]: f["phys"] for f in fields or [] if f["name"] != f["phys"]
+    }
+
+
+def _is_identity(fields: list[dict] | None) -> bool:
+    return all(f["name"] == f["phys"] for f in fields or [])
+
+
+def _to_phys(where: list[tuple] | None, fields: list[dict] | None):
+    """Predicate triples with logical columns translated to the physical
+    names the per-file stats are keyed by."""
+    p = _phys_of(fields)
+    if not p or not where:
+        return where
+    return [(p.get(c, c), op, v) for c, op, v in where]
+
+
+def _evolve_fields(
+    parent_m: dict | None,
+    batch_schema: list | None,
+    *,
+    replace: bool = False,
+) -> tuple[list | None, list | None, list]:
+    """The field-registry twin of ``_evolve_schema``: returns (fields,
+    schema, retired_phys) for the child manifest.  Additive columns get
+    fresh ids with phys = name (reserved names refused); a batch column
+    NARROWER than the table type is fine (the read schema upcasts it —
+    ``_WIDENS``); any other type change raises
+    :class:`SchemaEvolutionError`."""
+    parent_fields = _fields_of(parent_m)
+    retired = list((parent_m or {}).get("retired_phys") or [])
+    if batch_schema is None:
+        schema = (parent_m or {}).get("schema")
+        return parent_fields, schema, retired
+    if replace or not parent_fields:
+        fields = [
+            {"id": i + 1, "name": n, "phys": n, "type": t}
+            for i, (n, t) in enumerate(batch_schema)
+        ]
+        return fields, [[n, t] for n, t in batch_schema], [] if replace else retired
+    by_name = {f["name"]: f for f in parent_fields}
+    reserved = {f["phys"] for f in parent_fields} | set(retired)
+    conflicts, fields = [], [dict(f) for f in parent_fields]
+    next_id = max((f["id"] for f in parent_fields), default=0)
+    for n, t in batch_schema:
+        f = by_name.get(n)
+        if f is None:
+            if n in reserved:
+                raise SchemaEvolutionError(
+                    f"column name {n!r} is reserved by this table's rename/"
+                    f"drop history — pick a different name"
+                )
+            next_id += 1
+            fields.append({"id": next_id, "name": n, "phys": n, "type": t})
+            reserved.add(n)
+        elif t != f["type"] and (t, f["type"]) not in _WIDENS:
+            conflicts.append((n, f["type"], t))
+    if conflicts:
+        detail = ", ".join(f"{n}: {old} -> {new}" for n, old, new in conflicts)
+        raise SchemaEvolutionError(
+            f"additive evolution only — column type change(s): {detail}"
+        )
+    return fields, [[f["name"], f["type"]] for f in fields], retired
+
+
 def _schema_of(df: DataFrame) -> list[list[str]]:
     """JSON-storable ``[[name, dtype], ...]`` in the frame's column order —
     what each commit records so evolution is validated from metadata,
@@ -372,8 +493,12 @@ def _evolve_schema(
     if replace or not parent_schema:
         return batch_schema
     ptypes = {n: t for n, t in parent_schema}
+    # a batch NARROWER than the table type is fine (r7 widening: the read
+    # schema upcasts the file's physical type); any other change forks
     conflicts = [
-        (n, ptypes[n], t) for n, t in batch_schema if n in ptypes and ptypes[n] != t
+        (n, ptypes[n], t)
+        for n, t in batch_schema
+        if n in ptypes and ptypes[n] != t and (t, ptypes[n]) not in _WIDENS
     ]
     if conflicts:
         detail = ", ".join(f"{n}: {old} -> {new}" for n, old, new in conflicts)
@@ -443,6 +568,8 @@ def _publish(
     add_eq: list | None = None,
     eq_deletes: list | None = None,
     last_seq_floor: int = 0,
+    fields: list | None = None,
+    retired: list | None = None,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -480,7 +607,15 @@ def _publish(
     version = parent + 1
     os.makedirs(_snap_path(table), exist_ok=True)
     parent_m = read_manifest(table, parent) if parent > 0 else None
-    parent_schema = parent_m.get("schema") if parent_m else None
+    if fields is not None:
+        # explicit registry (restore / branch / rename-drop-widen APIs):
+        # the logical schema is derived from it, never re-evolved
+        new_fields, new_schema = fields, [[f["name"], f["type"]] for f in fields]
+        new_retired = list(retired or [])
+    else:
+        new_fields, new_schema, new_retired = _evolve_fields(
+            parent_m, batch_schema, replace=replace
+        )
     last_seq = (
         max((parent_m or {}).get("last_seq", parent), last_seq_floor) + 1
     )
@@ -509,11 +644,15 @@ def _publish(
         "op": op,
         "committed_at": time.time(),
         "last_seq": last_seq,
-        "schema": _evolve_schema(parent_schema, batch_schema, replace=replace),
+        "schema": new_schema,
         # O(delta) commit: reuse the parent's untouched segments by name,
         # write only the new entries (plus bounded geometric coalescing)
         "segments": _derive_segments(table, files, parent_m),
     }
+    if new_fields is not None:
+        manifest["fields"] = new_fields
+    if new_retired:
+        manifest["retired_phys"] = new_retired
     if eq:
         manifest["eq_deletes"] = eq
     mpath = _manifest_path(table, version)
@@ -815,11 +954,29 @@ def _bloom_excludes(f: dict, col: str, value) -> bool:
 
 
 def _write_data_files(
-    df: DataFrame, table: str, *, bloom_cols: list[str] | None = None
+    df: DataFrame,
+    table: str,
+    *,
+    bloom_cols: list[str] | None = None,
+    fields: list | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under a fresh commit dir,
     recording per-file column min/max stats (and, for ``bloom_cols``,
-    a 1 KiB membership bloom per column) in the manifest entry."""
+    a 1 KiB membership bloom per column) in the manifest entry.
+
+    ``fields`` (r7): the table's field registry — logical columns whose
+    physical name differs (post-rename) are written under their PHYSICAL
+    name, so every data file of a field shares one physical column
+    regardless of rename history; stats/blooms are keyed physical (the
+    footer domain).  Identity registries skip the projection."""
+    from pyspark.sql import functions as F
+
+    p = _phys_of(fields)
+    if p:
+        df = df.select(
+            *[F.col(c).alias(p.get(c, c)) for c in df.columns]
+        )
+        bloom_cols = [p.get(c, c) for c in bloom_cols or []]
     commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
     df.write.mode("error").parquet(commit_dir)
     files = []
@@ -828,10 +985,17 @@ def _write_data_files(
             p = os.path.join(commit_dir, name)
             import pyarrow.parquet as pq
 
+            rows = pq.ParquetFile(p).metadata.num_rows
+            if rows == 0:
+                # an empty part (partition count > row count) carries no
+                # stats — referencing it would poison metadata MIN/MAX
+                # and add a no-op scan task to every read
+                os.remove(p)
+                continue
             entry = {
                 "path": p,
                 "bytes": os.path.getsize(p),
-                "rows": pq.ParquetFile(p).metadata.num_rows,
+                "rows": rows,
                 "stats": _file_stats(p),
             }
             blooms = {
@@ -902,11 +1066,14 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     batch_schema = _schema_of(df)
+    flds = None
     if mode == "append":
         # fail BEFORE the file write on a type-changing batch (additive
         # evolution only); re-validated at the CAS point against whatever
         # parent actually wins
-        _evolve_schema(read_manifest(table).get("schema"), batch_schema)
+        m0 = read_manifest(table)
+        _evolve_fields(m0, batch_schema)  # incl. reserved-name refusal
+        flds = _fields_of(m0)  # renamed columns write under their phys
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -916,7 +1083,7 @@ def snapshot_write(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
-    new_files = _write_data_files(df, table, bloom_cols=bloom_cols)
+    new_files = _write_data_files(df, table, bloom_cols=bloom_cols, fields=flds)
     parent = current_version(table)
     for _ in range(_OCC_MAX_RETRIES):
         base = (
@@ -968,7 +1135,13 @@ def snapshot_commit_files(
 
     batch_schema = _schema_of(schema_from)
     if mode == "append":
-        _evolve_schema(read_manifest(table).get("schema"), batch_schema)
+        m0 = read_manifest(table)
+        _evolve_schema(m0.get("schema"), batch_schema)
+        if not _is_identity(_fields_of(m0)):
+            raise SchemaEvolutionError(
+                "snapshot_commit_files: pre-written files cannot follow a "
+                "renamed registry — rewrite through snapshot_write"
+            )
     commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
     os.makedirs(commit_dir)
     new_files = []
@@ -1031,9 +1204,13 @@ def plan_files(
     for a predicate column are conservatively kept.  This is the
     data-skipping step — at 100 TB a pruned plan opens the handful of
     files whose ranges overlap the predicate instead of the whole table
-    (and is what makes Z-order clustering pay off at the reader)."""
+    (and is what makes Z-order clustering pay off at the reader).
+    Predicate columns are LOGICAL; per-file stats are keyed by the
+    physical names (r7 renames), so the triples are translated through
+    the version's field registry before pruning."""
     m = read_manifest(table, version)
-    return [f for f in m["files"] if _file_admits(f, where)]
+    pwhere = _to_phys(where, _fields_of(m))
+    return [f for f in m["files"] if _file_admits(f, pwhere)]
 
 
 def _file_admits(f: dict, where: list[tuple] | None) -> bool:
@@ -1208,6 +1385,7 @@ def _read_entries(
     *,
     keep_position: bool = False,
     eq_deletes: list | None = None,
+    fields: list | None = None,
 ):
     """Read manifest file entries WITH their deletion vectors applied —
     the merge-on-read path every consumer of raw manifest file lists must
@@ -1233,9 +1411,21 @@ def _read_entries(
     the table is due for compaction."""
     from pyspark.sql import functions as F
 
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *sorted(f["path"] for f in entries)
-    )
+    paths = sorted(f["path"] for f in entries)
+    if fields:
+        # registry-driven read (r7): scan with the (physical name, logical
+        # type) schema — Spark 4's parquet reader upcasts narrower file
+        # types (int32 files under a bigint field), files missing a
+        # later-added field read NULL, and DROPPED columns' bytes are
+        # never even decoded — then alias back to the logical names
+        ddl = ", ".join(f"`{f['phys']}` {f['type']}" for f in fields)
+        df = spark.read.schema(ddl).parquet(*paths)
+        if not _is_identity(fields):
+            df = df.select(
+                *[F.col(f["phys"]).alias(f["name"]) for f in fields]
+            )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
     items = [i for f in entries for i in _dv_items(f)]
     eq = [
         it
@@ -1358,14 +1548,14 @@ def snapshot_read(
         # merge-on-read: entries carrying deletion vectors anti-join their
         # (file, position) delete sets, equality deletes anti-join their
         # key sets; plain entries read as a bare scan
-        df = _read_entries(spark, kept, eq_deletes=_eq_items(m))
+        df = _read_entries(
+            spark, kept, eq_deletes=_eq_items(m), fields=_fields_of(m)
+        )
     else:
         # all files pruned: keep one for the schema — the residual filter
         # below returns its (provably empty) matching subset, so applying
         # the file's DVs would be wasted work
-        df = spark.read.option("mergeSchema", "true").parquet(
-            m["files"][0]["path"]
-        )
+        df = _read_entries(spark, [m["files"][0]], fields=_fields_of(m)).limit(0)
     cond = _where_condition(df, where)
     return df.filter(cond) if cond is not None else df
 
@@ -1412,7 +1602,9 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
     spark = df.sparkSession
     batch = df.dropDuplicates(keys)  # same within-batch rule as upsert_append
     batch_schema = _schema_of(batch)
-    _evolve_schema(read_manifest(table).get("schema"), batch_schema)  # fail fast
+    m0 = read_manifest(table)
+    _evolve_fields(m0, batch_schema)  # fail fast incl. reserved names
+    flds = _fields_of(m0)
     parent = current_version(table)
     if parent > 0:
         existing = snapshot_read(spark, table, version=parent)
@@ -1426,7 +1618,7 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
     fresh = fresh.localCheckpoint(eager=True)
     if fresh.isEmpty():
         return parent
-    new_files = _write_data_files(fresh, table)
+    new_files = _write_data_files(fresh, table, fields=flds)
     for _ in range(_OCC_MAX_RETRIES):
         base = read_manifest(table, parent)["files"] if parent > 0 else []
         try:
@@ -1442,10 +1634,17 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
                 if f["path"] not in base_paths
             )
             if delta_paths:
+                from pyspark.sql import functions as F
+
+                # delta files store PHYSICAL names: translate the key
+                # columns through the winner's registry before selecting
+                p = _phys_of(_fields_of(read_manifest(table, cur)))
                 others = (
                     spark.read.option("mergeSchema", "true")
                     .parquet(*delta_paths)
-                    .select(*keys)
+                    .select(
+                        *[F.col(p.get(k, k)).alias(k) for k in keys]
+                    )
                     .dropDuplicates(keys)
                 )
                 survived = fresh.join(others, keys, "left_anti").localCheckpoint(
@@ -1458,7 +1657,7 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
                     # some keys lost first-writer-wins: rewrite the batch
                     # files without them (the old files stay unreferenced)
                     fresh = survived
-                    new_files = _write_data_files(fresh, table)
+                    new_files = _write_data_files(fresh, table, fields=flds)
             parent = cur
     raise CommitConflict(
         f"snapshot_upsert on {table} lost {_OCC_MAX_RETRIES} CAS races"
@@ -1522,20 +1721,27 @@ def snapshot_merge(
     batch_schema = _schema_of(df)
     parent = _repair_current(table)
     m = read_manifest(table, parent) if parent > 0 else {"files": []}
-    _evolve_schema(m.get("schema"), batch_schema)  # fail before any rewrite
+    _evolve_fields(m, batch_schema)  # fail before any rewrite (reserved names too)
+    flds = _fields_of(m)
+    physm = _phys_of(flds)
     if mode == "eq":
         # ZERO target reads: append the batch; shadow prior same-keyed
         # rows with an equality delete stamped at this commit's sequence
         # (the same-sequence rule exempts the batch itself).  NULL-keyed
         # batch rows shadow nothing and simply append — identical to the
         # cow/dv no-match behavior.
-        appended = [f for f in _write_data_files(df, table) if f["rows"] > 0]
+        appended = [
+            f for f in _write_data_files(df, table, fields=flds) if f["rows"] > 0
+        ]
         paths, n, bounds = _write_eq_keys(
             df.select(*keys).filter(
                 " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
             ),
             table,
         )
+        # bounds compare against per-file stats, which are keyed by the
+        # PHYSICAL column names
+        bounds = {physm.get(c, c): v for c, v in bounds.items()}
         item = {"paths": paths, "key_cols": list(keys), "n": n, "bounds": bounds}
         for _ in range(_OCC_MAX_RETRIES):
             base = read_manifest(table, parent)["files"] if parent > 0 else []
@@ -1565,9 +1771,10 @@ def snapshot_merge(
 
     def _overlaps(f: dict) -> bool:
         for k in keys:
-            if k not in f.get("stats", {}):
+            pk = physm.get(k, k)  # stats are keyed by physical names
+            if pk not in f.get("stats", {}):
                 return True  # no stats → could match, must rewrite
-            lo, hi = f["stats"][k]
+            lo, hi = f["stats"][pk]
             if raw[f"lo_{k}"] is None:
                 # empty batch / all-NULL key: equality on NULL matches
                 # nothing, so no file needs rewriting on this evidence
@@ -1586,11 +1793,17 @@ def snapshot_merge(
     if mode == "dv":
         # merge-on-read: shadow the matched rows with position deletes,
         # append the whole batch as new files — O(matches + batch)
-        appended = [f for f in _write_data_files(df, table) if f["rows"] > 0]
+        appended = [
+            f for f in _write_data_files(df, table, fields=flds) if f["rows"] > 0
+        ]
         dv_upd: list[dict] = []
         if touched:
             scan = _read_entries(
-                spark, touched, keep_position=True, eq_deletes=_eq_items(m)
+                spark,
+                touched,
+                keep_position=True,
+                eq_deletes=_eq_items(m),
+                fields=flds,
             )
             matches = scan.join(df.select(*keys).distinct(), keys, "left_semi").select(
                 F.col("_dv_fp").alias("file_path"), F.col("_dv_pos").alias("pos")
@@ -1614,13 +1827,13 @@ def snapshot_merge(
     if touched:
         # merge-on-read: a raw path read would resurrect DV/eq-deleted
         # rows into the survivors rewrite
-        old = _read_entries(spark, touched, eq_deletes=_eq_items(m))
+        old = _read_entries(spark, touched, eq_deletes=_eq_items(m), fields=flds)
         survivors = old.join(df.select(*keys).distinct(), keys, "left_anti")
         bc = _common_bloom_cols(touched)
-        new_files += _write_data_files(survivors, table, bloom_cols=bc)
-        new_files += _write_data_files(df, table, bloom_cols=bc)
+        new_files += _write_data_files(survivors, table, bloom_cols=bc, fields=flds)
+        new_files += _write_data_files(df, table, bloom_cols=bc, fields=flds)
     else:
-        new_files += _write_data_files(df, table)
+        new_files += _write_data_files(df, table, fields=flds)
     new_files = [f for f in new_files if f["rows"] > 0]
     return _commit_rewrite(
         table,
@@ -1748,6 +1961,9 @@ def snapshot_delete(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be cow|dv, got {mode!r}")
     parent = _repair_current(table)
+    m = read_manifest(table, parent) if parent > 0 else {"files": []}
+    flds = _fields_of(m)
+    pwhere = _to_phys(where, flds)  # stats domain for delta validation
     touched = plan_files(table, version=parent, where=where)
     if mode == "dv":
         return _delete_dv(spark, table, parent, touched, where)
@@ -1757,16 +1973,14 @@ def snapshot_delete(
         # merge-on-read: apply any existing DVs/eq-deletes before
         # rewriting, or the rewrite would resurrect deleted rows
         df = _read_entries(
-            spark,
-            touched,
-            eq_deletes=_eq_items(read_manifest(table, parent)),
+            spark, touched, eq_deletes=_eq_items(m), fields=flds
         )
         # DELETE semantics: remove rows where the predicate is TRUE.
         # A NULL predicate (e.g. a NULL column value) must KEEP the row
         # — plain ~cond would evaluate NULL and drop it
         cond = _where_condition(df, where)
         survivors = df.filter(cond.isNull() | ~cond)
-        written = _write_data_files(survivors, table)
+        written = _write_data_files(survivors, table, fields=flds)
         # an all-deleted rewrite leaves empty part files — keep the
         # manifest free of them (cheap footer check, no data read)
         new_files = [f for f in written if f["rows"] > 0]
@@ -1780,7 +1994,7 @@ def snapshot_delete(
         "delete",
         # an interleaved commit may have added rows the predicate matches —
         # rebasing would resurrect them past the delete; recompute instead
-        delta_safe=lambda f: not _file_admits(f, where),
+        delta_safe=lambda f: not _file_admits(f, pwhere),
     )
 
 
@@ -1858,11 +2072,15 @@ def _delete_dv(
 
     if not touched:
         return parent  # stats prove nothing matched: no-op, no commit
+    m = read_manifest(table, parent)
+    flds = _fields_of(m)
+    pwhere = _to_phys(where, flds)
     scan = _read_entries(
         spark,
         touched,
         keep_position=True,
-        eq_deletes=_eq_items(read_manifest(table, parent)),
+        eq_deletes=_eq_items(m),
+        fields=flds,
     )
     cond = _where_condition(scan, where)
     matches = scan.filter(cond).select(
@@ -1882,7 +2100,7 @@ def _delete_dv(
         "delete-dv",
         # same guard as COW delete: an interleaved commit may have added
         # rows the predicate matches — rebasing would let them escape
-        delta_safe=lambda f: not _file_admits(f, where),
+        delta_safe=lambda f: not _file_admits(f, pwhere),
     )
 
 
@@ -1962,6 +2180,10 @@ def snapshot_delete_keys(df: DataFrame, table: str) -> int:
     paths, n, bounds = _write_eq_keys(batch, table)
     if n == 0:
         return _repair_current(table)
+    # bounds compare against per-file stats, which are keyed by the
+    # PHYSICAL column names
+    physm = _phys_of(_fields_of(read_manifest(table)))
+    bounds = {physm.get(c, c): v for c, v in bounds.items()}
     item = {"paths": paths, "key_cols": key_cols, "n": n, "bounds": bounds}
     for _ in range(_OCC_MAX_RETRIES):
         parent = _repair_current(table)
@@ -2064,10 +2286,12 @@ def snapshot_update(
             ]
         return df.select(*proj)
 
-    eq_ctx = _eq_items(read_manifest(table, parent))
+    um = read_manifest(table, parent)
+    eq_ctx, uflds = _eq_items(um), _fields_of(um)
+    pwhere = _to_phys(where, uflds)
     if mode == "dv":
         scan = _read_entries(
-            spark, touched, keep_position=True, eq_deletes=eq_ctx
+            spark, touched, keep_position=True, eq_deletes=eq_ctx, fields=uflds
         )
         cond = _where_condition(scan, where)
         matched = scan.filter(cond)
@@ -2081,7 +2305,11 @@ def snapshot_update(
             return parent  # predicate matched nothing
         dv_upd = _dv_entries(touched, dv_paths, counts)
         updated = _apply(matched, only_matched=True)
-        appended = [f for f in _write_data_files(updated, table) if f["rows"] > 0]
+        appended = [
+            f
+            for f in _write_data_files(updated, table, fields=uflds)
+            if f["rows"] > 0
+        ]
         return _commit_rewrite(
             table,
             parent,
@@ -2089,13 +2317,15 @@ def snapshot_update(
             dv_upd + appended,
             "update-dv",
             batch_schema=_schema_of(updated),
-            delta_safe=lambda f: not _file_admits(f, where),
+            delta_safe=lambda f: not _file_admits(f, pwhere),
         )
-    df = _read_entries(spark, touched, eq_deletes=eq_ctx)
+    df = _read_entries(spark, touched, eq_deletes=eq_ctx, fields=uflds)
     updated = _apply(df, only_matched=False)
     bc = _common_bloom_cols(touched)
     new_files = [
-        f for f in _write_data_files(updated, table, bloom_cols=bc) if f["rows"] > 0
+        f
+        for f in _write_data_files(updated, table, bloom_cols=bc, fields=uflds)
+        if f["rows"] > 0
     ]
     return _commit_rewrite(
         table,
@@ -2104,7 +2334,7 @@ def snapshot_update(
         new_files,
         "update",
         batch_schema=_schema_of(updated),
-        delta_safe=lambda f: not _file_admits(f, where),
+        delta_safe=lambda f: not _file_admits(f, pwhere),
     )
 
 
@@ -2154,7 +2384,7 @@ def snapshot_compact(
     # plain read would take the first footer and silently DROP the
     # newer columns from the compacted rewrite; DVs/eq applied
     # merge-on-read
-    df = _read_entries(spark, small, eq_deletes=eq)
+    df = _read_entries(spark, small, eq_deletes=eq, fields=_fields_of(m))
     total = sum(f["bytes"] for f in small)
     target_files = int(max(1, total // small_bytes))
     if sort_by:
@@ -2163,7 +2393,9 @@ def snapshot_compact(
         )
     else:
         df = df.coalesce(target_files)
-    written = _write_data_files(df, table, bloom_cols=_common_bloom_cols(small))
+    written = _write_data_files(
+        df, table, bloom_cols=_common_bloom_cols(small), fields=_fields_of(m)
+    )
     # a fully-DV'd input can compact to zero rows — keep empty parts out
     new_files = [f for f in written if f["rows"] > 0]
     return _commit_rewrite(
@@ -2227,9 +2459,31 @@ def snapshot_diff(
     if not schema_hint:
         raise NoSuchVersionError(f"{table}: both versions have no data files")
 
-    def _read(entries, other=None, eq=None):
+    ff, ft = _fields_of(mf), _fields_of(mt)
+
+    def _align(df):
+        """Project a v_from frame onto v_to's schema BY FIELD ID (r7):
+        a renamed column lines up under its new name (a pure rename
+        therefore nets zero rows), a dropped column is hidden (rows
+        differing only there collapse — drop hides everywhere incl.
+        CDC), a later-added column reads NULL, a widened column
+        upcasts."""
+        if not ff or not ft or ff == ft:
+            return df
+        by_id = {f["id"]: f for f in ff}
+        cols = []
+        for g in ft:
+            f = by_id.get(g["id"])
+            if f is None:
+                cols.append(F.lit(None).cast(g["type"]).alias(g["name"]))
+            else:
+                cols.append(F.col(f["name"]).cast(g["type"]).alias(g["name"]))
+        return df.select(*cols)
+
+    def _read(entries, other=None, eq=None, fields=None, align=False):
         if entries:
-            return _read_entries(spark, entries, eq_deletes=eq)
+            df = _read_entries(spark, entries, eq_deletes=eq, fields=fields)
+            return _align(df) if align else df
         # empty side: take the schema from the populated side (free), or —
         # only when BOTH sides are empty — from a single file's footer.
         # Merging footers of every file in both manifests here would cost
@@ -2240,11 +2494,11 @@ def snapshot_diff(
         return spark.read.parquet(schema_hint[0]).limit(0)
 
     if only_new:
-        new = _read(only_new, eq=eq_t)
-        old = _read(only_old, other=new, eq=eq_f)
+        new = _read(only_new, eq=eq_t, fields=ft)
+        old = _read(only_old, other=new, eq=eq_f, fields=ff, align=True)
     else:
-        old = _read(only_old, eq=eq_f)
-        new = _read(only_new, other=old, eq=eq_t)
+        old = _read(only_old, eq=eq_f, fields=ff, align=True)
+        new = _read(only_new, other=old, eq=eq_t, fields=ft)
     if set(old.columns) != set(new.columns):
         # the diff straddles a schema evolution: align both sides to the
         # union schema (NULL for the missing side) so exceptAll is legal —
@@ -2447,6 +2701,7 @@ def snapshot_minmax(
     m = read_manifest(table, version)
     if _eq_items(m):
         return None
+    col = _phys_of(_fields_of(m)).get(col, col)  # stats are keyed physical
     lo = hi = None
     for f in m["files"]:
         if _dv_items(f):
@@ -2520,10 +2775,137 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
                     replace=restored.get("schema") is not None,
                     eq_deletes=_eq_items(restored),
                     last_seq_floor=restored.get("last_seq", version),
+                    fields=_fields_of(restored),
+                    retired=restored.get("retired_phys"),
                 )
             except CommitConflict:
                 parent = _repair_current(table)
     raise CommitConflict(f"snapshot_restore on {table} lost {_OCC_MAX_RETRIES} CAS races")
+
+
+def _alter_fields(table: str, op: str, mutate) -> int:
+    """Shared CAS loop for the metadata-only DDL commits (rename / drop /
+    widen): ``mutate(fields, retired, manifest)`` returns the new
+    (fields, retired); the file list, eq context, and sequence counter
+    carry through unchanged.  Append-shaped: a lost CAS re-reads and
+    re-validates on the winner's registry."""
+    for _ in range(_OCC_MAX_RETRIES):
+        parent = _repair_current(table)
+        m = read_manifest(table, parent) if parent > 0 else None
+        fields = _fields_of(m)
+        if not fields:
+            raise SchemaEvolutionError(
+                f"{table}: no committed schema to alter (empty table)"
+            )
+        new_fields, retired = mutate(
+            [dict(f) for f in fields], list((m or {}).get("retired_phys") or []), m
+        )
+        try:
+            return _publish(
+                table,
+                m["files"],
+                parent,
+                op,
+                fields=new_fields,
+                retired=retired,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"{op} on {table} lost {_OCC_MAX_RETRIES} CAS races")
+
+
+def _eq_referenced_cols(m: dict | None) -> set[str]:
+    return {c for it in _eq_items(m or {}) for c in it["key_cols"]}
+
+
+def snapshot_rename_column(table: str, old: str, new: str) -> int:
+    """RENAME a column as one metadata-only commit (r7 non-additive
+    evolution — the first migration every long-lived table hits).  The
+    field keeps its id and its immutable PHYSICAL name, so every existing
+    data file keeps reading correctly and no byte is rewritten; new
+    writes land under the same physical name.  Time travel shows each
+    version's own logical schema.  Refused when ``new`` collides with a
+    live logical name or any reserved physical name, and when a LIVE
+    equality delete references ``old`` (its stored key files are keyed by
+    the old name — compact first)."""
+
+    def mutate(fields, retired, m):
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise ValueError(f"snapshot_rename_column: no such column {old!r}")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        reserved = {f["phys"] for f in fields if f["name"] != old} | set(retired)
+        if new in reserved:
+            raise SchemaEvolutionError(
+                f"column name {new!r} is reserved by this table's rename/"
+                f"drop history — pick a different name"
+            )
+        if old in _eq_referenced_cols(m):
+            raise SchemaEvolutionError(
+                f"column {old!r} is referenced by a live equality delete — "
+                f"run snapshot_compact first"
+            )
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        return fields, retired
+
+    return _alter_fields(table, f"rename:{old}->{new}", mutate)
+
+
+def snapshot_drop_column(table: str, col: str) -> int:
+    """DROP a column as one metadata-only commit: the field leaves the
+    registry and its physical name is RETIRED — old files keep the bytes
+    (time travel to pre-drop versions still shows them) but every reader
+    of this and later versions (snapshot_read, CDC, diff) hides the
+    column, and the name can never be silently re-used over the dead
+    bytes.  Refused for the last column and for live eq-delete keys."""
+
+    def mutate(fields, retired, m):
+        hit = [f for f in fields if f["name"] == col]
+        if not hit:
+            raise ValueError(f"snapshot_drop_column: no such column {col!r}")
+        if len(fields) == 1:
+            raise SchemaEvolutionError("cannot drop the only column")
+        if col in _eq_referenced_cols(m):
+            raise SchemaEvolutionError(
+                f"column {col!r} is referenced by a live equality delete — "
+                f"run snapshot_compact first"
+            )
+        return (
+            [f for f in fields if f["name"] != col],
+            retired + [hit[0]["phys"]],
+        )
+
+    return _alter_fields(table, f"drop-column:{col}", mutate)
+
+
+def snapshot_widen_column(table: str, col: str, new_type: str) -> int:
+    """WIDEN a column's type along the safe lattice (int→bigint,
+    float→double, ...) as one metadata-only commit: existing files keep
+    their narrower physical type and Spark's parquet reader upcasts them
+    exactly under the widened read schema; later batches may write either
+    width.  Any non-widening change is refused — that is an overwrite,
+    not an evolution."""
+
+    def mutate(fields, retired, m):
+        hit = [f for f in fields if f["name"] == col]
+        if not hit:
+            raise ValueError(f"snapshot_widen_column: no such column {col!r}")
+        cur = hit[0]["type"]
+        if cur == new_type:
+            return fields, retired  # idempotent no-op (still commits)
+        if (cur, new_type) not in _WIDENS:
+            raise SchemaEvolutionError(
+                f"{col}: {cur} -> {new_type} is not a safe widening"
+            )
+        for f in fields:
+            if f["name"] == col:
+                f["type"] = new_type
+        return fields, retired
+
+    return _alter_fields(table, f"widen:{col}:{new_type}", mutate)
 
 
 class AuditFailed(RuntimeError):

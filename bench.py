@@ -171,6 +171,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # noise guard (r7, VERDICT r6 "What's wrong" #1 made mechanical): the
+    # box carries background load, and r6's committed HEAD bench read as a
+    # fake +14 s regression because UNTOUCHED queries inflated uniformly.
+    # Compare the per-query medians of the queries this run SHARES with
+    # the latest committed BENCH_r*.json: a median ratio drifting > 20%
+    # is the uniform-inflation signature (real plan changes move specific
+    # queries, not the median of ~dozens), so stamp `noise_suspect` and
+    # let the reader re-run before believing the number.
+    noise = {"prior_artifact": None, "median_ratio_vs_prior": None, "noise_suspect": False}
+    try:
+        import glob as _glob
+
+        priors = sorted(
+            _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        )
+        if priors:
+            with open(priors[-1]) as fh:
+                prior = json.load(fh)
+            pq = prior.get("queries") or {}
+            ratios = sorted(
+                timings[q] / pq[q] for q in pq if q in timings and pq[q] > 0
+            )
+            if len(ratios) >= 8:
+                med = ratios[len(ratios) // 2]
+                noise = {
+                    "prior_artifact": os.path.basename(priors[-1]),
+                    "median_ratio_vs_prior": round(med, 3),
+                    "noise_suspect": abs(med - 1.0) > 0.2,
+                }
+    except Exception:
+        pass  # the guard must never break the bench
+
     # Full per-query detail: file + stderr (driver only keeps the stdout tail,
     # so the stdout line must stay well under 2,000 chars — VERDICT.md r1 #1).
     detail = {
@@ -184,6 +216,7 @@ def main() -> None:
         # marginal-cost queries: timing rides state built by the family
         # member that ran first (see SHARED_COST)
         "shared_with": {k: v for k, v in SHARED_COST.items() if k in timings},
+        **noise,
         "family_total_s": {
             "lsh_dedup_family": round(
                 sum(
@@ -235,6 +268,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
+                **noise,
             }
         )
     )

@@ -39,6 +39,10 @@ TEST_COVERED = {
         "sources/snapshots.py (merge-on-read deletion vectors: snapshot_delete(mode='dv') commits O(matches) position-delete files and entry updates only; merge-on-read reads via _read_entries anti-join with size-guarded broadcast; compaction applies-and-purges; expiry reclaims; entry-identity OCC + segment reuse)",
         "tests/test_deletion_vectors.py (DV ≡ COW result, zero-rewrite commit, exact rowcount across overlapping deletes, honest MIN/MAX, CDC/diff + streaming CDC emit the deletes, compaction purge + reclaim, upsert/merge over DVs, disjoint-rewrite concurrency, same-file race convergence, restore/expiry retention)",
     ),
+    "OP-X-SCHEMAEVO": (
+        "sources/snapshots.py `snapshot_rename_column`/`snapshot_drop_column`/`snapshot_widen_column` + `_evolve_fields` field registry (immutable physical names, metadata-only DDL commits; registry-driven reads with Spark 4 parquet type promotion; reserved-name refusal; by-field-id CDC alignment)",
+        "tests/test_schema_evolution.py r7 block (rename preserves old files + stats pruning + DML across the rename, drop hides everywhere incl. streaming CDC with reserved-name refusal, widen reads exact with narrow post-widen batches accepted, pure rename nets zero in diff, diff aligns by field id, branch rebase carries one-sided registry evolution and refuses two-sided, eq-key rename blocked until compact)",
+    ),
     "OP-X-EQDELETE": (
         "sources/snapshots.py `snapshot_delete_keys` + `snapshot_merge(mode='eq')` (Iceberg-v2 equality deletes: O(batch) key rows + manifest metadata, zero target reads; per-entry sequence numbers + manifest-level eq items with key bounds; readers anti-join keys size-guarded; compaction applies, commit GC drops, expiry reclaims; `forget --keys` CLI)",
         "tests/test_equality_deletes.py (eq == cow == position-DV, zero-read pins via monkeypatched _read_entries, same-sequence rule incl. delete-then-reinsert, CDC diff + streaming CDC net exactly, honest rowcount/minmax refusal, compaction->GC->expiry, stats-disproof no-op, NULL/type/column validation, multi-column keys, pruned reads + time travel + restore, batch-chopped streaming upsert == one-shot merge, eq-vs-compaction race recompute, branch fork/publish with live eq)",

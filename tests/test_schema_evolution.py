@@ -146,3 +146,227 @@ def test_diff_across_evolution_boundary(spark, tmp_path):
     d = snapshot_diff(spark, tbl, v_from=1, v_to=2)
     got = sorted((r["_change"], r["k"], r["score"]) for r in d.collect())
     assert got == [("insert", 2, 0.5)]
+
+
+# -- r7: non-additive evolution (rename / drop / widen via the field
+# registry — immutable physical names, Delta column-mapping shape) ----------
+
+
+def _mk(spark, tmp_path, name="tbl", n=20, files=2):
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / name)
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    snapshot_write(df, tbl, cluster_by=["k"], cluster_files=files)
+    return tbl
+
+
+def test_rename_preserves_old_files_and_new_writes(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        plan_files,
+        snapshot_minmax,
+        snapshot_rename_column,
+    )
+
+    tbl = _mk(spark, tmp_path)
+    v1 = 1
+    snapshot_rename_column(tbl, "k", "key")
+    # pre-rename files read under the new logical name, data intact
+    got = sorted((r["key"], r["v"]) for r in snapshot_read(spark, tbl).collect())
+    assert got == [(i, f"v{i}") for i in range(20)]
+    # time travel shows the epoch-correct schema
+    assert [c for c, _ in snapshot_schema(tbl, v1)] == ["k", "v"]
+    assert [c for c, _ in snapshot_schema(tbl)] == ["key", "v"]
+    # new writes land under the immutable physical name and read back
+    snapshot_write(
+        spark.createDataFrame([(100, "new")], "key long, v string"), tbl
+    )
+    rows = snapshot_read(spark, tbl)
+    assert rows.count() == 21 and (100, "new") in {
+        (r["key"], r["v"]) for r in rows.collect()
+    }
+    # stats pruning still works through the rename (old files keyed by
+    # the physical name): a selective predicate opens a strict subset
+    kept = plan_files(tbl, where=[("key", "<", 5)])
+    assert 0 < len(kept) < len(plan_files(tbl))
+    assert snapshot_minmax(tbl, "key") == (0, 100)
+    # predicate reads stay exact
+    assert snapshot_read(spark, tbl, where=[("key", "<", 3)]).count() == 3
+    # the old name is gone, and re-adding it is refused (reserved phys)
+    with pytest.raises(Exception):
+        snapshot_read(spark, tbl).select("k").collect()
+    with pytest.raises(SchemaEvolutionError, match="reserved"):
+        snapshot_write(
+            spark.createDataFrame([(1, "x", 9)], "key long, v string, k long"),
+            tbl,
+        )
+
+
+def test_rename_then_merge_upsert_delete(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_rename_column,
+        snapshot_rowcount,
+    )
+
+    tbl = _mk(spark, tmp_path)
+    snapshot_rename_column(tbl, "k", "key")
+    snapshot_merge(
+        spark.createDataFrame([(5, "FIVE")], "key long, v string"), tbl, keys=["key"]
+    )
+    snapshot_upsert(
+        spark.createDataFrame([(5, "no"), (50, "up")], "key long, v string"),
+        tbl,
+        keys=["key"],
+    )
+    snapshot_delete(spark, tbl, [("key", "==", 7)], mode="dv")
+    got = {(r["key"], r["v"]) for r in snapshot_read(spark, tbl).collect()}
+    assert (5, "FIVE") in got and (50, "up") in got
+    assert all(k != 7 for k, _ in got)
+    assert snapshot_rowcount(tbl) == 20  # 20 - deleted + upserted
+    # the files written post-rename carry the PHYSICAL column name
+    import pyarrow.parquet as pq
+
+    from agf_data_ingestion_spark.sources.snapshots import read_manifest
+
+    for f in read_manifest(tbl)["files"]:
+        assert "k" in pq.read_schema(f["path"]).names  # phys, not "key"
+
+
+def test_drop_hides_everywhere_including_cdc(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_drop_column,
+    )
+
+    tbl = str(tmp_path / "drop")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, secret double"
+    )
+    snapshot_write(df, tbl)
+    v1 = current_version(tbl)
+    snapshot_drop_column(tbl, "secret")
+    assert snapshot_read(spark, tbl).columns == ["k", "v"]
+    assert [c for c, _ in snapshot_schema(tbl, v1)] == ["k", "v", "secret"]
+    # diff across the drop + a data change hides the column too
+    snapshot_write(spark.createDataFrame([(3, "c")], "k long, v string"), tbl)
+    d = snapshot_diff(spark, tbl, v_from=v1, v_to=current_version(tbl))
+    assert "secret" not in d.columns
+    assert sorted((r["_change"], r["k"]) for r in d.collect()) == [("insert", 3)]
+    # streaming CDC replays history under the current (dropped) schema
+    from agf_data_ingestion_spark.sources.snapshot_stream import SnapshotCDCSource
+
+    spark.dataSource.register(SnapshotCDCSource)
+    q = (
+        spark.readStream.format("agf_snapshot_cdc")
+        .option("table", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("drop_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from drop_cdc").collect()
+    assert rows and all("secret" not in r.asDict() for r in rows)
+    assert sorted(r["k"] for r in rows if r["_change"] == "insert") == [1, 2, 3]
+    # re-using the dropped name is refused over the dead bytes
+    with pytest.raises(SchemaEvolutionError, match="reserved"):
+        snapshot_write(
+            spark.createDataFrame([(9, "z", 1.0)], "k long, v string, secret double"),
+            tbl,
+        )
+
+
+def test_widen_reads_are_exact_and_batches_may_stay_narrow(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_minmax,
+        snapshot_widen_column,
+    )
+
+    tbl = str(tmp_path / "widen")
+    snapshot_write(
+        spark.createDataFrame([(1, 10), (2, 2147483647)], "k long, n int"), tbl
+    )
+    snapshot_widen_column(tbl, "n", "bigint")
+    assert dict(snapshot_schema(tbl))["n"] == "bigint"
+    # old int32 files upcast exactly; a value beyond int32 now fits
+    snapshot_write(
+        spark.createDataFrame([(3, 9_000_000_000)], "k long, n long"), tbl
+    )
+    got = {r["k"]: r["n"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {1: 10, 2: 2147483647, 3: 9_000_000_000}
+    assert dict(snapshot_read(spark, tbl).dtypes)["n"] == "bigint"
+    # a NARROW post-widen batch is still accepted (upcast on read)
+    snapshot_write(spark.createDataFrame([(4, 7)], "k long, n int"), tbl)
+    assert snapshot_read(spark, tbl).count() == 4
+    assert snapshot_minmax(tbl, "n") == (7, 9_000_000_000)
+    # non-widening change refused
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        snapshot_widen_column(tbl, "n", "int")
+
+
+def test_rename_nets_zero_in_cdc_and_diff_aligns_by_field_id(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_rename_column,
+    )
+
+    tbl = _mk(spark, tmp_path, "ren", n=6, files=1)
+    v1 = current_version(tbl)
+    v2 = snapshot_rename_column(tbl, "v", "text")
+    # a pure rename changes no data: the diff is EMPTY
+    assert snapshot_diff(spark, tbl, v_from=v1, v_to=v2).count() == 0
+    # rename + data change: the old side aligns by field id under the
+    # new name, so only the real change surfaces
+    snapshot_write(spark.createDataFrame([(9, "nine")], "k long, text string"), tbl)
+    d = snapshot_diff(spark, tbl, v_from=v1, v_to=current_version(tbl))
+    got = sorted((r["_change"], r["k"], r["text"]) for r in d.collect())
+    assert got == [("insert", 9, "nine")]
+
+
+def test_rename_on_branch_rebases_and_registry_conflict_refuses(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.branches import (
+        BranchDiverged,
+        snapshot_branch,
+        snapshot_branch_rebase,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    tbl = _mk(spark, tmp_path, "br", n=10, files=1)
+    root = snapshot_branch(tbl, "mig")
+    snapshot_rename_column(root, "v", "text")
+    snapshot_write(spark.createDataFrame([(50, "b")], "k long, text string"), tbl.replace(tbl, root))
+    # parent appends (no registry change): rebase carries the rename
+    snapshot_write(spark.createDataFrame([(60, "p")], "k long, v string"), tbl)
+    snapshot_branch_rebase(tbl, "mig", drop=True)
+    got = {(r["k"], r["text"]) for r in snapshot_read(spark, tbl).collect()}
+    assert (50, "b") in got and (60, "p") in got and len(got) == 12
+    # both sides evolving the registry refuses
+    tbl2 = _mk(spark, tmp_path, "br2", n=10, files=1)
+    root2 = snapshot_branch(tbl2, "mig")
+    snapshot_rename_column(root2, "v", "text")
+    snapshot_rename_column(tbl2, "k", "key")
+    with pytest.raises(BranchDiverged, match="registry"):
+        snapshot_branch_rebase(tbl2, "mig")
+
+
+def test_eq_delete_key_rename_refused_until_compact(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete_keys,
+        snapshot_rename_column,
+    )
+
+    tbl = _mk(spark, tmp_path, "eqr", n=10, files=1)
+    snapshot_delete_keys(spark.createDataFrame([(3,)], "k long"), tbl)
+    with pytest.raises(SchemaEvolutionError, match="equality delete"):
+        snapshot_rename_column(tbl, "k", "key")
+    snapshot_compact(spark, tbl, small_bytes=1)
+    snapshot_rename_column(tbl, "k", "key")  # applied items no longer block
+    assert snapshot_read(spark, tbl).count() == 9

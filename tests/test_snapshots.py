@@ -649,8 +649,8 @@ def test_concurrent_disjoint_upserts_both_commit(spark, tmp_path, monkeypatch):
     gate = threading.Barrier(2, timeout=120)
     passed = threading.local()
 
-    def gated_write(df, table):
-        files = real_write(df, table)
+    def gated_write(df, table, **kw):
+        files = real_write(df, table, **kw)
         if not getattr(passed, "done", False):
             passed.done = True
             gate.wait()
@@ -687,8 +687,8 @@ def test_concurrent_overlapping_upserts_first_writer_wins(spark, tmp_path, monke
     gate = threading.Barrier(2, timeout=120)
     passed = threading.local()
 
-    def gated_write(df, table):
-        files = real_write(df, table)
+    def gated_write(df, table, **kw):
+        files = real_write(df, table, **kw)
         if not getattr(passed, "done", False):
             passed.done = True
             gate.wait()
@@ -722,8 +722,8 @@ def test_concurrent_partial_overlap_rebases(spark, tmp_path, monkeypatch):
     gate = threading.Barrier(2, timeout=120)
     passed = threading.local()
 
-    def gated_write(df, table):
-        files = real_write(df, table)
+    def gated_write(df, table, **kw):
+        files = real_write(df, table, **kw)
         if not getattr(passed, "done", False):
             passed.done = True
             gate.wait()
