@@ -1666,7 +1666,13 @@ def snapshot_upsert(df: DataFrame, table: str, keys: list[str]) -> int:
 
 @_retry_on_conflict
 def snapshot_merge(
-    df: DataFrame, table: str, keys: list[str], *, mode: str = "cow"
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    *,
+    mode: str = "cow",
+    op: str | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """MERGE: rows of ``df`` REPLACE same-keyed rows in the table,
     unmatched rows insert — the update primitive ``snapshot_upsert``
@@ -1702,11 +1708,22 @@ def snapshot_merge(
     ``df`` must be unique on ``keys`` — with duplicate keys "which copy
     wins" would depend on physical row order, which is exactly the
     nondeterminism this format bans everywhere else (raises ValueError).
-    """
+
+    ``op`` (r7): optional commit label in place of the mode string — the
+    idempotent streaming CDC-upsert sink encodes its replay bookmark in
+    it (streaming/upsert_stream.py, the ann_stream/mv pattern).
+    ``delete_keys`` (r7, ``mode='eq'`` only): keys to delete WITHOUT
+    replacement, folded into the SAME equality-delete item as the
+    batch's own keys — upserts and deletes of one CDC micro-batch land
+    in ONE atomic zero-read commit.  Must be disjoint from ``df``'s keys
+    (a key both replaced and deleted in one batch is a caller bug —
+    net the batch first)."""
     if not keys:
         raise ValueError("snapshot_merge requires at least one key column")
     if mode not in ("cow", "dv", "eq"):
         raise ValueError(f"mode must be cow|dv|eq, got {mode!r}")
+    if delete_keys is not None and mode != "eq":
+        raise ValueError("delete_keys requires mode='eq'")
     spark = df.sparkSession
     from pyspark.sql import functions as F
 
@@ -1733,12 +1750,17 @@ def snapshot_merge(
         appended = [
             f for f in _write_data_files(df, table, fields=flds) if f["rows"] > 0
         ]
-        paths, n, bounds = _write_eq_keys(
-            df.select(*keys).filter(
-                " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
-            ),
-            table,
-        )
+        not_null = " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
+        kdf = df.select(*keys).filter(not_null)
+        if delete_keys is not None:
+            dk = delete_keys.select(*keys).filter(not_null)
+            if df.join(dk, list(keys), "left_semi").limit(1).count():
+                raise ValueError(
+                    "snapshot_merge: delete_keys overlaps the batch's keys "
+                    "— net the micro-batch before applying it"
+                )
+            kdf = kdf.unionByName(dk).dropDuplicates(list(keys))
+        paths, n, bounds = _write_eq_keys(kdf, table)
         # bounds compare against per-file stats, which are keyed by the
         # PHYSICAL column names
         bounds = {physm.get(c, c): v for c, v in bounds.items()}
@@ -1750,7 +1772,7 @@ def snapshot_merge(
                     table,
                     base + appended,
                     parent,
-                    "merge-eq",
+                    op or "merge-eq",
                     batch_schema=batch_schema,
                     add_eq=[item] if n else None,
                 )

@@ -44,8 +44,8 @@ TEST_COVERED = {
         "tests/test_schema_evolution.py r7 block (rename preserves old files + stats pruning + DML across the rename, drop hides everywhere incl. streaming CDC with reserved-name refusal, widen reads exact with narrow post-widen batches accepted, pure rename nets zero in diff, diff aligns by field id, branch rebase carries one-sided registry evolution and refuses two-sided, eq-key rename blocked until compact)",
     ),
     "OP-X-EQDELETE": (
-        "sources/snapshots.py `snapshot_delete_keys` + `snapshot_merge(mode='eq')` (Iceberg-v2 equality deletes: O(batch) key rows + manifest metadata, zero target reads; per-entry sequence numbers + manifest-level eq items with key bounds; readers anti-join keys size-guarded; compaction applies, commit GC drops, expiry reclaims; `forget --keys` CLI)",
-        "tests/test_equality_deletes.py (eq == cow == position-DV, zero-read pins via monkeypatched _read_entries, same-sequence rule incl. delete-then-reinsert, CDC diff + streaming CDC net exactly, honest rowcount/minmax refusal, compaction->GC->expiry, stats-disproof no-op, NULL/type/column validation, multi-column keys, pruned reads + time travel + restore, batch-chopped streaming upsert == one-shot merge, eq-vs-compaction race recompute, branch fork/publish with live eq)",
+        "sources/snapshots.py `snapshot_delete_keys` + `snapshot_merge(mode='eq', delete_keys=...)` (Iceberg-v2 equality deletes: O(batch) key rows + manifest metadata, zero target reads; per-entry sequence numbers + manifest-level eq items with key bounds; readers anti-join keys size-guarded; compaction applies, commit GC drops, expiry reclaims; `forget --keys` CLI) + streaming/upsert_stream.py (continuous CDC upsert runtime: foreachBatch nets each micro-batch — order_col last-change-wins, delete_col deletes folded into the SAME atomic commit — with the op-label + durable-HWM exactly-once bookmark of the ann_stream pattern)",
+        "tests/test_equality_deletes.py (eq == cow == position-DV, zero-read pins via monkeypatched _read_entries, same-sequence rule incl. delete-then-reinsert, CDC diff + streaming CDC net exactly, honest rowcount/minmax refusal, compaction->GC->expiry, stats-disproof no-op, NULL/type/column validation, multi-column keys, pruned reads + time travel + restore, batch-chopped streaming upsert == one-shot merge, eq-vs-compaction race recompute, branch fork/publish with live eq) + tests/test_upsert_stream.py (micro-batches == one-shot with zero target reads, replayed batch no-op, last-change-wins, one-commit upsert+delete with exact CDC, overlap refusal, e2e streaming query + restart dedup)",
     ),
     "OP-X-UPDATE": (
         "sources/snapshots.py `snapshot_update` (predicate UPDATE completing the DML triad: cow rewrites stats-pruned touched files, dv shadows matched rows with position deletes + appends updated rows; SET sees the OLD row; up-front 0-row type check raises SchemaEvolutionError on retyping expressions before any write)",
