@@ -16,6 +16,9 @@
         [--release-table <dir> [--release-tag NAME]]
     python scripts/agf_pipeline.py tokenizer [--docs <dir>]
         (train the corpus BPE merges; prints the merge table + token totals)
+    python scripts/agf_pipeline.py alter <rename|drop|widen>
+        --table <dir> --column C [--to NEW]
+        (metadata-only schema evolution: zero bytes rewritten)
     python scripts/agf_pipeline.py branch <create|publish|rebase|drop|list>
         --table <dir> [--name N] [--version V] [--drop]
         (zero-copy fork / fast-forward publish / rebase onto an advanced
@@ -696,6 +699,40 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    """Non-additive schema evolution over a snapshot table (r7): rename /
+    drop / widen as metadata-only commits — zero bytes rewritten, no
+    Spark session.  One JSON line."""
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_drop_column,
+        snapshot_rename_column,
+        snapshot_schema,
+        snapshot_widen_column,
+    )
+
+    if args.action == "rename":
+        v = snapshot_rename_column(args.table, args.column, args.to)
+    elif args.action == "drop":
+        v = snapshot_drop_column(args.table, args.column)
+    else:  # widen
+        v = snapshot_widen_column(args.table, args.column, args.to)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "action": args.action,
+                "column": args.column,
+                "to": args.to,
+                "version": v,
+                "schema": [list(c) for c in snapshot_schema(args.table)],
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -802,6 +839,13 @@ def main() -> int:
     )
     fg.add_argument("--small-bytes", type=int, default=8 << 20)
     fg.set_defaults(fn=cmd_forget)
+
+    al = sub.add_parser("alter")
+    al.add_argument("action", choices=["rename", "drop", "widen"])
+    al.add_argument("--table", required=True, help="snapshot table root")
+    al.add_argument("--column", required=True)
+    al.add_argument("--to", help="new name (rename) / new type (widen)")
+    al.set_defaults(fn=cmd_alter)
 
     br = sub.add_parser("branch")
     br.add_argument("action", choices=["create", "publish", "rebase", "drop", "list"])
