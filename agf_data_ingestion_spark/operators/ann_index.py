@@ -384,9 +384,14 @@ def ann_index_retrain(
         # version — merge-on-read, so a snapshot_delete(mode='dv') stays
         # deleted through a retrain (never resurrected), and DV'd ids are
         # not demanded of the corpus
+        from agf_data_ingestion_spark.sources.snapshots import _fields_of
+
         live_ids = (
             _read_entries(
-                spark, m["files"], eq_deletes=m.get("eq_deletes")
+                spark,
+                m["files"],
+                eq_deletes=m.get("eq_deletes"),
+                fields=_fields_of(m),
             ).select("vec_id")
             if m["files"]
             else None
@@ -510,12 +515,17 @@ def ann_index_search(
     # merge-on-read: entries carrying deletion vectors (a snapshot_delete
     # over the index) anti-join their positions, equality deletes their
     # keys; plain entries = bare scan
-    from agf_data_ingestion_spark.sources.snapshots import _read_entries
+    from agf_data_ingestion_spark.sources.snapshots import (
+        _fields_of,
+        _read_entries,
+    )
 
+    _m = read_manifest(table, version)
     scan = _read_entries(
         spark,
         kept,
-        eq_deletes=read_manifest(table, version).get("eq_deletes"),
+        eq_deletes=_m.get("eq_deletes"),
+        fields=_fields_of(_m),
     ).filter(F.col("cell").isin(probe_cells))
 
     lut = {

@@ -153,6 +153,7 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
         last_seq_floor=m.get("last_seq", v),
         fields=_fields_of(m),
         retired=m.get("retired_phys"),
+        stamp_new=False,
     )
     return root
 
@@ -254,6 +255,7 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
                 last_seq_floor=bm.get("last_seq", bm["version"]),
                 fields=_fields_of(bm),
                 retired=bm.get("retired_phys"),
+                stamp_new=False,
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(
@@ -385,6 +387,7 @@ def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
                 last_seq_floor=bm.get("last_seq", bm["version"]),
                 fields=_fields_of(reg_m),
                 retired=reg_m.get("retired_phys"),
+                stamp_new=False,
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(

@@ -116,13 +116,28 @@ def bucketed_snapshot_frame(
 
     v = current_version(table) if version is None else version
     m = read_manifest(table, v)
-    if any(f.get("dv") for f in m["files"]) or m.get("eq_deletes"):
-        # a hardlinked bucketed scan cannot apply deletion vectors or
-        # equality deletes; fall back to the merge-on-read path (correct,
-        # loses the exchange-free layout) until compaction applies them
+    from agf_data_ingestion_spark.sources.snapshots import (
+        _fields_of,
+        _is_identity,
+    )
+
+    if (
+        any(f.get("dv") for f in m["files"])
+        or m.get("eq_deletes")
+        or not _is_identity(_fields_of(m))
+    ):
+        # a hardlinked bucketed scan cannot apply deletion vectors,
+        # equality deletes, or a renamed field registry; fall back to the
+        # registry-driven merge-on-read path (correct, loses the
+        # exchange-free layout) until compaction / a rewrite restores it
         from agf_data_ingestion_spark.sources.snapshots import _read_entries
 
-        return _read_entries(spark, m["files"], eq_deletes=m.get("eq_deletes"))
+        return _read_entries(
+            spark,
+            m["files"],
+            eq_deletes=m.get("eq_deletes"),
+            fields=_fields_of(m),
+        )
     probe_dir = os.path.join(table, "_probe", f"v{v:08d}")
     if not os.path.isdir(probe_dir):
         tmp = f"{probe_dir}.tmp-{uuid.uuid4().hex}"

@@ -131,15 +131,24 @@ def _norm_val(v):
     return v
 
 
-def _eq_key_sets(eq_list: list[dict], names: list[str]):
-    """[(key column indices into ``names``, seq, set of key tuples)] for
-    the version's equality deletes — loaded driver-side with pyarrow
-    (key filesets are O(deleted keys), commit-sized)."""
+def _eq_key_sets(eq_list: list[dict], fields_v=None):
+    """[(physical key column names under THIS version's registry, item,
+    set of key tuples)] for the version's equality deletes — loaded
+    driver-side with pyarrow (key filesets are O(deleted keys),
+    commit-sized).  Key values are read from the data files by PHYSICAL
+    name, never through the stream's CURRENT logical schema: a key
+    column renamed or dropped AFTER the item was applied+GC'd must not
+    break historical replay (rename is only refused while the item is
+    LIVE, so ``key_cols`` match the version's logical names and map
+    through its registry)."""
     import pyarrow.parquet as pq
 
+    from agf_data_ingestion_spark.sources.snapshots import _phys_of
+
+    physm = _phys_of(fields_v) if fields_v else {}
     out = []
     for it in eq_list or []:
-        idx = [names.index(c) for c in it["key_cols"]]
+        phys = [physm.get(c, c) for c in it["key_cols"]]
         keys: set = set()
         for p in sorted(it["paths"]):
             tbl = pq.read_table(p)
@@ -148,12 +157,16 @@ def _eq_key_sets(eq_list: list[dict], names: list[str]):
                 for c in it["key_cols"]
             ]
             keys.update(zip(*cols))
-        out.append((idx, it, keys))
+        out.append((phys, it, keys))
     return out
 
 
 def _rows_of(
-    entries: list[dict], names: list[str], eq_list=None, phys=None
+    entries: list[dict],
+    names: list[str],
+    eq_list=None,
+    phys=None,
+    fields_v=None,
 ) -> Counter:
     """Multiset of row tuples from manifest file ENTRIES, deletion
     vectors AND applicable equality deletes applied (physical row index
@@ -161,7 +174,10 @@ def _rows_of(
     ``_metadata.row_index`` exposes on the Spark read path).  Column
     order pinned to ``names``; ``phys`` (r7) is the parallel list of
     PHYSICAL column names under this version's field registry — None for
-    a column that did not exist at this version (reads as NULL)."""
+    a column that did not exist at this version (reads as NULL);
+    ``fields_v`` is the version's registry, used to resolve eq-delete
+    key columns to their physical names (a key column may be absent
+    from the CURRENT schema entirely)."""
     import pyarrow.parquet as pq
 
     from agf_data_ingestion_spark.sources.snapshots import (
@@ -170,7 +186,7 @@ def _rows_of(
     )
 
     dead = _dv_positions(entries)
-    eq_sets = _eq_key_sets(eq_list, names)
+    eq_sets = _eq_key_sets(eq_list, fields_v)
     phys = phys or list(names)
     out: Counter = Counter()
     for f in sorted(entries, key=lambda e: e["path"]):
@@ -183,13 +199,23 @@ def _rows_of(
         ]
         gone = dead.get(_scan_path(f["path"]), ())
         applicable = [
-            (idx, keys) for idx, it, keys in eq_sets if _eq_applies(f, it)
+            (pcols, keys) for pcols, it, keys in eq_sets if _eq_applies(f, it)
         ]
+        kvals: dict[str, list] = {}
+        for pcols, _ in applicable:
+            for p in pcols:
+                if p not in kvals:
+                    kvals[p] = (
+                        [_norm_val(v) for v in tbl.column(p).to_pylist()]
+                        if p in tbl.column_names
+                        else [None] * tbl.num_rows
+                    )
         for pos, row in enumerate(zip(*cols)):
             if pos in gone:
                 continue
             if any(
-                tuple(row[i] for i in idx) in keys for idx, keys in applicable
+                tuple(kvals[p][pos] for p in pcols) in keys
+                for pcols, keys in applicable
             ):
                 continue
             out[row] += 1
@@ -234,6 +260,7 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         from agf_data_ingestion_spark.sources.snapshots import (
             _dv_signature,
             _eq_sig,
+            _fields_of,
         )
 
         mf = read_manifest(self.table, v - 1) if v > 1 else {"files": []}
@@ -255,6 +282,7 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
             self.names,
             eq_f,
             self._phys_for(mf),
+            _fields_of(mf),
         )
         added = _rows_of(
             [
@@ -265,6 +293,7 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
             self.names,
             eq_t,
             self._phys_for(mt),
+            _fields_of(mt),
         )
         rows = []
         for r in sorted(added.keys() | removed.keys(), key=repr):

@@ -437,10 +437,20 @@ def _evolve_fields(
         schema = (parent_m or {}).get("schema")
         return parent_fields, schema, retired
     if replace or not parent_fields:
-        fields = [
-            {"id": i + 1, "name": n, "phys": n, "type": t}
-            for i, (n, t) in enumerate(batch_schema)
-        ]
+        # a REPLACE adopts the batch schema wholesale with fresh physical
+        # names (it references no old file), but same-NAMED columns keep
+        # their parent field id — snapshot_diff and the CDC reader align
+        # versions BY ID, and a positional re-assignment would bind
+        # unrelated columns together across the overwrite boundary
+        pid = {f["name"]: f["id"] for f in parent_fields or []}
+        next_id = max(pid.values(), default=0)
+        fields = []
+        for n, t in batch_schema:
+            fid = pid.get(n)
+            if fid is None:
+                next_id += 1
+                fid = next_id
+            fields.append({"id": fid, "name": n, "phys": n, "type": t})
         return fields, [[n, t] for n, t in batch_schema], [] if replace else retired
     by_name = {f["name"]: f for f in parent_fields}
     reserved = {f["phys"] for f in parent_fields} | set(retired)
@@ -570,6 +580,7 @@ def _publish(
     last_seq_floor: int = 0,
     fields: list | None = None,
     retired: list | None = None,
+    stamp_new: bool = True,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -622,11 +633,16 @@ def _publish(
     # stamp ONLY entries new to this commit: an unstamped entry already in
     # the parent is pre-r7 and must stay unstamped (seq 0 — older than any
     # equality delete); stamping it would both exempt it from earlier eq
-    # deletes and churn its entry identity under segment reuse / OCC
+    # deletes and churn its entry identity under segment reuse / OCC.
+    # ``stamp_new=False`` (branch fork/publish/rebase, restore): EVERY
+    # entry pre-exists somewhere — an unstamped one is legacy even though
+    # this commit's parent (0, or another lineage) doesn't list it, and
+    # stamping it would exempt it from the eq deletes travelling in the
+    # same manifest (deleted rows would resurrect on the fork/restore)
     parent_paths = {f["path"] for f in (parent_m or {}).get("files") or []}
     files = [
         f
-        if ("seq" in f or f["path"] in parent_paths)
+        if ("seq" in f or not stamp_new or f["path"] in parent_paths)
         else dict(f, seq=last_seq)
         for f in files
     ]
@@ -1542,6 +1558,15 @@ def snapshot_read(
         version = tags[tag]
     m = read_manifest(table, version)
     if not m["files"]:
+        # an empty overwrite / delete-all commits a file-less manifest
+        # whose SCHEMA still lives in the registry (since r7 no empty
+        # part file is kept around to carry it): honor the docstring and
+        # read as an empty frame; only a never-written table raises
+        flds = _fields_of(m)
+        if flds:
+            return spark.createDataFrame(
+                [], ", ".join(f"`{f['name']}` {f['type']}" for f in flds)
+            )
         raise NoSuchVersionError(f"{table}: v{m['version']} has no data files")
     kept = plan_files(table, version=version, where=where)
     if kept:
@@ -1753,6 +1778,11 @@ def snapshot_merge(
         not_null = " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
         kdf = df.select(*keys).filter(not_null)
         if delete_keys is not None:
+            if delete_keys.count() != delete_keys.filter(not_null).count():
+                raise ValueError(
+                    "snapshot_merge: NULL-keyed delete_keys rows match "
+                    "nothing — refusing to commit a partial erasure"
+                )
             dk = delete_keys.select(*keys).filter(not_null)
             if df.join(dk, list(keys), "left_semi").limit(1).count():
                 raise ValueError(
@@ -2141,8 +2171,9 @@ def _write_eq_keys(df: DataFrame, table: str) -> tuple[list[str], int, dict]:
         for name in os.listdir(eq_dir)
         if name.endswith(".parquet")
     )
-    n = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-    per = [_file_stats(p) for p in paths if pq.ParquetFile(p).metadata.num_rows]
+    rows = {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
+    n = sum(rows.values())
+    per = [_file_stats(p) for p in paths if rows[p]]
     bounds: dict = {}
     for c in set.intersection(*[set(s) for s in per]) if per else ():
         bounds[c] = [
@@ -2799,6 +2830,7 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
                     last_seq_floor=restored.get("last_seq", version),
                     fields=_fields_of(restored),
                     retired=restored.get("retired_phys"),
+                    stamp_new=False,
                 )
             except CommitConflict:
                 parent = _repair_current(table)
@@ -2850,6 +2882,9 @@ def snapshot_rename_column(table: str, old: str, new: str) -> int:
     live logical name or any reserved physical name, and when a LIVE
     equality delete references ``old`` (its stored key files are keyed by
     the old name — compact first)."""
+
+    if not new or not isinstance(new, str):
+        raise ValueError(f"snapshot_rename_column: invalid new name {new!r}")
 
     def mutate(fields, retired, m):
         names = {f["name"] for f in fields}
@@ -2910,6 +2945,9 @@ def snapshot_widen_column(table: str, col: str, new_type: str) -> int:
     exactly under the widened read schema; later batches may write either
     width.  Any non-widening change is refused — that is an overwrite,
     not an evolution."""
+
+    if not new_type or not isinstance(new_type, str):
+        raise ValueError(f"snapshot_widen_column: invalid type {new_type!r}")
 
     def mutate(fields, retired, m):
         hit = [f for f in fields if f["name"] == col]

@@ -489,8 +489,11 @@ def cmd_forget(args) -> int:
         dtype = dict(snapshot_schema(args.table)).get(col)
         if dtype is None:
             raise SystemExit(f"forget: no such column {col!r}")
+        # coerce by the DECLARED column type, not by what the value looks
+        # like — a numeric-looking key on a string column must stay a string
+        cast = str if dtype in ("string", "varchar") else _val
         keys = spark.createDataFrame(
-            [(_val(s),) for s in vals.split(",")], f"`{col}` {dtype}"
+            [(cast(s),) for s in vals.split(",")], f"`{col}` {dtype}"
         )
         where, mode = [[col, "in", vals]], "eq"
         v = snapshot_delete_keys(keys, args.table)
@@ -650,12 +653,16 @@ def cmd_history(args) -> int:
         snapshot_tags,
     )
 
+    try:
+        rows = snapshot_rowcount(args.table)
+    except RuntimeError:  # live equality deletes: metadata count unknowable
+        rows = None
     print(
         json.dumps(
             {
                 "table": args.table,
                 "current_version": current_version(args.table),
-                "rows": snapshot_rowcount(args.table),
+                "rows": rows,
                 "tags": snapshot_tags(args.table),
                 "history": snapshot_history(args.table),
             }
@@ -712,6 +719,8 @@ def cmd_alter(args) -> int:
         snapshot_widen_column,
     )
 
+    if args.action in ("rename", "widen") and not args.to:
+        raise SystemExit(f"alter {args.action}: --to is required")
     if args.action == "rename":
         v = snapshot_rename_column(args.table, args.column, args.to)
     elif args.action == "drop":

@@ -329,3 +329,51 @@ def test_eq_on_branch_and_publish(spark, tmp_path):
     rows = _rows(snapshot_read(spark, tbl))
     assert len(rows) == 17 and all(k not in (0, 5, 6) for k, _ in rows)
     assert not os.path.isdir(branch_root(tbl, "scrub"))
+
+
+def test_fork_and_restore_never_restamp_legacy_entries(spark, tmp_path):
+    """r7 review finding: a pre-r7 table's UNSTAMPED entries read as seq 0
+    forever.  A branch fork (parent=0 commit) must not stamp them fresh —
+    that would exempt them from the eq deletes travelling in the same
+    manifest and resurrect the deleted rows on the branch."""
+    import json as _json
+
+    from agf_data_ingestion_spark.sources import snapshots as SS
+    from agf_data_ingestion_spark.sources.branches import snapshot_branch
+
+    tbl = _mk(spark, tmp_path, "legacy", n=10, files=1)
+    # forge a pre-r7 table: strip seq from every committed entry
+    m_raw = _json.load(open(SS._manifest_path(tbl, 1)))
+    for name in m_raw["segments"]:
+        p = f"{tbl}/_snapshots/segs/{name}"
+        ent = _json.load(open(p))
+        for e in ent:
+            e.pop("seq", None)
+        _json.dump(ent, open(p, "w"))
+    SS._SEG_CACHE.clear()
+    assert all("seq" not in f for f in SS.read_manifest(tbl)["files"])
+    snapshot_delete_keys(_keys(spark, [3, 4]), tbl)
+    assert snapshot_read(spark, tbl).count() == 8
+    root = snapshot_branch(tbl, "fork")
+    # the fork must still see the erasure (entries stayed unstamped/seq-0)
+    assert snapshot_read(spark, root).count() == 8
+    m = S.read_manifest(root)
+    assert m.get("eq_deletes"), "fork GC'd the live eq item"
+    # ... and a restore of the eq'd version keeps it erased too
+    snapshot_write(spark.createDataFrame([(99, "x")], "k long, v string"), tbl)
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_restore
+
+    snapshot_restore(tbl, 2)
+    assert snapshot_read(spark, tbl).count() == 8
+
+
+def test_merge_eq_null_delete_keys_refused(spark, tmp_path):
+    tbl = _mk(spark, tmp_path, "nulldel", n=5, files=1)
+    with pytest.raises(ValueError, match="NULL-keyed delete_keys"):
+        snapshot_merge(
+            spark.createDataFrame([(1, "u")], "k long, v string"),
+            tbl,
+            keys=["k"],
+            mode="eq",
+            delete_keys=spark.createDataFrame([(None,)], "k long"),
+        )

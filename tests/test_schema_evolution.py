@@ -370,3 +370,91 @@ def test_eq_delete_key_rename_refused_until_compact(spark, tmp_path):
     snapshot_compact(spark, tbl, small_bytes=1)
     snapshot_rename_column(tbl, "k", "key")  # applied items no longer block
     assert snapshot_read(spark, tbl).count() == 9
+
+
+def test_overwrite_preserves_field_ids_by_name(spark, tmp_path):
+    """r7 review finding: an overwrite re-derives the registry from the
+    batch — same-NAMED columns must keep their ids (diff and CDC align
+    by id; a positional re-assignment would bind unrelated columns)."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    tbl = str(tmp_path / "ow")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tbl
+    )
+    ids1 = {f["name"]: f["id"] for f in read_manifest(tbl)["fields"]}
+    v1 = current_version(tbl)
+    # overwrite with the columns REORDERED and one changed row
+    snapshot_write(
+        spark.createDataFrame([("b", 1)], "v string, k long"),
+        tbl,
+        mode="overwrite",
+    )
+    ids2 = {f["name"]: f["id"] for f in read_manifest(tbl)["fields"]}
+    assert ids1 == ids2  # same names, same ids, any order
+    d = snapshot_diff(spark, tbl, v_from=v1, v_to=current_version(tbl))
+    got = sorted((r["_change"], r["k"], r["v"]) for r in d.collect())
+    assert got == [("delete", 1, "a"), ("insert", 1, "b")]
+
+
+def test_empty_overwrite_reads_as_empty_frame(spark, tmp_path):
+    tbl = str(tmp_path / "empty")
+    snapshot_write(spark.createDataFrame([(1, "a")], "k long, v string"), tbl)
+    snapshot_write(
+        spark.createDataFrame([], "k long, v string"), tbl, mode="overwrite"
+    )
+    df = snapshot_read(spark, tbl)
+    assert df.count() == 0 and df.columns == ["k", "v"]
+
+
+def test_cdc_replay_survives_rename_of_gcd_eq_key(spark, tmp_path):
+    """r7 review finding: an eq-delete key column renamed AFTER the item
+    was applied+GC'd must not break historical CDC replay — key values
+    are read by the version's physical names, never through the current
+    logical schema."""
+    from agf_data_ingestion_spark.sources.snapshot_stream import SnapshotCDCSource
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete_keys,
+        snapshot_rename_column,
+    )
+
+    tbl = str(tmp_path / "ren_eq")
+    snapshot_write(
+        spark.range(6).selectExpr("id as k", "concat('v', id) as v"), tbl
+    )
+    snapshot_delete_keys(spark.createDataFrame([(2,)], "k long"), tbl)
+    snapshot_compact(spark, tbl, small_bytes=1)  # applies + GCs the item
+    snapshot_rename_column(tbl, "k", "id")  # legal: no live item
+    spark.dataSource.register(SnapshotCDCSource)
+    q = (
+        spark.readStream.format("agf_snapshot_cdc")
+        .option("table", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ren_eq_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select _change, id from ren_eq_cdc").collect()
+    dels = sorted(r["id"] for r in rows if r["_change"] == "delete")
+    assert dels.count(2) >= 1  # the historical eq delete replays correctly
+
+
+def test_rename_validates_new_name_and_cli_requires_to(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_rename_column,
+        snapshot_widen_column,
+    )
+
+    tbl = _mk(spark, tmp_path, "val", n=5, files=1)
+    with pytest.raises(ValueError, match="invalid new name"):
+        snapshot_rename_column(tbl, "k", None)
+    with pytest.raises(ValueError, match="invalid new name"):
+        snapshot_rename_column(tbl, "k", "")
+    with pytest.raises(ValueError, match="invalid type"):
+        snapshot_widen_column(tbl, "k", None)
