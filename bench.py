@@ -176,9 +176,10 @@ def main() -> None:
     # fake +14 s regression because UNTOUCHED queries inflated uniformly.
     # Compare the per-query medians of the queries this run SHARES with
     # the latest committed BENCH_r*.json: a median ratio drifting > 20%
-    # is the uniform-inflation signature (real plan changes move specific
-    # queries, not the median of ~dozens), so stamp `noise_suspect` and
-    # let the reader re-run before believing the number.
+    # in EITHER direction is the uniform-load signature (real plan
+    # changes move specific queries, not the median of ~dozens) — one of
+    # the two runs was taken on a loaded box, so stamp `noise_suspect`
+    # and re-run before believing a regression OR an improvement.
     noise = {"prior_artifact": None, "median_ratio_vs_prior": None, "noise_suspect": False}
     try:
         import glob as _glob
@@ -189,7 +190,12 @@ def main() -> None:
         if priors:
             with open(priors[-1]) as fh:
                 prior = json.load(fh)
-            pq = prior.get("queries") or {}
+            # driver artifacts wrap the stdout line under "parsed"
+            pq = (
+                prior.get("queries")
+                or (prior.get("parsed") or {}).get("queries")
+                or {}
+            )
             ratios = sorted(
                 timings[q] / pq[q] for q in pq if q in timings and pq[q] > 0
             )
