@@ -29,6 +29,7 @@ from agf_data_ingestion_spark.plans import (
     langid,
     lm,
     media,
+    mixing,
     quality_model,
     similarity,
     sketches,
@@ -75,6 +76,7 @@ for _mod in (
     pii,
     urls,
     quality_model,
+    mixing,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -89,6 +91,8 @@ _PRIORITY = [
     # round-7 additions — need first driver certification
     "docs_quality_train",
     "docs_quality_apply",
+    "docs_domain_reweight",
+    "docs_source_overlap",
     # Stage-warming order within the witness window: the MinHash/cluster
     # family runs base-first (sigs cache → cluster-label cache → consumers)
     # so each query's bench time reflects ITS stage, not whichever family

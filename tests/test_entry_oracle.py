@@ -168,6 +168,7 @@ def test_catalog_integrity_and_priority_names():
     must_certify = [
         # r7 additions
         "docs_quality_train", "docs_quality_apply",
+        "docs_domain_reweight", "docs_source_overlap",
         # r7 plan changes — re-certify
         "docs_url_curation", "docs_langid_apply",
         # late-r6 additions the r6 window never recorded
