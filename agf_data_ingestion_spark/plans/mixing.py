@@ -123,6 +123,12 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
     ).otherwise(F.array().cast("array<int>"))
+    # ONE corpus exchange on gram: the explicit repartition satisfies the
+    # distinct (gram ⊆ its keys) AND both self-join sides, so the four
+    # consumers (join a/b, sizes ×2) collapse to one executed shuffle +
+    # three ReusedExchange reads at runtime (verified: 3 ReusedExchange
+    # nodes in the final adaptive plan) instead of each branch planning
+    # its own distinct-then-join exchanges — the r5 exchange-reuse rule
     grams = (
         d.select("source", words.alias("w"), F.explode(idx).alias("i"))
         .select(
@@ -134,6 +140,7 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("w[i + 1]"),
             ).alias("gram"),
         )
+        .repartition("gram")
         .distinct()
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))

@@ -44,6 +44,13 @@ QUERIES = [
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",
     "emb_semdedup",
+    # r6/r7 additions (documents-only plants scale with doc_id/count)
+    "docs_langid_apply",
+    "docs_url_curation",
+    "docs_decontam_spans",
+    "docs_quality_apply",
+    "docs_domain_reweight",
+    "docs_source_overlap",
 ]
 
 

@@ -377,3 +377,44 @@ def test_merge_eq_null_delete_keys_refused(spark, tmp_path):
             mode="eq",
             delete_keys=spark.createDataFrame([(None,)], "k long"),
         )
+
+
+def test_update_and_merge_over_live_eq_respect_the_merged_view(spark, tmp_path):
+    """snapshot_update / cow-merge on a table carrying a LIVE eq item must
+    read the merged view: eq-deleted rows never resurrect into rewrites,
+    and the rewritten files (fresh sequence) stay exempt afterwards."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_update
+
+    tbl = _mk(spark, tmp_path, "upd_eq", n=20, files=2)
+    snapshot_delete_keys(_keys(spark, [3, 15]), tbl)
+    snapshot_update(spark, tbl, [("k", "<", 10)], {"v": "upper(v)"})  # cow
+    got = dict(_rows(snapshot_read(spark, tbl)))
+    assert 3 not in got and 15 not in got and len(got) == 18
+    assert got[5] == "V5" and got[12] == "v12"
+    # the cow rewrite of the low file applied + outlived the eq item for
+    # that file; the untouched high file still carries it
+    snapshot_merge(
+        spark.createDataFrame([(16, "SIXTEEN")], "k long, v string"), tbl, keys=["k"]
+    )
+    got = dict(_rows(snapshot_read(spark, tbl)))
+    assert 15 not in got and got[16] == "SIXTEEN" and len(got) == 18
+
+
+def test_delete_keys_after_rename_uses_logical_names(spark, tmp_path):
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    tbl = _mk(spark, tmp_path, "ren_then_eq", n=10, files=1)
+    snapshot_rename_column(tbl, "k", "key")
+    # keys address the LOGICAL name; bounds translate to the physical one
+    snapshot_delete_keys(
+        spark.createDataFrame([(4,)], "key long"), tbl
+    )
+    got = sorted(r["key"] for r in snapshot_read(spark, tbl).collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    # and the stats-disproof no-op still engages through the translation
+    v = current_version(tbl)
+    assert snapshot_delete_keys(
+        spark.createDataFrame([(1000,)], "key long"), tbl
+    ) == v

@@ -67,3 +67,13 @@ def test_overlap_gram_join_never_broadcasts_corpus(spark):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert "src_" in line or "source" in line, line
+
+
+def test_overlap_shares_one_gram_exchange_at_runtime(spark):
+    # the explicit gram repartition lets all four consumers (join sides +
+    # two size joins) reuse ONE executed shuffle — AQE decides at runtime,
+    # so the pin inspects the final adaptive plan after an action
+    df = docs_source_overlap(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan
