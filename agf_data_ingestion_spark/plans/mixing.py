@@ -68,8 +68,12 @@ def docs_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         d.select(
             "source",
+            # bigint BEFORE the multiply: Spark length() is INT and a
+            # 2148+-char doc would overflow int32 under ANSI (the DuckDB
+            # twin is BIGINT-native)
             F.expr(
-                "(length(text) * 1000000) DIV size(split(text, ' '))"
+                "(cast(length(text) as bigint) * 1000000)"
+                " DIV size(split(text, ' '))"
             ).alias("cpw"),
         )
         .groupBy("source")

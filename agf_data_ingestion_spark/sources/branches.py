@@ -154,6 +154,7 @@ def snapshot_branch(table: str, name: str, version: int | None = None) -> str:
         fields=_fields_of(m),
         retired=m.get("retired_phys"),
         stamp_new=False,
+        last_field_id_floor=m.get("last_field_id", 0),
     )
     return root
 
@@ -256,6 +257,7 @@ def snapshot_branch_publish(table: str, name: str, *, drop: bool = False) -> int
                 fields=_fields_of(bm),
                 retired=bm.get("retired_phys"),
                 stamp_new=False,
+                last_field_id_floor=bm.get("last_field_id", 0),
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(
@@ -388,6 +390,9 @@ def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
                 fields=_fields_of(reg_m),
                 retired=reg_m.get("retired_phys"),
                 stamp_new=False,
+                last_field_id_floor=max(
+                    bm.get("last_field_id", 0), pm.get("last_field_id", 0)
+                ),
             )
         except CommitConflict as exc:  # a lock-free append interleaved
             raise BranchDiverged(

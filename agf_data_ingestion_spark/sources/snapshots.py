@@ -419,6 +419,20 @@ def _to_phys(where: list[tuple] | None, fields: list[dict] | None):
     return [(p.get(c, c), op, v) for c, op, v in where]
 
 
+def _last_field_id(parent_m: dict | None) -> int:
+    """The highest field id EVER minted on this table — persisted as
+    manifest ``last_field_id`` (Iceberg's last-column-id).  Fresh ids
+    must start above it, never above the max LIVE id: a column minted
+    after a DROP would otherwise inherit the dropped column's id and
+    the by-id alignment in snapshot_diff / the CDC reader would bind
+    the two unrelated columns together across the drop boundary."""
+    fields = _fields_of(parent_m) or []
+    return max(
+        (parent_m or {}).get("last_field_id", 0),
+        max((f["id"] for f in fields), default=0),
+    )
+
+
 def _evolve_fields(
     parent_m: dict | None,
     batch_schema: list | None,
@@ -443,7 +457,7 @@ def _evolve_fields(
         # versions BY ID, and a positional re-assignment would bind
         # unrelated columns together across the overwrite boundary
         pid = {f["name"]: f["id"] for f in parent_fields or []}
-        next_id = max(pid.values(), default=0)
+        next_id = _last_field_id(parent_m)
         fields = []
         for n, t in batch_schema:
             fid = pid.get(n)
@@ -455,7 +469,7 @@ def _evolve_fields(
     by_name = {f["name"]: f for f in parent_fields}
     reserved = {f["phys"] for f in parent_fields} | set(retired)
     conflicts, fields = [], [dict(f) for f in parent_fields]
-    next_id = max((f["id"] for f in parent_fields), default=0)
+    next_id = _last_field_id(parent_m)
     for n, t in batch_schema:
         f = by_name.get(n)
         if f is None:
@@ -581,6 +595,7 @@ def _publish(
     fields: list | None = None,
     retired: list | None = None,
     stamp_new: bool = True,
+    last_field_id_floor: int = 0,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -667,6 +682,13 @@ def _publish(
     }
     if new_fields is not None:
         manifest["fields"] = new_fields
+        # monotone max-ever field id (Iceberg last-column-id): a later
+        # addition must never re-issue a DROPPED column's id
+        manifest["last_field_id"] = max(
+            _last_field_id(parent_m),
+            last_field_id_floor,
+            max((f["id"] for f in new_fields), default=0),
+        )
     if new_retired:
         manifest["retired_phys"] = new_retired
     if eq:
@@ -1772,23 +1794,28 @@ def snapshot_merge(
         # (the same-sequence rule exempts the batch itself).  NULL-keyed
         # batch rows shadow nothing and simply append — identical to the
         # cow/dv no-match behavior.
-        appended = [
-            f for f in _write_data_files(df, table, fields=flds) if f["rows"] > 0
-        ]
         not_null = " AND ".join(f"`{c}` IS NOT NULL" for c in keys)
-        kdf = df.select(*keys).filter(not_null)
+        dk = None
         if delete_keys is not None:
-            if delete_keys.count() != delete_keys.filter(not_null).count():
+            # validate BEFORE any file write (a refused batch must leave
+            # nothing behind but cheap orphans), each check ONE action
+            dk = delete_keys.select(*keys).localCheckpoint(eager=True)
+            any_null = " OR ".join(f"`{c}` IS NULL" for c in keys)
+            if dk.filter(any_null).limit(1).count():
                 raise ValueError(
                     "snapshot_merge: NULL-keyed delete_keys rows match "
                     "nothing — refusing to commit a partial erasure"
                 )
-            dk = delete_keys.select(*keys).filter(not_null)
             if df.join(dk, list(keys), "left_semi").limit(1).count():
                 raise ValueError(
                     "snapshot_merge: delete_keys overlaps the batch's keys "
                     "— net the micro-batch before applying it"
                 )
+        appended = [
+            f for f in _write_data_files(df, table, fields=flds) if f["rows"] > 0
+        ]
+        kdf = df.select(*keys).filter(not_null)
+        if dk is not None:
             kdf = kdf.unionByName(dk).dropDuplicates(list(keys))
         paths, n, bounds = _write_eq_keys(kdf, table)
         # bounds compare against per-file stats, which are keyed by the

@@ -458,3 +458,70 @@ def test_rename_validates_new_name_and_cli_requires_to(spark, tmp_path):
         snapshot_rename_column(tbl, "k", "")
     with pytest.raises(ValueError, match="invalid type"):
         snapshot_widen_column(tbl, "k", None)
+
+
+def test_dropped_field_id_never_reissued(spark, tmp_path):
+    """r7 review finding: fresh field ids must start above the MAX-EVER id
+    (persisted last_field_id), not the max LIVE id — a column minted
+    after a drop would otherwise inherit the dropped column's id and the
+    by-id CDC/diff alignment would bind the two unrelated columns."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_drop_column,
+    )
+
+    tbl = str(tmp_path / "idreuse")
+    snapshot_write(
+        spark.createDataFrame([(1, "a", 9.5)], "k long, v string, c double"), tbl
+    )
+    v1 = current_version(tbl)
+    dropped_id = {
+        f["name"]: f["id"] for f in read_manifest(tbl)["fields"]
+    }["c"]
+    snapshot_drop_column(tbl, "c")
+    # append with a NEW column: its id must not be c's
+    snapshot_write(
+        spark.createDataFrame([(2, "b", "new")], "k long, v string, d string"), tbl
+    )
+    ids = {f["name"]: f["id"] for f in read_manifest(tbl)["fields"]}
+    assert ids["d"] != dropped_id and ids["d"] > dropped_id
+    # diff across the drop+add boundary: the new column reads NULL for
+    # pre-drop rows, never the dropped column's values
+    d = snapshot_diff(spark, tbl, v_from=v1, v_to=current_version(tbl))
+    got = sorted(
+        (r["_change"], r["k"], r["d"]) for r in d.collect()
+    )
+    assert got == [("insert", 2, "new")]
+    # the same rule holds through an OVERWRITE after the drop
+    snapshot_write(
+        spark.createDataFrame([(3, "c", 1.0)], "k long, v string, e double"),
+        tbl,
+        mode="overwrite",
+    )
+    ids2 = {f["name"]: f["id"] for f in read_manifest(tbl)["fields"]}
+    assert ids2["e"] > dropped_id and ids2["k"] == ids["k"]
+
+
+def test_domain_reweight_survives_long_documents(spark, tmp_path):
+    """r7 review finding: the chars-per-word signal must compute in
+    BIGINT — a 2148+-char document overflowed int32 under ANSI."""
+    import pandas as pd
+
+    from agf_data_ingestion_spark.plans.mixing import docs_domain_reweight
+
+    sf = str(tmp_path / "longdocs")
+    import os
+
+    os.makedirs(sf)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["word " * 1000, "tiny text here", "x " * 2000, "ok"],
+            "lang": ["en"] * 4,
+            "source": ["s0", "s0", "s1", "s1"],
+            "n_chars": [5000, 14, 4000, 2],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    rows = docs_domain_reweight(spark, sf).collect()
+    assert len(rows) == 2 and all(r["excess_ppm"] > 0 for r in rows)
