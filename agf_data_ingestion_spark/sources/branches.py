@@ -369,9 +369,20 @@ def snapshot_branch_rebase(table: str, name: str, *, drop: bool = False) -> int:
                 # else: the branch removed it
             else:
                 files.append(f)  # parent state carries through
-        files += [
-            f for p, f in br_e.items() if p not in fork_e and p not in par_e
-        ]
+        added = {p: f for p, f in br_e.items() if p not in fork_e}
+        # a branch-added path already present in the parent head means both
+        # sides minted the same path since the fork — uuid commit dirs make
+        # this practically unreachable, but silently preferring the parent
+        # entry would be silent data loss, not the refusal used everywhere
+        # else (ADVICE r7)
+        collide = sorted(p for p in added if p in par_e)
+        if collide:
+            raise BranchDiverged(
+                f"{table}: branch {name!r} and the parent both added "
+                f"{len(collide)} identical path(s) since v{fork_v} "
+                f"(e.g. {collide[0]})"
+            )
+        files += list(added.values())
         data_dest = os.path.join(table, "data", f"rebase-{run}")
         dv_dest = os.path.join(table, "dv", f"rebase-{run}")
         for f in files:

@@ -69,25 +69,36 @@ def _hwm_path(table: str) -> str:
     return os.path.join(_snap_path(table), "upsert_hwm.json")
 
 
-def upsert_batch_hwm(table: str, stream_id: str = "") -> int:
-    """The durable max-applied-batch-id for ``stream_id`` (-1 if none)."""
+def _hwm_entry(table: str, stream_id: str) -> tuple[int, int]:
+    """(max-applied-batch-id, its commit version) for ``stream_id`` —
+    (-1, 0) if none.  Pre-r8 HWM files stored the bare batch id; those
+    read back with version 0, which simply disables the scan bound."""
     try:
         with open(_hwm_path(table)) as fh:
-            return int(json.load(fh).get(stream_id, -1))
+            v = json.load(fh).get(stream_id, -1)
     except FileNotFoundError:
-        return -1
+        return (-1, 0)
+    if isinstance(v, list):
+        return (int(v[0]), int(v[1]))
+    return (int(v), 0)
 
 
-def _record_hwm(table: str, stream_id: str, batch_id: int) -> None:
+def upsert_batch_hwm(table: str, stream_id: str = "") -> int:
+    """The durable max-applied-batch-id for ``stream_id`` (-1 if none)."""
+    return _hwm_entry(table, stream_id)[0]
+
+
+def _record_hwm(table: str, stream_id: str, batch_id: int, version: int) -> None:
     p = _hwm_path(table)
     try:
         with open(p) as fh:
             hwm = json.load(fh)
     except FileNotFoundError:
         hwm = {}
-    if batch_id <= int(hwm.get(stream_id, -1)):
+    prev = hwm.get(stream_id, -1)
+    if batch_id <= (int(prev[0]) if isinstance(prev, list) else int(prev)):
         return
-    hwm[stream_id] = batch_id
+    hwm[stream_id] = [batch_id, version]
     os.makedirs(_snap_path(table), exist_ok=True)
     tmp = f"{p}.tmp"
     with open(tmp, "w") as fh:
@@ -95,14 +106,19 @@ def _record_hwm(table: str, stream_id: str, batch_id: int) -> None:
     os.replace(tmp, p)
 
 
-def upsert_applied_batch_ids(table: str, stream_id: str | None = None) -> set[int]:
+def upsert_applied_batch_ids(
+    table: str, stream_id: str | None = None, *, stop_at: int = 0
+) -> set[int]:
     """Batch ids already merged, read off retained commit op labels
     (O(retained versions) tiny reads — ``_manifest_op`` never resolves
     file lists).  Not a sufficient replay guard alone — expiry can drop
     the commit — which is why :func:`cdc_upsert_batch` also consults the
-    durable HWM."""
+    durable HWM.  ``stop_at`` bounds the scan to versions STRICTLY above
+    it: per-stream batch ids are monotone, so any commit at or below the
+    HWM's own commit version carries a batch id the HWM check already
+    rejects (ADVICE r7: the unbounded scan was O(n) per micro-batch)."""
     out = set()
-    for v in range(current_version(table), 0, -1):
+    for v in range(current_version(table), max(stop_at, 0), -1):
         try:
             parsed = _parse_op(_manifest_op(table, v))
         except NoSuchVersionError:
@@ -132,8 +148,9 @@ def cdc_upsert_batch(
     from pyspark.sql import functions as F
 
     with table_lock(table):
-        if batch_id <= upsert_batch_hwm(table, stream_id) or batch_id in (
-            upsert_applied_batch_ids(table, stream_id)
+        hwm_batch, hwm_version = _hwm_entry(table, stream_id)
+        if batch_id <= hwm_batch or batch_id in (
+            upsert_applied_batch_ids(table, stream_id, stop_at=hwm_version)
         ):
             return None
         batch = batch_df.localCheckpoint(eager=True)
@@ -162,7 +179,7 @@ def cdc_upsert_batch(
             op=f"{_OP_PREFIX}{label}",
             delete_keys=dels,
         )
-        _record_hwm(table, stream_id, batch_id)
+        _record_hwm(table, stream_id, batch_id, v)
         return v
 
 

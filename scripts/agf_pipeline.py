@@ -473,6 +473,42 @@ def cmd_forget(args) -> int:
                 continue
         return s
 
+    def _typed_key(s: str, dtype: str):
+        """Parse a CLI key literal into the Python type PySpark's row
+        verifier accepts for the DECLARED column type (ADVICE r7: _val's
+        int-first parse crashes DoubleType with PySparkTypeError)."""
+        base = dtype.split("(")[0].strip().lower()
+        try:
+            if base in ("tinyint", "smallint", "int", "integer", "bigint",
+                        "long", "short", "byte"):
+                return int(s)
+            if base in ("double", "float", "real"):
+                return float(s)
+            if base in ("decimal", "numeric"):
+                from decimal import Decimal
+
+                return Decimal(s)
+            if base in ("boolean", "bool"):
+                low = s.strip().lower()
+                if low in ("true", "1"):
+                    return True
+                if low in ("false", "0"):
+                    return False
+                raise ValueError(f"not a boolean literal: {s!r}")
+            if base == "date":
+                import datetime as _dt
+
+                return _dt.date.fromisoformat(s)
+            if base == "timestamp":
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(s)
+            return s
+        except (ValueError, ArithmeticError) as exc:
+            raise SystemExit(
+                f"forget: cannot parse {s!r} as {dtype}: {exc}"
+            ) from exc
+
     def _count(table):
         try:
             return snapshot_rowcount(table)
@@ -490,10 +526,12 @@ def cmd_forget(args) -> int:
         if dtype is None:
             raise SystemExit(f"forget: no such column {col!r}")
         # coerce by the DECLARED column type, not by what the value looks
-        # like — a numeric-looking key on a string column must stay a string
-        cast = str if dtype in ("string", "varchar") else _val
+        # like — a numeric-looking key on a string column must stay a
+        # string, and a bare integer literal on a double column must become
+        # a float (PySpark's type verifier rejects int for DoubleType)
         keys = spark.createDataFrame(
-            [(cast(s),) for s in vals.split(",")], f"`{col}` {dtype}"
+            [(_typed_key(s, dtype),) for s in vals.split(",")],
+            f"`{col}` {dtype}",
         )
         where, mode = [[col, "in", vals]], "eq"
         v = snapshot_delete_keys(keys, args.table)

@@ -270,3 +270,40 @@ def test_rebase_on_unadvanced_parent_acts_like_publish(spark, tmp_path):
     snapshot_branch_rebase(tbl, "work", drop=True)
     assert (100, "b") in _rows(snapshot_read(spark, tbl))
     assert snapshot_rowcount(tbl) == 11
+
+
+def test_rebase_refuses_colliding_added_paths(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a branch-added entry whose path collides with a
+    parent-added path must refuse (BranchDiverged), never silently keep
+    the parent's entry.  uuid commit dirs make a real collision
+    practically unreachable, so the test forges one by rewriting the
+    branch's added-entry path to the parent's."""
+    from agf_data_ingestion_spark.sources import branches as B
+    from agf_data_ingestion_spark.sources.branches import snapshot_branch_rebase
+
+    tbl = _mk(spark, tmp_path, n=10, files=1)
+    fork_v = current_version(tbl)
+    root = snapshot_branch(tbl, "work")
+    snapshot_write(spark.createDataFrame([(100, "b")], "k long, v string"), root)
+    snapshot_write(spark.createDataFrame([(200, "p")], "k long, v string"), tbl)
+    fork_paths = {f["path"] for f in read_manifest(tbl, fork_v)["files"]}
+    par_added = [
+        f["path"]
+        for f in read_manifest(tbl, current_version(tbl))["files"]
+        if f["path"] not in fork_paths
+    ]
+    assert len(par_added) == 1
+    real = B._deep_entries
+
+    def forged(m):
+        out = [dict(f) for f in real(m)]
+        for f in out:
+            if f["path"] not in fork_paths:
+                f["path"] = par_added[0]
+        return out
+
+    monkeypatch.setattr(B, "_deep_entries", forged)
+    v_before = current_version(tbl)
+    with pytest.raises(BranchDiverged, match="both added"):
+        snapshot_branch_rebase(tbl, "work")
+    assert current_version(tbl) == v_before  # nothing committed

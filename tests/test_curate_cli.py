@@ -213,3 +213,44 @@ def test_tokenizer_subcommand_emits_merge_table(spark, capsys):
         assert expected[m["round"]] == (m["pair"][0], m["pair"][1], m["merged"], m["count"])
     # tokenization never inflates below 1 token/word or above chars/word
     assert report["corpus_bpe_tokens"] >= report["corpus_words"]
+
+
+def test_forget_keys_coerces_by_declared_type(spark, tmp_path, capsys):
+    """ADVICE r7: `forget --keys score=1` on a DOUBLE key column must
+    coerce the literal to float (PySpark's verifier rejects int for
+    DoubleType) and commit a zero-read equality delete."""
+    import sys
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from scripts.agf_pipeline import main as pipeline_main
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1.0, "a"), (2.5, "b"), (3.0, "c")], "score double, v string"
+        ),
+        tbl,
+    )
+    argv = sys.argv
+    sys.argv = ["agf_pipeline.py", "forget", "--table", tbl, "--keys", "score=1"]
+    try:
+        rc = pipeline_main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed"] is True and out["mode"] == "eq"
+    got = sorted(r["score"] for r in snapshot_read(spark, tbl).collect())
+    assert got == [2.5, 3.0]
+    # and an unparseable literal fails with a clear message, not a stack
+    sys.argv = ["agf_pipeline.py", "forget", "--table", tbl, "--keys", "score=abc"]
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="cannot parse"):
+            pipeline_main()
+    finally:
+        sys.argv = argv

@@ -151,3 +151,70 @@ def test_streaming_query_end_to_end_and_restart_dedups(spark, tmp_path):
     q2.awaitTermination(120)
     assert current_version(tbl) == v
     assert snapshot_read(spark, tbl).count() == 11
+
+
+def test_replay_scan_bounded_by_hwm_commit_version(spark, tmp_path, monkeypatch):
+    """ADVICE r7: the op-label replay scan must stop at the durable HWM's
+    commit version — O(versions since last HWM write) per micro-batch, not
+    O(all retained versions) — while still covering the crash window
+    between a commit and its HWM write."""
+    import json as _json
+
+    from agf_data_ingestion_spark.streaming import upsert_stream as U
+
+    tbl = _mk(spark, tmp_path, n=10, files=1)
+    for i in range(5):
+        assert (
+            cdc_upsert_batch(
+                spark.createDataFrame([(i, f"b{i}")], "k long, v string"),
+                i,
+                tbl,
+                ["k"],
+            )
+            is not None
+        )
+    hwm_batch, hwm_version = U._hwm_entry(tbl, "")
+    assert hwm_batch == 4 and hwm_version == current_version(tbl)
+    # replay of an old batch: HWM check catches it with ZERO op-label reads
+    calls = []
+    real_op = U._manifest_op
+    monkeypatch.setattr(
+        U, "_manifest_op", lambda *a: calls.append(a) or real_op(*a)
+    )
+    assert cdc_upsert_batch(
+        spark.createDataFrame([(2, "old")], "k long, v string"), 2, tbl, ["k"]
+    ) is None
+    assert calls == []
+    # crash window: batch 5 commits, then the HWM write is lost — the
+    # bounded scan (versions > hwm_version only) must still dedup it
+    assert cdc_upsert_batch(
+        spark.createDataFrame([(5, "b5")], "k long, v string"), 5, tbl, ["k"]
+    ) is not None
+    with open(U._hwm_path(tbl), "w") as fh:
+        _json.dump({"": [hwm_batch, hwm_version]}, fh)  # simulate lost write
+    calls.clear()
+    assert cdc_upsert_batch(
+        spark.createDataFrame([(5, "dup")], "k long, v string"), 5, tbl, ["k"]
+    ) is None
+    assert 0 < len(calls) <= current_version(tbl) - hwm_version
+    assert dict(_rows(snapshot_read(spark, tbl)))[5] == "b5"
+
+
+def test_hwm_pre_r8_bare_int_format_reads_back(spark, tmp_path):
+    """A pre-r8 HWM file stored the bare batch id; it must read back with
+    version 0 (scan bound disabled, full history still consulted)."""
+    import json as _json
+
+    from agf_data_ingestion_spark.streaming import upsert_stream as U
+
+    tbl = _mk(spark, tmp_path, n=5, files=1)
+    cdc_upsert_batch(
+        spark.createDataFrame([(0, "b0")], "k long, v string"), 0, tbl, ["k"]
+    )
+    with open(U._hwm_path(tbl), "w") as fh:
+        _json.dump({"": 0}, fh)  # old format
+    assert U._hwm_entry(tbl, "") == (0, 0)
+    assert upsert_batch_hwm(tbl) == 0
+    assert cdc_upsert_batch(
+        spark.createDataFrame([(0, "dup")], "k long, v string"), 0, tbl, ["k"]
+    ) is None
