@@ -596,6 +596,8 @@ def _publish(
     retired: list | None = None,
     stamp_new: bool = True,
     last_field_id_floor: int = 0,
+    specs: list | None = None,
+    default_spec_id: int | None = None,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -693,6 +695,23 @@ def _publish(
         manifest["retired_phys"] = new_retired
     if eq:
         manifest["eq_deletes"] = eq
+    # partition specs (r8, hidden partitioning): None inherits the parent's
+    # spec history verbatim (the common case — every append/rewrite), an
+    # explicit list overrides (set_partition_spec adds one; restore rolls
+    # the history back with the data).  Spec history is append-only: old
+    # files keep their spec_id forever, so a spec is never deleted.
+    new_specs = (
+        specs if specs is not None else (parent_m or {}).get("specs") or []
+    )
+    new_dsid = (
+        default_spec_id
+        if default_spec_id is not None
+        else (parent_m or {}).get("default_spec_id", 0)
+    )
+    if new_specs:
+        manifest["specs"] = new_specs
+    if new_dsid:
+        manifest["default_spec_id"] = new_dsid
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.tmp-{uuid.uuid4()}"
     with open(tmp, "w") as fh:
@@ -997,6 +1016,9 @@ def _write_data_files(
     *,
     bloom_cols: list[str] | None = None,
     fields: list | None = None,
+    partition_by: list[str] | None = None,
+    spec_id: int = 0,
+    partition_coerce: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under a fresh commit dir,
     recording per-file column min/max stats (and, for ``bloom_cols``,
@@ -1006,7 +1028,16 @@ def _write_data_files(
     physical name differs (post-rename) are written under their PHYSICAL
     name, so every data file of a field shares one physical column
     regardless of rename history; stats/blooms are keyed physical (the
-    footer domain).  Identity registries skip the projection."""
+    footer domain).  Identity registries skip the projection.
+
+    ``partition_by`` (r8): derived ``_p_*`` transform columns the write
+    hive-partitions on — Spark drops them from the data files (the
+    SOURCE columns always stay in the data, even for identity transforms,
+    because the writer partitions on a derived copy), and each file's
+    partition tuple is parsed back off its directory path and recorded in
+    the entry together with ``spec_id``."""
+    from urllib.parse import unquote
+
     from pyspark.sql import functions as F
 
     p = _phys_of(fields)
@@ -1016,34 +1047,54 @@ def _write_data_files(
         )
         bloom_cols = [p.get(c, c) for c in bloom_cols or []]
     commit_dir = os.path.join(table, "data", uuid.uuid4().hex)
-    df.write.mode("error").parquet(commit_dir)
-    files = []
-    for name in sorted(os.listdir(commit_dir)):
-        if name.endswith(".parquet"):
-            p = os.path.join(commit_dir, name)
-            import pyarrow.parquet as pq
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_dir)
+    import pyarrow.parquet as pq
 
-            rows = pq.ParquetFile(p).metadata.num_rows
-            if rows == 0:
-                # an empty part (partition count > row count) carries no
-                # stats — referencing it would poison metadata MIN/MAX
-                # and add a no-op scan task to every read
-                os.remove(p)
-                continue
-            entry = {
-                "path": p,
-                "bytes": os.path.getsize(p),
-                "rows": rows,
-                "stats": _file_stats(p),
-            }
-            blooms = {
-                c: b
-                for c in (bloom_cols or [])
-                if (b := _bloom_of(p, c)) is not None
-            }
-            if blooms:
-                entry["bloom"] = blooms
-            files.append(entry)
+    paths = sorted(
+        os.path.join(root, name)
+        for root, _dirs, names in os.walk(commit_dir)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    files = []
+    for fp in paths:
+        rows = pq.ParquetFile(fp).metadata.num_rows
+        if rows == 0:
+            # an empty part (partition count > row count) carries no
+            # stats — referencing it would poison metadata MIN/MAX
+            # and add a no-op scan task to every read
+            os.remove(fp)
+            continue
+        entry = {
+            "path": fp,
+            "bytes": os.path.getsize(fp),
+            "rows": rows,
+            "stats": _file_stats(fp),
+        }
+        if partition_by:
+            part = {}
+            for comp in os.path.relpath(fp, commit_dir).split(os.sep)[:-1]:
+                k, _, raw = comp.partition("=")
+                pname = k[3:] if k.startswith("_p_") else k
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    part[pname] = None  # NULL partition: never pruned
+                else:
+                    part[pname] = (partition_coerce or {}).get(pname, str)(
+                        unquote(raw)
+                    )
+            entry["partition"] = part
+            entry["spec_id"] = spec_id
+        blooms = {
+            c: b
+            for c in (bloom_cols or [])
+            if (b := _bloom_of(fp, c)) is not None
+        }
+        if blooms:
+            entry["bloom"] = blooms
+        files.append(entry)
     return files
 
 
@@ -1105,13 +1156,48 @@ def snapshot_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     batch_schema = _schema_of(df)
     flds = None
+    m0 = read_manifest(table)
     if mode == "append":
         # fail BEFORE the file write on a type-changing batch (additive
         # evolution only); re-validated at the CAS point against whatever
         # parent actually wins
-        m0 = read_manifest(table)
         _evolve_fields(m0, batch_schema)  # incl. reserved-name refusal
         flds = _fields_of(m0)  # renamed columns write under their phys
+    # hidden partitioning (r8): under a non-empty default spec the batch
+    # gains derived _p_* transform columns and the write hive-partitions
+    # on them — each data file then covers exactly one partition tuple,
+    # recorded in its manifest entry for plan-time pruning.  The batch is
+    # hash-distributed on the transform columns first (unless the caller
+    # asked for range clustering) so one partition value doesn't fan out
+    # into a file per input task; a skewed partition column is the
+    # caller's spec choice, same as any partitioned table format.
+    spec, spec_id = _default_spec(m0)
+    pnames, pcoerce = None, None
+    if spec:
+        src_of = {
+            f["id"]: (f["name"], f["type"]) for f in _fields_of(m0) or []
+        }
+        missing = [
+            src_of[sf["src_id"]][0]
+            for sf in spec["fields"]
+            if src_of[sf["src_id"]][0] not in df.columns
+        ]
+        if missing:
+            raise SchemaEvolutionError(
+                f"batch lacks partition source column(s) {missing} — "
+                f"set spec [] first to write without them"
+            )
+        pexprs = [
+            _partition_expr(*src_of[sf["src_id"]], sf).alias(
+                "_p_" + sf["name"]
+            )
+            for sf in spec["fields"]
+        ]
+        df = df.select("*", *pexprs)
+        pnames = ["_p_" + sf["name"] for sf in spec["fields"]]
+        pcoerce = _partition_coercers(spec, src_of)
+        if not cluster_by:
+            df = df.repartition(*pnames)
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -1121,7 +1207,15 @@ def snapshot_write(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
-    new_files = _write_data_files(df, table, bloom_cols=bloom_cols, fields=flds)
+    new_files = _write_data_files(
+        df,
+        table,
+        bloom_cols=bloom_cols,
+        fields=flds,
+        partition_by=pnames,
+        spec_id=spec_id,
+        partition_coerce=pcoerce,
+    )
     parent = current_version(table)
     for _ in range(_OCC_MAX_RETRIES):
         base = (
@@ -1245,10 +1339,21 @@ def plan_files(
     (and is what makes Z-order clustering pay off at the reader).
     Predicate columns are LOGICAL; per-file stats are keyed by the
     physical names (r7 renames), so the triples are translated through
-    the version's field registry before pruning."""
+    the version's field registry before pruning.  Files written under a
+    partition spec (r8) are additionally pruned through their partition
+    tuple — each file under its OWN spec, keyed by source field id, so a
+    table whose spec evolved prunes both layouts in one plan."""
     m = read_manifest(table, version)
-    pwhere = _to_phys(where, _fields_of(m))
-    return [f for f in m["files"] if _file_admits(f, pwhere)]
+    flds = _fields_of(m)
+    pwhere = _to_phys(where, flds)
+    specs = {s["spec_id"]: s for s in m.get("specs") or []}
+    fid_of = {f["name"]: f["id"] for f in flds or []}
+    return [
+        f
+        for f in m["files"]
+        if _file_admits(f, pwhere)
+        and _partition_admits(f, where, specs, fid_of)
+    ]
 
 
 def _file_admits(f: dict, where: list[tuple] | None) -> bool:
@@ -1276,6 +1381,297 @@ def _file_admits(f: dict, where: list[tuple] | None) -> bool:
             # keep the file; the residual filter stays exact
             continue
     return True
+
+
+# -- partition-spec evolution / hidden partitioning (r8) ----------------------
+# The reference's lake layout IS hand-rolled hidden partitioning —
+# raw/{instrument}/{YYYY}/{MM}/{DD}/ minted from the sync timestamp
+# (lambda/agf_ingestion_lambda.py:76) and reassembled from path segments at
+# read (:216).  This section re-expresses it the Iceberg way: a table carries
+# an append-only history of partition SPECS (transform lists over source
+# FIELD IDS, so renames never break them), each data file records the spec it
+# was written under plus its partition tuple, and scan planning prunes
+# per-file through that file's OWN spec — a spec change is one metadata
+# commit, old files keep their old layout, and readers see both.
+#
+#     manifest["specs"]           = [{"spec_id": 1, "fields": [
+#                                      {"src_id": 3, "transform": "day",
+#                                       "name": "ts_day"}, ...]}, ...]
+#     manifest["default_spec_id"] = 1          (0 = unpartitioned)
+#     entry["spec_id"]            = 1
+#     entry["partition"]          = {"ts_day": "2024-03-01"}   (null = NULL)
+#
+# Transforms: identity | day | month | hour (timestamp/date) |
+# bucket(n) (int/string, md5-derived — engine-stable, never a JVM hash) |
+# truncate(n) (int: v - v % n; string: prefix).  Files with no spec/partition
+# (pre-spec files, compaction/merge rewrites) are conservatively KEPT — the
+# per-file min/max stats discipline still prunes them, and the residual
+# filter stays exact either way.
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_TRANSFORMS = ("identity", "day", "month", "hour", "bucket", "truncate")
+
+
+def _spec_by_id(m: dict | None, spec_id: int) -> dict | None:
+    for s in (m or {}).get("specs") or []:
+        if s["spec_id"] == spec_id:
+            return s
+    return None
+
+
+def _default_spec(m: dict | None) -> tuple[dict | None, int]:
+    """(spec, spec_id) a new write must partition under — (None, 0) when
+    the table is unpartitioned or predates specs."""
+    sid = (m or {}).get("default_spec_id", 0)
+    s = _spec_by_id(m, sid) if sid else None
+    return (s, sid) if s and s["fields"] else (None, 0)
+
+
+def _build_spec_fields(spec: list, fields: list[dict]) -> list[dict]:
+    """Validate user transform tuples against the field registry and bind
+    them to source FIELD IDS (rename-proof, the Iceberg source-id model)."""
+    by_name = {f["name"]: f for f in fields}
+    out: list[dict] = []
+    seen: set[str] = set()
+    for item in spec:
+        tr, col = item[0], item[1]
+        n = int(item[2]) if len(item) > 2 and item[2] is not None else None
+        f = by_name.get(col)
+        if f is None:
+            raise SchemaEvolutionError(
+                f"partition spec: no such column {col!r}"
+            )
+        t = f["type"].split("(")[0]
+        if tr in ("day", "month"):
+            ok = t in ("timestamp", "date")
+        elif tr == "hour":
+            ok = t == "timestamp"
+        elif tr == "bucket":
+            ok = t in _INT_TYPES or t == "string"
+            if n is None or n < 2:
+                raise SchemaEvolutionError(
+                    f"bucket({col}) needs a bucket count n >= 2"
+                )
+        elif tr == "truncate":
+            ok = t in _INT_TYPES or t == "string"
+            if n is None or n < 1:
+                raise SchemaEvolutionError(
+                    f"truncate({col}) needs a width n >= 1"
+                )
+        elif tr == "identity":
+            ok = not t.startswith(("array", "map", "struct", "binary"))
+        else:
+            raise ValueError(
+                f"unknown partition transform {tr!r} (one of {_TRANSFORMS})"
+            )
+        if not ok:
+            raise SchemaEvolutionError(
+                f"partition transform {tr!r} does not apply to "
+                f"{col!r}: {f['type']}"
+            )
+        name = col if tr == "identity" else f"{col}_{tr}"
+        if name in seen:
+            raise SchemaEvolutionError(
+                f"duplicate partition field name {name!r}"
+            )
+        seen.add(name)
+        sf: dict = {"src_id": f["id"], "transform": tr, "name": name}
+        if n is not None:
+            sf["n"] = n
+        out.append(sf)
+    return out
+
+
+def _bucket_py(value, n: int) -> int:
+    """The plan-time twin of the Spark-side bucket expression: md5 of the
+    value's string rendering, first 15 hex digits, mod n — int renders via
+    ``CAST(x AS STRING)`` ≡ ``str(int)``, strings pass through, so both
+    sides compute the identical bucket (the repo's md5-only hash rule)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16
+    ) % n
+
+
+def _partition_expr(col: str, typ: str, sf: dict):
+    """The Spark Column computing transform ``sf`` over logical ``col`` —
+    evaluated once per row at write, never at read (hidden partitioning)."""
+    from pyspark.sql import functions as F
+
+    tr = sf["transform"]
+    c = F.col(col)
+    if tr == "identity":
+        return c
+    if tr == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if tr == "month":
+        return F.date_format(c, "yyyy-MM")
+    if tr == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if tr == "bucket":
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % sf["n"]
+        )
+    if tr == "truncate":
+        if typ.split("(")[0] in _INT_TYPES:
+            # v - pmod(v, n): truncates toward -inf, matching Python's %
+            return c - F.pmod(c, F.lit(sf["n"]))
+        return F.substring(c, 1, sf["n"])
+    raise ValueError(f"unknown partition transform {tr!r}")
+
+
+def _partition_coercers(spec: dict, src_of: dict) -> dict:
+    """Hive directory values are strings; coerce each partition field back
+    to the JSON type its pruning comparisons need."""
+    coerce = {}
+    for sf in spec["fields"]:
+        _, typ = src_of[sf["src_id"]]
+        t = typ.split("(")[0]
+        tr = sf["transform"]
+        if tr == "bucket" or (
+            tr in ("identity", "truncate") and t in _INT_TYPES
+        ):
+            coerce[sf["name"]] = int
+        elif tr == "identity" and t in ("double", "float"):
+            coerce[sf["name"]] = float
+        elif tr == "identity" and t == "boolean":
+            coerce[sf["name"]] = lambda s: s == "true"
+        else:
+            coerce[sf["name"]] = str
+    return coerce
+
+
+def _transform_admits(sf: dict, pval, op: str, v) -> bool:
+    """Can a file whose partition value is ``pval`` contain a row
+    satisfying ``(op, v)`` on the SOURCE column?  Bounds derive from the
+    transform; timestamp/date predicates are ISO strings (the stats
+    domain), so string comparison is the chronological one.  Raises
+    TypeError on incomparable operands — callers conservatively keep."""
+    tr = sf["transform"]
+    if tr == "bucket":
+        # membership only: a bucket disproves nothing but equality
+        return op not in ("==", "=") or _bucket_py(v, sf["n"]) == pval
+    if tr == "truncate" and isinstance(pval, str):
+        if not isinstance(v, str):
+            raise TypeError("string truncate vs non-string predicate")
+        pref = v[: len(pval)]
+        if op in ("==", "="):
+            return pval == pref
+        if op in ("<", "<="):
+            return pval <= pref  # min value with this prefix is pval itself
+        return pval >= pref  # >, >=: max value with this prefix is pval+inf
+    if tr == "identity":
+        lo, hi = pval, pval
+    elif tr in ("day", "month"):
+        # '~' (0x7E) sorts after every char ISO stats contain, so
+        # [pval, pval + '~'] brackets exactly the period's timestamps
+        lo, hi = pval, pval + "~"
+    elif tr == "hour":
+        lo = pval[:10] + " " + pval[11:]  # dir form 2024-03-01-14 → stat form
+        hi = lo + "~"
+    else:  # int truncate
+        lo, hi = pval, pval + sf["n"] - 1
+    return _PRUNE_OPS[op](lo, hi, v)
+
+
+def _partition_admits(
+    f: dict, where: list[tuple] | None, specs: dict, fid_of: dict
+) -> bool:
+    """Partition-tuple pruning for one file entry under its OWN spec —
+    the second pruning gate ``plan_files`` applies after stats.  Files
+    with no spec/partition, NULL partition values, or incomparable
+    predicate values are conservatively kept."""
+    part = f.get("partition")
+    if not where or not part:
+        return True
+    spec = specs.get(f.get("spec_id"))
+    if not spec:
+        return True
+    by_src = {sf["src_id"]: sf for sf in spec["fields"]}
+    for col, op, v in where:
+        sf = by_src.get(fid_of.get(col))
+        if sf is None or sf["name"] not in part:
+            continue
+        pval = part[sf["name"]]
+        if pval is None or op not in _PRUNE_OPS:
+            continue
+        try:
+            if not _transform_admits(sf, pval, op, v):
+                return False
+        except TypeError:
+            continue  # incomparable → pruning proves nothing
+    return True
+
+
+def snapshot_partition_spec(
+    table: str, version: int | None = None
+) -> list[tuple]:
+    """The default partition spec as user-facing ``(transform, column[,
+    n])`` tuples — source ids resolved through the version's field
+    registry (a renamed source shows its CURRENT logical name).  Empty
+    list = unpartitioned."""
+    m = read_manifest(table, version)
+    spec, _sid = _default_spec(m)
+    if not spec:
+        return []
+    name_of = {f["id"]: f["name"] for f in _fields_of(m) or []}
+    out = []
+    for sf in spec["fields"]:
+        src = name_of.get(sf["src_id"], f"<dropped:{sf['src_id']}>")
+        out.append(
+            (sf["transform"], src, sf["n"])
+            if "n" in sf
+            else (sf["transform"], src)
+        )
+    return out
+
+
+def snapshot_set_partition_spec(table: str, spec: list[tuple]) -> int:
+    """Change the table's DEFAULT partition spec as one METADATA-ONLY
+    commit (Iceberg partition-spec evolution): no byte of data moves, old
+    files keep their old spec, and only files written AFTER this commit
+    land in the new layout.  ``spec`` is a list of transform tuples —
+    ``("identity", col)``, ``("day"|"month"|"hour", col)``,
+    ``("bucket", col, n)``, ``("truncate", col, n)`` — or ``[]`` to return
+    to unpartitioned writes.
+
+    Single CAS attempt, NO rebase retry: a spec change racing any other
+    commit refuses loudly (:class:`CommitConflict`) — the author decided
+    on state that no longer exists, the same loud-failure discipline the
+    r7 DDL commits use for a rename racing an append.  Idempotent: setting
+    the spec the table already has returns the current version with no
+    commit."""
+    m = read_manifest(table)
+    fields = _fields_of(m)
+    if not fields:
+        raise SchemaEvolutionError(
+            f"{table}: no committed schema to partition (empty table)"
+        )
+    sfields = _build_spec_fields(spec, fields)
+    cur_spec, cur_sid = _default_spec(m)
+    if ((cur_spec or {}).get("fields") or []) == sfields:
+        return m["version"]
+    all_specs = list(m.get("specs") or [])
+    if not sfields:
+        sid = 0
+    else:
+        hit = [s["spec_id"] for s in all_specs if s["fields"] == sfields]
+        if hit:
+            sid = hit[0]
+        else:
+            sid = max((s["spec_id"] for s in all_specs), default=0) + 1
+            all_specs = all_specs + [{"spec_id": sid, "fields": sfields}]
+    return _publish(
+        table,
+        m["files"],
+        m["version"],
+        f"set_partition_spec:{sid}",
+        specs=all_specs,
+        default_spec_id=sid,
+    )
 
 
 # -- merge-on-read deletion vectors (r6) --------------------------------------
@@ -2673,9 +3069,10 @@ def expire_snapshots(
             root = os.path.join(table, root_name)
             if not os.path.isdir(root):
                 continue
-            for sub in os.listdir(root):
-                d = os.path.join(root, sub)
-                for name in os.listdir(d):
+            # recursive: partitioned commits (r8) nest hive dirs under the
+            # commit dir, so a two-level listing would leak those files
+            for d, _dirs, names in os.walk(root):
+                for name in names:
                     p = os.path.join(d, name)
                     if not name.endswith(".parquet") or p in referenced:
                         continue
@@ -2858,6 +3255,10 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
                     fields=_fields_of(restored),
                     retired=restored.get("retired_phys"),
                     stamp_new=False,
+                    # spec history rolls back with the data (an empty list
+                    # is an explicit override, never "inherit the parent")
+                    specs=restored.get("specs") or [],
+                    default_spec_id=restored.get("default_spec_id", 0),
                 )
             except CommitConflict:
                 parent = _repair_current(table)
@@ -2956,6 +3357,12 @@ def snapshot_drop_column(table: str, col: str) -> int:
             raise SchemaEvolutionError(
                 f"column {col!r} is referenced by a live equality delete — "
                 f"run snapshot_compact first"
+            )
+        spec, _sid = _default_spec(m)
+        if spec and any(sf["src_id"] == hit[0]["id"] for sf in spec["fields"]):
+            raise SchemaEvolutionError(
+                f"column {col!r} is a source of the default partition spec "
+                f"— snapshot_set_partition_spec first"
             )
         return (
             [f for f in fields if f["name"] != col],
