@@ -173,6 +173,195 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV sketch size for the overlap sketch — relative error ~1/sqrt(k)
+#: ≈ 6.25%; 60-bit md5-derived hash space (engine-identical, the
+#: plans/sketches.py convention)
+_OVK = 256
+_OVS = 64  # level-1 salt fan-out: parallelism within one source's k-min
+_OV_HEX = 15
+_OV_SPACE = float(1 << 60)
+
+
+def _source_grams(d: DataFrame) -> DataFrame:
+    """Distinct (source, 3-word shingle) — the shared front half of the
+    exact matrix and its sketch twin."""
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("source", words.alias("w"), F.explode(idx).alias("i"))
+        .select(
+            "source",
+            F.concat_ws(
+                " ",
+                F.expr("w[i - 1]"),
+                F.expr("w[i]"),
+                F.expr("w[i + 1]"),
+            ).alias("gram"),
+        )
+    )
+
+
+def docs_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-PASS sketch twin of ``docs_source_overlap`` (VERDICT r7 ask
+    #2): per-source KMV signatures over the same distinct 3-word shingles,
+    merged per pair — at 100 TB the exact matrix's one all-gram shuffle is
+    itself the bottleneck (measured ~7x at 10x on dense vocab), while this
+    plan's pair stage runs on K²·k signature rows, a corpus-size CONSTANT.
+
+    Estimators (Beyer et al. 2007 KMV; Bar-Yossef et al. 2002): merge the
+    two signatures, re-take the k smallest of the union; ``est_union`` =
+    (k−1)·2⁶⁰/h_(k); ``est_jaccard_ppm`` = |both|·1e6 DIV n_kept (the
+    fraction of the union's k-min present in BOTH signatures is an
+    unbiased Jaccard estimator); ``est_inter`` = ĵ·û.  Every quantity is
+    md5-derived and integer (or a single identically-shaped double
+    expression), so the DuckDB oracle computes the BIT-IDENTICAL sketch —
+    a full hash-match, strictly stronger than the bounds-verified-boolean
+    fallback; accuracy vs the exact matrix is pinned at ≥4σ in
+    tests/test_mixing.py.
+
+    Scale shape: one distinct over (source, gram) — full hash parallelism
+    — then a salted two-level k-min (level 1 fans each source over
+    ``_OVS`` hash buckets, level 2 merges; k-min of k-mins == global
+    k-min, so the single-level oracle is exact); everything after runs on
+    ≤ K·k signature rows.  The pair fan-out joins a K²-row pair table to
+    the K·k-row signature table — both broadcast-safe by construction
+    (sources are enumerable)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    h = F.conv(
+        F.substring(F.md5(F.col("gram")), 1, _OV_HEX), 16, 10
+    ).cast("long")
+    hashes = _source_grams(d).select("source", h.alias("h")).distinct()
+    lvl1w = Window.partitionBy("source", "salt").orderBy("h")
+    lvl1 = (
+        hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(_OVS)))
+        .withColumn("rn", F.row_number().over(lvl1w))
+        .filter(F.col("rn") <= _OVK)
+        .drop("rn", "salt")
+    )
+    lvl2w = Window.partitionBy("source").orderBy("h")
+    sig = (
+        lvl1.withColumn("rn", F.row_number().over(lvl2w))
+        .filter(F.col("rn") <= _OVK)
+        .drop("rn")
+        # THE multi-consumer corpus aggregate (r4 rule): three consumers
+        # (tag_a, tag_b, source list) would each replan the corpus scan —
+        # checkpointing the <= K·k-row signature table makes "the corpus
+        # is touched once" a physical guarantee, not an AQE reuse hope
+        .localCheckpoint(eager=True)
+    )
+    srcs = sig.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    tag_a = pairs.join(
+        sig.withColumnRenamed("source", "src_a"), "src_a"
+    ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    tag_b = pairs.join(
+        sig.withColumnRenamed("source", "src_b"), "src_b"
+    ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    merged = (
+        tag_a.unionByName(tag_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    mw = Window.partitionBy("src_a", "src_b").orderBy("h")
+    sk = (
+        merged.withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") <= _OVK)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_both"),
+        )
+    )
+    est_union = F.when(
+        F.col("n_kept") < _OVK, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(_OVK - 1)) * F.lit(_OV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return sk.select(
+        "src_a",
+        "src_b",
+        "n_kept",
+        "kth_hash",
+        "n_both",
+        F.expr(f"(n_both * {_PPM}) DIV n_kept").alias("est_jaccard_ppm"),
+        est_union.alias("est_union"),
+        (
+            F.col("n_both").cast("double")
+            * est_union
+            / F.col("n_kept").cast("double")
+        ).alias("est_inter"),
+    )
+
+
+_OVL_SKETCH_SQL = f"""
+WITH g AS (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM (
+    SELECT source, string_split(text, ' ') AS w,
+           UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS i
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3)
+),
+h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, {_OV_HEX}))::BIGINT AS h
+  FROM g
+),
+r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+sig AS (SELECT source, h FROM r WHERE rn <= {_OVK}),
+prs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sig) a
+  JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
+),
+m AS (
+  SELECT src_a, src_b, h, MAX(ia) AS ia, MAX(ib) AS ib
+  FROM (
+    SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+    FROM prs p JOIN sig s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+    FROM prs p JOIN sig s ON s.source = p.src_b)
+  GROUP BY 1, 2, 3
+),
+mr AS (
+  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM m
+),
+sk AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_hash,
+         CAST(SUM(ia * ib) AS BIGINT) AS n_both
+  FROM mr WHERE rn <= {_OVK} GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_kept, kth_hash, n_both,
+       (n_both * {_PPM}) // n_kept AS est_jaccard_ppm,
+       CASE WHEN n_kept < {_OVK} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(_OVK - 1)} * {_OV_SPACE} / CAST(kth_hash AS DOUBLE)
+       END AS est_union,
+       CAST(n_both AS DOUBLE)
+         * (CASE WHEN n_kept < {_OVK} THEN CAST(n_kept AS DOUBLE)
+                 ELSE {float(_OVK - 1)} * {_OV_SPACE} / CAST(kth_hash AS DOUBLE)
+            END)
+         / CAST(n_kept AS DOUBLE) AS est_inter
+FROM sk
+"""
+
+
 def _drm_round_sql(i: int) -> str:
     prev = f"r{i - 1}"
     return f"""
@@ -249,5 +438,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "docs_source_overlap": QuerySpec(
         docs_source_overlap, _OVL_SQL, ("OP-X-OVERLAP",)
+    ),
+    "docs_source_overlap_sketch": QuerySpec(
+        docs_source_overlap_sketch,
+        _OVL_SKETCH_SQL,
+        ("OP-X-OVERLAP", "OP-X-APPROX"),
     ),
 }

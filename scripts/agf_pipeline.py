@@ -413,11 +413,29 @@ def cmd_maintain(args) -> int:
         current_version,
         expire_snapshots,
         snapshot_compact,
+        snapshot_maintain,
     )
 
     import json
 
     spark = _spark()
+    if args.policy:
+        # policy-gated path (r8): compact only when a health trigger
+        # fires; the report names every trigger's measured value
+        report = snapshot_maintain(
+            spark,
+            args.table,
+            policy={
+                "small_bytes": args.small_bytes,
+                "max_small_files": args.max_small_files,
+                "max_dv_ppm": args.max_dv_ppm,
+                "max_eq_items": args.max_eq_items,
+            },
+            keep_last=args.keep_last,
+            orphan_grace_s=args.orphan_grace_s,
+        )
+        print(json.dumps(report))
+        return 0
     before = current_version(args.table)
     compacted_to = snapshot_compact(
         spark, args.table, small_bytes=args.small_bytes
@@ -863,6 +881,14 @@ def main() -> int:
     m.add_argument("--small-bytes", type=int, default=8 << 20)
     m.add_argument("--keep-last", type=int, default=2)
     m.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    m.add_argument(
+        "--policy",
+        action="store_true",
+        help="compact only when a health trigger fires (r8)",
+    )
+    m.add_argument("--max-small-files", type=int, default=8)
+    m.add_argument("--max-dv-ppm", type=int, default=100_000)
+    m.add_argument("--max-eq-items", type=int, default=0)
     m.set_defaults(fn=cmd_maintain)
 
     fg = sub.add_parser("forget")

@@ -51,6 +51,7 @@ QUERIES = [
     "docs_quality_apply",
     "docs_domain_reweight",
     "docs_source_overlap",
+    "docs_source_overlap_sketch",
 ]
 
 

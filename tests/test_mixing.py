@@ -77,3 +77,54 @@ def test_overlap_shares_one_gram_exchange_at_runtime(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 3, plan
+
+
+def test_overlap_sketch_accuracy_within_4_sigma(spark):
+    """The KMV sketch's Jaccard and union estimates agree with the exact
+    matrix within >=4 sigma (sigma ~ 1/sqrt(k) relative for the union,
+    binomial for the n_both/k Jaccard fraction) — the accuracy half of
+    the sketch twin; cross-engine bit-identity is the oracle's job."""
+    from agf_data_ingestion_spark.plans.mixing import (
+        _OVK,
+        docs_source_overlap_sketch,
+    )
+
+    exact = {
+        (r["src_a"], r["src_b"]): r
+        for r in docs_source_overlap(spark, SF_SMOKE).collect()
+    }
+    est_rows = docs_source_overlap_sketch(spark, SF_SMOKE).collect()
+    assert est_rows
+    checked = 0
+    for r in est_rows:
+        e = exact.get((r["src_a"], r["src_b"]))
+        if e is None:
+            # sketch may report a tiny spurious overlap the exact inner
+            # join lacks only if n_both > 0 for a zero-intersection pair;
+            # the 4-sigma binomial bound still applies with p = 0
+            assert r["n_both"] <= 4 * (r["n_both"] ** 0.5 + 1)
+            continue
+        checked += 1
+        union = e["na"] + e["nb"] - e["inter"]
+        j_true = e["inter"] / union
+        k_eff = min(_OVK, r["n_kept"])
+        sigma_j = (max(j_true * (1 - j_true), 1e-9) / k_eff) ** 0.5
+        assert abs(r["n_both"] / k_eff - j_true) <= 4 * sigma_j + 1 / k_eff
+        sigma_u = union / (_OVK**0.5)
+        assert abs(r["est_union"] - union) <= 4 * sigma_u
+    assert checked  # the planted overlaps were actually compared
+
+
+def test_overlap_sketch_pair_stage_is_corpus_constant(spark):
+    """Everything after the signature windows runs on <= K^2 * k rows:
+    the corpus parquet is scanned ONCE (signatures), and the pair stage's
+    inputs are signature-sized."""
+    from agf_data_ingestion_spark.plans.mixing import (
+        docs_source_overlap_sketch,
+    )
+
+    df = docs_source_overlap_sketch(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan lives entirely inside the signature checkpoint job;
+    # the pair stage replans zero parquet scans
+    assert plan.count("Scan parquet") == 0, plan
