@@ -173,18 +173,20 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: KMV sketch size for the overlap sketch — relative error ~1/sqrt(k)
-#: ≈ 6.25%; 60-bit md5-derived hash space (engine-identical, the
-#: plans/sketches.py convention)
-_OVK = 256
-_OVS = 64  # level-1 salt fan-out: parallelism within one source's k-min
+#: One-permutation-hashing bins for the overlap sketch — relative error
+#: ~1/sqrt(S) ≈ 4.4%; 60-bit md5-derived hash space (engine-identical,
+#: the plans/sketches.py convention).  S is a power of two so the per-bin
+#: rescaled space M = 2^60 / S is exact.
+_OVS_BINS = 512
 _OV_HEX = 15
-_OV_SPACE = float(1 << 60)
+_OV_M = (1 << 60) // _OVS_BINS  # per-bin rescaled hash space
+_OVU_K = 64  # KMV size over the bin minima (union estimate)
 
 
 def _source_grams(d: DataFrame) -> DataFrame:
-    """Distinct (source, 3-word shingle) — the shared front half of the
-    exact matrix and its sketch twin."""
+    """(source, 3-word shingle) rows — the shared front half of the exact
+    matrix and its sketch twin (the exact path distincts them; the sketch
+    aggregates with MIN, which duplicates cannot affect)."""
     words = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
@@ -205,52 +207,45 @@ def _source_grams(d: DataFrame) -> DataFrame:
 
 def docs_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE-PASS sketch twin of ``docs_source_overlap`` (VERDICT r7 ask
-    #2): per-source KMV signatures over the same distinct 3-word shingles,
-    merged per pair — at 100 TB the exact matrix's one all-gram shuffle is
-    itself the bottleneck (measured ~7x at 10x on dense vocab), while this
-    plan's pair stage runs on K²·k signature rows, a corpus-size CONSTANT.
+    #2), built as one-permutation hashing (Li/Owen/Zhang 2012) over bucket
+    MINIMA: hash every shingle to 60 md5 bits, bin it by ``h mod S``, and
+    keep ONE ``min(h)`` per (source, bin).  Duplicates cannot affect a MIN,
+    so the corpus pass is a single map-side-combined aggregation — no
+    distinct, no window, no corpus shuffle (only partial minima travel,
+    ≤ partitions x K x S rows).  The first KMV cut of this query kept the
+    exact path's corpus-wide distinct + per-source window and measured
+    6.2x at 10x — the same shape the sketch exists to avoid.
 
-    Estimators (Beyer et al. 2007 KMV; Bar-Yossef et al. 2002): merge the
-    two signatures, re-take the k smallest of the union; ``est_union`` =
-    (k−1)·2⁶⁰/h_(k); ``est_jaccard_ppm`` = |both|·1e6 DIV n_kept (the
-    fraction of the union's k-min present in BOTH signatures is an
-    unbiased Jaccard estimator); ``est_inter`` = ĵ·û.  Every quantity is
-    md5-derived and integer (or a single identically-shaped double
-    expression), so the DuckDB oracle computes the BIT-IDENTICAL sketch —
-    a full hash-match, strictly stronger than the bounds-verified-boolean
-    fallback; accuracy vs the exact matrix is pinned at ≥4σ in
-    tests/test_mixing.py.
+    Estimators, all exact integers (full hash-match oracle):
 
-    Scale shape: one distinct over (source, gram) — full hash parallelism
-    — then a salted two-level k-min (level 1 fans each source over
-    ``_OVS`` hash buckets, level 2 merges; k-min of k-mins == global
-    k-min, so the single-level oracle is exact); everything after runs on
-    ≤ K·k signature rows.  The pair fan-out joins a K²-row pair table to
-    the K·k-row signature table — both broadcast-safe by construction
-    (sources are enumerable)."""
-    from pyspark.sql import Window
+    * per-bin rescale m' = (min h) DIV S is the MIN of n_bin uniform draws
+      from [0, M); ``est_union`` = SUM over union bins of
+      (M − 1 − m') DIV (m' + 1) — an integer sum, order-free;
+    * ``est_jaccard_ppm`` = matched-minima bins x 1e6 DIV union bins (the
+      union's minimum in a bin lands in A∩B with probability exactly J);
+    * ``est_inter`` = (n_match x est_union) DIV n_union_bins.
 
+    Accuracy vs the exact matrix is pinned at >=4 sigma in
+    tests/test_mixing.py; the estimator needs per-source gram counts >> S
+    (dense bins), which holds from sf0.001 up.
+
+    Scale shape: the pair stage joins a K²-row pair table to the K·S-row
+    bucket-minima table (localCheckpointed — the multi-consumer corpus-
+    aggregate rule), so everything after the one corpus aggregation is
+    corpus-size constant."""
     d = t(spark, sf_dir, "documents").select("source", "text")
     h = F.conv(
         F.substring(F.md5(F.col("gram")), 1, _OV_HEX), 16, 10
     ).cast("long")
-    hashes = _source_grams(d).select("source", h.alias("h")).distinct()
-    lvl1w = Window.partitionBy("source", "salt").orderBy("h")
-    lvl1 = (
-        hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(_OVS)))
-        .withColumn("rn", F.row_number().over(lvl1w))
-        .filter(F.col("rn") <= _OVK)
-        .drop("rn", "salt")
-    )
-    lvl2w = Window.partitionBy("source").orderBy("h")
     sig = (
-        lvl1.withColumn("rn", F.row_number().over(lvl2w))
-        .filter(F.col("rn") <= _OVK)
-        .drop("rn")
-        # THE multi-consumer corpus aggregate (r4 rule): three consumers
-        # (tag_a, tag_b, source list) would each replan the corpus scan —
-        # checkpointing the <= K·k-row signature table makes "the corpus
-        # is touched once" a physical guarantee, not an AQE reuse hope
+        _source_grams(d)
+        .select("source", h.alias("h"))
+        .groupBy("source", F.pmod(F.col("h"), F.lit(_OVS_BINS)).alias("c"))
+        .agg(F.min("h").alias("mh"))
+        # THE multi-consumer corpus aggregate (r4 rule): two pair-side
+        # consumers plus the source list would each replan the corpus
+        # scan — checkpointing the <= K·S-row table makes "the corpus is
+        # touched once" a physical guarantee, not an AQE reuse hope
         .localCheckpoint(eager=True)
     )
     srcs = sig.select("source").distinct()
@@ -261,50 +256,74 @@ def docs_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag_a = pairs.join(
         sig.withColumnRenamed("source", "src_a"), "src_a"
-    ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    ).select("src_a", "src_b", "c", F.col("mh").alias("ha"), F.lit(None).cast("long").alias("hb"))
     tag_b = pairs.join(
         sig.withColumnRenamed("source", "src_b"), "src_b"
-    ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
-    merged = (
+    ).select("src_a", "src_b", "c", F.lit(None).cast("long").alias("ha"), F.col("mh").alias("hb"))
+    bins = (
         tag_a.unionByName(tag_b)
-        .groupBy("src_a", "src_b", "h")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .groupBy("src_a", "src_b", "c")
+        .agg(F.min("ha").alias("ha"), F.min("hb").alias("hb"))
     )
-    mw = Window.partitionBy("src_a", "src_b").orderBy("h")
-    sk = (
-        merged.withColumn("rn", F.row_number().over(mw))
-        .filter(F.col("rn") <= _OVK)
+    from pyspark.sql import Window
+
+    # rescale each union bin minimum back to the common [0, M) space:
+    # h = c (mod S), so m' = mu DIV S is a uniform draw's minimum
+    bins = bins.withColumn(
+        "mp",
+        F.expr(
+            f"least(coalesce(ha, hb), coalesce(hb, ha)) DIV {_OVS_BINS}"
+        ),
+    )
+    stats = bins.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_union_bins"),
+        F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+    )
+    # KMV over the bin minima (k smallest of <= S values per pair): the
+    # events_kmv estimator (k-1)·M / m'_(k), double division — IEEE-
+    # identical in both engines (plans/sketches.py convention)
+    w = Window.partitionBy("src_a", "src_b").orderBy("mp")
+    kmv = (
+        bins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OVU_K)
         .groupBy("src_a", "src_b")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.max("h").alias("kth_hash"),
-            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_both"),
-        )
+        .agg(F.count("*").alias("n_kept"), F.max("mp").alias("kth"))
     )
     est_union = F.when(
-        F.col("n_kept") < _OVK, F.col("n_kept").cast("double")
+        F.col("n_kept") < _OVU_K, F.col("n_kept").cast("double")
     ).otherwise(
-        F.lit(float(_OVK - 1)) * F.lit(_OV_SPACE) / F.col("kth_hash").cast("double")
+        F.lit(float(_OVU_K - 1)) * F.lit(float(_OV_M)) / F.col("kth").cast("double")
     )
-    return sk.select(
-        "src_a",
-        "src_b",
-        "n_kept",
-        "kth_hash",
-        "n_both",
-        F.expr(f"(n_both * {_PPM}) DIV n_kept").alias("est_jaccard_ppm"),
-        est_union.alias("est_union"),
-        (
-            F.col("n_both").cast("double")
-            * est_union
-            / F.col("n_kept").cast("double")
-        ).alias("est_inter"),
+    return (
+        stats.join(kmv, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "n_union_bins",
+            "n_match",
+            "n_kept",
+            "kth",
+            F.expr(f"(n_match * {_PPM}) DIV n_union_bins").alias(
+                "est_jaccard_ppm"
+            ),
+            est_union.alias("est_union"),
+            (
+                F.col("n_match").cast("double")
+                * est_union
+                / F.col("n_union_bins").cast("double")
+            ).alias("est_inter"),
+        )
     )
 
+
+_KM1 = float(_OVU_K - 1)
+_MF = float(_OV_M)
 
 _OVL_SKETCH_SQL = f"""
 WITH g AS (
-  SELECT DISTINCT source,
+  SELECT source,
          w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
   FROM (
     SELECT source, string_split(text, ' ') AS w,
@@ -313,52 +332,60 @@ WITH g AS (
     WHERE len(string_split(text, ' ')) >= 3)
 ),
 h AS (
-  SELECT DISTINCT source,
-         ('0x' || substr(md5(gram), 1, {_OV_HEX}))::BIGINT AS h
+  SELECT source, ('0x' || substr(md5(gram), 1, {_OV_HEX}))::BIGINT AS h
   FROM g
 ),
-r AS (
-  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM h
+sig AS (
+  SELECT source, h % {_OVS_BINS} AS c, MIN(h) AS mh
+  FROM h GROUP BY 1, 2
 ),
-sig AS (SELECT source, h FROM r WHERE rn <= {_OVK}),
 prs AS (
   SELECT a.source AS src_a, b.source AS src_b
   FROM (SELECT DISTINCT source FROM sig) a
   JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
 ),
-m AS (
-  SELECT src_a, src_b, h, MAX(ia) AS ia, MAX(ib) AS ib
+bins AS (
+  SELECT src_a, src_b, c, MIN(ha) AS ha, MIN(hb) AS hb
   FROM (
-    SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+    SELECT p.src_a, p.src_b, s.c, s.mh AS ha, CAST(NULL AS BIGINT) AS hb
     FROM prs p JOIN sig s ON s.source = p.src_a
     UNION ALL
-    SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+    SELECT p.src_a, p.src_b, s.c, CAST(NULL AS BIGINT), s.mh
     FROM prs p JOIN sig s ON s.source = p.src_b)
   GROUP BY 1, 2, 3
 ),
-mr AS (
-  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
-  FROM m
+mus AS (
+  SELECT src_a, src_b,
+         least(coalesce(ha, hb), coalesce(hb, ha)) // {_OVS_BINS} AS mp,
+         CASE WHEN ha = hb THEN 1 ELSE 0 END AS m
+  FROM bins
 ),
-sk AS (
+stats AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_union_bins,
+         CAST(SUM(m) AS BIGINT) AS n_match
+  FROM mus GROUP BY 1, 2
+),
+r AS (
+  SELECT src_a, src_b, mp,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY mp) AS rn
+  FROM mus
+),
+kmv AS (
   SELECT src_a, src_b,
          CAST(COUNT(*) AS BIGINT) AS n_kept,
-         MAX(h) AS kth_hash,
-         CAST(SUM(ia * ib) AS BIGINT) AS n_both
-  FROM mr WHERE rn <= {_OVK} GROUP BY 1, 2
+         MAX(mp) AS kth
+  FROM r WHERE rn <= {_OVU_K} GROUP BY 1, 2
 )
-SELECT src_a, src_b, n_kept, kth_hash, n_both,
-       (n_both * {_PPM}) // n_kept AS est_jaccard_ppm,
-       CASE WHEN n_kept < {_OVK} THEN CAST(n_kept AS DOUBLE)
-            ELSE {float(_OVK - 1)} * {_OV_SPACE} / CAST(kth_hash AS DOUBLE)
-       END AS est_union,
-       CAST(n_both AS DOUBLE)
-         * (CASE WHEN n_kept < {_OVK} THEN CAST(n_kept AS DOUBLE)
-                 ELSE {float(_OVK - 1)} * {_OV_SPACE} / CAST(kth_hash AS DOUBLE)
-            END)
-         / CAST(n_kept AS DOUBLE) AS est_inter
-FROM sk
+SELECT s.src_a, s.src_b, s.n_union_bins, s.n_match, k.n_kept, k.kth,
+       (s.n_match * {_PPM}) // s.n_union_bins AS est_jaccard_ppm,
+       CASE WHEN k.n_kept < {_OVU_K} THEN CAST(k.n_kept AS DOUBLE)
+            ELSE CAST({_KM1} AS DOUBLE) * CAST({_MF} AS DOUBLE) / CAST(k.kth AS DOUBLE) END AS est_union,
+       CAST(s.n_match AS DOUBLE)
+         * (CASE WHEN k.n_kept < {_OVU_K} THEN CAST(k.n_kept AS DOUBLE)
+                 ELSE CAST({_KM1} AS DOUBLE) * CAST({_MF} AS DOUBLE) / CAST(k.kth AS DOUBLE) END)
+         / CAST(s.n_union_bins AS DOUBLE) AS est_inter
+FROM stats s JOIN kmv k USING (src_a, src_b)
 """
 
 

@@ -74,6 +74,7 @@ Concurrent READERS need no lock at any time.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import json
 import os
@@ -82,7 +83,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from agf_data_ingestion_spark.operators.locking import table_lock
+from agf_data_ingestion_spark.operators.locking import (
+    TableLockedError,
+    table_lock,
+)
 
 _SNAP_DIR = "_snapshots"
 _CURRENT = "CURRENT"
@@ -572,13 +576,64 @@ def _bump_current(table: str, version: int) -> None:
 def _repair_current(table: str) -> int:
     """Roll CURRENT forward over any fully-reserved manifests it lags
     behind (a writer that crashed between reservation and pointer bump
-    leaves one); returns the repaired current version."""
+    leaves one); returns the repaired current version.
+
+    Multi-table txn staging (r8): a manifest carrying ``txn_marker`` is
+    committed iff its marker file exists — roll over it like any crashed
+    bump.  A marker-LESS staged manifest is an in-flight or dead txn:
+    never roll over it; instead try to clean it under the table lock
+    (the staging writer holds that lock through its decision point, so a
+    free lock means the txn died — its slot is reclaimed so appends can
+    proceed; a held lock means in-flight — stop here and let the caller's
+    CAS spin)."""
     v = current_version(table)
-    while os.path.exists(_manifest_path(table, v + 1)):
+    while True:
+        mp = _manifest_path(table, v + 1)
+        try:
+            with open(mp) as fh:
+                raw = json.load(fh)
+        except FileNotFoundError:
+            break
+        except (OSError, json.JSONDecodeError):
+            break  # being written/removed this instant: treat as absent
+        marker = raw.get("txn_marker")
+        if marker and not os.path.exists(marker):
+            if _txn_clean_staged(table, v + 1, marker):
+                continue  # slot freed (or resolved) — re-check it
+            break  # txn in flight: do not roll past it
+        if marker:
+            # committed txn recovered past a crash: its COMMITS line is
+            # the txn's phase-2 job, which may never have run — append it
+            # here so as-of resolution sees the version (idempotent:
+            # _commit_index keys by version, duplicates overwrite)
+            with open(os.path.join(_snap_path(table), "COMMITS"), "a") as fh:
+                fh.write(f"{v + 1} {raw.get('committed_at', 0.0)}\n")
         v += 1
     if v > current_version(table):
         _bump_current(table, v)
     return v
+
+
+def _txn_clean_staged(table: str, version: int, marker: str) -> bool:
+    """Remove a DEAD txn's staged manifest to free its version slot.
+    Returns True when the slot was freed or the txn turned out committed
+    (caller re-checks), False when the staging writer still holds the
+    table lock (in flight).  The lock acquisition uses a zero wait —
+    a crashed holder's lock is reclaimed by the TTL breaker on a later
+    pass, exactly like any other crashed lock-holding transaction."""
+    try:
+        with table_lock(table, wait_s=0.0, poll_s=0.01):
+            try:
+                with open(_manifest_path(table, version)) as fh:
+                    m = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                return True  # already cleaned by another repairer
+            if m.get("txn_marker") != marker or os.path.exists(marker):
+                return True  # committed meanwhile (or a different txn)
+            os.remove(_manifest_path(table, version))
+            return True
+    except TableLockedError:
+        return False
 
 
 def _publish(
@@ -598,6 +653,7 @@ def _publish(
     last_field_id_floor: int = 0,
     specs: list | None = None,
     default_spec_id: int | None = None,
+    txn_marker: str | None = None,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
     file, then ``os.link`` it into place — atomic-exclusive, so exactly
@@ -712,6 +768,12 @@ def _publish(
         manifest["specs"] = new_specs
     if new_dsid:
         manifest["default_spec_id"] = new_dsid
+    if txn_marker is not None:
+        # multi-table txn staging (r8): the manifest is CAS-reserved but
+        # NOT made visible — no COMMITS line, no pointer bump.  Readers
+        # and _repair_current treat it as committed only once the marker
+        # file exists (the txn's single atomic decision point).
+        manifest["txn_marker"] = txn_marker
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.tmp-{uuid.uuid4()}"
     with open(tmp, "w") as fh:
@@ -722,6 +784,8 @@ def _publish(
         raise CommitConflict(f"{table}: v{version} already committed") from None
     finally:
         os.remove(tmp)
+    if txn_marker is not None:
+        return version
     # append-only commit-time index: lets as-of resolution read one tiny
     # line per version instead of every manifest's full file list (single
     # O_APPEND write; order across writers is irrelevant — readers key on
@@ -1109,49 +1173,20 @@ def _common_bloom_cols(entries: list[dict]) -> list[str]:
     return sorted(cols)
 
 
-def snapshot_write(
+def _stage_write(
     df: DataFrame,
     table: str,
+    mode: str,
     *,
-    mode: str = "append",
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
-    op: str | None = None,
-) -> int:
-    """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
-    file list; ``'overwrite'`` logically replaces it (old files stay on
-    disk for time travel until expired).  Returns the committed version.
-
-    ``cluster_by`` (r4): range-repartition + sort the batch on the given
-    columns before writing, so each data file covers a TIGHT value range
-    and the per-file min/max stats recorded in the manifest actually
-    prune — the clustered-write half of data skipping (an unclustered
-    write leaves every file spanning the whole domain, and ``plan_files``
-    can prove nothing).  This is the WRITE-side lever for the dominant
-    time/tenant access patterns; pair with ``functions/zorder.py`` keys
-    for multi-dimensional clustering.  Result CONTENT is independent of
-    the clustering (only the file layout changes; the single write action
-    avoids the repartitionByRange multi-action trap).
-
-    ``bloom_cols`` (r4): record a 1 KiB membership bloom per (file,
-    column) in the manifest — ``plan_files`` then DISPROVES equality
-    predicates inside wide stat ranges (point lookups over unclustered
-    data: ~4% false-keep per file at ~1k distinct values, tunable via
-    ``_BLOOM_BITS``).  Int/string columns (values are rendered with
-    ``str()`` at build and probe time).
-
-    Optimistic (r4): data files are written with no lock held (they are
-    unreferenced until a manifest lists them), then the CAS commit loop
-    reserves parent+1 — on conflict an append simply rebases onto the
-    winner's file list and retries (append commutes with every other
-    commit); an overwrite is last-writer-wins by definition.
-
-    ``op`` (r5): optional commit-operation label recorded in the manifest
-    in place of the bare mode string — idempotent writers (the streaming
-    ANN maintainer) encode their replay bookmark in it, the mv pattern
-    (operators/mv.py: the bookmark and the commit move in ONE atomic
-    manifest swap, so exactly-once needs no side table)."""
+) -> tuple[list[dict], list]:
+    """The lock-free front half of ``snapshot_write`` — validate evolution
+    against the current manifest, apply the default partition spec's
+    transform columns, cluster, and write the data files (unreferenced
+    until a manifest lists them).  Returns (entries, batch_schema) for
+    the caller's own commit protocol (CAS loop or multi-table txn)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     batch_schema = _schema_of(df)
@@ -1216,6 +1251,60 @@ def snapshot_write(
         spec_id=spec_id,
         partition_coerce=pcoerce,
     )
+    return new_files, batch_schema
+
+
+def snapshot_write(
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "append",
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
+    bloom_cols: list[str] | None = None,
+    op: str | None = None,
+) -> int:
+    """Commit ``df`` as a new snapshot.  ``mode='append'`` keeps the parent
+    file list; ``'overwrite'`` logically replaces it (old files stay on
+    disk for time travel until expired).  Returns the committed version.
+
+    ``cluster_by`` (r4): range-repartition + sort the batch on the given
+    columns before writing, so each data file covers a TIGHT value range
+    and the per-file min/max stats recorded in the manifest actually
+    prune — the clustered-write half of data skipping (an unclustered
+    write leaves every file spanning the whole domain, and ``plan_files``
+    can prove nothing).  This is the WRITE-side lever for the dominant
+    time/tenant access patterns; pair with ``functions/zorder.py`` keys
+    for multi-dimensional clustering.  Result CONTENT is independent of
+    the clustering (only the file layout changes; the single write action
+    avoids the repartitionByRange multi-action trap).
+
+    ``bloom_cols`` (r4): record a 1 KiB membership bloom per (file,
+    column) in the manifest — ``plan_files`` then DISPROVES equality
+    predicates inside wide stat ranges (point lookups over unclustered
+    data: ~4% false-keep per file at ~1k distinct values, tunable via
+    ``_BLOOM_BITS``).  Int/string columns (values are rendered with
+    ``str()`` at build and probe time).
+
+    Optimistic (r4): data files are written with no lock held (they are
+    unreferenced until a manifest lists them), then the CAS commit loop
+    reserves parent+1 — on conflict an append simply rebases onto the
+    winner's file list and retries (append commutes with every other
+    commit); an overwrite is last-writer-wins by definition.
+
+    ``op`` (r5): optional commit-operation label recorded in the manifest
+    in place of the bare mode string — idempotent writers (the streaming
+    ANN maintainer) encode their replay bookmark in it, the mv pattern
+    (operators/mv.py: the bookmark and the commit move in ONE atomic
+    manifest swap, so exactly-once needs no side table)."""
+    new_files, batch_schema = _stage_write(
+        df,
+        table,
+        mode,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+        bloom_cols=bloom_cols,
+    )
     parent = current_version(table)
     for _ in range(_OCC_MAX_RETRIES):
         base = (
@@ -1236,6 +1325,129 @@ def snapshot_write(
             parent = _repair_current(table)
     raise CommitConflict(
         f"snapshot_write({mode}) on {table} lost {_OCC_MAX_RETRIES} CAS races"
+    )
+
+
+def snapshot_multi_write(
+    writes: list[tuple[DataFrame, str]],
+    *,
+    mode: str = "append",
+    op: str | None = None,
+) -> dict[str, int]:
+    """Commit several tables' batches ALL-OR-NOTHING (r8, VERDICT r7 ask
+    #4) — the training-pipeline publish step that lands corpus + ANN index
+    + datacard as one visible event.  Returns {table: committed version}.
+
+    Two-phase over the existing primitives:
+
+    1. **Stage** (lock-free): each batch's data files are written
+       unreferenced, exactly like ``snapshot_write``'s front half.
+    2. **Prepare** (ordered lock set — tables locked in sorted-path order,
+       so concurrent multi-txns cannot deadlock): each table's manifest is
+       CAS-reserved at parent+1 carrying ``txn_marker`` — reserved but
+       INVISIBLE (no pointer bump, no COMMITS line; ``_repair_current``
+       refuses to roll over it while the marker is absent).  A lock-free
+       single-table append that slips in between repair and reservation
+       costs a ``CommitConflict`` → every staged manifest is deleted and
+       the whole prepare retries on fresh parents (appends commute, so
+       the retry converges like any OCC rebase).
+    3. **Decide**: ``assert_lock_held`` on every table (a TTL lock theft
+       aborts BEFORE the atomic point, the ``_commit`` discipline), then
+       one ``rename`` creates the marker file — THE commit point.
+    4. **Publish**: bump every table's pointer (+ COMMITS line).  A crash
+       anywhere after the marker is repaired forward by any reader's
+       ``_repair_current``; a crash before it leaves only marker-less
+       staged manifests, which repair deletes once the dead txn's table
+       lock is free (TTL) — so readers can NEVER observe a torn subset.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if not writes:
+        return {}
+    tables = [tbl for _df, tbl in writes]
+    if len({_scan_path(tbl) for tbl in tables}) != len(tables):
+        raise ValueError("snapshot_multi_write: duplicate table in writes")
+    order = sorted(range(len(writes)), key=lambda i: _scan_path(tables[i]))
+    staged = [
+        (tables[i], *_stage_write(writes[i][0], tables[i], mode))
+        for i in order
+    ]
+    txn_id = uuid.uuid4().hex
+    marker = os.path.join(
+        _scan_path(_snap_path(staged[0][0])), "txns", f"{txn_id}.committed"
+    )
+    for _ in range(_OCC_MAX_RETRIES):
+        reserved: list[tuple[str, int]] = []
+        with contextlib.ExitStack() as stack:
+            for tbl, _files, _schema in staged:
+                stack.enter_context(table_lock(tbl))
+            try:
+                for tbl, files, schema in staged:
+                    parent = _repair_current(tbl)
+                    # a marker-less staged manifest blocking parent+1 is a
+                    # DEAD txn (we hold this table's lock, and a live txn
+                    # would be holding it): free the slot directly
+                    while True:
+                        mp = _manifest_path(tbl, parent + 1)
+                        try:
+                            with open(mp) as fh:
+                                stale = json.load(fh)
+                        except FileNotFoundError:
+                            break
+                        if stale.get("txn_marker") and not os.path.exists(
+                            stale["txn_marker"]
+                        ):
+                            os.remove(mp)
+                        else:
+                            break  # committed meanwhile: repair next loop
+                    base = (
+                        read_manifest(tbl, parent)["files"]
+                        if (mode == "append" and parent > 0)
+                        else []
+                    )
+                    v = _publish(
+                        tbl,
+                        base + files,
+                        parent,
+                        op or f"multi_write:{txn_id}",
+                        batch_schema=schema,
+                        replace=(mode == "overwrite"),
+                        txn_marker=marker,
+                    )
+                    reserved.append((tbl, v))
+                from agf_data_ingestion_spark.operators.locking import (
+                    assert_lock_held,
+                )
+
+                for tbl, _v in reserved:
+                    assert_lock_held(tbl)
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                tmpm = f"{marker}.tmp-{uuid.uuid4()}"
+                with open(tmpm, "w") as fh:
+                    fh.write(txn_id)
+                os.rename(tmpm, marker)  # THE atomic commit point
+            except CommitConflict:
+                for tbl, v in reserved:
+                    try:
+                        os.remove(_manifest_path(tbl, v))
+                    except FileNotFoundError:
+                        pass
+                continue  # whole-txn retry on fresh parents
+            except BaseException:
+                for tbl, v in reserved:
+                    try:
+                        os.remove(_manifest_path(tbl, v))
+                    except FileNotFoundError:
+                        pass
+                raise
+            # phase 2: repair IS the publish (pointer bump + COMMITS line
+            # for committed-marker manifests) — the same path a crash
+            # recovery takes, so both are one tested code path
+            for tbl, v in reserved:
+                _repair_current(tbl)
+            return dict(reserved)
+    raise CommitConflict(
+        f"snapshot_multi_write lost {_OCC_MAX_RETRIES} prepare races"
     )
 
 

@@ -80,12 +80,13 @@ def test_overlap_shares_one_gram_exchange_at_runtime(spark):
 
 
 def test_overlap_sketch_accuracy_within_4_sigma(spark):
-    """The KMV sketch's Jaccard and union estimates agree with the exact
-    matrix within >=4 sigma (sigma ~ 1/sqrt(k) relative for the union,
-    binomial for the n_both/k Jaccard fraction) — the accuracy half of
-    the sketch twin; cross-engine bit-identity is the oracle's job."""
+    """The OPH sketch's Jaccard and union estimates agree with the exact
+    matrix within >=4 sigma (binomial over S bins for the matched-minima
+    Jaccard fraction; ~union/sqrt(S) for the summed per-bin union
+    estimator) — the accuracy half of the sketch twin; cross-engine
+    bit-identity is the oracle's job."""
     from agf_data_ingestion_spark.plans.mixing import (
-        _OVK,
+        _OVS_BINS,
         docs_source_overlap_sketch,
     )
 
@@ -98,20 +99,24 @@ def test_overlap_sketch_accuracy_within_4_sigma(spark):
     checked = 0
     for r in est_rows:
         e = exact.get((r["src_a"], r["src_b"]))
+        s_eff = r["n_union_bins"]
+        assert s_eff <= _OVS_BINS
         if e is None:
-            # sketch may report a tiny spurious overlap the exact inner
-            # join lacks only if n_both > 0 for a zero-intersection pair;
-            # the 4-sigma binomial bound still applies with p = 0
-            assert r["n_both"] <= 4 * (r["n_both"] ** 0.5 + 1)
+            # a zero-intersection pair: matched minima are hash
+            # collisions only — essentially impossible in 60 bits
+            assert r["n_match"] == 0
             continue
         checked += 1
         union = e["na"] + e["nb"] - e["inter"]
         j_true = e["inter"] / union
-        k_eff = min(_OVK, r["n_kept"])
-        sigma_j = (max(j_true * (1 - j_true), 1e-9) / k_eff) ** 0.5
-        assert abs(r["n_both"] / k_eff - j_true) <= 4 * sigma_j + 1 / k_eff
-        sigma_u = union / (_OVK**0.5)
-        assert abs(r["est_union"] - union) <= 4 * sigma_u
+        sigma_j = (max(j_true * (1 - j_true), 1e-9) / s_eff) ** 0.5
+        assert abs(r["n_match"] / s_eff - j_true) <= 4 * sigma_j + 1 / s_eff
+        # KMV over bin minima: sigma ~ union/sqrt(k); the bin-collision
+        # bias (~k/2S) is well inside the 4-sigma band
+        from agf_data_ingestion_spark.plans.mixing import _OVU_K
+
+        sigma_u = union / (_OVU_K**0.5)
+        assert abs(r["est_union"] - union) <= 4 * sigma_u + _OVU_K
     assert checked  # the planted overlaps were actually compared
 
 
