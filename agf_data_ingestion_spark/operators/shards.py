@@ -38,6 +38,75 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: WFQ virtual-time scale (weighted_interleave) — cum_tokens × scale must
+#: fit BIGINT: safe to ~9e9 tokens per source
+_WFQ_SCALE = 1_000_000_000
+
+
+def weighted_interleave(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    seed: str = "0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic WEIGHTED interleave of a multi-source corpus (r8,
+    VERDICT r7 ask #5 — the consumer of ``docs_domain_reweight``'s
+    ``weight_ppm``): weighted-fair-queuing virtual times on exact
+    integers.  Within each source, docs are ordered by
+    ``md5(seed:doc_id)`` and finish at ``t = cum_tokens × SCALE DIV
+    weight_ppm``; the ``_wfq`` sort key (zero-padded t ‖ md5) then makes
+    every prefix of the global order carry per-source token shares
+    ∝ weight_ppm, within one document of truncation.  Rows past the
+    horizon where the FIRST source exhausts are dropped — beyond it the
+    mixture is unsatisfiable by construction (start the next epoch with
+    a new seed instead).
+
+    ``weights``: a (source, weight_ppm) frame — K rows, broadcast.
+    Feed the result to ``assign_shards(..., order_key="_wfq")``; each
+    shard's per-source token share then matches the weights
+    (tests/test_shards.py pins the tolerance), and the catalog query
+    ``docs_reweighted_shards`` (plans/mixing.py) is the single-window
+    oracle twin of this two-pass pipeline.
+
+    Scale shape: one per-source window (hash-partitioned on source —
+    salt via the skewed-rank decomposition if one source dominates), a
+    K-row horizon aggregate, one broadcast; no corpus collect."""
+    d = docs.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
+    ).withColumn(
+        "_h",
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+    )
+    d = d.join(
+        F.broadcast(weights.select(source_col, "weight_ppm")), source_col
+    )
+    sw = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum", F.sum("n_tokens").over(sw)).withColumn(
+        "_t", F.expr(f"(_cum * {_WFQ_SCALE}) DIV weight_ppm")
+    )
+    hor = (
+        d.groupBy(source_col)
+        .agg(F.max("_t").alias("_tm"))
+        .agg(F.min("_tm").alias("_hor"))
+    )
+    return (
+        d.crossJoin(F.broadcast(hor))
+        .filter(F.col("_t") <= F.col("_hor"))
+        .withColumn(
+            "_wfq",
+            F.concat(F.lpad(F.col("_t").cast("string"), 20, "0"), F.col("_h")),
+        )
+        .drop("_cum", "_hor", "_h")
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     *,
@@ -46,18 +115,25 @@ def assign_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    order_key: str | None = None,
 ) -> DataFrame:
     """Adds ``n_tokens``, ``global_pos`` (1-based rank in the shuffled
     order) and ``shard_id`` (= floor((cumulative_tokens - 1) / budget))
     to ``docs``.  Deterministic for a given (corpus, seed, budget) —
     independent of cluster size, partition boundaries, or row arrival
-    order."""
+    order.  ``order_key`` (r8) replaces the md5 shuffle order with a
+    caller-supplied total-order column — the weighted-interleave hook
+    (``weighted_interleave``'s ``_wfq`` key)."""
     n_parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
     ordered = (
         docs.withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
         .withColumn(
             "_ord",
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            F.col(order_key)
+            if order_key
+            else F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
         )
         .repartitionByRange(n_parts, "_ord")
         .sortWithinPartitions("_ord")

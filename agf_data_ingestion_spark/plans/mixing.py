@@ -47,7 +47,7 @@ reports overlap, not its complement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import QuerySpec, t
@@ -411,8 +411,7 @@ r{i} AS MATERIALIZED (
 )"""
 
 
-_DRM_SQL = f"""
-WITH base AS MATERIALIZED (
+_DRM_CTES = f"""base AS MATERIALIZED (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(cpw) AS BIGINT) // COUNT(*) AS excess_ppm
@@ -424,7 +423,10 @@ WITH base AS MATERIALIZED (
 ),
 r0 AS MATERIALIZED (
   SELECT source, n_docs, excess_ppm, CAST({_PPM} AS BIGINT) AS w FROM base
-),{",".join(_drm_round_sql(i) for i in range(1, _DRM_ROUNDS + 1))}
+),{",".join(_drm_round_sql(i) for i in range(1, _DRM_ROUNDS + 1))}"""
+
+_DRM_SQL = f"""
+WITH {_DRM_CTES}
 SELECT source, n_docs, excess_ppm,
        CAST(w AS BIGINT) AS weight_ppm,
        w > {_PPM} AS upweighted
@@ -459,6 +461,145 @@ JOIN sizes sb ON i.src_b = sb.source
 """
 
 
+#: WFQ virtual-time scale and shard token budget for the reweighted
+#: shard stream.  cum_tokens * _WFQ_SCALE must fit BIGINT: fine to
+#: ~9e9 tokens per source; at a larger per-source corpus drop the scale
+#: a decimal place per 10x (the share arithmetic is scale-free).
+_WFQ_SCALE = 1_000_000_000
+_SHARD_BUDGET = 4000
+
+
+def docs_reweighted_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE THE MIXTURE LOOP (VERDICT r7 ask #5): feed the DoReMi
+    ``weight_ppm`` into a deterministic weighted interleave and report
+    each shard's per-domain token share against its target — the step
+    that turns a reweighting decision into the byte order trainers read.
+
+    The interleave is weighted fair queuing on exact integers: within
+    each source, docs are ordered by ``md5('mix:'||doc_id)`` (a content-
+    stable shuffle) and each doc finishes at virtual time
+    ``t = cum_tokens x SCALE DIV weight_ppm`` — a source with twice the
+    weight emits tokens twice as fast, so EVERY prefix of the t-ordered
+    stream carries token shares ∝ weight_ppm (±one document of
+    truncation).  The stream stops at the horizon where the first source
+    exhausts (min over sources of its last doc's t) — beyond it shares
+    drift by construction, exactly when a real mixture sampler would
+    start a new epoch.  Shards cut the stream at ``_SHARD_BUDGET``
+    cumulative tokens; the output is per (shard, source): docs, tokens,
+    ``share_ppm`` (of the shard), and ``target_ppm`` (weight_ppm over
+    the weight total) — every column an exact integer, full hash-match
+    oracle.  The per-full-shard |share−target| tolerance is pinned in
+    tests/test_shards.py, and operators/shards.py `weighted_interleave`
+    is the production twin that feeds the two-pass distributed shard
+    writer (this query's single global running-sum window is the oracle
+    shape; assign_shards is the exchange-safe one).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wts = docs_domain_reweight(spark, sf_dir).select("source", "weight_ppm")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            16,
+        ).alias("h"),
+    ).join(F.broadcast(wts), "source")
+    sw = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts = base.withColumn("cum", F.sum("n_tokens").over(sw)).withColumn(
+        "t", F.expr(f"(cum * {_WFQ_SCALE}) DIV weight_ppm")
+    )
+    hor = (
+        ts.groupBy("source")
+        .agg(F.max("t").alias("tm"))
+        .agg(F.min("tm").alias("hor"))
+    )
+    gw = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("t", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stream = (
+        ts.crossJoin(F.broadcast(hor))
+        .filter(F.col("t") <= F.col("hor"))
+        .withColumn("gcum", F.sum("n_tokens").over(gw))
+        .withColumn("shard_id", F.expr(f"(gcum - 1) DIV {_SHARD_BUDGET}"))
+    )
+    per = stream.groupBy("shard_id", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("weight_ppm").alias("weight_ppm"),
+    )
+    total_w = wts.agg(F.sum("weight_ppm").cast("long").alias("total_w"))
+    shard_w = Window.partitionBy("shard_id")
+    return (
+        per.crossJoin(F.broadcast(total_w))
+        .withColumn("shard_tokens", F.sum("tokens").over(shard_w))
+        .select(
+            "shard_id",
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr(f"(tokens * {_PPM}) DIV shard_tokens").alias("share_ppm"),
+            F.expr(f"(weight_ppm * {_PPM}) DIV total_w").alias("target_ppm"),
+        )
+    )
+
+
+_RWS_SQL = f"""
+WITH {{_DRM_CTES}},
+wts AS (SELECT source, CAST(w AS BIGINT) AS weight_ppm FROM r{{_DRM_ROUNDS}}),
+dh AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
+  FROM documents
+),
+cums AS (
+  SELECT dh.doc_id, dh.source, dh.n_tokens, dh.h, w.weight_ppm,
+         SUM(n_tokens) OVER (PARTITION BY dh.source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dh JOIN wts w ON dh.source = w.source
+),
+tss AS (SELECT *, (cum * {{_WFQ_SCALE}}) // weight_ppm AS t FROM cums),
+hor AS (
+  SELECT MIN(tm) AS hor
+  FROM (SELECT source, MAX(t) AS tm FROM tss GROUP BY 1)
+),
+stream AS (
+  SELECT tss.*,
+         SUM(n_tokens) OVER (ORDER BY t, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS gcum
+  FROM tss, hor WHERE tss.t <= hor.hor
+),
+per AS (
+  SELECT CAST((gcum - 1) // {{_SHARD_BUDGET}} AS BIGINT) AS shard_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         MAX(weight_ppm) AS weight_ppm
+  FROM stream GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(weight_ppm) AS BIGINT) AS total_w FROM wts)
+SELECT shard_id, source, n_docs, tokens,
+       (tokens * {{_PPM}})
+         // CAST(SUM(tokens) OVER (PARTITION BY shard_id) AS BIGINT)
+         AS share_ppm,
+       (weight_ppm * {{_PPM}}) // total_w AS target_ppm
+FROM per, tot
+""".format(
+    _DRM_CTES=_DRM_CTES,
+    _DRM_ROUNDS=_DRM_ROUNDS,
+    _WFQ_SCALE=_WFQ_SCALE,
+    _SHARD_BUDGET=_SHARD_BUDGET,
+    _PPM=_PPM,
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_domain_reweight": QuerySpec(
         docs_domain_reweight, _DRM_SQL, ("OP-X-DOREMI",)
@@ -470,5 +611,10 @@ QUERIES: dict[str, QuerySpec] = {
         docs_source_overlap_sketch,
         _OVL_SKETCH_SQL,
         ("OP-X-OVERLAP", "OP-X-APPROX"),
+    ),
+    "docs_reweighted_shards": QuerySpec(
+        docs_reweighted_shards,
+        _RWS_SQL,
+        ("OP-X-DOREMI", "OP-X-SHARDS", "OP-X-MIX"),
     ),
 }

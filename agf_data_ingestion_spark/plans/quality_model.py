@@ -202,6 +202,71 @@ def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_TILES = 20
+_PPM = 1_000_000
+
+
+def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall SWEEP for the trained gate (r8, VERDICT r7 ask
+    #6): a deployer picks a THRESHOLD, not a model — this emits the
+    exact-integer confusion counts at every per-language ntile cut of
+    the calibrated score, i.e. the operating curve for the policy "keep
+    the top (N−c)/N quantile of every language".
+
+    ``cut_tile`` = c means documents whose per-language ntile > c are
+    predicted HIGH; TP/FP are suffix sums of per-tile label counts
+    (ntile assigns remainder rows to earlier buckets in BOTH engines —
+    the verified r3 construct — and the suffix window plus every rate is
+    int64, so the whole curve hash-matches the oracle).  Scale shape:
+    the corpus collapses to 1 row/doc (the apply shape), then to an
+    N-row tile table; the curve is window math on N rows."""
+    bg = _bigrams(_corpus(spark, sf_dir))
+    w = _weights(bg)
+    held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
+    scores = (
+        held.join(F.broadcast(w.select("bucket", "weight")), "bucket", "left")
+        .groupBy("doc_id", "lang", "hi")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"))
+    )
+    tl = Window.partitionBy("lang").orderBy("score", "doc_id")
+    per_tile = (
+        scores.select("hi", F.ntile(_PR_TILES).over(tl).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("long").alias("n_lo"),
+        )
+    )
+    suf = Window.orderBy("tile").rowsBetween(1, Window.unboundedFollowing)
+    tot = per_tile.agg(
+        F.sum("n_hi").cast("long").alias("tot_hi"),
+        F.sum("n_lo").cast("long").alias("tot_lo"),
+    )
+    return (
+        per_tile.withColumn(
+            "tp", F.coalesce(F.sum("n_hi").over(suf), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "fp", F.coalesce(F.sum("n_lo").over(suf), F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("tile") < _PR_TILES)
+        .select(
+            F.col("tile").cast("long").alias("cut_tile"),
+            "tp",
+            "fp",
+            (F.col("tot_hi") - F.col("tp")).alias("fn"),
+            (F.col("tot_lo") - F.col("fp")).alias("tn"),
+            F.expr(f"(tp * {_PPM}) DIV greatest(1, tp + fp)").alias(
+                "precision_ppm"
+            ),
+            F.expr(f"(tp * {_PPM}) DIV greatest(1, tot_hi)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 def _word_sql(i: int) -> str:
     raw = f"substr(md5('qm:w{i}:' || CAST(doc_id AS VARCHAR)), 1, {4 + (i % 3)})"
     by_lang = (
@@ -274,11 +339,56 @@ FROM scores
 """
 
 
+_PR_SQL = f"""
+WITH {_CORPUS_CTES},
+scores AS (
+  SELECT b.doc_id, b.lang, b.hi,
+         CAST(coalesce(SUM(w.weight), 0) AS BIGINT) AS score
+  FROM bg b LEFT JOIN w ON b.bucket = w.bucket
+  WHERE NOT b.is_train
+  GROUP BY 1, 2, 3
+),
+tiles AS (
+  SELECT lang, hi,
+         ntile({_PR_TILES}) OVER (PARTITION BY lang ORDER BY score, doc_id)
+           AS tile
+  FROM scores
+),
+per_tile AS (
+  SELECT tile,
+         CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n_lo
+  FROM tiles GROUP BY 1
+),
+suf AS (
+  SELECT tile,
+         CAST(coalesce(SUM(n_hi) OVER wsuf, 0) AS BIGINT) AS tp,
+         CAST(coalesce(SUM(n_lo) OVER wsuf, 0) AS BIGINT) AS fp
+  FROM per_tile
+  WINDOW wsuf AS (ORDER BY tile
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+tot AS (
+  SELECT CAST(SUM(n_hi) AS BIGINT) AS tot_hi,
+         CAST(SUM(n_lo) AS BIGINT) AS tot_lo
+  FROM per_tile
+)
+SELECT CAST(s.tile AS BIGINT) AS cut_tile, s.tp, s.fp,
+       t.tot_hi - s.tp AS fn, t.tot_lo - s.fp AS tn,
+       (s.tp * {_PPM}) // greatest(1, s.tp + s.fp) AS precision_ppm,
+       (s.tp * {_PPM}) // greatest(1, t.tot_hi) AS recall_ppm
+FROM suf s, tot t WHERE s.tile < {_PR_TILES}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_quality_train": QuerySpec(
         docs_quality_train, _TRAIN_SQL, ("OP-X-QUALTRAIN",)
     ),
     "docs_quality_apply": QuerySpec(
         docs_quality_apply, _APPLY_SQL, ("OP-X-QUALTRAIN", "OP-X-CALIBRATE")
+    ),
+    "docs_quality_pr_curve": QuerySpec(
+        docs_quality_pr_curve, _PR_SQL, ("OP-X-QUALTRAIN", "OP-X-CALIBRATE")
     ),
 }

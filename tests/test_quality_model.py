@@ -63,3 +63,30 @@ def test_apply_plan_single_corpus_exchange(spark):
     assert len(doc_ex) == 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pr_curve_invariants(spark):
+    """r8: confusion counts are consistent (tp+fn / fp+tn constant),
+    recall is monotone non-increasing in the cut, and the planted
+    separation makes high cuts precise (>= 90% precision at the top
+    quartile cut)."""
+    from agf_data_ingestion_spark.plans.quality_model import (
+        _PR_TILES,
+        docs_quality_pr_curve,
+    )
+
+    rows = sorted(
+        docs_quality_pr_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["cut_tile"],
+    )
+    assert len(rows) == _PR_TILES - 1
+    tot_hi = rows[0]["tp"] + rows[0]["fn"]
+    tot_lo = rows[0]["fp"] + rows[0]["tn"]
+    prev_recall = 10**6 + 1
+    for r in rows:
+        assert r["tp"] + r["fn"] == tot_hi and r["fp"] + r["tn"] == tot_lo
+        assert 0 <= r["precision_ppm"] <= 10**6
+        assert r["recall_ppm"] <= prev_recall  # fewer kept, never more TP
+        prev_recall = r["recall_ppm"]
+    top_quartile = [r for r in rows if r["cut_tile"] == (_PR_TILES * 3) // 4]
+    assert top_quartile and top_quartile[0]["precision_ppm"] >= 900_000

@@ -110,3 +110,92 @@ def test_write_round_trip_and_manifest(spark, tmp_path):
         d = os.path.join(out, "shards", f"shard_id={sid}")
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (sid, files)
+
+
+def test_weighted_interleave_shard_shares_match_weights(spark):
+    """r8 (VERDICT r7 ask #5): feeding docs_domain_reweight's weight_ppm
+    through weighted_interleave -> assign_shards(order_key=_wfq) gives
+    every FULL shard per-source token shares matching the weights within
+    the one-document truncation tolerance, and the assignment is
+    partition-count independent."""
+    from agf_data_ingestion_spark.operators.shards import weighted_interleave
+    from agf_data_ingestion_spark.plans.mixing import docs_domain_reweight
+
+    docs = _docs(spark)
+    weights = docs_domain_reweight(spark, SF).select("source", "weight_ppm")
+    wrows = {r["source"]: r["weight_ppm"] for r in weights.collect()}
+    total_w = sum(wrows.values())
+    budget = 4000
+    stream = weighted_interleave(docs, weights, seed="mix")
+    shards = assign_shards(
+        stream, budget_tokens=budget, order_key="_wfq"
+    )
+    rows = shards.select("source", "n_tokens", "shard_id").collect()
+    assert rows
+    max_doc = max(r["n_tokens"] for r in rows)
+    per = {}
+    for r in rows:
+        key = (r["shard_id"], r["source"])
+        per[key] = per.get(key, 0) + r["n_tokens"]
+    shard_tokens = {}
+    for (sid, _src), toks in per.items():
+        shard_tokens[sid] = shard_tokens.get(sid, 0) + toks
+    full = [s for s, tk in shard_tokens.items() if tk >= budget]
+    assert len(full) >= 3  # enough full shards to make the claim real
+    checked = 0
+    for sid in full:
+        for src, w in wrows.items():
+            share = per.get((sid, src), 0) / shard_tokens[sid]
+            target = w / total_w
+            # WFQ guarantees prefix shares to one document per source per
+            # boundary; a shard is a prefix difference -> 2 docs slack
+            assert abs(share - target) <= (2 * max_doc) / budget, (
+                sid,
+                src,
+                share,
+                target,
+            )
+            checked += 1
+    assert checked >= 3 * len(wrows)
+    # partition-count independence (the two-pass prefix-sum invariant)
+    again = assign_shards(
+        weighted_interleave(docs, weights, seed="mix"),
+        budget_tokens=budget,
+        order_key="_wfq",
+        num_partitions=3,
+    )
+    a = sorted(
+        (r["doc_id"], r["shard_id"], r["global_pos"])
+        for r in shards.select("doc_id", "shard_id", "global_pos").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard_id"], r["global_pos"])
+        for r in again.select("doc_id", "shard_id", "global_pos").collect()
+    )
+    assert a == b
+
+
+def test_weighted_interleave_horizon_drops_past_first_exhaustion(spark):
+    """The stream ends when the first source exhausts: every kept row's
+    t is <= the minimum per-source max-t, so shares cannot drift."""
+    from agf_data_ingestion_spark.operators.shards import weighted_interleave
+
+    docs = _docs(spark)
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn("weight_ppm", F.lit(1_000_000))
+    )
+    out = weighted_interleave(docs, weights, seed="h")
+    tm = out.groupBy("source").agg(F.max("_t").alias("tm"))
+    mx = [r["tm"] for r in tm.collect()]
+    # uniform weights: horizon = the smallest source's total tokens * 1e3
+    assert max(mx) <= min(
+        r["tm"]
+        for r in docs.withColumn(
+            "n", F.size(F.split("text", " ")).cast("long")
+        )
+        .groupBy("source")
+        .agg((F.sum("n") * 1000).alias("tm"))
+        .collect()
+    )
