@@ -367,7 +367,172 @@ FROM cands WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAM}
 """
 
 
+# -- audio fingerprint (r8, VERDICT r7 ask #8) --------------------------------
+#: synthetic waveform: 64 md5-derived 12-bit samples per item; the
+#: fingerprint is the chromaprint-shaped temporal-gradient bitmap —
+#: bit j = (sample[j] > sample[j+4]), 60 bits (frame stride = 4 samples,
+#: i.e. "did band b's energy rise from frame f to f+1").  Every doc with
+#: doc_id % 29 == 1 is a PLANTED near-duplicate of doc_id - 1: same base
+#: waveform plus a small md5 jitter (< _AFP_JITTER of the 4096 amplitude
+#: range), flipping only near-tie gradient bits.
+_AFP_SAMPLES = 64
+_AFP_STRIDE = 4
+_AFP_BITS = _AFP_SAMPLES - _AFP_STRIDE  # 60: the banded machinery's width
+_AFP_AMP = 4096
+_AFP_JITTER = 48
+_AFP_MAX_HAM = 10  # planted twins land <= ~6; random pairs center at 30
+
+
+def media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by banded spectral-gradient
+    fingerprints — the chromaprint/AcoustID pipeline shape re-expressed
+    exact-integer (the audio twin of ``media_phash_neardup``; the
+    container ships no audio codecs, so the waveform is the documented
+    md5-derived synthetic and the DECODE step alone is the stub —
+    operators/multimodal.py policy).
+
+    Every quantity is an integer derived from md5, so the full pipeline
+    (waveform → gradient bits → 60-bit fingerprint → 4×15-bit LSH bands
+    → exact ``bit_count(xor)`` verify) hash-matches the DuckDB oracle,
+    and planted-twin recovery is pinned in tests/test_media.py.
+
+    Scale: samples never shuffle — the 60 gradient bits aggregate
+    map-side to ONE long per item; bands explode to 4 short rows/item;
+    the band self-join is corpus × corpus on the bucket key → pinned
+    shuffle-hash, never broadcast; band arithmetic is div/%% only (the
+    cross-engine precedence rule)."""
+    base = (
+        "CASE WHEN doc_id % 29 = 1 THEN doc_id - 1 ELSE doc_id END"
+    )
+
+    def amp(j: str) -> str:
+        return (
+            f"CAST(conv(substring(md5(concat('wav:', CAST({base} AS STRING),"
+            f" ':', CAST({j} AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+            f" % {_AFP_AMP}"
+        )
+
+    def jit(j: str) -> str:
+        return (
+            f"CASE WHEN doc_id % 29 = 1 THEN"
+            f" CAST(conv(substring(md5(concat('pw:', CAST(doc_id AS STRING),"
+            f" ':', CAST({j} AS STRING))), 1, 2), 16, 10) AS BIGINT)"
+            f" % {_AFP_JITTER} ELSE 0 END"
+        )
+
+    items = (
+        t(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(_AFP_BITS - 1))).alias("j"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN ({amp('j')} + {jit('j')})"
+                f" > ({amp(f'j + {_AFP_STRIDE}')} + {jit(f'j + {_AFP_STRIDE}')})"
+                f" THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"
+                f" ELSE CAST(0 AS BIGINT) END"
+            ).alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("fp"))
+    )
+    bands = items.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(fp div {_PHASH_BAND_MOD**b}L) % {_PHASH_BAND_MOD}"
+                        ).alias("key"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("ha"),
+            F.col("b.fp").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= _AFP_MAX_HAM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            ((F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 29 == 0)).alias(
+                "planted"
+            ),
+        )
+    )
+
+
+_AFP_BASE_SQL = "CASE WHEN doc_id % 29 = 1 THEN doc_id - 1 ELSE doc_id END"
+
+
+def _afp_amp_sql(j: str) -> str:
+    return (
+        f"('0x' || substr(md5('wav:' || CAST({_AFP_BASE_SQL} AS VARCHAR)"
+        f" || ':' || CAST({j} AS VARCHAR)), 1, 4))::BIGINT % {_AFP_AMP}"
+    )
+
+
+def _afp_jit_sql(j: str) -> str:
+    return (
+        f"CASE WHEN doc_id % 29 = 1 THEN"
+        f" ('0x' || substr(md5('pw:' || CAST(doc_id AS VARCHAR)"
+        f" || ':' || CAST({j} AS VARCHAR)), 1, 2))::BIGINT % {_AFP_JITTER}"
+        f" ELSE 0 END"
+    )
+
+
+_AUDIO_FP_SQL = f"""
+WITH bits AS (
+  SELECT doc_id, j,
+         CASE WHEN ({_afp_amp_sql('j')} + {_afp_jit_sql('j')})
+                 > ({_afp_amp_sql(f'j + {_AFP_STRIDE}')} + {_afp_jit_sql(f'j + {_AFP_STRIDE}')})
+              THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM documents, unnest(range(0, {_AFP_BITS})) AS u(j)
+),
+items AS (
+  SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS fp FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, fp, b AS band,
+         (fp // power({_PHASH_BAND_MOD}, b)::BIGINT) % {_PHASH_BAND_MOD} AS key
+  FROM items, unnest(range(0, {_PHASH_BANDS})) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS ha, b.fp AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+       (doc_b = doc_a + 1) AND (doc_a % 29 = 0) AS planted
+FROM cands WHERE bit_count(xor(ha, hb)) <= {_AFP_MAX_HAM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "media_audio_fingerprint": QuerySpec(
+        media_audio_fingerprint,
+        _AUDIO_FP_SQL,
+        ("OP-X-MULTIMODAL", "OP-X-PHASH"),
+    ),
     "media_phash_neardup": QuerySpec(
         media_phash_neardup,
         _phash_sql(),

@@ -102,7 +102,88 @@ def median(xs):
     return xs[len(xs) // 2]
 
 
+def eq_rung(factor: int, reps: int) -> None:
+    """Eq-delete reader ladder (r8, VERDICT r7 ask #7): a snapshot table
+    at 1× and N× carrying many LIVE multi-column equality-delete items;
+    times the merge-on-read read (anti-join per key-column set) on both
+    sides of the broadcast guard — the guard crossover itself sits at
+    _DV_BROADCAST_MAX_BYTES / _EQ_BROADCAST_ROW_BYTES = 512k live keys,
+    so the under-guard runs broadcast and the forced-fallback run shows
+    the shuffle-join cost the guard would pick beyond it."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.session import get_spark
+    from agf_data_ingestion_spark.sources import snapshots as S
+    from agf_data_ingestion_spark.sources.snapshots import (
+        read_manifest,
+        snapshot_delete_keys,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    spark = get_spark("eq-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = "/tmp/agf_scale_eq"
+    if os.path.isdir(root):
+        _sh.rmtree(root)
+    print("| table | rows | live eq keys | guard side | read median |")
+    print("|---|---|---|---|---|")
+    for label, mult in (("1x", 1), (f"{factor}x", factor)):
+        tbl = os.path.join(root, label)
+        base = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(10_000_000 * k)).alias("doc_id"),
+                "source",
+                "n_chars",
+            )
+            for k in range(mult)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        snapshot_write(df, tbl, cluster_by=["doc_id"], cluster_files=8 * mult)
+        # 10 commits of multi-column (doc_id, source) delete keys, all LIVE
+        for c in range(10):
+            keys = df.filter(F.pmod(F.col("doc_id"), F.lit(97)) == c).select(
+                "doc_id", "source"
+            )
+            snapshot_delete_keys(keys, tbl)
+        live = sum(it["n"] for it in S._eq_items(read_manifest(tbl)))
+        guard_bytes = live * S._EQ_BROADCAST_ROW_BYTES
+        side = (
+            "broadcast"
+            if guard_bytes <= S._DV_BROADCAST_MAX_BYTES
+            else "shuffle-fallback"
+        )
+        for forced, note in ((False, side), (True, "forced-fallback")):
+            if forced:
+                saved = S._DV_BROADCAST_MAX_BYTES
+                S._DV_BROADCAST_MAX_BYTES = 0
+            try:
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    n = snapshot_read(spark, tbl).count()
+                    samples.append(time.time() - t0)
+            finally:
+                if forced:
+                    S._DV_BROADCAST_MAX_BYTES = saved
+            print(
+                f"| {label} | {n} | {live} | {note} | {median(samples):.2f} s |",
+                flush=True,
+            )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "eq":
+        eq_rung(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out_dir = f"/tmp/agf_scale_sf{factor}x"

@@ -443,3 +443,31 @@ def test_zip_manifest_matches_archive(spark, tmp_path):
     # 1000 docs guarantees duplicates across the corpus)
     all_names = [r["entry_name"] for rows in predicted.values() for r in rows]
     assert any("_" in n.rsplit("doc_", 1)[-1] for n in all_names)
+
+
+def test_audio_fingerprint_planted_recovery(spark):
+    """r8 (VERDICT r7 ask #8): the chromaprint-shaped gradient
+    fingerprint recovers >= 95% of the planted waveform twins
+    (doc_id % 29 == 1 paired with doc_id - 1) at small Hamming distance,
+    with near-perfect precision (random 60-bit pairs center at ~30
+    bits, far above the verify threshold)."""
+    from agf_data_ingestion_spark.plans.media import (
+        _AFP_MAX_HAM,
+        media_audio_fingerprint,
+    )
+    from agf_data_ingestion_spark.plans.base import t as _t
+
+    sf = "/root/testdata/sf0.001"
+    rows = media_audio_fingerprint(spark, sf).collect()
+    assert rows
+    ids = {r["doc_id"] for r in _t(spark, sf, "documents").select("doc_id").collect()}
+    expected = {
+        (i - 1, i) for i in ids if i % 29 == 1 and (i - 1) in ids
+    }
+    got_planted = {(r["doc_a"], r["doc_b"]) for r in rows if r["planted"]}
+    assert len(got_planted) >= 0.95 * len(expected) and expected
+    assert got_planted <= expected  # the planted flag is exact
+    for r in rows:
+        assert 0 <= r["hamming"] <= _AFP_MAX_HAM
+    # precision: unplanted survivors are rare (hash-collision tier only)
+    assert sum(1 for r in rows if not r["planted"]) <= max(1, len(rows) // 10)
