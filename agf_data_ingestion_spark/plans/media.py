@@ -531,7 +531,7 @@ QUERIES: dict[str, QuerySpec] = {
     "media_audio_fingerprint": QuerySpec(
         media_audio_fingerprint,
         _AUDIO_FP_SQL,
-        ("OP-X-MULTIMODAL", "OP-X-PHASH"),
+        ("OP-X-AUDIOFP", "OP-X-MULTIMODAL", "OP-X-PHASH"),
     ),
     "media_phash_neardup": QuerySpec(
         media_phash_neardup,

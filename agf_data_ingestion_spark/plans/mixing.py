@@ -610,11 +610,11 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_source_overlap_sketch": QuerySpec(
         docs_source_overlap_sketch,
         _OVL_SKETCH_SQL,
-        ("OP-X-OVERLAP", "OP-X-APPROX"),
+        ("OP-X-OVLSKETCH", "OP-X-OVERLAP", "OP-X-APPROX"),
     ),
     "docs_reweighted_shards": QuerySpec(
         docs_reweighted_shards,
         _RWS_SQL,
-        ("OP-X-DOREMI", "OP-X-SHARDS", "OP-X-MIX"),
+        ("OP-X-WFQ", "OP-X-DOREMI", "OP-X-SHARDS", "OP-X-MIX"),
     ),
 }

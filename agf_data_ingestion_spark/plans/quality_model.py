@@ -389,6 +389,8 @@ QUERIES: dict[str, QuerySpec] = {
         docs_quality_apply, _APPLY_SQL, ("OP-X-QUALTRAIN", "OP-X-CALIBRATE")
     ),
     "docs_quality_pr_curve": QuerySpec(
-        docs_quality_pr_curve, _PR_SQL, ("OP-X-QUALTRAIN", "OP-X-CALIBRATE")
+        docs_quality_pr_curve,
+        _PR_SQL,
+        ("OP-X-PRCURVE", "OP-X-QUALTRAIN", "OP-X-CALIBRATE"),
     ),
 }

@@ -1206,33 +1206,9 @@ def _stage_write(
     # asked for range clustering) so one partition value doesn't fan out
     # into a file per input task; a skewed partition column is the
     # caller's spec choice, same as any partitioned table format.
-    spec, spec_id = _default_spec(m0)
-    pnames, pcoerce = None, None
-    if spec:
-        src_of = {
-            f["id"]: (f["name"], f["type"]) for f in _fields_of(m0) or []
-        }
-        missing = [
-            src_of[sf["src_id"]][0]
-            for sf in spec["fields"]
-            if src_of[sf["src_id"]][0] not in df.columns
-        ]
-        if missing:
-            raise SchemaEvolutionError(
-                f"batch lacks partition source column(s) {missing} — "
-                f"set spec [] first to write without them"
-            )
-        pexprs = [
-            _partition_expr(*src_of[sf["src_id"]], sf).alias(
-                "_p_" + sf["name"]
-            )
-            for sf in spec["fields"]
-        ]
-        df = df.select("*", *pexprs)
-        pnames = ["_p_" + sf["name"] for sf in spec["fields"]]
-        pcoerce = _partition_coercers(spec, src_of)
-        if not cluster_by:
-            df = df.repartition(*pnames)
+    df, spec_kwargs = _apply_default_spec(df, m0, strict=True)
+    if spec_kwargs and not cluster_by:
+        df = df.repartition(*spec_kwargs["partition_by"])
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -1243,13 +1219,7 @@ def _stage_write(
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
     new_files = _write_data_files(
-        df,
-        table,
-        bloom_cols=bloom_cols,
-        fields=flds,
-        partition_by=pnames,
-        spec_id=spec_id,
-        partition_coerce=pcoerce,
+        df, table, bloom_cols=bloom_cols, fields=flds, **spec_kwargs
     )
     return new_files, batch_schema
 
@@ -1816,6 +1786,44 @@ def _partition_admits(
         except TypeError:
             continue  # incomparable → pruning proves nothing
     return True
+
+
+def _apply_default_spec(
+    df: DataFrame, m: dict | None, *, strict: bool = False
+) -> tuple[DataFrame, dict]:
+    """(df + derived ``_p_*`` transform columns, ``_write_data_files``
+    kwargs) for the manifest's default spec — (df, {}) when the table is
+    unpartitioned.  ``strict`` raises when the frame lacks a spec source
+    column (explicit writes); non-strict callers (compaction rewrites)
+    fall back to a spec-less write, which readers conservatively keep."""
+    from pyspark.sql import functions as F
+
+    spec, spec_id = _default_spec(m)
+    if not spec:
+        return df, {}
+    src_of = {f["id"]: (f["name"], f["type"]) for f in _fields_of(m) or []}
+    missing = [
+        src_of[sf["src_id"]][0]
+        for sf in spec["fields"]
+        if src_of[sf["src_id"]][0] not in df.columns
+    ]
+    if missing:
+        if strict:
+            raise SchemaEvolutionError(
+                f"batch lacks partition source column(s) {missing} — "
+                f"set spec [] first to write without them"
+            )
+        return df, {}
+    pexprs = [
+        _partition_expr(*src_of[sf["src_id"]], sf).alias("_p_" + sf["name"])
+        for sf in spec["fields"]
+    ]
+    df = df.select("*", *pexprs)
+    return df, {
+        "partition_by": ["_p_" + sf["name"] for sf in spec["fields"]],
+        "spec_id": spec_id,
+        "partition_coerce": _partition_coercers(spec, src_of),
+    }
 
 
 def snapshot_partition_spec(
@@ -3081,8 +3089,17 @@ def snapshot_compact(
         )
     else:
         df = df.coalesce(target_files)
+    # r8: compaction RESTORES the default-spec layout — COW/merge/update
+    # rewrites emit spec-less (conservatively-kept) files, and the
+    # steady-state maintenance pass is where the table converges back to
+    # partition-pruned; spec-less output only when no default spec is set
+    df, spec_kwargs = _apply_default_spec(df, m)
     written = _write_data_files(
-        df, table, bloom_cols=_common_bloom_cols(small), fields=_fields_of(m)
+        df,
+        table,
+        bloom_cols=_common_bloom_cols(small),
+        fields=_fields_of(m),
+        **spec_kwargs,
     )
     # a fully-DV'd input can compact to zero rows — keep empty parts out
     new_files = [f for f in written if f["rows"] > 0]

@@ -697,6 +697,51 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_partition(args) -> int:
+    """Show or evolve a snapshot table's default partition spec (r8):
+    ``--set day:ts bucket:k:8`` commits a metadata-only spec change,
+    ``--clear`` returns to unpartitioned writes, no flag shows the
+    current spec.  One JSON line either way."""
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_partition_spec,
+        snapshot_set_partition_spec,
+    )
+
+    if args.set and args.clear:
+        raise SystemExit("partition: pass at most one of --set / --clear")
+    committed = False
+    if args.set or args.clear:
+        spec = []
+        for item in args.set or []:
+            parts = item.split(":")
+            if len(parts) == 2:
+                spec.append((parts[0], parts[1]))
+            elif len(parts) == 3:
+                spec.append((parts[0], parts[1], int(parts[2])))
+            else:
+                raise SystemExit(
+                    f"partition: bad transform {item!r} "
+                    f"(transform:col or transform:col:n)"
+                )
+        before = current_version(args.table)
+        v = snapshot_set_partition_spec(args.table, spec)
+        committed = v > before
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "spec": [list(s) for s in snapshot_partition_spec(args.table)],
+                "version": current_version(args.table),
+                "committed": committed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_history(args) -> int:
     """Inspect a snapshot table: commit history, tags, current version,
     metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
@@ -857,6 +902,19 @@ def main() -> int:
     h = sub.add_parser("history")
     h.add_argument("--table", required=True, help="snapshot table root")
     h.set_defaults(fn=cmd_history)
+
+    ps = sub.add_parser("partition")
+    ps.add_argument("--table", required=True, help="snapshot table root")
+    ps.add_argument(
+        "--set",
+        nargs="+",
+        help="transform:col or transform:col:n (identity/day/month/hour/"
+        "bucket/truncate)",
+    )
+    ps.add_argument(
+        "--clear", action="store_true", help="back to unpartitioned writes"
+    )
+    ps.set_defaults(fn=cmd_partition)
 
     tk = sub.add_parser("tokenizer")
     tk.add_argument(

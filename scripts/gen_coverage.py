@@ -47,6 +47,18 @@ TEST_COVERED = {
         "sources/snapshots.py `snapshot_delete_keys` + `snapshot_merge(mode='eq', delete_keys=...)` (Iceberg-v2 equality deletes: O(batch) key rows + manifest metadata, zero target reads; per-entry sequence numbers + manifest-level eq items with key bounds; readers anti-join keys size-guarded; compaction applies, commit GC drops, expiry reclaims; `forget --keys` CLI) + streaming/upsert_stream.py (continuous CDC upsert runtime: foreachBatch nets each micro-batch — order_col last-change-wins, delete_col deletes folded into the SAME atomic commit — with the op-label + durable-HWM exactly-once bookmark of the ann_stream pattern)",
         "tests/test_equality_deletes.py (eq == cow == position-DV, zero-read pins via monkeypatched _read_entries, same-sequence rule incl. delete-then-reinsert, CDC diff + streaming CDC net exactly, honest rowcount/minmax refusal, compaction->GC->expiry, stats-disproof no-op, NULL/type/column validation, multi-column keys, pruned reads + time travel + restore, batch-chopped streaming upsert == one-shot merge, eq-vs-compaction race recompute, branch fork/publish with live eq) + tests/test_upsert_stream.py (micro-batches == one-shot with zero target reads, replayed batch no-op, last-change-wins, one-commit upsert+delete with exact CDC, overlap refusal, e2e streaming query + restart dedup)",
     ),
+    "OP-X-PARTSPEC": (
+        "sources/snapshots.py (partition-spec evolution / hidden partitioning: transform specs (identity/day/month/hour/bucket/truncate) bound to source field ids, metadata-only single-CAS spec commits that refuse racing appends, hive-partitioned writes recording per-file partition tuples, per-spec scan pruning with conservative-KEEP, spec-aware restore and drop-column refusal)",
+        "tests/test_partition_spec.py (13 cases: both-layout reads, strict-subset pruning per transform incl. md5-bucket plan-time/write-time agreement, OCC refusal of a racing append, rename survives via field ids + source-drop refusal, spec-id reuse + idempotent set, restore rolls the spec back, NULL-partition conservative keep, nested-dir expiry reclaim)",
+    ),
+    "OP-X-MAINTAIN": (
+        "sources/snapshots.py `snapshot_maintain`/`snapshot_table_health` (policy-gated maintenance: metadata-only small-file/dv-ppm/eq-item triggers, compaction only when one fires, keep_last expiry; `maintain --policy` CLI)",
+        "tests/test_maintenance.py (churned table — 12 tiny appends + DV + eq deletes — converges in ONE pass to bounded files with metadata-exact rowcount/minmax, healthy-table no-op commits nothing, dv-ppm trigger fires alone, CLI policy mode e2e)",
+    ),
+    "OP-X-MULTITXN": (
+        "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
+        "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness)",
+    ),
     "OP-X-UPDATE": (
         "sources/snapshots.py `snapshot_update` (predicate UPDATE completing the DML triad: cow rewrites stats-pruned touched files, dv shadows matched rows with position deletes + appends updated rows; SET sees the OLD row; up-front 0-row type check raises SchemaEvolutionError on retyping expressions before any write)",
         "tests/test_snapshot_update.py (cow ≡ dv reader equivalence, zero-match no-op both at stats and post-scan level, CDC delete+insert, OLD-row swap semantics, NULL-predicate rows kept, retype refusal with no commit, unknown column, concurrent same-file cow×dv race convergence, pruned reads post-update)",

@@ -342,3 +342,65 @@ def test_hour_and_month_transforms_prune(spark, tmp_path):
         ],
     ).collect()
     assert [r["k"] for r in got] == [2]
+
+
+def test_compaction_restores_partition_layout(spark, tmp_path):
+    """r8: COW rewrites emit spec-less files (conservatively kept);
+    compaction rewrites UNDER the default spec, so maintenance converges
+    the table back to a fully partition-pruned layout."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_events(spark, 0, 2), tbl)
+    snapshot_set_partition_spec(tbl, [("day", "ts")])
+    for lo in (2, 30, 60):
+        snapshot_write(_events(spark, lo, lo + 28), tbl)
+    # a COW delete rewrites touched files WITHOUT the spec
+    snapshot_delete(spark, tbl, [("k", "==", 40)], mode="cow")
+    m = read_manifest(tbl)
+    assert any("partition" not in f for f in m["files"])  # degraded
+    snapshot_compact(spark, tbl, small_bytes=1 << 30)  # everything small
+    m2 = read_manifest(tbl)
+    assert m2["files"] and all("partition" in f for f in m2["files"])
+    assert all(f["spec_id"] == 1 for f in m2["files"])
+    # pruning over the compacted layout is strict again and exact
+    where = [("ts", ">=", "2024-03-04 00:00:00")]
+    kept = plan_files(tbl, where=where)
+    assert 0 < len(kept) < len(plan_files(tbl))
+    got = _rows(snapshot_read(spark, tbl, where=where))
+    exp = _rows(
+        _events(spark, 0, 2)
+        .unionByName(_events(spark, 2, 30))
+        .unionByName(_events(spark, 30, 58))
+        .unionByName(_events(spark, 60, 88))
+        .filter((F.col("ts") >= "2024-03-04") & (F.col("k") != 40))
+    )
+    assert got == exp
+
+
+def test_partition_cli(spark, tmp_path, capsys):
+    import json as _json
+    import sys
+
+    from scripts.agf_pipeline import main as pipeline_main
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_events(spark, 0, 5), tbl)
+    argv = sys.argv
+
+    def run(*extra):
+        sys.argv = ["agf_pipeline.py", "partition", "--table", tbl, *extra]
+        try:
+            assert pipeline_main() == 0
+        finally:
+            sys.argv = argv
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("--set", "day:ts", "bucket:k:8")
+    assert out["committed"] and out["spec"] == [["day", "ts"], ["bucket", "k", 8]]
+    assert run()["spec"] == [["day", "ts"], ["bucket", "k", 8]]  # show
+    out = run("--clear")
+    assert out["committed"] and out["spec"] == []
