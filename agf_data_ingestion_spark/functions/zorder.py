@@ -57,3 +57,80 @@ def norm_expr(col: str, lo: str, hi: str, bits: int) -> str:
     # range; the result of the division is < 2^bits, safe to cast.
     scaled = f"CAST((({col}) - ({lo})) AS DOUBLE) * {(1 << bits) - 1}"
     return f"coalesce(CAST(floor(({scaled}) / ({span})) AS BIGINT), 0)"
+
+
+# -- Hilbert curve (r8) -------------------------------------------------------
+# Morton keys are cheap but cross-quadrant jumps leave some file groups
+# spanning half a dimension; the Hilbert curve visits every cell of the
+# 2^bits × 2^bits grid through ADJACENT cells only, so contiguous key
+# ranges are tighter rectangles — the better OPTIMIZE layout key
+# (public reference: the canonical xy2d loop on the Hilbert-curve
+# Wikipedia page; databases: Amazon Ion/Redshift AQUA, DataBricks
+# liquid clustering both moved Z-order → Hilbert for this reason).
+# Both implementations below are EXACT INTEGER twins of the same rounds:
+# the numpy form computes per-distinct-cell values Arrow-batched in Spark
+# (8 unrolled SQL rounds would CollapseProject into a ~3^8-node
+# expression — the janino-blowup rule), the SQL generator emits the same
+# rounds as chained MATERIALIZED CTEs for the DuckDB oracle.
+
+_H_BITS = 8  # 256×256 grid → hkey ∈ [0, 65536): plenty for file layout
+
+
+def hilbert_np(xs, ys, bits: int = _H_BITS):
+    """Hilbert index for int arrays ``xs``, ``ys`` in [0, 2^bits) —
+    all-int64 numpy, per-row independent (order-free, the integer rule)."""
+    import numpy as np
+
+    x = np.asarray(xs, dtype=np.int64).copy()
+    y = np.asarray(ys, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    n = 1 << bits
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        fx = np.where(flip, n - 1 - x, x)
+        fy = np.where(flip, n - 1 - y, y)
+        x = np.where(swap, fy, fx)
+        y = np.where(swap, fx, fy)
+        s >>= 1
+    return d
+
+
+def hilbert_sql_cte(cells: str, bits: int = _H_BITS) -> str:
+    """The SAME rounds as ``hilbert_np`` unrolled as chained MATERIALIZED
+    CTEs over ``cells(cx, cy)`` for the DuckDB oracle (materialization
+    stops DuckDB re-inlining the chain into an exponential expression —
+    the iterative-oracle rule).  Final CTE is ``hsig(cx, cy, hkey)``.
+    Every bit term fully parenthesized (equal-precedence trap); XOR is
+    DuckDB's ``xor()``."""
+    n = 1 << bits
+    parts = [
+        f"h0 AS MATERIALIZED (SELECT cx, cy, cx AS x, cy AS y,"
+        f" CAST(0 AS BIGINT) AS d FROM {cells})"
+    ]
+    r = 0
+    s = n >> 1
+    while s > 0:
+        rx = f"(CASE WHEN ((x) & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ((y) & {s}) > 0 THEN 1 ELSE 0 END)"
+        nd = f"((d) + ({s * s} * xor((3 * {rx}), {ry})))"
+        nx = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN"
+            f" ({n - 1} - (y)) ELSE (y) END) ELSE (x) END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN"
+            f" ({n - 1} - (x)) ELSE (x) END) ELSE (y) END)"
+        )
+        parts.append(
+            f"h{r + 1} AS MATERIALIZED (SELECT cx, cy, {nx} AS x,"
+            f" {ny} AS y, {nd} AS d FROM h{r})"
+        )
+        r += 1
+        s >>= 1
+    parts.append(f"hsig AS (SELECT cx, cy, d AS hkey FROM h{r})")
+    return ",\n".join(parts)

@@ -148,7 +148,15 @@ def _segs_path(table: str) -> str:
     return os.path.join(_snap_path(table), "segs")
 
 
+#: segment resolutions requested since process start — the observable the
+#: segment-pruning tests pin (planning a selective predicate must resolve a
+#: strict SUBSET of the manifest's segments, the Iceberg manifest-list claim)
+_SEG_READS = 0
+
+
 def _read_segment(table: str, name: str) -> list[dict]:
+    global _SEG_READS
+    _SEG_READS += 1
     p = os.path.join(_segs_path(table), name)
     ent = _SEG_CACHE.get(p)
     if ent is None:
@@ -158,6 +166,38 @@ def _read_segment(table: str, name: str) -> list[dict]:
             _SEG_CACHE.clear()
         _SEG_CACHE[p] = ent
     return ent
+
+
+def _seg_meta_of(entries: list[dict]) -> dict:
+    """Segment-level aggregate stats for manifest-list pruning: per-column
+    [min, max] over the member entries' file stats, recorded ONLY for
+    columns where EVERY entry carries comparable stats — a segment with
+    one stats-less (or type-mixed) entry for a column cannot be pruned on
+    it, mirroring ``_file_admits``'s conservative-keep per file.  Stats
+    are keyed PHYSICAL (the file-footer domain, same as entry stats)."""
+    stats: dict[str, list] = {}
+    if not entries:
+        return {"n": 0, "stats": stats}
+    common = set(entries[0].get("stats") or {})
+    for e in entries[1:]:
+        common &= set(e.get("stats") or {})
+    for c in sorted(common):
+        lo = hi = None
+        ok = True
+        for e in entries:
+            l, h = e["stats"][c]
+            if l is None or h is None:
+                ok = False
+                break
+            try:
+                lo = l if lo is None or l < lo else lo
+                hi = h if hi is None or h > hi else hi
+            except TypeError:  # cross-entry incomparable stat types
+                ok = False
+                break
+        if ok:
+            stats[c] = [lo, hi]
+    return {"n": len(entries), "stats": stats}
 
 
 def _write_segment(table: str, entries: list[dict]) -> str:
@@ -177,7 +217,7 @@ def _write_segment(table: str, entries: list[dict]) -> str:
 
 def _derive_segments(
     table: str, files: list[dict], parent_m: dict | None
-) -> list[str]:
+) -> tuple[list[str], dict]:
     """Split the committing file list into (reused parent segments +
     one new segment for the delta).  A parent segment is reusable iff
     EVERY path it lists survives into the new manifest — data files are
@@ -188,10 +228,20 @@ def _derive_segments(
     Reuse checks ENTRY identity, not just path identity: data files are
     immutable, but since r6 an entry can change without its path changing
     (a deletion-vector commit extends its ``dv`` list) — path-only reuse
-    would silently resurrect the pre-DV entry."""
+    would silently resurrect the pre-DV entry.
+
+    Returns ``(segment names, seg_meta)`` — seg_meta carries each
+    segment's aggregate column bounds (``_seg_meta_of``) in the MANIFEST,
+    so scan planning can skip resolving segments whose bounds already
+    disprove the predicate (manifest-list pruning, r8).  A reused
+    segment's meta is copied from the parent manifest when present
+    (byte-stable across commits); recomputed otherwise (pre-meta
+    manifests upgrade lazily as their segments get reused)."""
+    parent_meta = (parent_m or {}).get("seg_meta") or {}
     target = {f["path"]: f for f in files}
     covered: set[str] = set()
     segs: list[tuple[str, int]] = []
+    meta: dict[str, dict] = {}
     for name in (parent_m or {}).get("segments") or []:
         ent = _read_segment(table, name)
         paths = [e["path"] for e in ent]
@@ -202,14 +252,21 @@ def _derive_segments(
         ):
             segs.append((name, len(paths)))
             covered.update(paths)
+            meta[name] = parent_meta.get(name) or _seg_meta_of(ent)
     leftover = [f for f in files if f["path"] not in covered]
     if leftover:
-        segs.append((_write_segment(table, leftover), len(leftover)))
+        name = _write_segment(table, leftover)
+        segs.append((name, len(leftover)))
+        meta[name] = _seg_meta_of(leftover)
     while len(segs) > _MAX_SEGMENTS:
         segs.sort(key=lambda s: s[1])
         merged = _read_segment(table, segs[0][0]) + _read_segment(table, segs[1][0])
-        segs = [(_write_segment(table, merged), len(merged))] + segs[2:]
-    return [name for name, _ in segs]
+        for old, _n in segs[:2]:
+            meta.pop(old, None)
+        name = _write_segment(table, merged)
+        segs = [(name, len(merged))] + segs[2:]
+        meta[name] = _seg_meta_of(merged)
+    return [name for name, _ in segs], meta
 
 
 def current_version(table: str) -> int:
@@ -229,19 +286,27 @@ def read_manifest(table: str, version: int | None = None) -> dict:
     dicts — a caller mutating a returned entry can no longer corrupt the
     process-wide ``_SEG_CACHE`` (manifest resolution is not hot enough
     for the copy to matter)."""
-    v = current_version(table) if version is None else version
-    if v == 0:
-        return {"version": 0, "files": [], "parent": None}
-    try:
-        with open(_manifest_path(table, v)) as fh:
-            m = json.load(fh)
-    except FileNotFoundError:
-        raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
+    m = _load_manifest(table, version)
     if "files" not in m:
         m["files"] = [
             dict(e) for s in m.get("segments") or [] for e in _read_segment(table, s)
         ]
     return m
+
+
+def _load_manifest(table: str, version: int | None = None) -> dict:
+    """The RAW manifest dict — segment file lists left unresolved.  The
+    planning path reads this form so segment-level pruning can decide
+    which segments to resolve at all (``plan_files``); every other caller
+    goes through :func:`read_manifest`."""
+    v = current_version(table) if version is None else version
+    if v == 0:
+        return {"version": 0, "files": [], "parent": None}
+    try:
+        with open(_manifest_path(table, v)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise NoSuchVersionError(f"{table}: no snapshot v{v}") from None
 
 
 def _manifest_op(table: str, version: int) -> str | None:
@@ -653,6 +718,8 @@ def _publish(
     last_field_id_floor: int = 0,
     specs: list | None = None,
     default_spec_id: int | None = None,
+    sort_orders: list | None = None,
+    default_sort_order_id: int | None = None,
     txn_marker: str | None = None,
 ) -> int:
     """CAS-publish manifest v(parent+1): stage the full manifest to a temp
@@ -727,6 +794,11 @@ def _publish(
         eq = [dict(it) for it in (parent_m or {}).get("eq_deletes") or []]
     eq += [dict(it, seq=last_seq) for it in add_eq or []]
     eq = [it for it in eq if any(_eq_applies(f, it) for f in files)]
+    # O(delta) commit: reuse the parent's untouched segments by name,
+    # write only the new entries (plus bounded geometric coalescing);
+    # seg_meta rides in the manifest so planning prunes whole segments
+    # WITHOUT resolving them (manifest-list pruning, r8)
+    seg_names, seg_meta = _derive_segments(table, files, parent_m)
     manifest = {
         "version": version,
         "parent": parent,
@@ -734,9 +806,8 @@ def _publish(
         "committed_at": time.time(),
         "last_seq": last_seq,
         "schema": new_schema,
-        # O(delta) commit: reuse the parent's untouched segments by name,
-        # write only the new entries (plus bounded geometric coalescing)
-        "segments": _derive_segments(table, files, parent_m),
+        "segments": seg_names,
+        "seg_meta": seg_meta,
     }
     if new_fields is not None:
         manifest["fields"] = new_fields
@@ -768,6 +839,24 @@ def _publish(
         manifest["specs"] = new_specs
     if new_dsid:
         manifest["default_spec_id"] = new_dsid
+    # sort orders (r8, same inheritance discipline as partition specs):
+    # history is append-only, files stamp the order they were written
+    # under, a declared order is advisory metadata the write path and
+    # compaction consult — never a read-time correctness input
+    new_orders = (
+        sort_orders
+        if sort_orders is not None
+        else (parent_m or {}).get("sort_orders") or []
+    )
+    new_oid = (
+        default_sort_order_id
+        if default_sort_order_id is not None
+        else (parent_m or {}).get("default_sort_order_id", 0)
+    )
+    if new_orders:
+        manifest["sort_orders"] = new_orders
+    if new_oid:
+        manifest["default_sort_order_id"] = new_oid
     if txn_marker is not None:
         # multi-table txn staging (r8): the manifest is CAS-reserved but
         # NOT made visible — no COMMITS line, no pointer bump.  Readers
@@ -1207,8 +1296,23 @@ def _stage_write(
     # into a file per input task; a skewed partition column is the
     # caller's spec choice, same as any partitioned table format.
     df, spec_kwargs = _apply_default_spec(df, m0, strict=True)
+    # declared sort order (r8): applied when the caller didn't cluster
+    # explicitly — under a partition spec rows sort WITHIN each partition
+    # dir's files; otherwise the batch range-clusters on the order itself
+    sort_cols, sort_oid = ([], 0) if cluster_by else _sort_cols_of(m0)
+    if sort_cols:
+        missing = [c for c in sort_cols if c not in df.columns]
+        if missing:
+            raise SchemaEvolutionError(
+                f"batch lacks sort-order column(s) {missing} — "
+                f"set sort order [] first to write without them"
+            )
     if spec_kwargs and not cluster_by:
         df = df.repartition(*spec_kwargs["partition_by"])
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+    elif sort_cols:
+        df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -1221,6 +1325,9 @@ def _stage_write(
     new_files = _write_data_files(
         df, table, bloom_cols=bloom_cols, fields=flds, **spec_kwargs
     )
+    if sort_cols:
+        for f in new_files:
+            f["sort_order_id"] = sort_oid
     return new_files, batch_schema
 
 
@@ -1524,15 +1631,36 @@ def plan_files(
     the version's field registry before pruning.  Files written under a
     partition spec (r8) are additionally pruned through their partition
     tuple — each file under its OWN spec, keyed by source field id, so a
-    table whose spec evolved prunes both layouts in one plan."""
-    m = read_manifest(table, version)
+    table whose spec evolved prunes both layouts in one plan.
+
+    Manifest-list pruning (r8): the manifest carries aggregate column
+    bounds PER SEGMENT (``seg_meta``), so a selective predicate resolves
+    only the segments whose bounds admit it — planning metadata I/O is
+    O(relevant segments), not O(table files).  Segments without recorded
+    meta (pre-meta manifests) are conservatively resolved; the per-file
+    check below stays exact either way."""
+    m = _load_manifest(table, version)
     flds = _fields_of(m)
     pwhere = _to_phys(where, flds)
+    if "files" in m:  # legacy inline manifest
+        cand = m["files"]
+    else:
+        seg_meta = m.get("seg_meta") or {}
+        cand = []
+        for s in m.get("segments") or []:
+            sm = seg_meta.get(s)
+            if (
+                pwhere
+                and sm is not None
+                and not _file_admits({"stats": sm["stats"]}, pwhere)
+            ):
+                continue  # whole segment disproved — never resolved
+            cand.extend(dict(e) for e in _read_segment(table, s))
     specs = {s["spec_id"]: s for s in m.get("specs") or []}
     fid_of = {f["name"]: f["id"] for f in flds or []}
     return [
         f
-        for f in m["files"]
+        for f in cand
         if _file_admits(f, pwhere)
         and _partition_admits(f, where, specs, fid_of)
     ]
@@ -1891,6 +2019,110 @@ def snapshot_set_partition_spec(table: str, spec: list[tuple]) -> int:
         f"set_partition_spec:{sid}",
         specs=all_specs,
         default_spec_id=sid,
+    )
+
+
+# -- declared sort order (r8) -------------------------------------------------
+# The write-side half of data skipping, promoted from a per-call option
+# (snapshot_write(cluster_by=...)) to TABLE METADATA the Iceberg-SortOrder
+# way: the manifest carries an append-only history of sort orders bound to
+# source FIELD IDS (rename-proof), every data file records the order it was
+# written under, appends and compaction apply the default order without the
+# caller knowing it exists, and maintenance converges historical unsorted
+# files.  A declared order is advisory layout metadata — readers never
+# depend on it for correctness (per-file min/max stats stay the only
+# pruning input), so a file written under an old or no order is simply a
+# file whose stats span more of the domain.
+#
+#     manifest["sort_orders"]           = [{"order_id": 1, "fields":
+#                                           [{"src_id": 3}, ...]}, ...]
+#     manifest["default_sort_order_id"] = 1          (0 = unsorted)
+#     entry["sort_order_id"]            = 1
+
+_UNSORTABLE = ("array", "map", "struct", "binary")
+
+
+def _default_sort_order(m: dict | None) -> tuple[dict | None, int]:
+    """(order, order_id) new writes must cluster under — (None, 0) when
+    the table is unsorted or predates sort orders."""
+    oid = (m or {}).get("default_sort_order_id", 0)
+    if not oid:
+        return None, 0
+    for o in (m or {}).get("sort_orders") or []:
+        if o["order_id"] == oid:
+            return (o, oid) if o["fields"] else (None, 0)
+    return None, 0
+
+
+def _sort_cols_of(m: dict | None) -> tuple[list[str], int]:
+    """The default sort order's CURRENT logical column names (resolved
+    through the field registry, so renames never break the order) plus
+    the order id — ([], 0) when unsorted."""
+    order, oid = _default_sort_order(m)
+    if not order:
+        return [], 0
+    name_of = {f["id"]: f["name"] for f in _fields_of(m) or []}
+    cols = [name_of[of["src_id"]] for of in order["fields"] if of["src_id"] in name_of]
+    return (cols, oid) if len(cols) == len(order["fields"]) else ([], 0)
+
+
+def snapshot_sort_order(table: str, version: int | None = None) -> list[str]:
+    """The default sort order as current logical column names (empty =
+    unsorted)."""
+    return _sort_cols_of(read_manifest(table, version))[0]
+
+
+def snapshot_set_sort_order(table: str, cols: list[str]) -> int:
+    """Declare the table's DEFAULT sort order as one METADATA-ONLY commit:
+    no byte of data moves; appends and compaction from this version on
+    range-cluster + sort within files on ``cols`` (ascending), and
+    ``snapshot_maintain`` gains a trigger that converges pre-order files.
+    ``[]`` returns the table to unsorted writes.
+
+    Same DDL discipline as partition specs: single CAS attempt, a sort
+    change racing any other commit refuses loudly (CommitConflict);
+    idempotent when the order already matches."""
+    m = read_manifest(table)
+    fields = _fields_of(m)
+    if not fields:
+        raise SchemaEvolutionError(
+            f"{table}: no committed schema to sort (empty table)"
+        )
+    by_name = {f["name"]: f for f in fields}
+    ofields: list[dict] = []
+    seen: set[str] = set()
+    for col in cols:
+        f = by_name.get(col)
+        if f is None:
+            raise SchemaEvolutionError(f"sort order: no such column {col!r}")
+        if f["type"].split("(")[0].startswith(_UNSORTABLE):
+            raise SchemaEvolutionError(
+                f"sort order: column {col!r} of type {f['type']} is unsortable"
+            )
+        if col in seen:
+            raise SchemaEvolutionError(f"sort order: duplicate column {col!r}")
+        seen.add(col)
+        ofields.append({"src_id": f["id"]})
+    cur, cur_oid = _default_sort_order(m)
+    if ((cur or {}).get("fields") or []) == ofields:
+        return m["version"]
+    all_orders = list(m.get("sort_orders") or [])
+    if not ofields:
+        oid = 0
+    else:
+        hit = [o["order_id"] for o in all_orders if o["fields"] == ofields]
+        if hit:
+            oid = hit[0]
+        else:
+            oid = max((o["order_id"] for o in all_orders), default=0) + 1
+            all_orders = all_orders + [{"order_id": oid, "fields": ofields}]
+    return _publish(
+        table,
+        m["files"],
+        m["version"],
+        f"set_sort_order:{oid}",
+        sort_orders=all_orders,
+        default_sort_order_id=oid,
     )
 
 
@@ -3073,8 +3305,22 @@ def snapshot_compact(
     def _shadowed(f: dict) -> bool:
         return bool(_dv_items(f)) or any(_eq_applies(f, it) for it in eq)
 
-    small = [f for f in m["files"] if f["bytes"] < small_bytes or _shadowed(f)]
-    if not small or (len(small) == 1 and not _shadowed(small[0])):
+    # declared sort order (r8): files written under a different (or no)
+    # order are compaction candidates regardless of size — OPTIMIZE is
+    # where the table converges to the declared layout
+    scols, soid = _sort_cols_of(m)
+
+    def _unsorted(f: dict) -> bool:
+        return bool(soid) and f.get("sort_order_id") != soid
+
+    small = [
+        f
+        for f in m["files"]
+        if f["bytes"] < small_bytes or _shadowed(f) or _unsorted(f)
+    ]
+    if not small or (
+        len(small) == 1 and not _shadowed(small[0]) and not _unsorted(small[0])
+    ):
         return parent
     # mergeSchema: small files may straddle a schema evolution — a
     # plain read would take the first footer and silently DROP the
@@ -3086,6 +3332,10 @@ def snapshot_compact(
     if sort_by:
         df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
             *sort_by
+        )
+    elif scols:
+        df = df.repartitionByRange(target_files, *scols).sortWithinPartitions(
+            *scols
         )
     else:
         df = df.coalesce(target_files)
@@ -3103,6 +3353,9 @@ def snapshot_compact(
     )
     # a fully-DV'd input can compact to zero rows — keep empty parts out
     new_files = [f for f in written if f["rows"] > 0]
+    if scols and not sort_by:
+        for f in new_files:
+            f["sort_order_id"] = soid
     return _commit_rewrite(
         table,
         parent,
@@ -3119,6 +3372,10 @@ _MAINT_DEFAULTS = {
     "max_small_files": 8,
     "max_dv_ppm": 100_000,  # 10% of physical rows shadowed by DVs
     "max_eq_items": 0,  # any live eq item blocks metadata-exact counts
+    # files not written under the table's CURRENT default sort order
+    # (always 0 when no order is declared — the trigger can only fire
+    # once a user set one, and compaction converges it)
+    "max_unsorted_files": 0,
 }
 
 
@@ -3130,6 +3387,7 @@ def snapshot_table_health(table: str, version: int | None = None) -> dict:
     small_bytes = _MAINT_DEFAULTS["small_bytes"]
     rows = sum(f.get("rows") or 0 for f in m["files"])
     dv_pos = sum(i["n"] for f in m["files"] for i in _dv_items(f))
+    _scols, soid = _sort_cols_of(m)
     return {
         "version": m["version"],
         "files": len(m["files"]),
@@ -3140,6 +3398,9 @@ def snapshot_table_health(table: str, version: int | None = None) -> dict:
         "dv_positions": dv_pos,
         "dv_ppm": (dv_pos * 1_000_000) // max(rows, 1),
         "eq_items": len(_eq_items(m)),
+        "unsorted_files": sum(
+            1 for f in m["files"] if soid and f.get("sort_order_id") != soid
+        ),
     }
 
 
@@ -3191,6 +3452,11 @@ def snapshot_maintain(
             "value": before["eq_items"],
             "limit": pol["max_eq_items"],
             "fired": before["eq_items"] > pol["max_eq_items"],
+        },
+        "unsorted_files": {
+            "value": before["unsorted_files"],
+            "limit": pol["max_unsorted_files"],
+            "fired": before["unsorted_files"] > pol["max_unsorted_files"],
         },
     }
     compacted = False
@@ -3595,6 +3861,10 @@ def snapshot_restore(table: str, version: int | None = None, *, tag: str | None 
                     # is an explicit override, never "inherit the parent")
                     specs=restored.get("specs") or [],
                     default_spec_id=restored.get("default_spec_id", 0),
+                    sort_orders=restored.get("sort_orders") or [],
+                    default_sort_order_id=restored.get(
+                        "default_sort_order_id", 0
+                    ),
                 )
             except CommitConflict:
                 parent = _repair_current(table)
@@ -3699,6 +3969,12 @@ def snapshot_drop_column(table: str, col: str) -> int:
             raise SchemaEvolutionError(
                 f"column {col!r} is a source of the default partition spec "
                 f"— snapshot_set_partition_spec first"
+            )
+        order, _oid = _default_sort_order(m)
+        if order and any(of["src_id"] == hit[0]["id"] for of in order["fields"]):
+            raise SchemaEvolutionError(
+                f"column {col!r} is a source of the default sort order "
+                f"— snapshot_set_sort_order first"
             )
         return (
             [f for f in fields if f["name"] != col],

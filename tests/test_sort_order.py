@@ -1,0 +1,219 @@
+"""Declared table sort order (r8): the write-side half of data skipping
+promoted from a per-call option (snapshot_write(cluster_by=...)) to table
+METADATA the Iceberg-SortOrder way — the manifest carries an append-only
+order history bound to source FIELD IDS (rename-proof), every data file
+records the order it was written under, appends/compaction apply the
+default order with no caller involvement, and snapshot_maintain gains an
+``unsorted_files`` trigger that converges historical files.
+
+Readers never depend on the order for correctness: a file written under
+an old or no order is just a file whose min/max stats span more of the
+domain, so plan_files stays exact either way — the order only changes
+how MUCH a selective predicate can prune.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agf_data_ingestion_spark.sources import snapshots as S
+from agf_data_ingestion_spark.sources.snapshots import (
+    CommitConflict,
+    SchemaEvolutionError,
+    current_version,
+    plan_files,
+    read_manifest,
+    snapshot_drop_column,
+    snapshot_maintain,
+    snapshot_read,
+    snapshot_rename_column,
+    snapshot_restore,
+    snapshot_set_sort_order,
+    snapshot_sort_order,
+    snapshot_table_health,
+    snapshot_write,
+)
+
+
+def _shuffled(spark, lo, hi):
+    """A batch whose input order scatters k across the whole [lo, hi)
+    domain — an unsorted write leaves every file spanning ~everything."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            # md5-derived content-stable shuffle (the repo rule: never rand())
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("ord"),
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+        )
+        .orderBy("ord")
+        .drop("ord")
+        .repartition(4)
+    )
+
+
+def test_set_sort_order_is_metadata_only_and_idempotent(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 100), tbl)
+    m0 = read_manifest(tbl)
+    v = snapshot_set_sort_order(tbl, ["k"])
+    assert v == m0["version"] + 1
+    m1 = read_manifest(tbl)
+    # zero bytes moved: identical file entries, only metadata changed
+    assert [f["path"] for f in m1["files"]] == [f["path"] for f in m0["files"]]
+    assert snapshot_sort_order(tbl) == ["k"]
+    assert snapshot_set_sort_order(tbl, ["k"]) == v  # idempotent: no commit
+    assert current_version(tbl) == v
+
+
+def test_appends_under_order_are_clustered_and_stamped(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 2000), tbl)
+    snapshot_set_sort_order(tbl, ["k"])
+    snapshot_write(_shuffled(spark, 2000, 4000), tbl)
+    m = read_manifest(tbl)
+    stamped = [f for f in m["files"] if f.get("sort_order_id") == 1]
+    unstamped = [f for f in m["files"] if "sort_order_id" not in f]
+    assert stamped and unstamped
+    # stamped files cover tight disjoint ranges: their spans tile the
+    # batch domain instead of each spanning all of it
+    spans = sorted(tuple(f["stats"]["k"]) for f in stamped)
+    assert all(lo >= 2000 and hi < 4000 for lo, hi in spans)
+    if len(spans) > 1:
+        for (_, h1), (l2, _) in zip(spans, spans[1:]):
+            assert h1 < l2  # disjoint ascending ranges
+    # the pre-order files each span ~their whole batch (scattered write)
+    for u in unstamped:
+        assert u["stats"]["k"][1] - u["stats"]["k"][0] > 1000
+
+
+def test_maintain_converges_unsorted_history_and_prunes(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_write(_shuffled(spark, i * 500, (i + 1) * 500), tbl)
+    before_rows = sorted(
+        (r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    # unsorted layout: within the covering batch every file spans the
+    # whole batch domain, so the point query opens ALL of that batch's
+    # files (4 per write via repartition(4))
+    hit_before = plan_files(tbl, where=[("k", "==", 1234)])
+    assert len(hit_before) == 4
+    snapshot_set_sort_order(tbl, ["k"])
+    h = snapshot_table_health(tbl)
+    assert h["unsorted_files"] == h["files"] > 0
+    rep = snapshot_maintain(spark, tbl)
+    assert rep["triggers"]["unsorted_files"]["fired"] and rep["compacted"]
+    h2 = snapshot_table_health(tbl)
+    assert h2["unsorted_files"] == 0
+    # content identical, point query now opens a strict subset
+    after_rows = sorted(
+        (r["k"], r["v"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    assert after_rows == before_rows
+    hit = plan_files(tbl, where=[("k", "==", 1234)])
+    assert 1 <= len(hit) < len(hit_before)
+    # second maintain run is a provable no-op
+    rep2 = snapshot_maintain(spark, tbl)
+    assert not rep2["compacted"]
+    assert not any(t["fired"] for t in rep2["triggers"].values())
+
+
+def test_order_survives_rename_and_blocks_source_drop(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 100), tbl)
+    snapshot_set_sort_order(tbl, ["k"])
+    snapshot_rename_column(tbl, "k", "key")
+    assert snapshot_sort_order(tbl) == ["key"]  # field-id binding
+    with pytest.raises(SchemaEvolutionError, match="sort order"):
+        snapshot_drop_column(tbl, "key")
+    # appends under the new name still cluster
+    df = spark.range(100, 200).select(
+        F.col("id").alias("key"), (F.col("id") % 7).alias("v")
+    )
+    snapshot_write(df, tbl)
+    m = read_manifest(tbl)
+    assert any(f.get("sort_order_id") == 1 for f in m["files"])
+
+
+def test_batch_lacking_sort_column_refuses(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 50), tbl)
+    snapshot_set_sort_order(tbl, ["k"])
+    bad = spark.range(5).select((F.col("id") % 7).alias("v"))
+    with pytest.raises(SchemaEvolutionError, match="sort-order column"):
+        snapshot_write(bad, tbl)
+
+
+def test_reset_and_order_id_reuse(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 50), tbl)
+    snapshot_set_sort_order(tbl, ["k"])
+    snapshot_write(_shuffled(spark, 50, 100), tbl)  # stamped
+    m_ordered = read_manifest(tbl)
+    n_stamped = sum(1 for f in m_ordered["files"] if "sort_order_id" in f)
+    assert n_stamped >= 1
+    snapshot_set_sort_order(tbl, [])
+    assert snapshot_sort_order(tbl) == []
+    snapshot_write(_shuffled(spark, 100, 150), tbl)  # unsorted again
+    m = read_manifest(tbl)
+    assert sum(1 for f in m["files"] if "sort_order_id" in f) == n_stamped
+    # re-declaring the same columns reuses the historical order id
+    v = snapshot_set_sort_order(tbl, ["k"])
+    m2 = read_manifest(tbl, v)
+    assert m2["default_sort_order_id"] == 1
+    assert len(m2["sort_orders"]) == 1
+
+
+def test_sort_order_change_refuses_racing_append(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 20), tbl)
+    real = S._publish
+    state = {"raced": False}
+
+    def race(table, files, parent, op, **kw):
+        if op.startswith("set_sort_order") and not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(S, "_publish", real)
+            snapshot_write(_shuffled(spark, 20, 40), tbl)
+            monkeypatch.setattr(S, "_publish", race)
+        return real(table, files, parent, op, **kw)
+
+    monkeypatch.setattr(S, "_publish", race)
+    with pytest.raises(CommitConflict):
+        snapshot_set_sort_order(tbl, ["k"])
+    monkeypatch.setattr(S, "_publish", real)
+    assert snapshot_sort_order(tbl) == []
+    assert snapshot_read(spark, tbl).count() == 40
+
+
+def test_restore_rolls_sort_order_back(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_shuffled(spark, 0, 50), tbl)
+    v_plain = current_version(tbl)
+    snapshot_set_sort_order(tbl, ["k"])
+    snapshot_write(_shuffled(spark, 50, 100), tbl)
+    snapshot_restore(tbl, v_plain)
+    assert snapshot_sort_order(tbl) == []
+    snapshot_write(_shuffled(spark, 100, 150), tbl)  # no stamp, no cluster
+    m = read_manifest(tbl)
+    assert all("sort_order_id" not in f for f in m["files"])
+
+
+def test_validation_refusals(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.array(F.col("id")).alias("arr")
+    )
+    snapshot_write(df, tbl)
+    with pytest.raises(SchemaEvolutionError, match="no such column"):
+        snapshot_set_sort_order(tbl, ["nope"])
+    with pytest.raises(SchemaEvolutionError, match="unsortable"):
+        snapshot_set_sort_order(tbl, ["arr"])
+    with pytest.raises(SchemaEvolutionError, match="duplicate"):
+        snapshot_set_sort_order(tbl, ["k", "k"])
+    with pytest.raises(SchemaEvolutionError, match="no committed schema"):
+        snapshot_set_sort_order(str(tmp_path / "empty"), ["k"])
