@@ -601,6 +601,106 @@ FROM z
 
 
 # ---------------------------------------------------------------------------
+# Hilbert-curve layout key (OP-X-HILBERT): the locality upgrade over Morton
+# ---------------------------------------------------------------------------
+
+
+def events_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert keys over the same (user_id, hour-bucket) grid as
+    ``events_zorder_layout`` — the curve visits every cell of the
+    256×256 grid through ADJACENT cells only, so a contiguous key range
+    (one file group under ``OPTIMIZE``) covers a tighter rectangle than
+    Morton's cross-quadrant jumps (tests/test_hilbert.py measures the
+    span win; Delta's liquid clustering made the same move).
+
+    Scale shape: the corpus pass is map-only (normalize to 8-bit cells);
+    the curve transform runs on the DISTINCT CELL table (≤ 65 536 rows
+    regardless of corpus size) as an Arrow-batched exact-int64 numpy UDF
+    — 8 unrolled SQL rounds would CollapseProject into a ~3^8-node
+    expression (the janino-blowup rule) — and joins back broadcast, so
+    Python cost is grid-bounded, never corpus-bounded.  The DuckDB twin
+    runs the SAME integer rounds as chained MATERIALIZED CTEs
+    (functions/zorder.py ``hilbert_sql_cte``), so hkey hash-matches
+    bit-for-bit."""
+    import pandas as pd
+
+    from agf_data_ingestion_spark.functions.zorder import (
+        _H_BITS,
+        hilbert_np,
+        norm_expr,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"ts_us div {_Z_TS_BUCKET_US}").alias("hour_bucket"),
+    )
+    bounds = e.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("hour_bucket").alias("hlo"),
+        F.max("hour_bucket").alias("hhi"),
+    )
+    na = norm_expr("user_id", "ulo", "uhi", _H_BITS)
+    nb = norm_expr("hour_bucket", "hlo", "hhi", _H_BITS)
+    g = e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "hour_bucket",
+        F.expr(na).alias("cx"),
+        F.expr(nb).alias("cy"),
+    )
+    h_udf = F.pandas_udf(
+        lambda x, y: pd.Series(hilbert_np(x, y, _H_BITS)), "bigint"
+    )
+    sig = (
+        g.select("cx", "cy")
+        .distinct()
+        .select("cx", "cy", h_udf("cx", "cy").alias("hkey"))
+    )
+    return g.join(F.broadcast(sig), ["cx", "cy"]).select(
+        "event_id",
+        "user_id",
+        "hour_bucket",
+        "cx",
+        "cy",
+        "hkey",
+        F.expr(f"hkey >> {2 * _H_BITS - 8}").cast("int").alias("h_bucket"),
+    )
+
+
+def _hilbert_sql() -> str:
+    from agf_data_ingestion_spark.functions.zorder import (
+        _H_BITS,
+        hilbert_sql_cte,
+        norm_expr,
+    )
+
+    na = norm_expr("user_id", "ulo", "uhi", _H_BITS)
+    nb = norm_expr("hour_bucket", "hlo", "hhi", _H_BITS)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // {_Z_TS_BUCKET_US} AS hour_bucket
+  FROM events
+),
+b AS (
+  SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+         MIN(hour_bucket) AS hlo, MAX(hour_bucket) AS hhi
+  FROM e
+),
+g AS MATERIALIZED (
+  SELECT event_id, user_id, hour_bucket, {na} AS cx, {nb} AS cy
+  FROM e CROSS JOIN b
+),
+cells AS MATERIALIZED (SELECT DISTINCT cx, cy FROM g),
+{hilbert_sql_cte("cells", _H_BITS)}
+SELECT g.event_id, g.user_id, g.hour_bucket, g.cx, g.cy, hsig.hkey,
+       CAST((hsig.hkey >> {2 * _H_BITS - 8}) AS INT) AS h_bucket
+FROM g JOIN hsig ON g.cx = hsig.cx AND g.cy = hsig.cy
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension build (OP-X-SCD2): change events → validity intervals
 # ---------------------------------------------------------------------------
 
@@ -939,6 +1039,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_zorder_layout": QuerySpec(
         events_zorder_layout, _zorder_sql(), ("OP-X-ZORDER",)
+    ),
+    "events_hilbert_layout": QuerySpec(
+        events_hilbert_layout, _hilbert_sql(), ("OP-X-HILBERT",)
     ),
     "events_session_window_native": QuerySpec(
         events_session_window_native, _SESSION_NATIVE_SQL, ("OP-X-SESSION", "OP-STRM-LATE")

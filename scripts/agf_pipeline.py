@@ -742,6 +742,39 @@ def cmd_partition(args) -> int:
     return 0
 
 
+def cmd_sortorder(args) -> int:
+    """Show or evolve a snapshot table's default sort order (r8):
+    ``--set k ts`` commits a metadata-only order change, ``--clear``
+    returns to unsorted writes, no flag shows the current order.  One
+    JSON line either way."""
+    import json
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        snapshot_set_sort_order,
+        snapshot_sort_order,
+    )
+
+    if args.set and args.clear:
+        raise SystemExit("sortorder: pass at most one of --set / --clear")
+    committed = False
+    if args.set or args.clear:
+        before = current_version(args.table)
+        v = snapshot_set_sort_order(args.table, list(args.set or []))
+        committed = v > before
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "sort_order": snapshot_sort_order(args.table),
+                "version": current_version(args.table),
+                "committed": committed,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_history(args) -> int:
     """Inspect a snapshot table: commit history, tags, current version,
     metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
@@ -915,6 +948,14 @@ def main() -> int:
         "--clear", action="store_true", help="back to unpartitioned writes"
     )
     ps.set_defaults(fn=cmd_partition)
+
+    so = sub.add_parser("sortorder")
+    so.add_argument("--table", required=True, help="snapshot table root")
+    so.add_argument("--set", nargs="+", help="sort columns, ascending")
+    so.add_argument(
+        "--clear", action="store_true", help="back to unsorted writes"
+    )
+    so.set_defaults(fn=cmd_sortorder)
 
     tk = sub.add_parser("tokenizer")
     tk.add_argument(

@@ -55,6 +55,14 @@ TEST_COVERED = {
         "sources/snapshots.py `snapshot_maintain`/`snapshot_table_health` (policy-gated maintenance: metadata-only small-file/dv-ppm/eq-item triggers, compaction only when one fires, keep_last expiry; `maintain --policy` CLI)",
         "tests/test_maintenance.py (churned table — 12 tiny appends + DV + eq deletes — converges in ONE pass to bounded files with metadata-exact rowcount/minmax, healthy-table no-op commits nothing, dv-ppm trigger fires alone, CLI policy mode e2e)",
     ),
+    "OP-X-SEGPRUNE": (
+        "sources/snapshots.py `_seg_meta_of`/`_derive_segments`/`plan_files` (manifest-list segment pruning: per-segment aggregate column bounds carried in the manifest and copied O(delta) for reused segments; planning resolves only segments whose bounds admit the predicate — O(relevant segments) metadata I/O; conservative on stats-less members and pre-meta manifests)",
+        "tests/test_segment_pruning.py (7 cases: strict-subset segment resolution pinned via the _SEG_READS counter, planned file set identical with and without seg_meta across 6 predicate shapes, unprunable predicate resolves everything, pre-meta manifest conservatively resolves all, reused-segment meta stability + DV entry-churn refresh, geometric-coalesce meta recompute, stats-less member blocks pruning on that column)",
+    ),
+    "OP-X-SORTORDER": (
+        "sources/snapshots.py `snapshot_set_sort_order`/`snapshot_sort_order`/`_sort_cols_of` (declared table sort order: append-only order history bound to source field ids, files stamp their order id, appends range-cluster + sortWithinPartitions under the default order — within partition dirs when a spec is also set — compaction converges unsorted files, maintain gains the unsorted_files trigger, drop-of-sort-source refuses, restore rolls the history back, single-CAS race refusal)",
+        "tests/test_sort_order.py (9 cases: metadata-only + idempotent set, stamped appends cover disjoint tight ranges vs pre-order whole-domain files, maintain converges unsorted history then prunes a strict subset with identical content and no-ops on the second run, order survives rename + blocks source drop, batch lacking the sort column refuses, reset + order-id reuse, racing append refusal, restore rollback, validation refusals)",
+    ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
         "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness)",
