@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -194,6 +195,7 @@ def write_training_shards(
     seed: str = "0",
     text_col: str = "text",
     id_col: str = "doc_id",
+    lineage: bool = True,
 ) -> dict:
     """Materialize token-budgeted shards under ``out_dir``: one parquet
     directory per shard (``shard_id=N/``, single file — each shard's rows
@@ -249,9 +251,168 @@ def write_training_shards(
             for r in stats
         },
     }
+    if lineage:
+        # doc → shard lineage as a SNAPSHOT table (r8, takedown support):
+        # range-clustered + bloom'd on the doc id so a takedown batch
+        # finds its shards from tight per-file stats instead of scanning,
+        # and erasure itself is the zero-read equality-delete primitive.
+        from agf_data_ingestion_spark.sources.snapshots import snapshot_write
+
+        snapshot_write(
+            assigned.select(id_col, "shard_id", "n_tokens"),
+            os.path.join(out_dir, "lineage"),
+            mode="overwrite",
+            cluster_by=[id_col],
+            bloom_cols=[id_col],
+            op=f"lineage:{seed}:{budget_tokens}",
+        )
+        manifest["lineage"] = "lineage"
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
+
+
+def _drop_crc(path: str) -> None:
+    """Remove Hadoop's local-FS checksum sidecar for a file whose bytes
+    were swapped outside Hadoop — a stale ``.<name>.crc`` fails every
+    subsequent read with ChecksumException."""
+    crc = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+    )
+    try:
+        os.remove(crc)
+    except FileNotFoundError:
+        pass
+
+
+def takedown_shards(
+    spark,
+    out_dir: str,
+    doc_ids,
+    *,
+    id_col: str = "doc_id",
+) -> dict:
+    """Surgical takedown (GDPR / rights-holder removal) from MATERIALIZED
+    training shards: find the affected shards through the lineage table,
+    rewrite ONLY those shard files without the removed documents, leave
+    every other shard byte-untouched, erase the lineage rows with a
+    zero-read equality delete, and update ``manifest.json`` counts with
+    an audit entry.  Idempotent: ids already removed (or never present)
+    affect nothing and commit nothing.
+
+    Scale shape: the lineage lookup is one scan pruned by per-file
+    min/max + doc-id blooms (the lineage table is range-clustered on the
+    id at write time) against a broadcast id batch; the rewrite cost is
+    O(affected shards), never O(corpus) — at 100 TB a thousand-doc
+    takedown touches a handful of shard files.  Each shard file is
+    swapped with ``os.replace`` (atomic; readers holding the old fd keep
+    a consistent view).  Positions (``global_pos``) of surviving docs
+    are PRESERVED — a takedown leaves holes, it does not re-shard, so
+    untouched shards stay bit-identical and loader bookkeeping keyed on
+    positions survives.
+
+    The reference's export path ships curated zips and deletes by
+    re-export; this is the in-place analog a 100 TB corpus needs."""
+    import pyarrow.parquet as pq
+
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_maintain,
+        snapshot_read,
+    )
+
+    mpath = os.path.join(out_dir, "manifest.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    if "lineage" not in manifest:
+        raise ValueError(
+            f"{out_dir}: shards were written without lineage — "
+            f"takedown would need a corpus re-scan; rewrite with "
+            f"write_training_shards(lineage=True)"
+        )
+    lin_tbl = os.path.join(out_dir, manifest["lineage"])
+    ids = sorted({int(i) for i in doc_ids})
+    key_df = spark.createDataFrame([(i,) for i in ids], f"{id_col} bigint")
+    hits = (
+        snapshot_read(spark, lin_tbl)
+        .join(F.broadcast(key_df), id_col, "inner")
+        .select(id_col, "shard_id")
+        .collect()  # bounded by the takedown batch, never the corpus
+    )
+    report = {
+        "requested": len(ids),
+        "removed_docs": len(hits),
+        "affected_shards": sorted({int(r["shard_id"]) for r in hits}),
+    }
+    if not hits:
+        report["untouched"] = True
+        return report
+    hit_ids = sorted({int(r[id_col]) for r in hits})
+    shards_root = os.path.join(out_dir, "shards")
+    for sid in report["affected_shards"]:
+        sdir = os.path.join(shards_root, f"shard_id={sid}")
+        old_files = sorted(
+            os.path.join(sdir, n)
+            for n in os.listdir(sdir)
+            if n.endswith(".parquet")
+        )
+        kept = spark.read.parquet(sdir).where(
+            ~F.col(id_col).isin([int(i) for i in hit_ids])
+        )
+        stage = os.path.join(out_dir, f".takedown-{uuid.uuid4().hex}")
+        kept.coalesce(1).write.mode("error").parquet(stage)
+        new_files = sorted(
+            os.path.join(stage, n)
+            for n in os.listdir(stage)
+            if n.endswith(".parquet")
+        )
+        stats = {"docs": 0, "tokens": 0, "first_pos": None, "last_pos": None}
+        if new_files:
+            t0 = pq.read_table(new_files[0], columns=["n_tokens", "global_pos"])
+            stats["docs"] = t0.num_rows
+            if t0.num_rows:
+                import pyarrow.compute as pc
+
+                stats["tokens"] = int(pc.sum(t0["n_tokens"]).as_py())
+                stats["first_pos"] = int(pc.min(t0["global_pos"]).as_py())
+                stats["last_pos"] = int(pc.max(t0["global_pos"]).as_py())
+            # atomic in-place swap onto the FIRST old file; surplus old
+            # parts (multi-file shards) are removed after the swap
+            os.replace(new_files[0], old_files[0])
+            _drop_crc(old_files[0])
+        else:
+            # every doc of the shard was removed: swap in a 0-row file
+            # with the surviving schema so loaders see an empty shard,
+            # not a missing one
+            schema = pq.read_schema(old_files[0])
+            pq.write_table(schema.empty_table(), old_files[0] + ".tmp")
+            os.replace(old_files[0] + ".tmp", old_files[0])
+            _drop_crc(old_files[0])
+        for surplus in old_files[1:]:
+            os.remove(surplus)
+            _drop_crc(surplus)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        ms = manifest["shards"][str(sid)]
+        ms.update(stats)
+    # zero-read lineage erasure, then policy maintenance compacts the eq
+    # debt so metadata-exact rowcount/minmax come back immediately
+    hit_df = spark.createDataFrame([(i,) for i in hit_ids], f"{id_col} bigint")
+    report["lineage_version"] = snapshot_delete_keys(hit_df, lin_tbl)
+    snapshot_maintain(spark, lin_tbl)
+    manifest.setdefault("takedowns", []).append(
+        {
+            "removed_docs": len(hit_ids),
+            "affected_shards": report["affected_shards"],
+            "lineage_version": report["lineage_version"],
+        }
+    )
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
+    return report

@@ -1398,9 +1398,77 @@ FROM w
 """
 
 
+def docs_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard takedown audit for a planted removal set (doc_id % 29 ==
+    0 — the GDPR batch stand-in): how many documents/tokens each
+    materialized shard loses and keeps, under the SAME deterministic
+    shard assignment as ``docs_shard_plan``.  This is the planning half
+    of ``operators/shards.py takedown_shards`` (which rewrites only the
+    affected shard files, routed by the lineage snapshot table); the
+    audit itself is one corpus pass + a shard-keyed aggregate — exact
+    integers, oracle-checked end-to-end.  Scale shape inherits the
+    distributed prefix sum: no global window, driver state bounded by
+    partition count."""
+    from agf_data_ingestion_spark.operators.shards import assign_shards
+
+    assigned = assign_shards(
+        t(spark, sf_dir, "documents"),
+        budget_tokens=_SHARD_BUDGET,
+        seed=_SHARD_SEED,
+    )
+    rm = (F.col("doc_id") % 29 == 0).cast("long")
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.sum("n_tokens").cast("bigint").alias("toks_before"),
+            F.sum(rm).alias("docs_removed"),
+            F.sum(rm * F.col("n_tokens")).cast("bigint").alias("toks_removed"),
+        )
+        .select(
+            "shard_id",
+            "docs_before",
+            "toks_before",
+            "docs_removed",
+            "toks_removed",
+            (F.col("docs_before") - F.col("docs_removed")).alias("docs_after"),
+            (F.col("toks_before") - F.col("toks_removed")).alias("toks_after"),
+        )
+    )
+
+
+_TAKEDOWN_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         CAST(((CAST(SUM(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) - 1) // {_SHARD_BUDGET}) AS BIGINT) AS shard_id,
+         CASE WHEN (doc_id % 29) = 0 THEN 1 ELSE 0 END AS rm
+  FROM w
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(n_tokens) AS BIGINT) AS toks_before,
+       CAST(SUM(rm) AS BIGINT) AS docs_removed,
+       CAST(SUM(rm * n_tokens) AS BIGINT) AS toks_removed,
+       CAST(COUNT(*) - SUM(rm) AS BIGINT) AS docs_after,
+       CAST(SUM(n_tokens) - SUM(rm * n_tokens) AS BIGINT) AS toks_after
+FROM a
+GROUP BY shard_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "docs_shard_plan": QuerySpec(
         docs_shard_plan, _SHARD_PLAN_SQL, ("OP-X-SHARDS", "OP-X-PACK")
+    ),
+    "docs_takedown_audit": QuerySpec(
+        docs_takedown_audit, _TAKEDOWN_SQL, ("OP-X-TAKEDOWN", "OP-X-SHARDS")
     ),
     "docs_stratified_sample": QuerySpec(
         docs_stratified_sample, _SAMPLE_SQL, ("OP-X-SAMPLE",)
