@@ -1299,9 +1299,14 @@ def _stage_write(
     # declared sort order (r8): applied when the caller didn't cluster
     # explicitly — under a partition spec rows sort WITHIN each partition
     # dir's files; otherwise the batch range-clusters on the order itself
-    sort_cols, sort_oid = ([], 0) if cluster_by else _sort_cols_of(m0)
-    if sort_cols:
-        missing = [c for c in sort_cols if c not in df.columns]
+    sort_plan, sort_oid = ([], 0) if cluster_by else _sort_plan_of(m0)
+    if sort_plan:
+        missing = [
+            c
+            for it in sort_plan
+            for c in it["cols"]
+            if c not in df.columns
+        ]
         if missing:
             raise SchemaEvolutionError(
                 f"batch lacks sort-order column(s) {missing} — "
@@ -1309,10 +1314,16 @@ def _stage_write(
             )
     if spec_kwargs and not cluster_by:
         df = df.repartition(*spec_kwargs["partition_by"])
-        if sort_cols:
-            df = df.sortWithinPartitions(*sort_cols)
-    elif sort_cols:
-        df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+        if sort_plan:
+            df, skeys, tmp = _apply_sort_keys(df, sort_plan)
+            df = df.sortWithinPartitions(*skeys).drop(*tmp)
+    elif sort_plan:
+        df, skeys, tmp = _apply_sort_keys(df, sort_plan)
+        df = (
+            df.repartitionByRange(*skeys)
+            .sortWithinPartitions(*skeys)
+            .drop(*tmp)
+        )
     if cluster_by:
         # explicit file-count target when given: AQE otherwise coalesces a
         # small batch into one partition and the layout degenerates to a
@@ -1325,7 +1336,7 @@ def _stage_write(
     new_files = _write_data_files(
         df, table, bloom_cols=bloom_cols, fields=flds, **spec_kwargs
     )
-    if sort_cols:
+    if sort_plan:
         for f in new_files:
             f["sort_order_id"] = sort_oid
     return new_files, batch_schema
@@ -2054,22 +2065,128 @@ def _default_sort_order(m: dict | None) -> tuple[dict | None, int]:
     return None, 0
 
 
-def _sort_cols_of(m: dict | None) -> tuple[list[str], int]:
-    """The default sort order's CURRENT logical column names (resolved
-    through the field registry, so renames never break the order) plus
-    the order id — ([], 0) when unsorted."""
+def _sort_plan_of(m: dict | None) -> tuple[list[dict], int]:
+    """The default sort order resolved against the CURRENT field registry
+    (renames never break it) as a list of plan items plus the order id —
+    ([], 0) when unsorted.  Items: ``{"kind": "col", "cols": [name]}``
+    for a plain ascending column, ``{"kind": "zorder", "cols": [a, b],
+    "types": [...]}`` for the 2-D Morton transform (r8: OPTIMIZE ZORDER
+    as table metadata, not a per-call option)."""
     order, oid = _default_sort_order(m)
     if not order:
         return [], 0
+    reg = {f["id"]: f for f in _fields_of(m) or []}
+    plan: list[dict] = []
+    for of in order["fields"]:
+        ids = of.get("src_ids") or [of["src_id"]]
+        if any(i not in reg for i in ids):
+            return [], 0  # a source left the registry (non-default history)
+        item = {
+            "kind": of.get("transform", "col"),
+            "cols": [reg[i]["name"] for i in ids],
+            "types": [reg[i]["type"] for i in ids],
+        }
+        plan.append(item)
+    return plan, oid
+
+
+def _sort_cols_of(m: dict | None) -> tuple[list[str], int]:
+    """Back-compat view of :func:`_sort_plan_of` for consumers that only
+    need plain column names (health signal, drop refusal): every column
+    any order item touches, flattened."""
+    plan, oid = _sort_plan_of(m)
+    return [c for item in plan for c in item["cols"]], oid
+
+
+def _sort_member_expr(col: str, typ: str) -> str:
+    """SQL expression projecting a sort-transform member onto a BIGINT
+    domain for normalization: ints pass through, timestamps/dates become
+    epoch integers."""
+    t = typ.split("(")[0]
+    if t == "timestamp":
+        return f"unix_micros(`{col}`)"
+    if t == "date":
+        return f"unix_date(`{col}`)"
+    return f"`{col}`"
+
+
+#: normalization width for zorder sort transforms (2×16 interleaved bits)
+_SORT_Z_BITS = 16
+
+
+def _apply_sort_keys(df: DataFrame, plan: list[dict]):
+    """(df with derived key columns, key column names, temp columns to
+    drop after clustering).  A zorder item computes its batch's member
+    bounds as ONE scalar aggregate joined back broadcast — part of the
+    same write action, so the repartitionByRange multi-action trap does
+    not apply."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.functions.zorder import (
+        _interleave_expr,
+        norm_expr,
+    )
+
+    tmp: list[str] = []
+    aggs = []
+    for i, item in enumerate(plan):
+        if item["kind"] != "zorder":
+            continue
+        for j, (c, ty) in enumerate(zip(item["cols"], item["types"])):
+            e = _sort_member_expr(c, ty)
+            aggs.append(F.expr(f"min({e})").alias(f"_lo_{i}_{j}"))
+            aggs.append(F.expr(f"max({e})").alias(f"_hi_{i}_{j}"))
+    if aggs:
+        bounds = df.agg(*aggs)
+        df = df.crossJoin(F.broadcast(bounds))
+        for i, item in enumerate(plan):
+            if item["kind"] != "zorder":
+                continue
+            na = norm_expr(
+                _sort_member_expr(item["cols"][0], item["types"][0]),
+                f"_lo_{i}_0",
+                f"_hi_{i}_0",
+                _SORT_Z_BITS,
+            )
+            nb = norm_expr(
+                _sort_member_expr(item["cols"][1], item["types"][1]),
+                f"_lo_{i}_1",
+                f"_hi_{i}_1",
+                _SORT_Z_BITS,
+            )
+            df = df.withColumn(
+                f"_zkey_{i}",
+                F.expr(_interleave_expr(f"({na})", f"({nb})", _SORT_Z_BITS)),
+            )
+            tmp.append(f"_zkey_{i}")
+        tmp += [c for c in df.columns if c.startswith(("_lo_", "_hi_"))]
+    keys = [
+        item["cols"][0] if item["kind"] == "col" else f"_zkey_{i}"
+        for i, item in enumerate(plan)
+    ]
+    return df, keys, tmp
+
+
+def snapshot_sort_order(table: str, version: int | None = None) -> list:
+    """The default sort order in user-facing form (empty = unsorted):
+    plain columns as strings, transforms as ``["zorder", a, b]`` lists —
+    names resolved through the field registry (renames show the current
+    name)."""
+    m = read_manifest(table, version)
+    order, _oid = _default_sort_order(m)
+    if not order:
+        return []
     name_of = {f["id"]: f["name"] for f in _fields_of(m) or []}
-    cols = [name_of[of["src_id"]] for of in order["fields"] if of["src_id"] in name_of]
-    return (cols, oid) if len(cols) == len(order["fields"]) else ([], 0)
-
-
-def snapshot_sort_order(table: str, version: int | None = None) -> list[str]:
-    """The default sort order as current logical column names (empty =
-    unsorted)."""
-    return _sort_cols_of(read_manifest(table, version))[0]
+    out: list = []
+    for of in order["fields"]:
+        if "src_ids" in of:
+            out.append(
+                [of["transform"]]
+                + [name_of.get(i, f"<dropped:{i}>") for i in of["src_ids"]]
+            )
+        else:
+            out.append(name_of.get(of["src_id"], f"<dropped:{of['src_id']}>"))
+    return out
 
 
 def snapshot_set_sort_order(table: str, cols: list[str]) -> int:
@@ -2091,18 +2208,47 @@ def snapshot_set_sort_order(table: str, cols: list[str]) -> int:
     by_name = {f["name"]: f for f in fields}
     ofields: list[dict] = []
     seen: set[str] = set()
-    for col in cols:
+
+    def _member(col: str, *, numeric: bool = False) -> dict:
         f = by_name.get(col)
         if f is None:
             raise SchemaEvolutionError(f"sort order: no such column {col!r}")
-        if f["type"].split("(")[0].startswith(_UNSORTABLE):
+        t = f["type"].split("(")[0]
+        if t.startswith(_UNSORTABLE):
             raise SchemaEvolutionError(
                 f"sort order: column {col!r} of type {f['type']} is unsortable"
+            )
+        if numeric and t not in _INT_TYPES | {"timestamp", "date"}:
+            raise SchemaEvolutionError(
+                f"sort order: zorder member {col!r} must be an integer, "
+                f"timestamp, or date column (got {f['type']})"
             )
         if col in seen:
             raise SchemaEvolutionError(f"sort order: duplicate column {col!r}")
         seen.add(col)
-        ofields.append({"src_id": f["id"]})
+        return f
+
+    for col in cols:
+        if isinstance(col, (tuple, list)):
+            tr, members = col[0], list(col[1:])
+            if tr != "zorder":
+                raise ValueError(
+                    f"unknown sort transform {tr!r} (only 'zorder')"
+                )
+            if len(members) != 2:
+                raise SchemaEvolutionError(
+                    "sort order: zorder takes exactly 2 columns"
+                )
+            ofields.append(
+                {
+                    "transform": "zorder",
+                    "src_ids": [
+                        _member(c, numeric=True)["id"] for c in members
+                    ],
+                }
+            )
+        else:
+            ofields.append({"src_id": _member(col)["id"]})
     cur, cur_oid = _default_sort_order(m)
     if ((cur or {}).get("fields") or []) == ofields:
         return m["version"]
@@ -3308,7 +3454,7 @@ def snapshot_compact(
     # declared sort order (r8): files written under a different (or no)
     # order are compaction candidates regardless of size — OPTIMIZE is
     # where the table converges to the declared layout
-    scols, soid = _sort_cols_of(m)
+    splan, soid = _sort_plan_of(m)
 
     def _unsorted(f: dict) -> bool:
         return bool(soid) and f.get("sort_order_id") != soid
@@ -3333,9 +3479,12 @@ def snapshot_compact(
         df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
             *sort_by
         )
-    elif scols:
-        df = df.repartitionByRange(target_files, *scols).sortWithinPartitions(
-            *scols
+    elif splan:
+        df, skeys, tmp = _apply_sort_keys(df, splan)
+        df = (
+            df.repartitionByRange(target_files, *skeys)
+            .sortWithinPartitions(*skeys)
+            .drop(*tmp)
         )
     else:
         df = df.coalesce(target_files)
@@ -3353,7 +3502,7 @@ def snapshot_compact(
     )
     # a fully-DV'd input can compact to zero rows — keep empty parts out
     new_files = [f for f in written if f["rows"] > 0]
-    if scols and not sort_by:
+    if splan and not sort_by:
         for f in new_files:
             f["sort_order_id"] = soid
     return _commit_rewrite(
@@ -3971,7 +4120,10 @@ def snapshot_drop_column(table: str, col: str) -> int:
                 f"— snapshot_set_partition_spec first"
             )
         order, _oid = _default_sort_order(m)
-        if order and any(of["src_id"] == hit[0]["id"] for of in order["fields"]):
+        if order and any(
+            hit[0]["id"] in (of.get("src_ids") or [of["src_id"]])
+            for of in order["fields"]
+        ):
             raise SchemaEvolutionError(
                 f"column {col!r} is a source of the default sort order "
                 f"— snapshot_set_sort_order first"

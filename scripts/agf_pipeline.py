@@ -759,8 +759,12 @@ def cmd_sortorder(args) -> int:
         raise SystemExit("sortorder: pass at most one of --set / --clear")
     committed = False
     if args.set or args.clear:
+        spec = [
+            tuple(item.split(":")) if ":" in item else item
+            for item in args.set or []
+        ]
         before = current_version(args.table)
-        v = snapshot_set_sort_order(args.table, list(args.set or []))
+        v = snapshot_set_sort_order(args.table, spec)
         committed = v > before
     print(
         json.dumps(
@@ -951,7 +955,11 @@ def main() -> int:
 
     so = sub.add_parser("sortorder")
     so.add_argument("--table", required=True, help="snapshot table root")
-    so.add_argument("--set", nargs="+", help="sort columns, ascending")
+    so.add_argument(
+        "--set",
+        nargs="+",
+        help="sort columns, ascending; zorder:a:b for 2-D Morton clustering",
+    )
     so.add_argument(
         "--clear", action="store_true", help="back to unsorted writes"
     )

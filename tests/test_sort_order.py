@@ -217,3 +217,95 @@ def test_validation_refusals(spark, tmp_path):
         snapshot_set_sort_order(tbl, ["k", "k"])
     with pytest.raises(SchemaEvolutionError, match="no committed schema"):
         snapshot_set_sort_order(str(tmp_path / "empty"), ["k"])
+
+
+def _grid(spark, lo, hi):
+    """Rows whose (k, u) scatter over a 64x64 grid regardless of id
+    order — an unsorted write leaves every file spanning both dims."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).select(
+        "id",
+        (F.col("h") % 64).alias("k"),
+        ((F.col("h") / 64).cast("bigint") % 64).alias("u"),
+    )
+
+
+def test_zorder_transform_order_2d_pruning(spark, tmp_path):
+    """Declared ``("zorder", k, u)`` order: maintenance converges the
+    table to Morton-clustered files, and a small 2-D box predicate then
+    opens a strict subset on BOTH dimensions at once — the OPTIMIZE
+    ZORDER claim, now table metadata instead of a per-call option."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_write(_grid(spark, i * 1000, (i + 1) * 1000).repartition(3), tbl)
+    box = [("k", ">=", 8), ("k", "<", 16), ("u", ">=", 8), ("u", "<", 16)]
+    n_files = len(read_manifest(tbl)["files"])
+    assert len(plan_files(tbl, where=box)) == n_files  # unsorted: no pruning
+    before = sorted(
+        (r["id"], r["k"], r["u"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    snapshot_set_sort_order(tbl, [("zorder", "k", "u")])
+    assert snapshot_sort_order(tbl) == [["zorder", "k", "u"]]
+    # small_bytes sized so the rewrite emits SEVERAL clustered files —
+    # pruning needs file granularity to show
+    rep = snapshot_maintain(spark, tbl, policy={"small_bytes": 12_288})
+    assert rep["compacted"]
+    after_files = read_manifest(tbl)["files"]
+    assert len(after_files) > 1  # multiple clustered files to prune among
+    hit = plan_files(tbl, where=box)
+    assert 1 <= len(hit) < len(after_files)
+    after = sorted(
+        (r["id"], r["k"], r["u"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    assert after == before
+    # appends under the transform order are stamped and clustered
+    snapshot_write(_grid(spark, 4000, 5000), tbl)
+    m = read_manifest(tbl)
+    assert all(f.get("sort_order_id") == 1 for f in m["files"])
+
+
+def test_zorder_member_rename_survives_and_drop_refuses(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(_grid(spark, 0, 200), tbl)
+    snapshot_set_sort_order(tbl, [("zorder", "k", "u")])
+    snapshot_rename_column(tbl, "u", "user_bucket")
+    assert snapshot_sort_order(tbl) == [["zorder", "k", "user_bucket"]]
+    with pytest.raises(SchemaEvolutionError, match="sort order"):
+        snapshot_drop_column(tbl, "user_bucket")
+    snapshot_write(
+        _grid(spark, 200, 400).withColumnRenamed("u", "user_bucket"), tbl
+    )
+    assert any(
+        f.get("sort_order_id") == 1 for f in read_manifest(tbl)["files"]
+    )
+
+
+def test_zorder_validation_refusals(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("u"),
+        F.col("id").cast("string").alias("s"),
+    )
+    snapshot_write(df, tbl)
+    with pytest.raises(SchemaEvolutionError, match="exactly 2"):
+        snapshot_set_sort_order(tbl, [("zorder", "k")])
+    with pytest.raises(SchemaEvolutionError, match="must be an integer"):
+        snapshot_set_sort_order(tbl, [("zorder", "k", "s")])
+    with pytest.raises(ValueError, match="unknown sort transform"):
+        snapshot_set_sort_order(tbl, [("hilbert", "k", "u")])
+    with pytest.raises(SchemaEvolutionError, match="duplicate"):
+        snapshot_set_sort_order(tbl, [("zorder", "k", "u"), "k"])
+    # mixed plain + transform order is legal (distinct columns)
+    df2 = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") % 3).alias("b"),
+        (F.col("id") % 5).alias("c")
+    )
+    tbl2 = tbl + "2"
+    snapshot_write(df2, tbl2)
+    v = snapshot_set_sort_order(tbl2, ["a", ("zorder", "b", "c")])
+    assert v > 0
