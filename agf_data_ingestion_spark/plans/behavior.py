@@ -321,6 +321,85 @@ FROM c FULL OUTER JOIN p ON c.d = p.d
 """
 
 
+def events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the stream's first and second
+    halves (split at the midpoint timestamp): per event type, the total-
+    variation distance between the two windows' value histograms in ppm —
+    the observability signal a 100 TB ingest pipeline alarms on when an
+    upstream schema/unit change silently shifts a measure (the
+    data-drift/PSI monitoring shape, expressed with the repo's
+    exact-integer discipline: PSI needs ln(), which is not IEEE-exact
+    cross-engine, while TVD = Σ|share₁ − share₂|/2 is pure integer ppm
+    arithmetic).
+
+    Scale shape: ONE corpus pass into a map-combined (type, bin)
+    aggregate; totals and the TVD fold run on the tiny histogram table
+    (K_types × bins rows) with the totals side broadcast.  Bins are
+    `floor(value/10)` — IEEE divide + floor are engine-identical; window
+    membership compares exact `ts_us` integers against the broadcast
+    midpoint.  A type absent from one window degrades to TVD ≈ 1e6/2
+    via the GREATEST(total, 1) guard instead of a divide-by-zero."""
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    g = e.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.expr("CASE WHEN ts_us >= mid THEN 1 ELSE 0 END").alias("w"),
+        F.expr("CAST(floor(value / 10.0) AS BIGINT)").alias("bin"),
+    )
+    binned = g.groupBy("event_type", "bin").agg(
+        F.expr("CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n2"),
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.expr("CAST(SUM(n1) AS BIGINT)").alias("t1"),
+        F.expr("CAST(SUM(n2) AS BIGINT)").alias("t2"),
+    )
+    return (
+        binned.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("t1").alias("n_first"),
+            F.min("t2").alias("n_second"),
+            F.expr(
+                "CAST(SUM(ABS((n1 * 1000000) div GREATEST(t1, 1)"
+                " - (n2 * 1000000) div GREATEST(t2, 1))) div 2 AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )
+
+
+_DRIFT_SQL = """
+WITH m AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+g AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS w,
+         CAST(floor(value / 10.0) AS BIGINT) AS bin
+  FROM events CROSS JOIN m
+),
+binned AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM g GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n1) AS BIGINT) AS t1,
+         CAST(SUM(n2) AS BIGINT) AS t2
+  FROM binned GROUP BY 1
+)
+SELECT b.event_type,
+       MIN(t.t1) AS n_first,
+       MIN(t.t2) AS n_second,
+       CAST(SUM(ABS((n1 * 1000000) // GREATEST(t1, 1)
+                    - (n2 * 1000000) // GREATEST(t2, 1))) // 2 AS BIGINT)
+         AS tvd_ppm
+FROM binned b JOIN tot t ON b.event_type = t.event_type
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_funnel_stages": QuerySpec(
         events_funnel_stages, _FUNNEL_SQL, ("OP-X-FUNNEL", "OP-JOIN-ENRICH")
@@ -333,5 +412,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_daily_full_outer": QuerySpec(
         events_daily_full_outer, _FULL_OUTER_SQL, ("OP-X-FULLOUTER", "OP-SET-UNION")
+    ),
+    "events_drift_tvd": QuerySpec(
+        events_drift_tvd, _DRIFT_SQL, ("OP-X-DRIFT", "OP-X-STATS")
     ),
 }
