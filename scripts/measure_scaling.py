@@ -52,6 +52,12 @@ QUERIES = [
     "docs_domain_reweight",
     "docs_source_overlap",
     "docs_source_overlap_sketch",
+    # r8-continuation additions: shard-audit prefix sum, Hilbert layout
+    # (distinct-cell table is grid-bounded — ratio should be ~map growth),
+    # drift histograms (one map-combined pass)
+    "docs_takedown_audit",
+    "events_hilbert_layout",
+    "events_drift_tvd",
 ]
 
 
@@ -94,6 +100,20 @@ def build_replica(out_dir: str, factor: int) -> None:
     )
     pd.concat(emb_parts, ignore_index=True).to_parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+    # events: id-shifted replicas over the SAME time span — decorrelated
+    # entities, constant grid/window extents, so the events-family rungs
+    # measure pure corpus growth
+    evs = pq.read_table(os.path.join(BASE, "events.parquet")).to_pandas()
+    ev_parts = []
+    for k in range(factor):
+        e = evs.copy()
+        if k > 0:
+            e["event_id"] = e["event_id"] + 10_000_000 * k
+            e["user_id"] = e["user_id"] + 10_000_000 * k
+        ev_parts.append(e)
+    pd.concat(ev_parts, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "events.parquet")
     )
 
 
@@ -186,6 +206,8 @@ def main() -> None:
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = sys.argv[3:]  # optional query-name filter
+    queries = [q for q in QUERIES if not only or q in only]
     out_dir = f"/tmp/agf_scale_sf{factor}x"
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
@@ -199,7 +221,7 @@ def main() -> None:
 
     print(f"| query | sf0.1 (5k docs / 2k vecs) | {factor}× | ratio |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in queries:
         fn = CATALOG[name].fn
         fn(spark, BASE).count()  # warm plan shapes / Arrow / codegen
         times = {}
