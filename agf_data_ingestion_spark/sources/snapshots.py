@@ -1421,6 +1421,9 @@ def snapshot_multi_write(
     *,
     mode: str = "append",
     op: str | None = None,
+    cluster_by: dict[str, list] | None = None,
+    bloom_cols: dict[str, list] | None = None,
+    cluster_files: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Commit several tables' batches ALL-OR-NOTHING (r8, VERDICT r7 ask
     #4) — the training-pipeline publish step that lands corpus + ANN index
@@ -1457,7 +1460,17 @@ def snapshot_multi_write(
         raise ValueError("snapshot_multi_write: duplicate table in writes")
     order = sorted(range(len(writes)), key=lambda i: _scan_path(tables[i]))
     staged = [
-        (tables[i], *_stage_write(writes[i][0], tables[i], mode))
+        (
+            tables[i],
+            *_stage_write(
+                writes[i][0],
+                tables[i],
+                mode,
+                cluster_by=(cluster_by or {}).get(tables[i]),
+                bloom_cols=(bloom_cols or {}).get(tables[i]),
+                cluster_files=(cluster_files or {}).get(tables[i]),
+            ),
+        )
         for i in order
     ]
     txn_id = uuid.uuid4().hex
