@@ -2129,52 +2129,81 @@ _SORT_Z_BITS = 16
 
 def _apply_sort_keys(df: DataFrame, plan: list[dict]):
     """(df with derived key columns, key column names, temp columns to
-    drop after clustering).  A zorder item computes its batch's member
+    drop after clustering).  A transform item computes its batch's member
     bounds as ONE scalar aggregate joined back broadcast — part of the
     same write action, so the repartitionByRange multi-action trap does
-    not apply."""
+    not apply.
+
+    ``zorder`` interleaves 16-bit normalized members as a pure codegen
+    bit expression.  ``hilbert`` (the liquid-clustering upgrade — unit
+    adjacency, tighter file boxes at misaligned cuts; see OP-X-HILBERT)
+    normalizes to the 8-bit grid and attaches the curve index through
+    the grid-bounded distinct-cell table + broadcast join, because the
+    8 unrolled rounds as SQL would CollapseProject into a janino-blowup
+    expression — Python cost stays ≤65 536 rows per write at ANY batch
+    size."""
     from pyspark.sql import functions as F
 
     from agf_data_ingestion_spark.functions.zorder import (
+        _H_BITS,
         _interleave_expr,
+        hilbert_np,
         norm_expr,
     )
 
     tmp: list[str] = []
     aggs = []
     for i, item in enumerate(plan):
-        if item["kind"] != "zorder":
+        if item["kind"] == "col":
             continue
         for j, (c, ty) in enumerate(zip(item["cols"], item["types"])):
             e = _sort_member_expr(c, ty)
             aggs.append(F.expr(f"min({e})").alias(f"_lo_{i}_{j}"))
             aggs.append(F.expr(f"max({e})").alias(f"_hi_{i}_{j}"))
     if aggs:
+        import pandas as pd
+
         bounds = df.agg(*aggs)
         df = df.crossJoin(F.broadcast(bounds))
         for i, item in enumerate(plan):
-            if item["kind"] != "zorder":
+            if item["kind"] == "col":
                 continue
+            bits = _SORT_Z_BITS if item["kind"] == "zorder" else _H_BITS
             na = norm_expr(
                 _sort_member_expr(item["cols"][0], item["types"][0]),
                 f"_lo_{i}_0",
                 f"_hi_{i}_0",
-                _SORT_Z_BITS,
+                bits,
             )
             nb = norm_expr(
                 _sort_member_expr(item["cols"][1], item["types"][1]),
                 f"_lo_{i}_1",
                 f"_hi_{i}_1",
-                _SORT_Z_BITS,
+                bits,
             )
-            df = df.withColumn(
-                f"_zkey_{i}",
-                F.expr(_interleave_expr(f"({na})", f"({nb})", _SORT_Z_BITS)),
-            )
-            tmp.append(f"_zkey_{i}")
+            k = f"_skey_{i}"
+            if item["kind"] == "zorder":
+                df = df.withColumn(
+                    k, F.expr(_interleave_expr(f"({na})", f"({nb})", bits))
+                )
+            else:  # hilbert
+                cx, cy = f"_cx_{i}", f"_cy_{i}"
+                df = df.withColumn(cx, F.expr(na)).withColumn(cy, F.expr(nb))
+                h_udf = F.pandas_udf(
+                    lambda x, y: pd.Series(hilbert_np(x, y, _H_BITS)),
+                    "bigint",
+                )
+                sig = (
+                    df.select(cx, cy)
+                    .distinct()
+                    .select(cx, cy, h_udf(cx, cy).alias(k))
+                )
+                df = df.join(F.broadcast(sig), [cx, cy])
+                tmp += [cx, cy]
+            tmp.append(k)
         tmp += [c for c in df.columns if c.startswith(("_lo_", "_hi_"))]
     keys = [
-        item["cols"][0] if item["kind"] == "col" else f"_zkey_{i}"
+        item["cols"][0] if item["kind"] == "col" else f"_skey_{i}"
         for i, item in enumerate(plan)
     ]
     return df, keys, tmp
@@ -2244,17 +2273,17 @@ def snapshot_set_sort_order(table: str, cols: list[str]) -> int:
     for col in cols:
         if isinstance(col, (tuple, list)):
             tr, members = col[0], list(col[1:])
-            if tr != "zorder":
+            if tr not in ("zorder", "hilbert"):
                 raise ValueError(
-                    f"unknown sort transform {tr!r} (only 'zorder')"
+                    f"unknown sort transform {tr!r} ('zorder' or 'hilbert')"
                 )
             if len(members) != 2:
                 raise SchemaEvolutionError(
-                    "sort order: zorder takes exactly 2 columns"
+                    f"sort order: {tr} takes exactly 2 columns"
                 )
             ofields.append(
                 {
-                    "transform": "zorder",
+                    "transform": tr,
                     "src_ids": [
                         _member(c, numeric=True)["id"] for c in members
                     ],

@@ -958,7 +958,8 @@ def main() -> int:
     so.add_argument(
         "--set",
         nargs="+",
-        help="sort columns, ascending; zorder:a:b for 2-D Morton clustering",
+        help="sort columns, ascending; zorder:a:b / hilbert:a:b for 2-D "
+        "curve clustering",
     )
     so.add_argument(
         "--clear", action="store_true", help="back to unsorted writes"

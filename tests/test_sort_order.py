@@ -297,7 +297,7 @@ def test_zorder_validation_refusals(spark, tmp_path):
     with pytest.raises(SchemaEvolutionError, match="must be an integer"):
         snapshot_set_sort_order(tbl, [("zorder", "k", "s")])
     with pytest.raises(ValueError, match="unknown sort transform"):
-        snapshot_set_sort_order(tbl, [("hilbert", "k", "u")])
+        snapshot_set_sort_order(tbl, [("peano", "k", "u")])
     with pytest.raises(SchemaEvolutionError, match="duplicate"):
         snapshot_set_sort_order(tbl, [("zorder", "k", "u"), "k"])
     # mixed plain + transform order is legal (distinct columns)
@@ -309,3 +309,35 @@ def test_zorder_validation_refusals(spark, tmp_path):
     snapshot_write(df2, tbl2)
     v = snapshot_set_sort_order(tbl2, ["a", ("zorder", "b", "c")])
     assert v > 0
+
+
+def test_hilbert_transform_order_2d_pruning(spark, tmp_path):
+    """Declared ``("hilbert", k, u)`` order — the liquid-clustering
+    upgrade: same converge-then-prune contract as zorder, with the curve
+    index attached through the grid-bounded distinct-cell table (write
+    Python cost ≤65536 rows at any batch size)."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_write(_grid(spark, i * 1000, (i + 1) * 1000).repartition(3), tbl)
+    box = [("k", ">=", 8), ("k", "<", 16), ("u", ">=", 8), ("u", "<", 16)]
+    before = sorted(
+        (r["id"], r["k"], r["u"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    assert len(plan_files(tbl, where=box)) == len(read_manifest(tbl)["files"])
+    snapshot_set_sort_order(tbl, [("hilbert", "k", "u")])
+    assert snapshot_sort_order(tbl) == [["hilbert", "k", "u"]]
+    rep = snapshot_maintain(spark, tbl, policy={"small_bytes": 12_288})
+    assert rep["compacted"]
+    after_files = read_manifest(tbl)["files"]
+    assert len(after_files) > 1
+    hit = plan_files(tbl, where=box)
+    assert 1 <= len(hit) < len(after_files)
+    after = sorted(
+        (r["id"], r["k"], r["u"]) for r in snapshot_read(spark, tbl).collect()
+    )
+    assert after == before
+    # appends under the hilbert order are stamped + clustered
+    snapshot_write(_grid(spark, 4000, 5000), tbl)
+    assert all(
+        f.get("sort_order_id") == 1 for f in read_manifest(tbl)["files"]
+    )
