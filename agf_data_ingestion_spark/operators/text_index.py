@@ -117,14 +117,17 @@ def text_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     cluster_files: int | None = None,
+    op: str | None = None,
 ) -> dict:
     """Fold a new document batch in: O(batch) tokenize + atomic postings
     append + stats delta.  Concurrent appends commute (delta rows);
     resulting tables are bit-identical to a from-scratch build of the
-    union corpus."""
+    union corpus.  ``op`` overrides the commit label — the streaming
+    runtime rides its exactly-once bookmark in it (the upsert_stream
+    pattern)."""
     postings = _encode(docs, text_col, id_col)
     return _index_write(
-        root, postings, mode="append", op="tidx_append",
+        root, postings, mode="append", op=op or "tidx_append",
         cluster_files=cluster_files,
     )
 

@@ -779,6 +779,22 @@ def cmd_sortorder(args) -> int:
     return 0
 
 
+def cmd_takedown(args) -> int:
+    """Surgical GDPR/rights-holder removal from materialized training
+    shards (operators/shards.py takedown_shards): lineage-routed, only
+    affected shard files rewritten, zero-read lineage erasure, manifest
+    audit.  One JSON report line."""
+    import json
+
+    from agf_data_ingestion_spark.operators.shards import takedown_shards
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("agf-takedown")
+    rep = takedown_shards(spark, args.shards, [int(i) for i in args.ids])
+    print(json.dumps(rep, sort_keys=True))
+    return 0
+
+
 def cmd_history(args) -> int:
     """Inspect a snapshot table: commit history, tags, current version,
     metadata-only row count — the DESCRIBE HISTORY analog, one JSON line."""
@@ -965,6 +981,11 @@ def main() -> int:
         "--clear", action="store_true", help="back to unsorted writes"
     )
     so.set_defaults(fn=cmd_sortorder)
+
+    td = sub.add_parser("takedown")
+    td.add_argument("--shards", required=True, help="shard out_dir root")
+    td.add_argument("--ids", nargs="+", required=True, help="doc ids to remove")
+    td.set_defaults(fn=cmd_takedown)
 
     tk = sub.add_parser("tokenizer")
     tk.add_argument(

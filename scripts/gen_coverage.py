@@ -65,7 +65,7 @@ TEST_COVERED = {
     ),
     "OP-X-TEXTIDX": (
         "operators/text_index.py (persisted BM25 inverted index on the snapshot format: token-clustered + token-bloomed postings with denormalized dl, per-batch delta stats so concurrent appends commute, atomic two-table snapshot_multi_write commits, search = pruned per-term scans + exact decimal BM25 scoring)",
-        "tests/test_text_index.py (5 cases: search ≡ docs_bm25_search bit-for-bit, append ≡ from-scratch rebuild incl. stats + search parity, lockstep two-table versions with stats ≡ direct recount, strict-subset probes via range pruning AND bloom exclusion of rare terms, unknown-term empty result)",
+        "tests/test_text_index.py (5 cases: search ≡ docs_bm25_search bit-for-bit, append ≡ from-scratch rebuild incl. stats + search parity, lockstep two-table versions with stats ≡ direct recount, strict-subset probes via range pruning AND bloom exclusion of rare terms, unknown-term empty result) + tests/test_text_index_stream.py (stream ≡ one-shot build, replayed batch no-op, torn-HWM repair from op labels)",
     ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
