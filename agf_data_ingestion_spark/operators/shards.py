@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -351,6 +352,9 @@ def takedown_shards(
         report["untouched"] = True
         return report
     hit_ids = sorted({int(r[id_col]) for r in hits})
+    ids_by_shard: dict[int, list[int]] = {}
+    for r in hits:
+        ids_by_shard.setdefault(int(r["shard_id"]), []).append(int(r[id_col]))
     shards_root = os.path.join(out_dir, "shards")
     for sid in report["affected_shards"]:
         sdir = os.path.join(shards_root, f"shard_id={sid}")
@@ -359,8 +363,10 @@ def takedown_shards(
             for n in os.listdir(sdir)
             if n.endswith(".parquet")
         )
+        # filter with THIS shard's ids only — a large takedown batch
+        # must not evaluate its whole id list against every shard's rows
         kept = spark.read.parquet(sdir).where(
-            ~F.col(id_col).isin([int(i) for i in hit_ids])
+            ~F.col(id_col).isin(ids_by_shard[sid])
         )
         stage = os.path.join(out_dir, f".takedown-{uuid.uuid4().hex}")
         kept.coalesce(1).write.mode("error").parquet(stage)
@@ -394,8 +400,6 @@ def takedown_shards(
         for surplus in old_files[1:]:
             os.remove(surplus)
             _drop_crc(surplus)
-        import shutil
-
         shutil.rmtree(stage, ignore_errors=True)
         ms = manifest["shards"][str(sid)]
         ms.update(stats)

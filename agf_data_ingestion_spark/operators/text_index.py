@@ -80,7 +80,7 @@ def _encode(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl")
 
 
-def _batch_stats(spark: SparkSession, postings: DataFrame) -> DataFrame:
+def _batch_stats(postings: DataFrame) -> DataFrame:
     """One delta row (n_docs, tot_dl) for the batch, derived from its own
     posting rows so the pair can never disagree."""
     return postings.groupBy("doc_id").agg(F.min("dl").alias("dl")).agg(
@@ -140,8 +140,7 @@ def _index_write(
     op: str,
     cluster_files: int | None = None,
 ) -> dict:
-    spark = postings.sparkSession
-    stats = _batch_stats(spark, postings)
+    stats = _batch_stats(postings)
     p_tbl = _postings_tbl(root)
     return snapshot_multi_write(
         [(postings, p_tbl), (stats, _stats_tbl(root))],
@@ -179,7 +178,12 @@ def text_index_search(
     clustering + blooms), never a corpus pass.  Returns (doc_id,
     n_terms_matched, score DOUBLE) ordered by (score desc, doc_id) — the
     unique-tiebreak rule — matching the batch query row-for-row."""
+    empty = "doc_id bigint, n_terms_matched bigint, score double"
+    if not terms:
+        return spark.createDataFrame([], empty)
     n_docs, tot_dl = text_index_stats(spark, root)
+    if n_docs == 0:  # index exists but holds no documents yet
+        return spark.createDataFrame([], empty)
     k1p1 = _BM25_K1 + 1.0
     omb = 1.0 - _BM25_B
     avgdl = tot_dl / n_docs  # IEEE divide, same both uses

@@ -1312,11 +1312,18 @@ def _stage_write(
                 f"batch lacks sort-order column(s) {missing} — "
                 f"set sort order [] first to write without them"
             )
+    # Sorts under a partition spec MUST lead with the partition columns:
+    # the partitionBy writer's required ordering is the partition columns,
+    # and a child ordering that doesn't already satisfy that prefix gets
+    # RE-SORTED per task — silently destroying the secondary sort keys
+    # (empirically: files stamped sorted whose stats spanned the whole
+    # domain, which maintenance then never converges).
+    pcols = spec_kwargs["partition_by"] if spec_kwargs else []
     if spec_kwargs and not cluster_by:
-        df = df.repartition(*spec_kwargs["partition_by"])
+        df = df.repartition(*pcols)
         if sort_plan:
             df, skeys, tmp = _apply_sort_keys(df, sort_plan)
-            df = df.sortWithinPartitions(*skeys).drop(*tmp)
+            df = df.sortWithinPartitions(*pcols, *skeys).drop(*tmp)
     elif sort_plan:
         df, skeys, tmp = _apply_sort_keys(df, sort_plan)
         df = (
@@ -1332,7 +1339,7 @@ def _stage_write(
             df = df.repartitionByRange(cluster_files, *cluster_by)
         else:
             df = df.repartitionByRange(*cluster_by)
-        df = df.sortWithinPartitions(*cluster_by)
+        df = df.sortWithinPartitions(*pcols, *cluster_by)
     new_files = _write_data_files(
         df, table, bloom_cols=bloom_cols, fields=flds, **spec_kwargs
     )
@@ -3517,24 +3524,29 @@ def snapshot_compact(
     df = _read_entries(spark, small, eq_deletes=eq, fields=_fields_of(m))
     total = sum(f["bytes"] for f in small)
     target_files = int(max(1, total // small_bytes))
+    # r8: compaction RESTORES the default-spec layout — COW/merge/update
+    # rewrites emit spec-less (conservatively-kept) files, and the
+    # steady-state maintenance pass is where the table converges back to
+    # partition-pruned; spec-less output only when no default spec is set.
+    # Spec FIRST so the sorts below can lead with the partition columns —
+    # the partitionBy writer re-sorts any child ordering that doesn't
+    # satisfy that prefix, destroying the secondary sort keys (the
+    # _stage_write rule)
+    df, spec_kwargs = _apply_default_spec(df, m)
+    pcols = spec_kwargs["partition_by"] if spec_kwargs else []
     if sort_by:
         df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
-            *sort_by
+            *pcols, *sort_by
         )
     elif splan:
         df, skeys, tmp = _apply_sort_keys(df, splan)
         df = (
             df.repartitionByRange(target_files, *skeys)
-            .sortWithinPartitions(*skeys)
+            .sortWithinPartitions(*pcols, *skeys)
             .drop(*tmp)
         )
     else:
         df = df.coalesce(target_files)
-    # r8: compaction RESTORES the default-spec layout — COW/merge/update
-    # rewrites emit spec-less (conservatively-kept) files, and the
-    # steady-state maintenance pass is where the table converges back to
-    # partition-pruned; spec-less output only when no default spec is set
-    df, spec_kwargs = _apply_default_spec(df, m)
     written = _write_data_files(
         df,
         table,
@@ -3578,7 +3590,7 @@ def snapshot_table_health(table: str, version: int | None = None) -> dict:
     small_bytes = _MAINT_DEFAULTS["small_bytes"]
     rows = sum(f.get("rows") or 0 for f in m["files"])
     dv_pos = sum(i["n"] for f in m["files"] for i in _dv_items(f))
-    _scols, soid = _sort_cols_of(m)
+    soid = _sort_plan_of(m)[1]
     return {
         "version": m["version"],
         "files": len(m["files"]),

@@ -87,17 +87,30 @@ def drift_report(
     )
 
 
-def drift_applied_batch_ids(spark: SparkSession, state_path: str) -> set:
+def _batch_ids(spark: SparkSession, path: str) -> set:
+    """Distinct ``_batch_id`` values at ``path`` — empty ONLY for a
+    missing path (first batch).  Any other failure (torn part file,
+    permission, schema drift) must propagate: returning an empty set
+    there would tell the replay guard "nothing applied" and double-count
+    the batch."""
+    from pyspark.errors import AnalysisException
+
     try:
         return {
             r["_batch_id"]
-            for r in spark.read.parquet(state_path)
+            for r in spark.read.parquet(path)
             .select("_batch_id")
             .distinct()
             .collect()
         }
-    except Exception:
-        return set()  # no state yet
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
+
+
+def drift_applied_batch_ids(spark: SparkSession, state_path: str) -> set:
+    return _batch_ids(spark, state_path)
 
 
 def drift_batch_fn(
@@ -115,14 +128,20 @@ def drift_batch_fn(
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if batch_id in drift_applied_batch_ids(spark, state_path):
-            return  # replayed batch: counts are additive, never re-fold
-        h = _hist(batch, bin_width).withColumn(
-            "_batch_id", F.lit(batch_id).cast("long")
-        )
-        h.write.mode("append").parquet(state_path)
+        # two idempotent steps, each guarded by its OWN _batch_id set: a
+        # crash between the state fold and the report append must not
+        # lose the report on replay (state would say "applied" and the
+        # alarm row would never be written), and never re-fold counts
+        if batch_id not in _batch_ids(spark, state_path):
+            h = _hist(batch, bin_width).withColumn(
+                "_batch_id", F.lit(batch_id).cast("long")
+            )
+            h.write.mode("append").parquet(state_path)
+        if batch_id in _batch_ids(spark, report_path):
+            return  # fully applied replay
         cur = (
             spark.read.parquet(state_path)
+            .where(F.col("_batch_id") <= batch_id)
             .groupBy("event_type", "bin")
             .agg(F.expr("CAST(SUM(n) AS BIGINT)").alias("n"))
         )

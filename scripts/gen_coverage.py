@@ -61,7 +61,7 @@ TEST_COVERED = {
     ),
     "OP-X-SORTORDER": (
         "sources/snapshots.py `snapshot_set_sort_order`/`snapshot_sort_order`/`_sort_cols_of` (declared table sort order: append-only order history bound to source field ids, files stamp their order id, appends range-cluster + sortWithinPartitions under the default order — within partition dirs when a spec is also set — compaction converges unsorted files, maintain gains the unsorted_files trigger, drop-of-sort-source refuses, restore rolls the history back, single-CAS race refusal)",
-        "tests/test_sort_order.py (13 cases incl. zorder- and hilbert-transform 2-D box pruning + member rename survival + transform validation; metadata-only + idempotent set, stamped appends cover disjoint tight ranges vs pre-order whole-domain files, maintain converges unsorted history then prunes a strict subset with identical content and no-ops on the second run, order survives rename + blocks source drop, batch lacking the sort column refuses, reset + order-id reuse, racing append refusal, restore rollback, validation refusals)",
+        "tests/test_sort_order.py (14 cases incl. zorder- and hilbert-transform 2-D box pruning, member rename survival, transform validation, and the spec+sort interplay pin — sorts lead with the partition columns so the partitionBy writer's required ordering is already satisfied and never destroys the secondary keys; metadata-only + idempotent set, stamped appends cover disjoint tight ranges vs pre-order whole-domain files, maintain converges unsorted history then prunes a strict subset with identical content and no-ops on the second run, order survives rename + blocks source drop, batch lacking the sort column refuses, reset + order-id reuse, racing append refusal, restore rollback, validation refusals)",
     ),
     "OP-X-TEXTIDX": (
         "operators/text_index.py (persisted BM25 inverted index on the snapshot format: token-clustered + token-bloomed postings with denormalized dl, per-batch delta stats so concurrent appends commute, atomic two-table snapshot_multi_write commits, search = pruned per-term scans + exact decimal BM25 scoring)",

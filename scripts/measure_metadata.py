@@ -70,7 +70,8 @@ def main() -> None:
 
     files_meta, segs_meta, t_meta = plan(clear_meta=False)
     files_nometa, segs_nometa, t_nometa = plan(clear_meta=True)
-    # restore the manifest with meta for consistency
+    # sanity BEFORE printing any evidence rows; the table is throwaway
+    # (rmtree below), so the stripped manifest is never restored
     assert files_meta == files_nometa
     print("| measurement | with seg_meta | without (pre-r8) |")
     print("|---|---|---|")

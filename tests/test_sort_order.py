@@ -341,3 +341,56 @@ def test_hilbert_transform_order_2d_pruning(spark, tmp_path):
     assert all(
         f.get("sort_order_id") == 1 for f in read_manifest(tbl)["files"]
     )
+
+
+def test_sort_order_survives_partition_spec_writer(spark, tmp_path):
+    """Review finding (r8): under a partition spec the partitionBy writer
+    re-sorts each task by the PARTITION columns — a within-partition sort
+    that doesn't lead with them is silently destroyed while the files
+    still get stamped sort_order_id, so maintenance would never converge
+    them.  Pin the fix: stamped files under (spec + sort order) must
+    carry TIGHT disjoint k-ranges per partition value, and a point query
+    prunes within the partition."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_set_partition_spec,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df0 = _shuffled(spark, 0, 10).withColumn("p", F.col("k") % 2)
+    snapshot_write(df0, tbl)
+    snapshot_set_partition_spec(tbl, [("identity", "p")])
+    snapshot_set_sort_order(tbl, ["k"])
+    big = _shuffled(spark, 0, 4000).withColumn("p", F.col("k") % 2)
+    snapshot_write(big.repartition(6), tbl)
+    m = read_manifest(tbl)
+    stamped = [f for f in m["files"] if f.get("sort_order_id") == 1]
+    assert len(stamped) >= 2
+    # within each partition value the stamped files' k-ranges are
+    # disjoint (sorted within the dir), not whole-domain spans
+    by_part = {}
+    for f in stamped:
+        by_part.setdefault(f["partition"]["p"], []).append(
+            tuple(f["stats"]["k"])
+        )
+    for p, spans in by_part.items():
+        spans.sort()
+        for (_, h1), (l2, _) in zip(spans, spans[1:]):
+            assert h1 <= l2, (p, spans)  # == only at dup boundary values
+    # hidden partitioning + stats prune together: the p-predicate drops
+    # the other partition dir, the k-stats stay tight within it
+    hit = plan_files(tbl, where=[("k", "==", 2000), ("p", "==", 0)])
+    assert 1 <= len(hit) < len(stamped) + 1  # strict subset of all files
+    assert all(f["partition"]["p"] == 0 for f in hit if "partition" in f)
+    # content round-trips
+    assert snapshot_read(spark, tbl).count() == 4010
+    # compaction under spec+order also converges (pre-spec file rewritten
+    # sorted into partition dirs)
+    rep = snapshot_maintain(spark, tbl, policy={"small_bytes": 16_384})
+    assert rep["compacted"]
+    m2 = read_manifest(tbl)
+    assert snapshot_table_health(tbl)["unsorted_files"] == 0
+    for f in m2["files"]:
+        assert f.get("sort_order_id") == 1
+        lo, hi = f["stats"]["k"]
+        assert hi - lo < 4000  # never a whole-domain span
+    assert snapshot_read(spark, tbl).count() == 4010
