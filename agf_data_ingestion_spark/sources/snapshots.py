@@ -1559,6 +1559,69 @@ def snapshot_multi_write(
     )
 
 
+def snapshot_txn_id(table: str, version: int | None = None) -> str | None:
+    """The multi-table txn id a version committed under (None for a
+    single-table commit) — recovered from the ``txn_marker`` path the
+    manifest retains after publish."""
+    mk = _load_manifest(table, version).get("txn_marker")
+    return os.path.basename(mk).rsplit(".", 1)[0] if mk else None
+
+
+def snapshot_txn_versions(
+    tables: list[str], txn_id: str | None = None
+) -> tuple[dict[str, int], str]:
+    """({table: version}, txn_id) for an atomic multi-table publish —
+    the READ side of ``snapshot_multi_write``: a consumer of corpus +
+    index + datacard (or postings + stats) pins every table to the SAME
+    publish event, immune to later single-table commits interleaving.
+
+    ``txn_id=None`` resolves the NEWEST txn common to all ``tables``
+    (newest by its version on the first table).  Versions whose
+    manifests expired are skipped — an expired txn is simply no longer
+    addressable, like any expired snapshot."""
+    if not tables:
+        raise ValueError("snapshot_txn_versions: no tables")
+
+    def tx_of(tbl: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for v in range(current_version(tbl), 0, -1):
+            try:
+                m = _load_manifest(tbl, v)
+            except NoSuchVersionError:
+                continue  # expired
+            mk = m.get("txn_marker")
+            if mk:
+                # first (newest) version wins per txn id
+                out.setdefault(os.path.basename(mk).rsplit(".", 1)[0], v)
+        return out
+
+    maps = {t: tx_of(t) for t in tables}
+    if txn_id is None:
+        common = set(maps[tables[0]])
+        for t in tables[1:]:
+            common &= set(maps[t])
+        if not common:
+            raise ValueError(
+                f"no multi-table txn spans all of {sorted(tables)}"
+            )
+        txn_id = max(common, key=lambda tid: maps[tables[0]][tid])
+    missing = [t for t in tables if txn_id not in maps[t]]
+    if missing:
+        raise ValueError(f"txn {txn_id!r} never committed on {missing}")
+    return {t: maps[t][txn_id] for t in tables}, txn_id
+
+
+def snapshot_read_txn(
+    spark: SparkSession, tables: list[str], txn_id: str | None = None
+) -> dict[str, DataFrame]:
+    """Each table AS OF the same multi-table publish (see
+    :func:`snapshot_txn_versions`)."""
+    versions, _tid = snapshot_txn_versions(tables, txn_id)
+    return {
+        t: snapshot_read(spark, t, version=v) for t, v in versions.items()
+    }
+
+
 def snapshot_commit_files(
     table: str,
     src_dir: str,

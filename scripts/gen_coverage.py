@@ -69,7 +69,7 @@ TEST_COVERED = {
     ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
-        "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness)",
+        "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness, txn-aligned snapshot_read_txn pins one publish against later single-table commits)",
     ),
     "OP-X-UPDATE": (
         "sources/snapshots.py `snapshot_update` (predicate UPDATE completing the DML triad: cow rewrites stats-pruned touched files, dv shadows matched rows with position deletes + appends updated rows; SET sees the OLD row; up-front 0-row type check raises SchemaEvolutionError on retyping expressions before any write)",

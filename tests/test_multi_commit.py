@@ -175,3 +175,47 @@ def test_duplicate_table_refused_and_abort_cleans(spark, tmp_path):
     assert current_version(a) == 1 and current_version(b) == 1
     assert not os.path.exists(S._manifest_path(a, 2))
     assert not os.path.exists(S._manifest_path(b, 2))
+
+
+def test_txn_aligned_read_pins_one_publish(spark, tmp_path):
+    """snapshot_read_txn (r8): a consumer pins corpus + index + card to
+    the SAME atomic publish even after later single-table commits — the
+    read side of the multi-table txn."""
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_multi_write,
+        snapshot_read_txn,
+        snapshot_txn_id,
+        snapshot_txn_versions,
+        snapshot_write,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    def batch(tag, n):
+        return spark.range(n).selectExpr(
+            "id AS k", f"'{tag}' AS tag"
+        )
+
+    snapshot_multi_write([(batch("t1", 5), a), (batch("t1", 7), b)])
+    v2 = snapshot_multi_write([(batch("t2", 3), a), (batch("t2", 2), b)])
+    # a later single-table append on `a` must not leak into the txn read
+    snapshot_write(batch("solo", 9), a)
+    versions, tid = snapshot_txn_versions([a, b])
+    assert versions == v2
+    assert snapshot_txn_id(a, versions[a]) == tid
+    frames = snapshot_read_txn(spark, [a, b], tid)
+    assert frames[a].where("tag = 'solo'").count() == 0
+    assert frames[a].count() == 8 and frames[b].count() == 9
+    # an explicit older txn id reads the first publish
+    tid1 = snapshot_txn_id(a, 1)
+    older, _ = snapshot_txn_versions([a, b], tid1)
+    assert older == {a: 1, b: 1}
+    f1 = snapshot_read_txn(spark, [a, b], tid1)
+    assert f1[a].count() == 5 and f1[b].count() == 7
+    # a table with no common txn refuses loudly
+    c = str(tmp_path / "c")
+    snapshot_write(batch("x", 1), c)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no multi-table txn"):
+        snapshot_txn_versions([a, c])
