@@ -902,7 +902,123 @@ def _bpe_ctes() -> list[str]:
     return ctes
 
 
+# ---------------------------------------------------------------------------
+# Competence-based curriculum (OP-X-CURRICULUM)
+# ---------------------------------------------------------------------------
+
+#: curriculum schedule length (training steps the competence ramps over)
+_CURR_STEPS = 1000
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum (Platanios et al. NAACL'19): each doc
+    gets a DIFFICULTY (mean inverse corpus frequency of its words — rare
+    words are hard; rarity instead of the paper's log-likelihood because
+    ln() is not IEEE-exact cross-engine, and inverse frequency is exact
+    integer ppm arithmetic), a per-source difficulty percentile (the
+    verified BIGINT/BIGINT percent_rank construct, unique doc_id
+    tiebreak), and ``first_step`` — the first training step whose
+    competence admits the doc under the sqrt schedule c(t) = √(t/T):
+    c(t) ≥ p  ⇔  t ≥ T·p², so first_step = ⌈T·p_ppm²/10¹²⌉ in CLOSED FORM
+    — all-integer, no sqrt evaluated (the schedule is inverted instead,
+    so the oracle is engine-exact; binary64 sqrt IS correctly rounded,
+    but the integer form needs no float at all).
+
+    Scale shape: ONE word explode; the vocab frequency table comes from
+    a map-combined groupBy(word) and joins back on the exploded words
+    with shuffle_hash pinned on BOTH sides (vocab is corpus-derived —
+    never broadcast, the corpus-broadcast ban); per-doc reduce is
+    map-combined; percent_rank runs per SOURCE over the 1-row-per-doc
+    frame (keyed windows, the r7 quality-calibration shape)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = d.groupBy("word").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("wc")
+    )
+    tot = freq.agg(F.expr("CAST(SUM(wc) AS BIGINT)").alias("n_tot"))
+    per_doc = (
+        d.hint("shuffle_hash")
+        .join(freq.hint("shuffle_hash"), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM((1000000 * n_tot) div wc) AS BIGINT)"
+            ).alias("inv_sum"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("inv_sum div n_tokens").alias("difficulty_ppm"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "difficulty_ppm",
+        F.expr(
+            "CAST(floor(percent_rank() OVER (PARTITION BY source"
+            " ORDER BY difficulty_ppm, doc_id)"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "difficulty_ppm",
+        "p_ppm",
+        F.expr(
+            f"GREATEST((p_ppm * p_ppm * {_CURR_STEPS} + 999999999999)"
+            f" div 1000000000000, 1)"
+        ).alias("first_step"),
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+freq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS n_tot FROM freq),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((1000000 * n_tot) // wc) AS BIGINT) AS inv_sum
+  FROM d JOIN freq USING (word) CROSS JOIN tot
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         inv_sum // n_tokens AS difficulty_ppm
+  FROM per_doc
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, difficulty_ppm,
+         CAST(floor(percent_rank() OVER (PARTITION BY source
+                ORDER BY difficulty_ppm, doc_id)
+              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS p_ppm
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, difficulty_ppm, p_ppm,
+       GREATEST(CAST((p_ppm * p_ppm * {_CURR_STEPS} + 999999999999)
+                     // 1000000000000 AS BIGINT), 1) AS first_step
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "docs_curriculum_order": QuerySpec(
+        docs_curriculum_order,
+        _CURRICULUM_SQL,
+        ("OP-X-CURRICULUM", "OP-X-TEXT", "OP-X-SAMPLE"),
+    ),
     "docs_bpe_train": QuerySpec(
         docs_bpe_train, _bpe_train_sql(), ("OP-X-BPETRAIN", "OP-X-ITER", "OP-X-TEXT")
     ),
