@@ -58,6 +58,7 @@ QUERIES = [
     "docs_takedown_audit",
     "events_hilbert_layout",
     "events_drift_tvd",
+    "docs_curriculum_order",
 ]
 
 
