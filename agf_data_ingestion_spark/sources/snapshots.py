@@ -197,7 +197,20 @@ def _seg_meta_of(entries: list[dict]) -> dict:
                 break
         if ok:
             stats[c] = [lo, hi]
-    return {"n": len(entries), "stats": stats}
+    out = {"n": len(entries), "stats": stats}
+    # null totals (r8): summable only for columns EVERY member records —
+    # seg nulls == 0 disproves IS NULL for the whole segment, seg nulls
+    # == seg rows disproves IS NOT NULL
+    ncommon = set(entries[0].get("nulls") or {})
+    for e in entries[1:]:
+        ncommon &= set(e.get("nulls") or {})
+    if ncommon:
+        out["nulls"] = {
+            c: sum(e["nulls"][c] for e in entries) for c in sorted(ncommon)
+        }
+    if all("rows" in e for e in entries):
+        out["rows"] = sum(e["rows"] for e in entries)
+    return out
 
 
 def _write_segment(table: str, entries: list[dict]) -> str:
@@ -1080,6 +1093,33 @@ def _file_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins if c not in dead}
 
 
+def _file_nulls(path: str) -> dict:
+    """Per-file {col: null_count} from the parquet footer — recorded only
+    for top-level columns whose EVERY row group reports a null count
+    (one unknown makes the file unprunable for null predicates).  This is
+    the third data-skipping index after min/max and blooms: ``IS NULL``
+    prunes files with zero nulls, ``IS NOT NULL`` prunes all-null files
+    (the backfilled-column scan shape)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    nulls: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                dead.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+    return {c: n for c, n in nulls.items() if c not in dead}
+
+
 _BLOOM_BITS = 8192  # MINIMUM size; sized up to ~8 bits/value (fp ≈ 2%)
 _BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per (file, column)
 
@@ -1227,6 +1267,9 @@ def _write_data_files(
             "rows": rows,
             "stats": _file_stats(fp),
         }
+        nl = _file_nulls(fp)
+        if nl:
+            entry["nulls"] = nl
         if partition_by:
             part = {}
             for comp in os.path.relpath(fp, commit_dir).split(os.sep)[:-1]:
@@ -1671,6 +1714,7 @@ def snapshot_commit_files(
                 "bytes": os.path.getsize(p),
                 "rows": pq.ParquetFile(p).metadata.num_rows,
                 "stats": _file_stats(p),
+                **({"nulls": nl} if (nl := _file_nulls(p)) else {}),
             }
         )
     parent = current_version(table)
@@ -1746,7 +1790,14 @@ def plan_files(
             if (
                 pwhere
                 and sm is not None
-                and not _file_admits({"stats": sm["stats"]}, pwhere)
+                and not _file_admits(
+                    {
+                        "stats": sm["stats"],
+                        "nulls": sm.get("nulls", {}),
+                        **({"rows": sm["rows"]} if "rows" in sm else {}),
+                    },
+                    pwhere,
+                )
             ):
                 continue  # whole segment disproved — never resolved
             cand.extend(dict(e) for e in _read_segment(table, s))
@@ -1767,6 +1818,44 @@ def _file_admits(f: dict, where: list[tuple] | None) -> bool:
     (which files to rewrite), and the rewrite commit validation (could an
     interleaved commit's new file contain predicate-matching rows)."""
     for col, op, value in where or []:
+        if op in ("is_null", "not_null"):
+            # null-count pruning (r8): recorded per file from the footer;
+            # a column ABSENT from the counts (stats-less, or added after
+            # this file was written — where every row reads NULL) keeps
+            # the file conservatively
+            n = f.get("nulls", {}).get(col)
+            rows = f.get("rows")
+            if n is None:
+                continue
+            if op == "is_null" and n == 0:
+                return False
+            if op == "not_null" and rows is not None and n == rows:
+                return False
+            continue
+        if op == "in":
+            # IN-list pruning (r8, the takedown/point-lookup shape): the
+            # file survives iff AT LEAST ONE value survives both the
+            # range and the bloom — each check per value is exactly the
+            # equality rule below
+            vals = list(value)
+            if not vals:
+                return False  # empty IN list matches nothing
+            any_admits = False
+            for v in vals:
+                if _bloom_excludes(f, col, v):
+                    continue
+                if col in f.get("stats", {}):
+                    lo, hi = f["stats"][col]
+                    try:
+                        if not _PRUNE_OPS["=="](lo, hi, v):
+                            continue
+                    except TypeError:
+                        pass  # incomparable → this value might match
+                any_admits = True
+                break
+            if not any_admits:
+                return False
+            continue
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op {op!r}")
         # a bloom can disprove equality even when the [min, max] range
@@ -2722,17 +2811,25 @@ def _where_condition(df: DataFrame, where: list[tuple] | None):
     cond = None
     for col, op, value in where or []:
         c = F.col(col)
-        v = F.lit(value)
         if dict(df.dtypes).get(col) in ("timestamp", "date"):
             c = c.cast("string")
-        clause = {
-            ">=": c >= v,
-            ">": c > v,
-            "<=": c <= v,
-            "<": c < v,
-            "==": c == v,
-            "=": c == v,
-        }[op]
+        if op == "is_null":
+            clause = c.isNull()
+        elif op == "not_null":
+            clause = c.isNotNull()
+        elif op == "in":
+            vals = list(value)
+            clause = c.isin(vals) if vals else F.lit(False)
+        else:
+            v = F.lit(value)
+            clause = {
+                ">=": c >= v,
+                ">": c > v,
+                "<=": c <= v,
+                "<": c < v,
+                "==": c == v,
+                "=": c == v,
+            }[op]
         cond = clause if cond is None else (cond & clause)
     return cond
 

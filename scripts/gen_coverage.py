@@ -63,6 +63,10 @@ TEST_COVERED = {
         "sources/snapshots.py `snapshot_set_sort_order`/`snapshot_sort_order`/`_sort_cols_of` (declared table sort order: append-only order history bound to source field ids, files stamp their order id, appends range-cluster + sortWithinPartitions under the default order — within partition dirs when a spec is also set — compaction converges unsorted files, maintain gains the unsorted_files trigger, drop-of-sort-source refuses, restore rolls the history back, single-CAS race refusal)",
         "tests/test_sort_order.py (14 cases incl. zorder- and hilbert-transform 2-D box pruning, member rename survival, transform validation, and the spec+sort interplay pin — sorts lead with the partition columns so the partitionBy writer's required ordering is already satisfied and never destroys the secondary keys; metadata-only + idempotent set, stamped appends cover disjoint tight ranges vs pre-order whole-domain files, maintain converges unsorted history then prunes a strict subset with identical content and no-ops on the second run, order survives rename + blocks source drop, batch lacking the sort column refuses, reset + order-id reuse, racing append refusal, restore rollback, validation refusals)",
     ),
+    "OP-X-PRUNEOPS": (
+        "sources/snapshots.py `_file_nulls`/`_file_admits`/`_where_condition` (null-count + IN-list data skipping: footer null counts per file, is_null/not_null/in prune ops at file AND segment level, exact residual filters, conservative keep for pre-evolution and stats-less files, COW delete accepts IN predicates)",
+        "tests/test_null_in_pruning.py (5 cases: is_null/not_null prune with exact results, per-value IN pruning incl. empty-list zero-plan and nothing-matches, segment-level null/IN pruning via _SEG_READS, pre-evolution conservative keep, COW delete with IN predicate + exact rowcount)",
+    ),
     "OP-X-TEXTIDX": (
         "operators/text_index.py (persisted BM25 inverted index on the snapshot format: token-clustered + token-bloomed postings with denormalized dl, per-batch delta stats so concurrent appends commute, atomic two-table snapshot_multi_write commits, search = pruned per-term scans + exact decimal BM25 scoring)",
         "tests/test_text_index.py (5 cases: search ≡ docs_bm25_search bit-for-bit, append ≡ from-scratch rebuild incl. stats + search parity, lockstep two-table versions with stats ≡ direct recount, strict-subset probes via range pruning AND bloom exclusion of rare terms, unknown-term empty result) + tests/test_text_index_stream.py (stream ≡ one-shot build, replayed batch no-op, torn-HWM repair from op labels)",

@@ -1320,10 +1320,13 @@ def test_segment_manifests_commit_o_delta(spark, tmp_path):
     # exactly ONE new segment per append; the rest are reused by name
     assert set(raw9["segments"]) <= set(raw10["segments"])
     assert len(set(raw10["segments"]) - set(raw9["segments"])) == 1
-    # manifest growth is segment names (~50 B/commit), never file entries
+    # manifest growth is one segment NAME + its seg_meta bounds entry per
+    # commit (~50 B + ~160 B — the Iceberg manifest-list trade: aggregate
+    # stats ride in the list so planning prunes without resolving), never
+    # per-FILE entries (which would grow with table size, not commits)
     s1 = os.path.getsize(snap._manifest_path(tbl, 1))
     s10 = os.path.getsize(snap._manifest_path(tbl, 10))
-    assert s10 - s1 < 1500, (s1, s10)
+    assert s10 - s1 < 9 * 300, (s1, s10)
     assert snapshot_read(spark, tbl).count() == 10
     # a single-key merge rewrites only the touched segment
     v = snapshot_merge(
