@@ -937,39 +937,44 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("wc")
     )
     tot = freq.agg(F.expr("CAST(SUM(wc) AS BIGINT)").alias("n_tot"))
+    # per-word rarity = n_tot div wc, SATURATED at 1e9 (words rarer than
+    # 1-in-1e9 are all "maximally hard") — the saturation is what keeps
+    # the per-doc SUM inside BIGINT at ANY corpus size: an unscaled
+    # 1e6·n_tot/wc term overflows int64 for a hapax word once the corpus
+    # passes ~9e12 tokens, and ANSI mode kills the whole query (the
+    # length()-ppm overflow class from CLAUDE.md)
     per_doc = (
-        d.hint("shuffle_hash")
-        .join(freq.hint("shuffle_hash"), "word")
+        d.join(freq.hint("shuffle_hash"), "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
             F.expr(
-                "CAST(SUM((1000000 * n_tot) div wc) AS BIGINT)"
+                "CAST(SUM(LEAST(n_tot div wc, 1000000000)) AS BIGINT)"
             ).alias("inv_sum"),
         )
         .select(
             "doc_id",
             "source",
             "n_tokens",
-            F.expr("inv_sum div n_tokens").alias("difficulty_ppm"),
+            F.expr("inv_sum div n_tokens").alias("difficulty"),
         )
     )
     return per_doc.select(
         "doc_id",
         "source",
         "n_tokens",
-        "difficulty_ppm",
+        "difficulty",
         F.expr(
             "CAST(floor(percent_rank() OVER (PARTITION BY source"
-            " ORDER BY difficulty_ppm, doc_id)"
+            " ORDER BY difficulty, doc_id)"
             " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
         ).alias("p_ppm"),
     ).select(
         "doc_id",
         "source",
         "n_tokens",
-        "difficulty_ppm",
+        "difficulty",
         "p_ppm",
         F.expr(
             f"GREATEST((p_ppm * p_ppm * {_CURR_STEPS} + 999999999999)"
@@ -990,23 +995,23 @@ tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS n_tot FROM freq),
 per_doc AS (
   SELECT doc_id, source,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         CAST(SUM((1000000 * n_tot) // wc) AS BIGINT) AS inv_sum
+         CAST(SUM(LEAST(n_tot // wc, 1000000000)) AS BIGINT) AS inv_sum
   FROM d JOIN freq USING (word) CROSS JOIN tot
   GROUP BY 1, 2
 ),
 scored AS (
   SELECT doc_id, source, n_tokens,
-         inv_sum // n_tokens AS difficulty_ppm
+         inv_sum // n_tokens AS difficulty
   FROM per_doc
 ),
 ranked AS (
-  SELECT doc_id, source, n_tokens, difficulty_ppm,
+  SELECT doc_id, source, n_tokens, difficulty,
          CAST(floor(percent_rank() OVER (PARTITION BY source
-                ORDER BY difficulty_ppm, doc_id)
+                ORDER BY difficulty, doc_id)
               * CAST(1000000 AS DOUBLE)) AS BIGINT) AS p_ppm
   FROM scored
 )
-SELECT doc_id, source, n_tokens, difficulty_ppm, p_ppm,
+SELECT doc_id, source, n_tokens, difficulty, p_ppm,
        GREATEST(CAST((p_ppm * p_ppm * {_CURR_STEPS} + 999999999999)
                      // 1000000000000 AS BIGINT), 1) AS first_step
 FROM ranked

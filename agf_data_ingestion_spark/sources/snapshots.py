@@ -1625,20 +1625,30 @@ def snapshot_txn_versions(
     if not tables:
         raise ValueError("snapshot_txn_versions: no tables")
 
-    def tx_of(tbl: str) -> dict[str, int]:
+    def tx_of(tbl: str, stop_at: str | None) -> dict[str, int]:
+        """txn id → newest version per table; with ``stop_at`` the
+        descending scan returns at the FIRST match (the pinned-read fast
+        path — O(versions since the txn), not O(retained history)).
+        ``_repair_current`` first: a txn whose marker landed but whose
+        phase-2 publish crashed on this table IS committed — any
+        reader's repair rolls the pointer forward, and scanning a stale
+        pointer would mis-report the txn as never-committed here."""
         out: dict[str, int] = {}
-        for v in range(current_version(tbl), 0, -1):
+        for v in range(_repair_current(tbl), 0, -1):
             try:
                 m = _load_manifest(tbl, v)
             except NoSuchVersionError:
                 continue  # expired
             mk = m.get("txn_marker")
-            if mk:
-                # first (newest) version wins per txn id
-                out.setdefault(os.path.basename(mk).rsplit(".", 1)[0], v)
+            if not mk:
+                continue
+            tid = os.path.basename(mk).rsplit(".", 1)[0]
+            out.setdefault(tid, v)  # first (newest) version wins
+            if stop_at is not None and tid == stop_at:
+                return out
         return out
 
-    maps = {t: tx_of(t) for t in tables}
+    maps = {t: tx_of(t, txn_id) for t in tables}
     if txn_id is None:
         common = set(maps[tables[0]])
         for t in tables[1:]:
