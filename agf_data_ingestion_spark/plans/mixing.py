@@ -64,7 +64,15 @@ def docs_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-mixture weights after ``_DRM_ROUNDS`` exact-
     integer multiplicative-weights rounds; ``upweighted`` marks domains
     that ended above the uniform share."""
-    d = t(spark, sf_dir, "documents").select("source", "text")
+    return domain_reweight_frame(t(spark, sf_dir, "documents"))
+
+
+def domain_reweight_frame(d: DataFrame) -> DataFrame:
+    """The DoReMi core over ANY (source, text) frame — shared by the
+    catalog query (full corpus) and the end-to-end curation pipeline
+    (operators/curation.py), which reweights only the docs surviving its
+    upstream gates.  Same exact-integer rounds, same output schema."""
+    d = d.select("source", "text")
     base = (
         d.select(
             "source",

@@ -143,7 +143,14 @@ def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan family (each section is a tiny groupBy; the unions cost
     nothing).  Values are exact BIGINT counts.
     """
-    d = t(spark, sf_dir, "documents")
+    return datacard_frame(t(spark, sf_dir, "documents"))
+
+
+def datacard_frame(d: DataFrame) -> DataFrame:
+    """The datacard sections over ANY documents-shaped frame (doc_id,
+    text, lang, source, n_chars) — shared by the catalog query (full
+    corpus) and the curation pipeline's published release datacard
+    (operators/curation.py)."""
     toks = F.size(F.split("text", " "))
     totals = d.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -280,6 +280,22 @@ def cmd_curate(args) -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if getattr(args, "full", False):
+        # the end-to-end pipeline (operators/curation.py): every stage,
+        # one atomic five-table publish, funnel + per-stage walls in the
+        # JSON report
+        from agf_data_ingestion_spark.operators.curation import curate_full
+
+        report = curate_full(
+            _spark(),
+            args.docs,
+            args.out,
+            budget_tokens=args.shard_tokens,
+            seed=args.shard_seed,
+        )
+        print(json.dumps(report))
+        return 0
+
     from agf_data_ingestion_spark.plans.base import t
     from agf_data_ingestion_spark.plans.text import docs_dup_clusters, docs_quality_gate
     from agf_data_ingestion_spark.plans.training_data import (
@@ -938,6 +954,11 @@ def main() -> int:
     c = sub.add_parser("curate")
     c.add_argument("--docs", default="/root/testdata/sf0.01", help="dir containing documents.parquet")
     c.add_argument("--out", required=True)
+    c.add_argument("--full", action="store_true",
+                   help="run the WHOLE pipeline (gate > dedup > decontam > "
+                        "quality cut > DoReMi > WFQ shards) and publish "
+                        "shards+lineage+datacard+index under --out as ONE "
+                        "multi-table snapshot txn")
     c.add_argument("--decontaminate", action="store_true",
                    help="drop docs sharing shingles with the benchmark slice")
     c.add_argument("--split", action="store_true",
