@@ -2020,6 +2020,282 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN recall-vs-cost operating curve (OP-X-RECALLCURVE, r9 — VERDICT r8 ask #2)
+# ---------------------------------------------------------------------------
+
+#: IVF-PQ grid: cells probed × ADC shortlist kept (the two knobs a
+#: deployer trades against recall); LSH sweep: extra flipped-bit probes
+#: per table (0 = base buckets only)
+_RC_NPROBES = (1, 2, 4, 8)
+_RC_SHORTLISTS = (4, 32, 256)
+_RC_LSH_MAXP = 3
+_RC_PPM = 1_000_000
+
+
+def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k operating curve for the two ANN families vs the exact
+    ``emb_cosine_topk`` ground truth — the retrieval twin of
+    ``docs_quality_pr_curve``: a deployer picks probe counts and
+    shortlist sizes from THIS table, not from a fixed-setting assertion.
+
+    One row per (method, probes, shortlist): ``hits`` = ground-truth
+    neighbors recovered, ``recall_ppm`` = hits·10⁶ DIV n_gt.  Every
+    ranking quantity is an exact integer (LSH bucket membership, IVF
+    cell ranks by integer d², ADC int64 scores with the neighbor-id
+    tiebreak), so the WHOLE curve hash-matches the DuckDB oracle even
+    though it measures approximation quality.
+
+    The rank-membership shortcut that makes this cheap: the final
+    re-rank is exact cosine, so an ANN run at setting S recovers a
+    ground-truth neighbor iff that neighbor survives S's CANDIDATE
+    stage (for LSH: shares a probed bucket; for IVF-PQ: its cell is
+    probed AND fewer than ``shortlist`` candidates beat its exact-
+    integer ADC score).  No per-setting re-execution — the curve
+    needs one candidate pass per family at the MAX setting, then
+    window math on gt-pair-sized frames:
+
+    * LSH: per ground-truth pair, the MINIMUM probe level that
+      buckets it with its query (level 0 = base, p = pth flipped
+      bit by |margin| rank); recall at p = #{pairs: minlev ≤ p}.
+    * IVF-PQ: per pair, its cell's probe rank and its ADC score;
+      ``bc_np`` = candidates in the top-np cells strictly beating it
+      (score desc, id asc); recall at (np, s) = #{pairs: cell rank
+      ≤ np and bc_np < s}.
+
+    Scale shape: both candidate passes are the families' production
+    shapes (map-only Arrow bucketing / scoring; corpus side never
+    broadcast); everything after is gt-sized (n_queries × k rows).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    gt = (
+        emb_cosine_topk(spark, sf_dir)
+        .select("query_id", F.col("neighbor_id").alias("gt_id"))
+        .localCheckpoint(eager=True)  # reused by both family branches
+    )
+
+    # ---- LSH branch: min probe level per ground-truth pair ----
+    planes = _md5_planes()
+    plane_mat = planes.reshape(_ANN_TABLES * _ANN_BITS, _DIM).T
+    bit_weights = 1 << np.arange(_ANN_BITS)
+    e = t(spark, sf_dir, "embeddings")
+
+    def _codes_dots(emb):
+        V = np.vstack(emb.to_numpy())
+        codes = np.floor(V.astype(np.float64) * _ANN_CODE_SCALE).astype(np.int64)
+        return (codes @ plane_mat).reshape(len(V), _ANN_TABLES, _ANN_BITS)
+
+    def _buckets_fn(emb):
+        dots = _codes_dots(emb)
+        ints = ((dots >= 0) * bit_weights).sum(axis=2)
+        return pd.Series(
+            [[f"{ti}:{row[ti]}" for ti in range(_ANN_TABLES)] for row in ints]
+        )
+
+    def _probe_lev_fn(emb):
+        dots = _codes_dots(emb)
+        base = ((dots >= 0) * bit_weights).sum(axis=2)
+        order = np.argsort(np.abs(dots), axis=2, kind="stable")
+        out = []
+        for r in range(dots.shape[0]):
+            row = []
+            for ti in range(_ANN_TABLES):
+                row.append(f"{ti}:{base[r, ti]}|0")
+                for p in range(_RC_LSH_MAXP):
+                    row.append(
+                        f"{ti}:{base[r, ti] ^ (1 << int(order[r, ti, p]))}|{p + 1}"
+                    )
+            out.append(row)
+        return pd.Series(out)
+
+    table_buckets = pandas_udf(_buckets_fn, "array<string>")
+    probe_lev_buckets = pandas_udf(_probe_lev_fn, "array<string>")
+    corpus_b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(table_buckets(F.col("embedding"))).alias("bucket"),
+    )
+    qlev = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_lev_buckets(F.col("embedding"))).alias("bl"),
+        )
+        .select(
+            "query_id",
+            F.substring_index("bl", "|", 1).alias("bucket"),
+            F.substring_index("bl", "|", -1).cast("long").alias("lev"),
+        )
+    )
+    pairlev = (
+        corpus_b.join(F.broadcast(qlev), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("neighbor_id").alias("gt_id"))
+        .agg(F.min("lev").alias("minlev"))
+    )
+    lsh_gt = gt.join(pairlev, ["query_id", "gt_id"], "left")
+    lsh_levels = spark.createDataFrame(
+        [(p,) for p in range(_RC_LSH_MAXP + 1)], "probes long"
+    )
+    lsh_curve = (
+        lsh_gt.crossJoin(F.broadcast(lsh_levels))
+        .groupBy("probes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gt"),
+            F.sum(
+                F.when(F.col("minlev") <= F.col("probes"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.lit("lsh").alias("method"),
+            "probes",
+            F.lit(0).cast("long").alias("shortlist"),
+            "n_gt",
+            "hits",
+        )
+    )
+
+    # ---- IVF-PQ branch: cell rank + ADC better-counts per gt pair ----
+    _e2, codes, st = _ivfpq_state(spark, sf_dir)
+    cells, ccv, rcb = st["cells"], st["ccv"], st["rcb"]
+    qids, qvq = st["qids"], st["qvq"]
+    residuals, assign, rassign = st["_residuals"], st["_assign"], st["_rassign"]
+    maxnp = max(_RC_NPROBES)
+    lut = [
+        [qvq[qi].reshape(_PQ_M, _PQ_SUBDIM)[m] @ rcb[m][1].T for m in range(_PQ_M)]
+        for qi in range(len(qids))
+    ]
+    coarse = [qvq[qi] @ ccv.T for qi in range(len(qids))]
+    rcb_ids = {m: np.array(rcb[m][0], dtype=np.int64) for m in range(_PQ_M)}
+    # per query: centroid ROW position -> probe rank (1-based, (d2, cell)
+    # order — the probes-CTE ranking)
+    rank_rows = []
+    for qi in range(len(qids)):
+        diff = qvq[qi][None, :] - ccv
+        d2 = (diff * diff).sum(axis=1)
+        order = sorted(range(len(cells)), key=lambda ci: (int(d2[ci]), cells[ci]))
+        ranks = np.full(len(cells), len(cells) + 1, dtype=np.int64)
+        for rk, ci in enumerate(order):
+            ranks[ci] = rk + 1
+        rank_rows.append(ranks)
+
+    def cand_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            a = assign(C, ccv)
+            Rs = residuals(pdf)
+            cbids = rassign(Rs, rcb)
+            pos = np.stack(
+                [np.searchsorted(rcb_ids[m], cbids[:, m]) for m in range(_PQ_M)],
+                axis=1,
+            )
+            outq, outn, outc, outs = [], [], [], []
+            for qi, q in enumerate(qids):
+                crank = rank_rows[qi][a]
+                mask = (crank <= maxnp) & (vid != q)
+                if not mask.any():
+                    continue
+                rscore = np.zeros(int(mask.sum()), dtype=np.int64)
+                for m in range(_PQ_M):
+                    rscore += lut[qi][m][pos[mask, m]]
+                outq.append(np.full(int(mask.sum()), q, dtype=np.int64))
+                outn.append(vid[mask])
+                outc.append(crank[mask])
+                outs.append(coarse[qi][a[mask]] + rscore)
+            if not outq:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(outq),
+                    "neighbor_id": np.concatenate(outn),
+                    "crank": np.concatenate(outc),
+                    "ascore": np.concatenate(outs),
+                }
+            )
+
+    cands = codes.mapInPandas(
+        cand_batches, "query_id bigint, neighbor_id bigint, crank bigint, ascore bigint"
+    ).localCheckpoint(eager=True)  # two consumers: gt lookup + better-counts
+    g_info = gt.join(
+        cands.select(
+            "query_id",
+            F.col("neighbor_id").alias("gt_id"),
+            F.col("crank").alias("g_crank"),
+            F.col("ascore").alias("g_ascore"),
+        ),
+        ["query_id", "gt_id"],
+        "left",
+    )
+    better = (F.col("ascore") > F.col("g_ascore")) | (
+        (F.col("ascore") == F.col("g_ascore"))
+        & (F.col("neighbor_id") < F.col("gt_id"))
+    )
+    bc = (
+        cands.join(F.broadcast(g_info), "query_id")
+        .groupBy("query_id", "gt_id", "g_crank")
+        .agg(
+            *[
+                F.sum(
+                    F.when((F.col("crank") <= np_) & better, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"bc{np_}")
+                for np_ in _RC_NPROBES
+            ]
+        )
+    )
+    # gt pairs whose neighbor fell outside every probed cell emit no
+    # cands-join rows — restore them (all-miss) via the left join
+    bc = g_info.select("query_id", "gt_id").join(
+        bc, ["query_id", "gt_id"], "left"
+    )
+    settings = spark.createDataFrame(
+        [(np_, s) for np_ in _RC_NPROBES for s in _RC_SHORTLISTS],
+        "np long, s long",
+    )
+    bc_at_np = F.coalesce(
+        *[
+            F.when(F.col("np") == np_, F.col(f"bc{np_}"))
+            for np_ in _RC_NPROBES
+        ]
+    )
+    iv_curve = (
+        bc.crossJoin(F.broadcast(settings))
+        .groupBy("np", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gt"),
+            F.sum(
+                F.when(
+                    (F.col("g_crank") <= F.col("np")) & (bc_at_np < F.col("s")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+        )
+        .select(
+            F.lit("ivfpq").alias("method"),
+            F.col("np").alias("probes"),
+            F.col("s").alias("shortlist"),
+            "n_gt",
+            "hits",
+        )
+    )
+    return lsh_curve.unionByName(iv_curve).select(
+        "method",
+        "probes",
+        "shortlist",
+        "n_gt",
+        "hits",
+        F.expr(f"(hits * {_RC_PPM}) DIV n_gt").alias("recall_ppm"),
+    )
+
+
 def _ivfpq_planes_sql(ns: str, bits: int) -> str:
     return f"""
   SELECT m.m * {_PQ_SUBDIM} + j.j AS i, b.b,
@@ -2032,8 +2308,10 @@ def _ivfpq_planes_sql(ns: str, bits: int) -> str:
 """
 
 
-_IVFPQ_SQL = f"""
-WITH codes AS (
+#: the IVF-PQ training + ADC-prep CTE chain (codes → coarse/residual
+#: codebooks → per-query LUTs), shared verbatim by the top-k oracle and
+#: the recall-curve oracle so the two can never train different indexes
+_IVFPQ_CORE_CTES = f"""codes AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(CAST(x AS DOUBLE)
@@ -2087,13 +2365,6 @@ d2c AS MATERIALIZED (
 ),
 assign_c AS MATERIALIZED (
   SELECT vec_id, (MIN({{'d': d2, 'l': cell}})).l AS cell FROM d2c GROUP BY vec_id
-),
-probes AS (
-  SELECT vec_id AS query_id, cell FROM (
-    SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
-    FROM d2c WHERE vec_id < {_N_QUERIES}
-  ) WHERE crank <= {_IVFPQ_NPROBE}
 ),
 rdim AS MATERIALIZED (
   SELECT v.vec_id, v.i, v.m, v.vq - c.ccv AS r
@@ -2156,6 +2427,17 @@ coarse AS (
   FROM vdim v JOIN ccv c ON v.i = c.i
   WHERE v.vec_id < {_N_QUERIES}
   GROUP BY v.vec_id, c.cell
+)"""
+
+
+_IVFPQ_SQL = f"""
+WITH {_IVFPQ_CORE_CTES},
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM d2c WHERE vec_id < {_N_QUERIES}
+  ) WHERE crank <= {_IVFPQ_NPROBE}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
@@ -2199,6 +2481,145 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 """
 
 
+_RC_NP_VALUES = ", ".join(f"({np_})" for np_ in _RC_NPROBES)
+_RC_S_VALUES = ", ".join(f"({s})" for s in _RC_SHORTLISTS)
+_RC_BC_COLS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN a.crank <= {np_} AND (a.ascore > g.g_ascore"
+    f" OR (a.ascore = g.g_ascore AND a.neighbor_id < g.gt_id))"
+    f" THEN 1 ELSE 0 END) AS BIGINT) AS bc{np_}"
+    for np_ in _RC_NPROBES
+)
+_RC_BC_PICK = " ".join(
+    f"WHEN {np_} THEN bc{np_}" for np_ in _RC_NPROBES
+)
+
+_RECALL_CURVE_SQL = f"""
+WITH {_IVFPQ_CORE_CTES},
+cranks AS (
+  SELECT vec_id AS query_id, cell, crank FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS crank
+    FROM d2c WHERE vec_id < {_N_QUERIES}
+  ) WHERE crank <= {max(_RC_NPROBES)}
+),
+candr AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell, p.crank
+  FROM assign_c a JOIN cranks p ON a.cell = p.cell AND a.vec_id != p.query_id
+),
+approxr AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.cell, cd.crank,
+         CAST(SUM(l.dotp) AS BIGINT) AS rscore
+  FROM candr cd
+  JOIN assign a ON a.neighbor_id = cd.neighbor_id
+  JOIN lutr l ON l.query_id = cd.query_id AND l.m = a.m AND l.cb = a.cb
+  GROUP BY cd.query_id, cd.neighbor_id, cd.cell, cd.crank
+  HAVING COUNT(*) = {_PQ_M}
+),
+scorer AS MATERIALIZED (
+  SELECT x.query_id, x.neighbor_id, x.crank,
+         CAST(co.cdot + x.rscore AS BIGINT) AS ascore
+  FROM approxr x JOIN coarse co ON co.query_id = x.query_id AND co.cell = x.cell
+),
+normsr AS (
+  SELECT vec_id, sqrt({_o_dot('embedding', 'embedding')}) AS nrm FROM embeddings
+),
+gtc AS MATERIALIZED (
+  SELECT query_id, neighbor_id AS gt_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_o_dot('q.embedding', 'c.embedding')} / (nq.nrm * nc.nrm) DESC,
+                      c.vec_id ASC
+           ) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id != q.vec_id
+    JOIN normsr nq ON q.vec_id = nq.vec_id
+    JOIN normsr nc ON c.vec_id = nc.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rank <= {_TOPK}
+),
+gts AS (
+  SELECT g.query_id, g.gt_id, a.crank AS g_crank, a.ascore AS g_ascore
+  FROM gtc g LEFT JOIN scorer a
+    ON a.query_id = g.query_id AND a.neighbor_id = g.gt_id
+),
+bc AS (
+  SELECT g.query_id, g.gt_id, g.g_crank,
+         {_RC_BC_COLS}
+  FROM gts g LEFT JOIN scorer a ON a.query_id = g.query_id
+  GROUP BY g.query_id, g.gt_id, g.g_crank
+),
+ivc AS (
+  SELECT 'ivfpq' AS method, CAST(np.np AS BIGINT) AS probes,
+         CAST(s.s AS BIGINT) AS shortlist,
+         CAST(COUNT(*) AS BIGINT) AS n_gt,
+         CAST(SUM(CASE WHEN g_crank IS NOT NULL AND g_crank <= np.np
+                        AND (CASE np.np {_RC_BC_PICK} END) < s.s
+                   THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM bc, (VALUES {_RC_NP_VALUES}) np(np), (VALUES {_RC_S_VALUES}) s(s)
+  GROUP BY np.np, s.s
+),
+codesl AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ANN_CODE_SCALE}) AS BIGINT)) AS code
+  FROM embeddings
+),
+planesl AS (
+  SELECT t, b, d,
+         (('0x' || substr(md5(t::VARCHAR || ':' || b::VARCHAR || ':' || d::VARCHAR), 1, 10))::BIGINT
+          % 2001) - 1000 AS p
+  FROM (SELECT unnest(range(0, {_ANN_TABLES})) AS t),
+       (SELECT unnest(range(0, {_ANN_BITS})) AS b),
+       (SELECT unnest(range(0, {_DIM})) AS d)
+),
+bitsl AS MATERIALIZED (
+  SELECT c.vec_id, pl.t, pl.b, SUM(c.code[pl.d + 1] * pl.p) AS dotv
+  FROM codesl c CROSS JOIN planesl pl
+  GROUP BY c.vec_id, pl.t, pl.b
+),
+bucketsl AS MATERIALIZED (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dotv >= 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS bkt
+  FROM bitsl GROUP BY vec_id, t
+),
+qlev AS (
+  SELECT vec_id, t, bkt, 0 AS lev FROM bucketsl WHERE vec_id < {_N_QUERIES}
+  UNION ALL
+  SELECT r.vec_id, r.t, xor(bk.bkt, (1 << r.b)) AS bkt, r.rn AS lev
+  FROM (
+    SELECT vec_id, t, b,
+           row_number() OVER (PARTITION BY vec_id, t
+                              ORDER BY abs(dotv) ASC, b ASC) AS rn
+    FROM bitsl WHERE vec_id < {_N_QUERIES}
+  ) r JOIN bucketsl bk ON r.vec_id = bk.vec_id AND r.t = bk.t
+  WHERE r.rn <= {_RC_LSH_MAXP}
+),
+pairlev AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS gt_id, MIN(q.lev) AS minlev
+  FROM qlev q JOIN bucketsl c ON q.t = c.t AND q.bkt = c.bkt AND c.vec_id != q.vec_id
+  GROUP BY 1, 2
+),
+lshg AS (
+  SELECT g.query_id, g.gt_id, p.minlev
+  FROM gtc g LEFT JOIN pairlev p
+    ON p.query_id = g.query_id AND p.gt_id = g.gt_id
+),
+lshc AS (
+  SELECT 'lsh' AS method, CAST(p.p AS BIGINT) AS probes,
+         CAST(0 AS BIGINT) AS shortlist,
+         CAST(COUNT(*) AS BIGINT) AS n_gt,
+         CAST(SUM(CASE WHEN minlev IS NOT NULL AND minlev <= p.p
+                   THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM lshg, (VALUES (0), (1), (2), (3)) p(p)
+  GROUP BY p.p
+)
+SELECT method, probes, shortlist, n_gt, hits,
+       (hits * {_RC_PPM}) // n_gt AS recall_ppm
+FROM (SELECT * FROM lshc UNION ALL SELECT * FROM ivc)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "emb_array_fold": QuerySpec(emb_array_fold, _ARRAY_FOLD_SQL, ("OP-ARR-SUM",)),
     "emb_matryoshka_topk": QuerySpec(
@@ -2216,5 +2637,10 @@ QUERIES: dict[str, QuerySpec] = {
         emb_ivfpq_topk,
         _IVFPQ_SQL,
         ("OP-X-SIM-TOPK", "OP-X-QUANT", "OP-X-ADC", "OP-X-PQ"),
+    ),
+    "emb_ann_recall_curve": QuerySpec(
+        emb_ann_recall_curve,
+        _RECALL_CURVE_SQL,
+        ("OP-X-RECALLCURVE", "OP-X-SIM-TOPK", "OP-X-MULTIPROBE", "OP-X-PQ"),
     ),
 }

@@ -71,6 +71,10 @@ TEST_COVERED = {
         "operators/text_index.py (persisted BM25 inverted index on the snapshot format: token-clustered + token-bloomed postings with denormalized dl, per-batch delta stats so concurrent appends commute, atomic two-table snapshot_multi_write commits, search = pruned per-term scans + exact decimal BM25 scoring)",
         "tests/test_text_index.py (5 cases: search ≡ docs_bm25_search bit-for-bit, append ≡ from-scratch rebuild incl. stats + search parity, lockstep two-table versions with stats ≡ direct recount, strict-subset probes via range pruning AND bloom exclusion of rare terms, unknown-term empty result) + tests/test_text_index_stream.py (stream ≡ one-shot build, replayed batch no-op, torn-HWM repair from op labels)",
     ),
+    "OP-X-CURATE": (
+        "operators/curation.py `curate_full` (end-to-end curation: rule gate → exact dedup → near-dup collapse → decontam → PR-curve-chosen trained-quality cut → DoReMi weights → WFQ interleave → token-budgeted shards; ONE snapshot_multi_write publishing shards+lineage+datacard(funnel)+index postings/stats; txn-aligned read-back verify; per-stage wall/rows; scripts/agf_pipeline.py curate --full; bench pipeline_curate_full)",
+        "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; five-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
+    ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
         "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness, txn-aligned snapshot_read_txn pins one publish against later single-table commits)",

@@ -316,3 +316,86 @@ def test_ivfpq_layout_composition(spark, tmp_path):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# ANN recall-vs-cost operating curve (OP-X-RECALLCURVE, r9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def recall_curve(spark):
+    from agf_data_ingestion_spark.plans.similarity import emb_ann_recall_curve
+
+    return {
+        (r["method"], int(r["probes"]), int(r["shortlist"])): (
+            int(r["hits"]),
+            int(r["n_gt"]),
+        )
+        for r in emb_ann_recall_curve(spark, SF).collect()
+    }
+
+
+def test_recall_curve_monotone(recall_curve):
+    """Recall never decreases along the knobs that only ADD candidates
+    without re-ranking: LSH probes (candidate set nests: minlev ≤ p is
+    monotone in p) and the IVF-PQ shortlist at fixed probes (bc_np is
+    fixed; a larger cutoff only admits more).  Probing MORE CELLS at a
+    FIXED shortlist is deliberately NOT asserted: extra cells add ADC
+    competitors that can evict a true neighbor from the shortlist, so
+    that axis can dip — which is exactly why deployers need the curve
+    (observed: lsh-family ivfpq hits dropped 3→2 raising nprobe at
+    shortlist=4 on one generated corpus)."""
+    from agf_data_ingestion_spark.plans.similarity import (
+        _RC_LSH_MAXP,
+        _RC_NPROBES,
+        _RC_SHORTLISTS,
+    )
+
+    for p in range(_RC_LSH_MAXP):
+        assert recall_curve[("lsh", p, 0)][0] <= recall_curve[("lsh", p + 1, 0)][0]
+    for np_ in _RC_NPROBES:
+        for a, b in zip(_RC_SHORTLISTS, _RC_SHORTLISTS[1:]):
+            assert (
+                recall_curve[("ivfpq", np_, a)][0]
+                <= recall_curve[("ivfpq", np_, b)][0]
+            )
+
+
+def test_recall_curve_matches_actual_runs(spark, recall_curve):
+    """The membership-shortcut curve agrees with ACTUALLY RUNNING the
+    ANN queries at their production settings: hits at the deployed
+    setting == |ANN top-k ∩ exact top-k| computed from the real result
+    frames.  (LSH deploys probes=_ANN_PROBES; IVF-PQ deploys
+    (_IVFPQ_NPROBE, _IVFPQ_SHORTLIST) — both inside the curve grid.)"""
+    from agf_data_ingestion_spark.plans.similarity import (
+        _ANN_PROBES,
+        _IVFPQ_NPROBE,
+        _IVFPQ_SHORTLIST,
+        emb_ann_lsh_topk,
+        emb_cosine_topk,
+        emb_ivfpq_topk,
+    )
+
+    gt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_cosine_topk(spark, SF).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_ann_lsh_topk(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in emb_ivfpq_topk(spark, SF).collect()
+    }
+    assert recall_curve[("lsh", _ANN_PROBES, 0)][0] == len(gt & lsh)
+    assert recall_curve[("ivfpq", _IVFPQ_NPROBE, _IVFPQ_SHORTLIST)][0] == len(
+        gt & ivf
+    )
+
+
+def test_recall_curve_n_gt_exact(recall_curve):
+    from agf_data_ingestion_spark.plans.similarity import _N_QUERIES, _TOPK
+
+    assert all(n == _N_QUERIES * _TOPK for _h, n in recall_curve.values())
