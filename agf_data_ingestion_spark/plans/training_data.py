@@ -653,11 +653,28 @@ def docs_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(sh_of(F.col("w"))).alias("sh"))
         .distinct()
     )
-    pos = corpus.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_words"),
-        F.posexplode(sh_of(F.col("w"))).alias("p0", "sh"),
-    ).select("doc_id", "n_words", (F.col("p0") + 1).cast("long").alias("i"), "sh")
+    # corpus-side scan is the measured hot spot (r9 profile: 4.33 s of the
+    # 4.43 s 10x-ladder wall, contaminated-doc tail flat at ~0.1 s): keep
+    # the per-gram md5 in CODEGEN by exploding the index sequence and
+    # hashing per row — the array-transform form evaluates its lambda
+    # interpreted (the CLAUDE.md higher-order rule), measured 1.4x slower
+    # at 10x.  Identical sh values: same 1-based slice, same md5.
+    pos = (
+        corpus.select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("i0"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("i0").cast("long").alias("i"),
+            F.substring(
+                F.md5(F.array_join(F.expr(f"slice(w, i0, {k})"), " ")), 1, 16
+            ).alias("sh"),
+        )
+    )
     hits = pos.join(F.broadcast(bench_sh), "sh").select("doc_id", "n_words", "i")
 
     win = Window.partitionBy("doc_id").orderBy("i")
