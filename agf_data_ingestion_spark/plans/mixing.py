@@ -397,6 +397,146 @@ FROM stats s JOIN kmv k USING (src_a, src_b)
 """
 
 
+# ---------------------------------------------------------------------------
+# Auto-routed overlap: exact matrix below the corpus-size guard, sketch above
+# (OP-X-AUTOROUTE, r9 — VERDICT r8 ask #7)
+# ---------------------------------------------------------------------------
+
+#: gram-row guard separating "exact matrix is cheap" from "the all-gram
+#: self-join melts" — an INTEGER corpus statistic both engines derive
+#: identically (the `_sd_bits` rule: no float log, no row sampling).
+#: Calibrated against the measured ladder: the exact matrix is 7.6× at
+#: 10× past ~2.6e5 gram rows while the sketch's pair stage is constant,
+#: so the boundary sits where the generated corpora actually split
+#: (sf0.001/sf0.01 ≈ 2.7e4 → exact; sf0.1 ≈ 2.6e5 → sketch), keeping
+#: BOTH branches driver-exercised across the correctness scales.
+_OVR_THRESHOLD = 100_000
+
+
+def _overlap_route(spark: SparkSession, d: DataFrame, threshold: int):
+    """(gram_rows, use_sketch): the routing decision — ONE map-combined
+    1-row aggregate collected to the driver (corpus-size-independent
+    driver traffic, the pick_cut_tile class)."""
+    w = F.split(F.col("text"), " ")
+    g = (
+        d.select(
+            F.when(F.size(w) >= 3, (F.size(w) - 2).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("n")
+        )
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("g"))
+        .collect()[0]["g"]
+    )
+    return int(g), int(g) > threshold
+
+
+def docs_source_overlap_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE entry point for the overlap matrix that routes itself: the
+    exact all-gram matrix below ``_OVR_THRESHOLD`` gram rows, the
+    constant-shuffle one-permutation sketch above it — the operational
+    answer to the exact form's measured 7.6×-at-10× melt (SCALE.md)
+    without making callers pick a variant.  Output is branch-agnostic:
+    (src_a, src_b, routed, gram_rows, jaccard_ppm) where ``jaccard_ppm``
+    is exact on the exact branch and the sketch's hash-match estimate on
+    the sketch branch (accuracy separately ≥4σ-pinned in
+    tests/test_mixing.py).  The oracle computes the SAME integer guard
+    in a CTE and selects the same branch, so the routed result
+    hash-matches at every scale — both branches stay oracle-covered
+    because the generated corpora fall on opposite sides of the
+    boundary (sf0.01 → exact, sf0.1 → sketch).  The routing boundary
+    itself is pytest-pinned at exactly ``threshold`` vs ``threshold+1``
+    gram rows."""
+    d = t(spark, sf_dir, "documents").select("source", "text")
+    g, use_sketch = _overlap_route(spark, d, _OVR_THRESHOLD)
+    if use_sketch:
+        return docs_source_overlap_sketch(spark, sf_dir).select(
+            "src_a",
+            "src_b",
+            F.lit("sketch").alias("routed"),
+            F.lit(g).cast("long").alias("gram_rows"),
+            F.col("est_jaccard_ppm").alias("jaccard_ppm"),
+        )
+    return docs_source_overlap(spark, sf_dir).select(
+        "src_a",
+        "src_b",
+        F.lit("exact").alias("routed"),
+        F.lit(g).cast("long").alias("gram_rows"),
+        "jaccard_ppm",
+    )
+
+
+_OVL_AUTO_SQL = f"""
+WITH guardq AS (
+  SELECT COALESCE(CAST(SUM(len(string_split(text, ' ')) - 2) AS BIGINT), 0) AS g
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+ge AS (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM (
+    SELECT source, string_split(text, ' ') AS w,
+           UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS i
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3)
+),
+sizese AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ge GROUP BY 1),
+intere AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ge a JOIN ge b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+),
+exactf AS (
+  SELECT i.src_a, i.src_b,
+         (i.inter * {_PPM}) // (sa.n + sb.n - i.inter) AS jaccard_ppm
+  FROM intere i
+  JOIN sizese sa ON i.src_a = sa.source
+  JOIN sizese sb ON i.src_b = sb.source
+),
+hs AS (
+  SELECT source, ('0x' || substr(md5(gram), 1, {_OV_HEX}))::BIGINT AS h
+  FROM (
+    SELECT source,
+           w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+    FROM (
+      SELECT source, string_split(text, ' ') AS w,
+             UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS i
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3))
+),
+sigs AS (
+  SELECT source, h % {_OVS_BINS} AS c, MIN(h) AS mh
+  FROM hs GROUP BY 1, 2
+),
+prss AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sigs) a
+  JOIN (SELECT DISTINCT source FROM sigs) b ON a.source < b.source
+),
+binss AS (
+  SELECT src_a, src_b, c, MIN(ha) AS ha, MIN(hb) AS hb
+  FROM (
+    SELECT p.src_a, p.src_b, s.c, s.mh AS ha, CAST(NULL AS BIGINT) AS hb
+    FROM prss p JOIN sigs s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.c, CAST(NULL AS BIGINT), s.mh
+    FROM prss p JOIN sigs s ON s.source = p.src_b)
+  GROUP BY 1, 2, 3
+),
+sketchf AS (
+  SELECT src_a, src_b,
+         (CAST(SUM(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) * {_PPM})
+           // CAST(COUNT(*) AS BIGINT) AS jaccard_ppm
+  FROM binss GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, 'exact' AS routed, q.g AS gram_rows, e.jaccard_ppm
+FROM exactf e, guardq q WHERE q.g <= {_OVR_THRESHOLD}
+UNION ALL
+SELECT s.src_a, s.src_b, 'sketch' AS routed, q.g AS gram_rows, s.jaccard_ppm
+FROM sketchf s, guardq q WHERE q.g > {_OVR_THRESHOLD}
+"""
+
+
 def _drm_round_sql(i: int) -> str:
     prev = f"r{i - 1}"
     return f"""
@@ -619,6 +759,11 @@ QUERIES: dict[str, QuerySpec] = {
         docs_source_overlap_sketch,
         _OVL_SKETCH_SQL,
         ("OP-X-OVLSKETCH", "OP-X-OVERLAP", "OP-X-APPROX"),
+    ),
+    "docs_source_overlap_auto": QuerySpec(
+        docs_source_overlap_auto,
+        _OVL_AUTO_SQL,
+        ("OP-X-AUTOROUTE", "OP-X-OVERLAP", "OP-X-OVLSKETCH"),
     ),
     "docs_reweighted_shards": QuerySpec(
         docs_reweighted_shards,

@@ -133,3 +133,49 @@ def test_overlap_sketch_pair_stage_is_corpus_constant(spark):
     # the corpus scan lives entirely inside the signature checkpoint job;
     # the pair stage replans zero parquet scans
     assert plan.count("Scan parquet") == 0, plan
+
+
+# ---------------------------------------------------------------------------
+# Auto-routed overlap (OP-X-AUTOROUTE, r9)
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_route_boundary(spark):
+    """The routing guard flips EXACTLY at threshold+1 gram rows, counts
+    gram rows the same way both engines do (a doc of n >= 3 words yields
+    n-2 rows; shorter docs contribute zero), and an empty corpus routes
+    exact with guard 0."""
+    from agf_data_ingestion_spark.plans.mixing import _overlap_route
+
+    T = 10
+
+    def mk(n_words):
+        return spark.createDataFrame(
+            [("s", " ".join(f"w{i}" for i in range(n_words)))],
+            "source string, text string",
+        )
+
+    assert _overlap_route(spark, mk(T + 2), T) == (T, False)  # at threshold
+    assert _overlap_route(spark, mk(T + 3), T) == (T + 1, True)  # one past
+    assert _overlap_route(spark, mk(2), T) == (0, False)  # short doc
+    empty = spark.createDataFrame([], "source string, text string")
+    assert _overlap_route(spark, empty, T) == (0, False)
+
+
+def test_overlap_auto_equals_routed_branch(spark):
+    """At SF_SMOKE the corpus sits below the production threshold, so the
+    routed entry point must return the EXACT branch verbatim (same pairs,
+    same jaccard), tagged with the guard value."""
+    from agf_data_ingestion_spark.plans.mixing import (
+        _OVR_THRESHOLD,
+        docs_source_overlap_auto,
+    )
+
+    auto = docs_source_overlap_auto(spark, SF_SMOKE).collect()
+    assert auto and {r["routed"] for r in auto} == {"exact"}
+    assert all(0 < r["gram_rows"] <= _OVR_THRESHOLD for r in auto)
+    exact = {
+        (r["src_a"], r["src_b"]): r["jaccard_ppm"]
+        for r in docs_source_overlap(spark, SF_SMOKE).collect()
+    }
+    assert {(r["src_a"], r["src_b"]): r["jaccard_ppm"] for r in auto} == exact
