@@ -307,7 +307,14 @@ class SnapshotCDCStreamReader(SimpleDataSourceStreamReader):
         v = start["version"]
         cur = current_version(self.table)
         if cur <= v:
-            return [], start  # nothing committed yet: empty batch
+            # nothing committed: MUST be an iterator, not a list — when
+            # end == start the wrapper's add_result_to_cache probes the
+            # result with next() (to reject a non-advancing non-empty
+            # batch), and a bare list raises TypeError.  availableNow
+            # runs never hit this (they only trigger when data exists);
+            # continuous processing-time triggers hit it on the first
+            # idle trigger (found by scripts/measure_streaming.py).
+            return iter(()), start
         # advance over ALL newly committed versions in one batch (the
         # runtime prefetches a single read() per trigger); every row still
         # carries its own _commit_version, so per-commit attribution and

@@ -11,6 +11,16 @@
 
 Usage: python scripts/measure_metadata.py [n_commits]
 Prints markdown rows.
+
+``big`` mode (r9 — VERDICT r8 ask #3): the realistic-table-size rung the
+1M-file extrapolations rest on.  Builds a 500-commit / 10k-file table
+with METADATA-ONLY cost (tiny pyarrow-written data files ingested by
+hardlink via ``snapshot_commit_files``) and measures: per-commit append
+wall across the build (flat ⇔ O(delta) manifest writes), segment files
+written per commit, cold point-query planning (segments resolved vs
+total), maintenance convergence, and expiry wall.
+
+    python scripts/measure_metadata.py big [n_commits=500] [files_per_commit=20]
 """
 
 from __future__ import annotations
@@ -24,7 +34,126 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_commit_files(src_dir: str, commit: int, n_files: int, rows_per_file: int = 10):
+    """Write ``n_files`` tiny parquet files with disjoint, tight k-ranges
+    for one commit — pyarrow-direct so the build measures the snapshot
+    format's metadata cost, not Spark job overhead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir, exist_ok=True)
+    for j in range(n_files):
+        base = (commit * n_files + j) * rows_per_file
+        ks = list(range(base, base + rows_per_file))
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array([commit] * rows_per_file, pa.int64())}),
+            os.path.join(src_dir, f"part-{j:05d}.parquet"),
+        )
+
+
+def big_rung(n_commits: int, files_per_commit: int) -> None:
+    from agf_data_ingestion_spark.session import get_spark
+    from agf_data_ingestion_spark.sources import snapshots as S
+
+    spark = get_spark("measure-metadata-big", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = "/tmp/agf_meta_big"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = os.path.join(root, "big")
+    template = spark.createDataFrame([], "k long, v long")
+    seg_dir = os.path.join(tbl, "_snapshots", "segs")
+
+    walls, seg_writes = [], []
+    for i in range(n_commits):
+        src = os.path.join(root, "src", str(i))
+        build_commit_files(src, i, files_per_commit)
+        segs_before = len(os.listdir(seg_dir)) if os.path.isdir(seg_dir) else 0
+        t0 = time.time()
+        S.snapshot_commit_files(
+            tbl,
+            src,
+            schema_from=template,
+            mode=("overwrite" if i == 0 else "append"),
+            op=f"bulk:{i}",
+        )
+        walls.append(time.time() - t0)
+        seg_writes.append(len(os.listdir(seg_dir)) - segs_before)
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    n_files_total = len(S.read_manifest(tbl)["files"])
+    w0 = med(walls[: n_commits // 10])
+    w1 = med(walls[n_commits // 2 - n_commits // 20 : n_commits // 2 + n_commits // 20])
+    w2 = med(walls[-n_commits // 10 :])
+    print(f"| measurement | value |")
+    print(f"|---|---|")
+    print(
+        f"| build: {n_commits} commits x {files_per_commit} files "
+        f"= {n_files_total} files | total {sum(walls):.1f} s |"
+    )
+    print(
+        f"| per-commit wall: first/mid/last decile medians "
+        f"| {w0 * 1000:.0f} / {w1 * 1000:.0f} / {w2 * 1000:.0f} ms "
+        f"(last/first = {w2 / w0:.2f}x) |"
+    )
+    print(
+        f"| segment files written per commit (median / max) "
+        f"| {med(seg_writes)} / {max(seg_writes)} |"
+    )
+
+    # cold point-query planning
+    probe = [("k", "==", (n_commits // 2) * files_per_commit * 10 + 5)]
+    S._SEG_CACHE.clear()
+    r0 = S._SEG_READS
+    t0 = time.time()
+    hit = S.plan_files(tbl, where=probe)
+    t_plan = time.time() - t0
+    segs_resolved = S._SEG_READS - r0
+    n_segs = len(S.read_manifest(tbl)["segments"])
+    print(
+        f"| cold point-query planning | {len(hit)} files, "
+        f"{segs_resolved}/{n_segs} segments resolved, {t_plan * 1000:.0f} ms |"
+    )
+
+    # maintenance convergence
+    t0 = time.time()
+    rep = S.snapshot_maintain(
+        spark, tbl, policy={"max_small_files": 64, "small_bytes": 1 << 20}
+    )
+    t_maint = time.time() - t0
+    after = len(S.read_manifest(tbl)["files"])
+    t0 = time.time()
+    rep2 = S.snapshot_maintain(
+        spark, tbl, policy={"max_small_files": 64, "small_bytes": 1 << 20}
+    )
+    t_noop = time.time() - t0
+    print(
+        f"| maintenance: {n_files_total} -> {after} files "
+        f"| {t_maint:.1f} s; second run no-op ({'no commit' if not rep2['compacted'] else 'COMMITTED'}) {t_noop:.1f} s |"
+    )
+
+    # expiry
+    t0 = time.time()
+    S.expire_snapshots(tbl, keep_last=5, orphan_grace_s=0.0)
+    t_exp = time.time() - t0
+    rows = S.snapshot_read(spark, tbl).count()
+    print(
+        f"| expire keep_last=5 over {n_commits + 1} versions "
+        f"| {t_exp:.1f} s; table reads back {rows} rows |"
+    )
+    expected = n_commits * files_per_commit * 10
+    assert rows == expected, (rows, expected)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "big":
+        big_rung(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 500,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20,
+        )
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     from pyspark.sql import functions as F
 

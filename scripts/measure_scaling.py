@@ -123,6 +123,80 @@ def median(xs):
     return xs[len(xs) // 2]
 
 
+#: skew rung (r9 — VERDICT r8 ask #5): same ROW COUNTS as sf0.1, but one
+#: source carries 50% of the corpus and one user carries 50% of events —
+#: the hot-key shapes that break naive per-key windows/groupBys.  Text
+#: and embeddings are byte-identical to sf0.1 so any wall delta is the
+#: skew, not different work.
+SKEW_QUERIES = [
+    # dedup family (keys are content hashes — should be skew-immune)
+    "docs_fingerprint",
+    "docs_minhash_lsh",
+    "docs_dup_clusters",
+    # per-SOURCE windows / aggregates (the 50%-mass source hits these)
+    "docs_domain_reweight",
+    "docs_curriculum_order",
+    "docs_reweighted_shards",
+    # per-USER windows + the salted-counts path (the hot user hits these)
+    "events_latest_per_user",
+    "events_session_window_native",
+    "events_salted_type_counts",
+]
+
+
+def build_skew_replica(out_dir: str) -> None:
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(BASE, "documents.parquet")).to_pandas()
+    hot = docs["doc_id"] % 2 == 0
+    docs.loc[hot, "source"] = "src0"
+    docs.to_parquet(os.path.join(out_dir, "documents.parquet"))
+    evs = pq.read_table(os.path.join(BASE, "events.parquet")).to_pandas()
+    evs.loc[evs["event_id"] % 2 == 0, "user_id"] = 1
+    evs.to_parquet(os.path.join(out_dir, "events.parquet"))
+    shutil.copyfile(
+        os.path.join(BASE, "embeddings.parquet"),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+
+def skew_rung(reps: int) -> None:
+    out_dir = "/tmp/agf_skew_sf01"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    build_skew_replica(out_dir)
+
+    from agf_data_ingestion_spark.plans import QUERIES as CATALOG
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("measure-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| query | uniform sf0.1 | skewed (50% source / 50% user) | ratio |")
+    print("|---|---|---|---|")
+    for name in SKEW_QUERIES:
+        fn = CATALOG[name].fn
+        fn(spark, BASE).count()  # warm plan shapes
+        times = {}
+        for label, sf_dir in (("base", BASE), ("skew", out_dir)):
+            samples = []
+            for _ in range(reps):
+                from agf_data_ingestion_spark.plans import text as _text
+
+                _text._CLUSTER_LABEL_CACHE.clear()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            times[label] = median(samples)
+        ratio = times["skew"] / times["base"]
+        print(
+            f"| {name} | {times['base']:.2f} s | {times['skew']:.2f} s "
+            f"| {ratio:.2f}x |",
+            flush=True,
+        )
+
+
 def eq_rung(factor: int, reps: int) -> None:
     """Eq-delete reader ladder (r8, VERDICT r7 ask #7): a snapshot table
     at 1× and N× carrying many LIVE multi-column equality-delete items;
@@ -199,6 +273,9 @@ def eq_rung(factor: int, reps: int) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        skew_rung(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "eq":
         eq_rung(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
