@@ -257,9 +257,12 @@ def docs_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     srcs = sig.select("source").distinct()
+    # K-row × K-row pair table (K = enumerable sources): broadcast BOTH
+    # sides explicitly so no future AQE/statistics change can ever plan
+    # this cross join wide (VERDICT r8 minor #1)
     pairs = (
-        srcs.select(F.col("source").alias("src_a"))
-        .join(srcs.select(F.col("source").alias("src_b")))
+        F.broadcast(srcs.select(F.col("source").alias("src_a")))
+        .join(F.broadcast(srcs.select(F.col("source").alias("src_b"))))
         .filter(F.col("src_a") < F.col("src_b"))
     )
     tag_a = pairs.join(
