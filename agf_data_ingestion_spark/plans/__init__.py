@@ -30,6 +30,7 @@ from agf_data_ingestion_spark.plans import (
     lm,
     media,
     mixing,
+    packing,
     quality_model,
     similarity,
     sketches,
@@ -77,6 +78,7 @@ for _mod in (
     urls,
     quality_model,
     mixing,
+    packing,
 ):
     for _name, _spec in _mod.QUERIES.items():
         _ALL[_name] = _dc.replace(_spec, fn=_pinned_session(_spec.fn))
@@ -88,6 +90,12 @@ for _mod in (
 # driver re-certifies them.  Everything else was driver-green in r01/r02 and
 # keeps local-replica coverage via scripts/check_oracle.py.
 _PRIORITY = [
+    # round-9 additions — need first driver certification — plus the two
+    # r9 plan changes (codegen decontam scan; broadcast-pinned sketch pair
+    # table) listed at their existing positions below
+    "emb_ann_recall_curve",
+    "docs_source_overlap_auto",
+    "docs_packed_sequences",
     # round-7 additions — need first driver certification
     "docs_quality_train",
     "docs_quality_apply",
