@@ -142,26 +142,12 @@ def pick_cut_tile(spark: SparkSession, sf_dir: str) -> int:
     return int(best["cut_tile"])
 
 
-def stage_quality_cut(
-    spark: SparkSession, sf_dir: str, docs: DataFrame, cut_tile: int
-) -> DataFrame:
-    """Trained-quality threshold: score each surviving document's REAL
-    text with the planted-corpus model (hashed character-bigram weights,
-    plans/quality_model.py) and keep the top ``(N−c)/N`` quantile of
-    every language — the exact policy whose operating curve
-    ``docs_quality_pr_curve`` sweeps, applied at the curve-chosen cut.
+def score_quality(weights: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, _score): int64 hashed-bigram dot product of each doc's
+    REAL text against a (bucket, weight) model frame — the single-
+    exchange apply shape (broadcast model, map-side partial collapse)."""
+    from agf_data_ingestion_spark.plans.quality_model import _D
 
-    Single-exchange shape: bigram rows LEFT-join the broadcast ≤4096-row
-    model, ONE groupBy(doc_id) collapses map-side to a row per doc, and
-    the per-language ntile windows doc-count score rows (never text)."""
-    from agf_data_ingestion_spark.plans.quality_model import (
-        _D,
-        _bigrams,
-        _corpus,
-        _weights,
-    )
-
-    w = _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
     bg = (
         docs.filter(F.length("text") >= 2)
         .select(
@@ -182,14 +168,47 @@ def stage_quality_cut(
         )
     )
     scores = (
-        bg.join(F.broadcast(w), "bucket", "left")
+        bg.join(F.broadcast(weights.select("bucket", "weight")), "bucket", "left")
         .groupBy("doc_id")
         .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("_score"))
     )
+    return docs.select("doc_id").join(scores, "doc_id", "left").na.fill({"_score": 0})
+
+
+def quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained (bucket, weight) model frame (plans/quality_model.py)."""
+    from agf_data_ingestion_spark.plans.quality_model import (
+        _bigrams,
+        _corpus,
+        _weights,
+    )
+
+    return _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
+
+
+def stage_quality_cut(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, cut_tile: int
+) -> tuple[DataFrame, DataFrame]:
+    """Trained-quality threshold: score each surviving document's REAL
+    text with the planted-corpus model (hashed character-bigram weights,
+    plans/quality_model.py) and keep the top ``(N−c)/N`` quantile of
+    every language — the exact policy whose operating curve
+    ``docs_quality_pr_curve`` sweeps, applied at the curve-chosen cut.
+
+    Returns ``(survivors, thresholds)`` where thresholds is the
+    (lang, value) frame of each language's MINIMUM kept score — the
+    frozen per-language boundary the INCREMENTAL path gates later
+    batches against (quantiles are a release-time decision; a batch is
+    scored against the published policy, not re-quantiled).
+
+    Single-exchange shape: bigram rows LEFT-join the broadcast ≤4096-row
+    model, ONE groupBy(doc_id) collapses map-side to a row per doc, and
+    the per-language ntile windows doc-count score rows (never text)."""
+    w = quality_model_weights(spark, sf_dir)
+    scores = score_quality(w, docs)
     tiled = (
         docs.select("doc_id", "lang")
-        .join(scores, "doc_id", "left")
-        .na.fill({"_score": 0})
+        .join(scores, "doc_id")
         .withColumn(
             "_tile",
             F.ntile(_CUT_TILES).over(
@@ -197,9 +216,14 @@ def stage_quality_cut(
             ),
         )
         .filter(F.col("_tile") > cut_tile)
-        .select("doc_id")
     )
-    return docs.join(tiled, "doc_id", "left_semi")
+    thresholds = tiled.groupBy("lang").agg(
+        F.min("_score").cast("long").alias("value")
+    )
+    return (
+        docs.join(tiled.select("doc_id"), "doc_id", "left_semi"),
+        thresholds,
+    )
 
 
 def curate_full(
@@ -256,7 +280,9 @@ def curate_full(
 
     t0 = time.time()
     cut = pick_cut_tile(spark, sf_dir)
-    docs = _checkpointed("quality_cut", stage_quality_cut(spark, sf_dir, docs, cut))
+    cut_docs, thresholds = stage_quality_cut(spark, sf_dir, docs, cut)
+    thresh_rows = {r["lang"]: int(r["value"]) for r in thresholds.collect()}
+    docs = _checkpointed("quality_cut", cut_docs)
     stages[-1]["wall_s"] = round(time.time() - t0, 3)  # include curve pick
 
     t0 = time.time()
@@ -295,11 +321,47 @@ def curate_full(
     postings = _encode(assigned.select("doc_id", "text"), "text", "doc_id")
     stats = _batch_stats(postings)
 
+    # incremental-probe stores (r9): the published corpus's exact-dup
+    # hashes, MinHash band keys, and shingle sets — cluster+bloom'd so a
+    # later batch probes them with PRUNED reads (O(batch + collisions),
+    # never a corpus scan); published in the SAME txn so a batch can
+    # never probe stores from a different release than the shards it
+    # extends (see curate_incremental)
+    from agf_data_ingestion_spark.plans.text import _lsh_bands, _shingles, _sigs_of
+
+    hashes = assigned.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    bands = _lsh_bands(_sigs_of(assigned.select("doc_id", "text")))
+    sets_ = assigned.select("doc_id", _shingles().alias("sset")).withColumn(
+        "sz", F.size("sset")
+    )
+    # frozen release policy: the quality model, the curve-chosen cut, the
+    # per-language score thresholds, and the DoReMi mixture weights —
+    # everything the incremental path needs to gate a batch under the
+    # SAME policy the release was built with
+    policy = spark.createDataFrame(
+        [("cut", "cut_tile", cut)]
+        + [("quality_threshold", lang, v) for lang, v in sorted(thresh_rows.items())]
+        + [("mix_weight", s, w) for s, w in sorted(wrows.items())],
+        "section string, key string, value long",
+    ).unionByName(
+        quality_model_weights(spark, sf_dir).select(
+            F.lit("qmodel").alias("section"),
+            F.col("bucket").cast("string").alias("key"),
+            F.col("weight").cast("long").alias("value"),
+        )
+    )
+
     shards_tbl = os.path.join(out_root, "shards")
     lineage_tbl = os.path.join(out_root, "lineage")
     datacard_tbl = os.path.join(out_root, "datacard")
     postings_tbl = os.path.join(out_root, "index", "postings")
     stats_tbl = os.path.join(out_root, "index", "stats")
+    hashes_tbl = os.path.join(out_root, "stores", "hashes")
+    bands_tbl = os.path.join(out_root, "stores", "bands")
+    sets_tbl = os.path.join(out_root, "stores", "sets")
+    policy_tbl = os.path.join(out_root, "policy")
 
     t0 = time.time()
     versions = snapshot_multi_write(
@@ -309,6 +371,10 @@ def curate_full(
             (datacard, datacard_tbl),
             (postings, postings_tbl),
             (stats, stats_tbl),
+            (hashes, hashes_tbl),
+            (bands, bands_tbl),
+            (sets_, sets_tbl),
+            (policy, policy_tbl),
         ],
         mode="overwrite",
         op=f"curate_full:{seed}:{budget_tokens}",
@@ -316,8 +382,15 @@ def curate_full(
             shards_tbl: ["shard_id", "global_pos"],
             lineage_tbl: ["doc_id"],
             postings_tbl: ["token"],
+            hashes_tbl: ["h"],
+            bands_tbl: ["bsig"],
         },
-        bloom_cols={lineage_tbl: ["doc_id"], postings_tbl: ["token"]},
+        bloom_cols={
+            lineage_tbl: ["doc_id"],
+            postings_tbl: ["token"],
+            hashes_tbl: ["h"],
+            bands_tbl: ["bsig"],
+        },
         cluster_files=(
             {postings_tbl: index_cluster_files} if index_cluster_files else None
         ),
@@ -326,13 +399,22 @@ def curate_full(
         {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
     )
 
-    # txn-aligned read-back: all five tables resolve to the SAME publish
+    # txn-aligned read-back: all nine tables resolve to the SAME publish
     # event, and the shards table round-trips the exact row count — the
     # "did the release land whole" check a consumer would run
     t0 = time.time()
-    aligned = snapshot_read_txn(
-        spark, [shards_tbl, lineage_tbl, datacard_tbl, postings_tbl, stats_tbl]
-    )
+    all_tbls = [
+        shards_tbl,
+        lineage_tbl,
+        datacard_tbl,
+        postings_tbl,
+        stats_tbl,
+        hashes_tbl,
+        bands_tbl,
+        sets_tbl,
+        policy_tbl,
+    ]
+    aligned = snapshot_read_txn(spark, all_tbls)
     n_read = aligned[shards_tbl].count()
     if n_read != n_final:
         raise AssertionError(
@@ -349,6 +431,7 @@ def curate_full(
         "stages": stages,
         "cut_tile": cut,
         "weights": wrows,
+        "quality_thresholds": thresh_rows,
         "n_shards": (int(tok_row["m"]) + 1) if tok_row["m"] is not None else 0,
         "total_tokens": int(tok_row["t"]) if tok_row["t"] is not None else 0,
         "budget_tokens": budget_tokens,
@@ -363,6 +446,322 @@ def curate_full(
             "datacard": datacard_tbl,
             "postings": postings_tbl,
             "stats": stats_tbl,
+            "hashes": hashes_tbl,
+            "bands": bands_tbl,
+            "sets": sets_tbl,
+            "policy": policy_tbl,
         },
+        "wall_s": round(time.time() - t_run, 3),
+    }
+
+
+def _stats_max(table: str, version: int, col: str):
+    """MAX of a column from per-file manifest stats — O(metadata), no
+    scan; None when any file lacks stats for the column (conservative)."""
+    from agf_data_ingestion_spark.sources.snapshots import read_manifest
+
+    m = read_manifest(table, version)
+    vals = []
+    for f in m["files"]:
+        st = (f.get("stats") or {}).get(col)
+        if not st:
+            return None
+        vals.append(st[1])
+    return max(vals) if vals else None
+
+
+def curate_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_root: str,
+    *,
+    batch_label: str = "b0",
+    seed: str = "0",
+    budget_tokens: int = 2000,
+    txn_id: str | None = None,
+) -> dict:
+    """O(batch) curation APPEND (r9): gate a NEW document batch under the
+    published release's FROZEN policy, dedup it against the release via
+    pruned probe-store reads, and extend the release — new shards,
+    lineage, index postings/stats, probe stores, and a datacard funnel
+    delta — as ONE nine-table transaction.
+
+    The frozen-policy rule: quantiles and mixture weights are a
+    RELEASE-time decision — a batch is scored against the published
+    per-language score thresholds and interleaved with the published
+    DoReMi weights, never re-quantiled (re-quantiling would silently
+    shift the gate as batches arrive).  Languages absent from the
+    release policy fall back to the most permissive published threshold.
+
+    Scale shape — nothing corpus-sized moves:
+
+    * exact dedup probes the ``hashes`` store with a batch-bounded IN
+      list (hash-clustered + bloom'd files → pruned reads);
+    * near-dup probes the ``bands`` store by the batch's band
+      signatures the same way, then exact-verifies only the collision
+      candidates against ``sets`` rows pruned by candidate doc id
+      (the docs_incremental_neardup shape over the published release);
+    * shard continuation ids come from MANIFEST STATS (O(metadata));
+    * the batch interleave/pack is batch-sized; every store append is
+      O(batch).
+
+    Published documents are never re-gated, re-deduped, or rewritten —
+    the increment only ADDS; erasure stays the takedown path.  All nine
+    tables advance under one txn marker (the policy table gets an empty
+    schema-carrying append), so ``snapshot_read_txn`` keeps resolving a
+    single coherent release, and the PRIOR txn remains addressable for
+    time travel.
+    """
+    import os
+
+    from agf_data_ingestion_spark.operators.shards import (
+        assign_shards,
+        weighted_interleave,
+    )
+    from agf_data_ingestion_spark.operators.text_index import (
+        _batch_stats,
+        _encode,
+    )
+    from agf_data_ingestion_spark.plans.text import (
+        _lsh_bands,
+        _shingles,
+        _sigs_of,
+        best_jaccard_matches,
+        quality_gate_frame,
+    )
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_multi_write,
+        snapshot_read,
+        snapshot_read_txn,
+        snapshot_txn_id,
+        snapshot_txn_versions,
+    )
+
+    t_run = time.time()
+    tbls = {
+        "shards": os.path.join(out_root, "shards"),
+        "lineage": os.path.join(out_root, "lineage"),
+        "datacard": os.path.join(out_root, "datacard"),
+        "postings": os.path.join(out_root, "index", "postings"),
+        "stats": os.path.join(out_root, "index", "stats"),
+        "hashes": os.path.join(out_root, "stores", "hashes"),
+        "bands": os.path.join(out_root, "stores", "bands"),
+        "sets": os.path.join(out_root, "stores", "sets"),
+        "policy": os.path.join(out_root, "policy"),
+    }
+    versions, base_txn = snapshot_txn_versions(list(tbls.values()), txn_id)
+    stages: list[dict] = []
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        t0 = time.time()
+        out = df.select(*_DOC_COLS).localCheckpoint(eager=True)
+        stages.append(
+            {"name": name, "rows_out": out.count(), "wall_s": round(time.time() - t0, 3)}
+        )
+        return out
+
+    # ---- frozen policy ----
+    pol = snapshot_read(
+        spark, tbls["policy"], version=versions[tbls["policy"]]
+    ).collect()
+    thresholds = {
+        r["key"]: int(r["value"]) for r in pol if r["section"] == "quality_threshold"
+    }
+    weights = {
+        r["key"]: int(r["value"]) for r in pol if r["section"] == "mix_weight"
+    }
+    qmodel = spark.createDataFrame(
+        sorted(
+            (int(r["key"]), int(r["value"]))
+            for r in pol
+            if r["section"] == "qmodel"
+        ),
+        "bucket long, weight long",
+    )
+    if not thresholds or not weights:
+        raise ValueError("curate_incremental: release policy table is incomplete")
+
+    docs = _stage("batch_input", batch)
+
+    # ---- rule gate (same rules as the release) ----
+    keep = quality_gate_frame(docs).filter(F.col("keep")).select("doc_id")
+    docs = _stage("rule_gate", docs.join(keep, "doc_id", "left_semi"))
+
+    # ---- exact dedup: batch-internal + vs the published hash store ----
+    docs = docs.withColumn("_h", F.md5(F.lower(F.col("text"))))
+    w_exact = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch_hashes = [r["_h"] for r in docs.select("_h").distinct().collect()]
+    published_h = snapshot_read(
+        spark,
+        tbls["hashes"],
+        version=versions[tbls["hashes"]],
+        where=[("h", "in", batch_hashes)] if batch_hashes else None,
+    ).select(F.col("h").alias("_h"))
+    docs = _stage(
+        "exact_dedup", docs.join(F.broadcast(published_h), "_h", "left_anti")
+    )
+
+    # ---- near-dup: batch self-pairs + pruned band-store probe ----
+    bands = _lsh_bands(_sigs_of(docs.select("doc_id", "text"))).localCheckpoint(
+        eager=True
+    )
+    nb, wb = bands.alias("n"), bands.alias("c")
+    cands = nb.join(
+        wb,
+        (F.col("n.band") == F.col("c.band"))
+        & (F.col("n.bsig") == F.col("c.bsig"))
+        & (F.col("n.doc_id") > F.col("c.doc_id")),
+    ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+    batch_bsigs = [r["bsig"] for r in bands.select("bsig").distinct().collect()]
+    store_bands = snapshot_read(
+        spark,
+        tbls["bands"],
+        version=versions[tbls["bands"]],
+        where=[("bsig", "in", batch_bsigs)] if batch_bsigs else None,
+    ).alias("c")
+    cands = cands.unionByName(
+        nb.hint("shuffle_hash")
+        .join(
+            store_bands,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bsig") == F.col("c.bsig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of")
+        )
+    ).distinct()
+    batch_sets = docs.select("doc_id", _shingles().alias("sset")).localCheckpoint(
+        eager=True
+    )
+    cand_dups = [r["dup_of"] for r in cands.select("dup_of").distinct().collect()]
+    store_sets = snapshot_read(
+        spark,
+        tbls["sets"],
+        version=versions[tbls["sets"]],
+        where=[("doc_id", "in", cand_dups)] if cand_dups else None,
+    ).select("doc_id", "sset")
+    flagged = best_jaccard_matches(
+        cands, batch_sets, batch_sets.unionByName(store_sets)
+    ).select(F.col("new_id").alias("doc_id"))
+    docs = _stage("neardup", docs.join(flagged, "doc_id", "left_anti"))
+
+    # ---- quality cut at the FROZEN per-language thresholds ----
+    fallback = min(thresholds.values())
+    th = spark.createDataFrame(
+        sorted(thresholds.items()), "lang string, thr long"
+    )
+    scored = score_quality(qmodel, docs)
+    passing = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .join(F.broadcast(th), "lang", "left")
+        .filter(F.col("_score") >= F.coalesce(F.col("thr"), F.lit(fallback)))
+        .select("doc_id")
+    )
+    docs = _stage("quality_cut", docs.join(passing, "doc_id", "left_semi"))
+
+    # ---- shard continuation from manifest stats (O(metadata)) ----
+    base_shard = _stats_max(tbls["shards"], versions[tbls["shards"]], "shard_id")
+    base_pos = _stats_max(tbls["shards"], versions[tbls["shards"]], "global_pos")
+    if base_shard is None or base_pos is None:  # stats-less fallback: scan
+        row = (
+            snapshot_read(spark, tbls["shards"], version=versions[tbls["shards"]])
+            .agg(F.max("shard_id").alias("s"), F.max("global_pos").alias("p"))
+            .collect()[0]
+        )
+        base_shard, base_pos = int(row["s"]), int(row["p"])
+    base_shard, base_pos = int(base_shard) + 1, int(base_pos)
+
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "source string, weight_ppm long"
+    )
+    assigned = (
+        assign_shards(
+            # horizon=False: an append extends a release — the one-epoch
+            # exhaustion cut would starve a small batch (see shards.py)
+            weighted_interleave(docs, wdf, seed=seed, horizon=False),
+            budget_tokens=budget_tokens,
+            seed=seed,
+            order_key="_wfq",
+        )
+        .drop("_wfq", "_t", "weight_ppm")
+        .withColumn("shard_id", F.col("shard_id") + F.lit(base_shard))
+        .withColumn("global_pos", F.col("global_pos") + F.lit(base_pos))
+        .localCheckpoint(eager=True)
+    )
+    n_final = assigned.count()
+    stages.append({"name": "wfq_shards", "rows_out": n_final, "wall_s": 0.0})
+
+    # ---- one nine-table append txn ----
+    postings = _encode(assigned.select("doc_id", "text"), "text", "doc_id")
+    funnel = spark.createDataFrame(
+        [("funnel_inc:" + batch_label, s["name"], s["rows_out"]) for s in stages],
+        "section string, key string, value long",
+    )
+    empty_policy = spark.createDataFrame(
+        [], "section string, key string, value long"
+    )
+    t0 = time.time()
+    new_versions = snapshot_multi_write(
+        [
+            (assigned, tbls["shards"]),
+            (assigned.select("doc_id", "shard_id", "n_tokens"), tbls["lineage"]),
+            (funnel, tbls["datacard"]),
+            (postings, tbls["postings"]),
+            (_batch_stats(postings), tbls["stats"]),
+            (
+                assigned.select("doc_id", F.md5(F.lower(F.col("text"))).alias("h")),
+                tbls["hashes"],
+            ),
+            (_lsh_bands(_sigs_of(assigned.select("doc_id", "text"))), tbls["bands"]),
+            (
+                assigned.select("doc_id", _shingles().alias("sset")).withColumn(
+                    "sz", F.size("sset")
+                ),
+                tbls["sets"],
+            ),
+            (empty_policy, tbls["policy"]),
+        ],
+        mode="append",
+        op=f"curate_inc:{batch_label}:{seed}:{budget_tokens}",
+        cluster_by={
+            tbls["shards"]: ["shard_id", "global_pos"],
+            tbls["lineage"]: ["doc_id"],
+            tbls["postings"]: ["token"],
+            tbls["hashes"]: ["h"],
+            tbls["bands"]: ["bsig"],
+        },
+        bloom_cols={
+            tbls["lineage"]: ["doc_id"],
+            tbls["postings"]: ["token"],
+            tbls["hashes"]: ["h"],
+            tbls["bands"]: ["bsig"],
+        },
+    )
+    stages.append(
+        {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
+    )
+
+    aligned = snapshot_read_txn(spark, list(tbls.values()))
+    inc_txn = snapshot_txn_id(tbls["shards"], new_versions[tbls["shards"]])
+    tok_row = assigned.agg(
+        F.max("shard_id").alias("m"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    return {
+        "stages": stages,
+        "base_txn": base_txn,
+        "txn": {"id": inc_txn, "versions": new_versions},
+        "tables": dict(tbls),
+        "first_new_shard": base_shard,
+        "n_new_shards": (
+            int(tok_row["m"]) - base_shard + 1 if tok_row["m"] is not None else 0
+        ),
+        "new_tokens": int(tok_row["t"]) if tok_row["t"] is not None else 0,
+        "total_rows": aligned[tbls["shards"]].count(),
         "wall_s": round(time.time() - t_run, 3),
     }

@@ -53,6 +53,7 @@ def weighted_interleave(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    horizon: bool = True,
 ) -> DataFrame:
     """Deterministic WEIGHTED interleave of a multi-source corpus (r8,
     VERDICT r7 ask #5 — the consumer of ``docs_domain_reweight``'s
@@ -93,20 +94,26 @@ def weighted_interleave(
     d = d.withColumn("_cum", F.sum("n_tokens").over(sw)).withColumn(
         "_t", F.expr(f"(_cum * {_WFQ_SCALE}) DIV weight_ppm")
     )
-    hor = (
-        d.groupBy(source_col)
-        .agg(F.max("_t").alias("_tm"))
-        .agg(F.min("_tm").alias("_hor"))
-    )
-    return (
-        d.crossJoin(F.broadcast(hor))
-        .filter(F.col("_t") <= F.col("_hor"))
-        .withColumn(
-            "_wfq",
-            F.concat(F.lpad(F.col("_t").cast("string"), 20, "0"), F.col("_h")),
+    if horizon:
+        hor = (
+            d.groupBy(source_col)
+            .agg(F.max("_t").alias("_tm"))
+            .agg(F.min("_tm").alias("_hor"))
         )
-        .drop("_cum", "_hor", "_h")
-    )
+        d = d.crossJoin(F.broadcast(hor)).filter(
+            F.col("_t") <= F.col("_hor")
+        )
+    # ``horizon=False`` (r9, the incremental-curation append): KEEP every
+    # doc, ordered by virtual time — the horizon is an EPOCH-construction
+    # rule (past the first exhaustion the mixture is unsatisfiable within
+    # one pass), but an append batch extends an existing release, where
+    # per-batch shares only approximate the weights to batch granularity
+    # anyway; dropping most of a small batch because one source ran short
+    # would starve the corpus instead of balancing it.
+    return d.withColumn(
+        "_wfq",
+        F.concat(F.lpad(F.col("_t").cast("string"), 20, "0"), F.col("_h")),
+    ).drop("_cum", "_hor", "_h")
 
 
 def assign_shards(

@@ -1254,7 +1254,13 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one map-only projection — no shuffle, no UDF, prunes to the three
     columns it reads at the scan.
     """
-    d = t(spark, sf_dir, "documents")
+    return quality_gate_frame(t(spark, sf_dir, "documents"))
+
+
+def quality_gate_frame(d: DataFrame) -> DataFrame:
+    """The gate over ANY (doc_id, text) frame — shared by the catalog
+    query and the incremental curation path (operators/curation.py),
+    which gates NEW batches with the same rules."""
     w = _words()
     n_words = F.size(w)
     n_uniq = F.size(F.array_distinct(w))

@@ -280,6 +280,24 @@ def cmd_curate(args) -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if getattr(args, "append_batch", None):
+        # O(batch) incremental append to a published release: frozen
+        # policy gates + pruned probe-store dedup + shard continuation,
+        # one nine-table txn (operators/curation.py curate_incremental)
+        from agf_data_ingestion_spark.operators.curation import curate_incremental
+
+        spark = _spark()
+        report = curate_incremental(
+            spark,
+            spark.read.parquet(args.append_batch),
+            args.out,
+            batch_label=args.batch_label,
+            seed=args.shard_seed,
+            budget_tokens=args.shard_tokens,
+        )
+        print(json.dumps(report))
+        return 0
+
     if getattr(args, "full", False):
         # the end-to-end pipeline (operators/curation.py): every stage,
         # one atomic five-table publish, funnel + per-stage walls in the
@@ -957,8 +975,13 @@ def main() -> int:
     c.add_argument("--full", action="store_true",
                    help="run the WHOLE pipeline (gate > dedup > decontam > "
                         "quality cut > DoReMi > WFQ shards) and publish "
-                        "shards+lineage+datacard+index under --out as ONE "
-                        "multi-table snapshot txn")
+                        "shards+lineage+datacard+index+stores+policy under "
+                        "--out as ONE multi-table snapshot txn")
+    c.add_argument("--append-batch", metavar="PARQUET",
+                   help="incremental curation: gate this NEW document batch "
+                        "under the release at --out (frozen policy, pruned "
+                        "probe-store dedup) and append it as one txn")
+    c.add_argument("--batch-label", default="b0")
     c.add_argument("--decontaminate", action="store_true",
                    help="drop docs sharing shingles with the benchmark slice")
     c.add_argument("--split", action="store_true",

@@ -75,6 +75,10 @@ TEST_COVERED = {
         "operators/curation.py `curate_full` (end-to-end curation: rule gate → exact dedup → near-dup collapse → decontam → PR-curve-chosen trained-quality cut → DoReMi weights → WFQ interleave → token-budgeted shards; ONE snapshot_multi_write publishing shards+lineage+datacard(funnel)+index postings/stats; txn-aligned read-back verify; per-stage wall/rows; scripts/agf_pipeline.py curate --full; bench pipeline_curate_full)",
         "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; five-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
     ),
+    "OP-X-CURATEINC": (
+        "operators/curation.py `curate_incremental` (O(batch) release append: frozen-policy gates from the published policy table, pruned probe-store dedup — hash IN-list / band-signature / sets-by-candidate-id reads through cluster+bloom skipping — manifest-stats shard continuation, horizon-free WFQ ordering, nine-table append txn; scripts/agf_pipeline.py curate --append-batch)",
+        "tests/test_curation_incremental.py (planted exact-dup/near-dup/internal-dup/gate-fail/good cases each pinned to their drop reason; shard + global_pos continuation; index and all three probe stores cover exactly the union corpus; new txn atomic across nine tables with the base txn still time-travelable and published rows byte-stable)",
+    ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
         "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness, txn-aligned snapshot_read_txn pins one publish against later single-table commits)",

@@ -67,7 +67,11 @@ def test_stage_by_stage_bit_identical(spark, release, tmp_path):
     docs = roundtrip(stage_decontam(spark, SF_SMOKE, docs), "s4")
     cut = pick_cut_tile(spark, SF_SMOKE)
     assert cut == release["cut_tile"]
-    docs = roundtrip(stage_quality_cut(spark, SF_SMOKE, docs, cut), "s5")
+    cut_docs, thresholds = stage_quality_cut(spark, SF_SMOKE, docs, cut)
+    assert {
+        r["lang"]: r["value"] for r in thresholds.collect()
+    } == release["quality_thresholds"]
+    docs = roundtrip(cut_docs, "s5")
 
     weights = spark.createDataFrame(
         sorted(
@@ -99,10 +103,7 @@ def test_txn_alignment_survives_later_commits(spark, release):
         snapshot_write,
     )
 
-    tables = [
-        release["tables"][k]
-        for k in ("shards", "lineage", "datacard", "postings", "stats")
-    ]
+    tables = sorted(release["tables"].values())  # all nine release tables
     versions, txn_id = snapshot_txn_versions(tables)
     assert txn_id == release["txn"]["id"]
     assert versions == release["txn"]["versions"]
