@@ -96,6 +96,8 @@ _PRIORITY = [
     "emb_ann_recall_curve",
     "docs_source_overlap_auto",
     "docs_packed_sequences",
+    "docs_preference_pairs",
+    "docs_mixture_anneal",
     # round-7 additions — need first driver certification
     "docs_quality_train",
     "docs_quality_apply",

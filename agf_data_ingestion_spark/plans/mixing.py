@@ -540,6 +540,83 @@ FROM sketchf s, guardq q WHERE q.g > {_OVR_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture annealing schedule (OP-X-ANNEAL, r9)
+# ---------------------------------------------------------------------------
+
+#: training phases the mixture anneals across (phase 0 = uniform,
+#: phase P-1 = the full DoReMi weights — the Llama-3-style practice of
+#: ending pretraining on the upweighted-quality mixture)
+_ANN_PHASES = 4
+
+
+def docs_mixture_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-wise annealed mixture schedule: per (phase, source), the
+    interpolated weight and that phase's per-source token target —
+    start training on the UNIFORM mixture, end on the DoReMi-optimized
+    one, moving linearly in between (data annealing: final-phase
+    quality-upweighting, cf. Llama 3 / MiniCPM reports).
+
+    Exact integers throughout: ``w_p = ((P-1-p)·1e6 + p·w_drm) DIV
+    (P-1)`` interpolates in ppm; each phase's token budget is
+    ``total_tokens DIV P`` and a source's target is ``budget · w_p DIV
+    Σw_p`` (truncating division, engine-identical) — so the whole
+    schedule hash-matches the oracle, which unrolls the SAME DRM rounds
+    as CTEs and applies the same interpolation arithmetic.
+
+    Scale shape: the corpus is touched once (the DRM groupBy(source) +
+    one token-count aggregate); the schedule itself is a K×P-row
+    cross join of constants."""
+    wts = docs_domain_reweight(spark, sf_dir).select("source", "weight_ppm")
+    d = t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    totals = d.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    phases = spark.range(_ANN_PHASES).select(F.col("id").cast("long").alias("phase"))
+    interp = (
+        wts.crossJoin(F.broadcast(phases))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                f"(({_ANN_PHASES - 1} - phase) * {_PPM}"
+                f" + phase * weight_ppm) DIV {_ANN_PHASES - 1}"
+            ),
+        )
+    )
+    wsum = Window.partitionBy("phase")
+    return interp.select(
+        "phase",
+        "source",
+        "weight_ppm",
+        F.expr(
+            f"((total_tokens DIV {_ANN_PHASES}) * weight_ppm)"
+            f" DIV (sum(weight_ppm) OVER (PARTITION BY phase))"
+        ).alias("target_tokens"),
+    )
+
+
+_ANNEAL_SQL = f"""
+WITH {{_DRM_CTES}},
+wts AS (SELECT source, CAST(w AS BIGINT) AS weight_ppm FROM r{{_DRM_ROUNDS}}),
+tot AS (
+  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents
+),
+interp AS (
+  SELECT p.p AS phase, w.source,
+         (({_ANN_PHASES - 1} - p.p) * {_PPM} + p.p * w.weight_ppm)
+           // {_ANN_PHASES - 1} AS weight_ppm
+  FROM wts w, (SELECT unnest(range(0, {_ANN_PHASES})) AS p) p
+)
+SELECT i.phase, i.source, i.weight_ppm,
+       ((t.total_tokens // {_ANN_PHASES}) * i.weight_ppm)
+         // CAST(SUM(i.weight_ppm) OVER (PARTITION BY i.phase) AS BIGINT)
+         AS target_tokens
+FROM interp i, tot t
+"""
+
+
 def _drm_round_sql(i: int) -> str:
     prev = f"r{i - 1}"
     return f"""
@@ -767,6 +844,11 @@ QUERIES: dict[str, QuerySpec] = {
         docs_source_overlap_auto,
         _OVL_AUTO_SQL,
         ("OP-X-AUTOROUTE", "OP-X-OVERLAP", "OP-X-OVLSKETCH"),
+    ),
+    "docs_mixture_anneal": QuerySpec(
+        docs_mixture_anneal,
+        _ANNEAL_SQL.format(_DRM_CTES=_DRM_CTES, _DRM_ROUNDS=_DRM_ROUNDS),
+        ("OP-X-ANNEAL", "OP-X-DOREMI", "OP-X-MIX"),
     ),
     "docs_reweighted_shards": QuerySpec(
         docs_reweighted_shards,

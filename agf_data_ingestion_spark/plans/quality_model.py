@@ -394,3 +394,136 @@ QUERIES: dict[str, QuerySpec] = {
         ("OP-X-PRCURVE", "OP-X-QUALTRAIN", "OP-X-CALIBRATE"),
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (OP-X-DPOPAIRS, r9): DPO/RLHF data prep
+# ---------------------------------------------------------------------------
+
+#: real-text scoring shares the model's feature space
+_DP_D = _D
+
+
+def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference pairs for DPO-style training (Rafailov et al. 2023):
+    within each source, rank the REAL documents by their trained quality
+    score and pair the k-th best with the k-th worst — the standard
+    "chosen vs rejected from the same distribution" construction, with
+    the score MARGIN as the pair's strength label.
+
+    Every quantity is an exact integer: scores are the int64
+    hashed-bigram dot products of ``docs_quality_apply``'s model applied
+    to the real corpus text (the curation pipeline's scoring path,
+    operators/curation.py `score_quality`), ranks use the unique
+    (score desc, doc_id) tiebreak, pairs keep only a strictly positive
+    margin (equal-score pairs carry no preference signal), and pairing
+    stops at ``n DIV 2`` so no document appears on both sides.
+
+    Scale shape: ONE corpus bigram scan collapsing map-side to a row per
+    doc (broadcast ≤4096-row model), then per-source windows over
+    1-row-per-doc score frames — the corpus text is never windowed.
+    """
+    w = _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bg = (
+        d.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("text").substr(F.col("i"), F.lit(2))), 1, 6),
+                    16,
+                    10,
+                ).cast("long")
+                % _DP_D
+            ).alias("bucket"),
+        )
+    )
+    scores = (
+        bg.join(F.broadcast(w), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"))
+    )
+    sd = d.select("doc_id", "source").join(scores, "doc_id", "left").na.fill(
+        {"score": 0}
+    )
+    wd = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    wa = Window.partitionBy("source").orderBy(F.asc("score"), F.desc("doc_id"))
+    ranked = sd.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(wd).alias("rb"),
+        F.row_number().over(wa).alias("rw"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    best = ranked.select(
+        "source",
+        F.col("rb").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+        "n",
+    ).filter(F.col("pair_rank") <= F.expr("n DIV 2"))
+    worst = ranked.select(
+        "source",
+        F.col("rw").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["source", "pair_rank"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "source",
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )
+
+
+_DPO_SQL = f"""
+WITH {_CORPUS_CTES},
+rbg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(substr(text, i, 2)), 1, 6))::BIGINT % {_D} AS bucket
+  FROM (SELECT doc_id, text, UNNEST(range(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 2)
+),
+rscore AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(s.score, 0) AS BIGINT) AS score
+  FROM documents d
+  LEFT JOIN (
+    SELECT b.doc_id, CAST(coalesce(SUM(w.weight), 0) AS BIGINT) AS score
+    FROM rbg b LEFT JOIN w ON b.bucket = w.bucket
+    GROUP BY b.doc_id
+  ) s ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rb,
+         row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC) AS rw,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM rscore
+)
+SELECT b.source, CAST(b.rb AS BIGINT) AS pair_rank,
+       b.doc_id AS chosen_id, ww.doc_id AS rejected_id,
+       b.score - ww.score AS margin
+FROM ranked b
+JOIN ranked ww ON b.source = ww.source AND b.rb = ww.rw
+WHERE b.rb <= b.n // 2 AND b.score > ww.score
+"""
+
+
+QUERIES["docs_preference_pairs"] = QuerySpec(
+    docs_preference_pairs,
+    _DPO_SQL,
+    ("OP-X-DPOPAIRS", "OP-X-QUALTRAIN", "OP-X-SAMPLE"),
+)
