@@ -114,3 +114,44 @@ def test_metadata_ladder_120_commits(spark, tmp_path):
     with pytest.raises(Exception):
         S.read_manifest(tbl, 1)
     assert S.read_manifest(tbl, cur)["files"]
+
+
+def test_pure_append_reads_no_segments(spark, tmp_path):
+    """The O(delta) append fast path (r9): committing a pure append to a
+    many-segment table must not RESOLVE parent segments at all — reuse is
+    by name with counts/meta from seg_meta.  Pinned via the _SEG_READS
+    counter: the whole commit (staging + publish) performs at most the
+    coalescing pair's reads (0 when no coalesce fires)."""
+    tbl = os.path.join(str(tmp_path), "t")
+    template = spark.createDataFrame([], "k long, v long")
+    for i in range(30):
+        src = os.path.join(str(tmp_path), "src", str(i))
+        build_commit_files(src, i, 2)
+        S.snapshot_commit_files(
+            tbl,
+            src,
+            schema_from=template,
+            mode=("overwrite" if i == 0 else "append"),
+            op=f"bulk:{i}",
+        )
+    n_segs = len(S.read_manifest(tbl)["segments"])
+    assert n_segs > 5  # genuinely many-segment
+
+    src = os.path.join(str(tmp_path), "src", "delta")
+    build_commit_files(src, 99, 2)
+    r0 = S._SEG_READS
+    S.snapshot_commit_files(tbl, src, schema_from=template, mode="append")
+    reads = S._SEG_READS - r0
+    assert reads <= 2, f"append resolved {reads} segments (expected <= 2)"
+
+    # the Spark write path is equally O(delta)
+    df = spark.createDataFrame([(10**9, 1)], "k long, v long")
+    r0 = S._SEG_READS
+    S.snapshot_write(df, tbl, mode="append")
+    reads = S._SEG_READS - r0
+    assert reads <= 2, f"snapshot_write append resolved {reads} segments"
+
+    # and the table still reads back whole
+    assert (
+        S.snapshot_read(spark, tbl).count() == 30 * 2 * 10 + 2 * 10 + 1
+    )
