@@ -179,3 +179,71 @@ def test_overlap_auto_equals_routed_branch(spark):
         for r in docs_source_overlap(spark, SF_SMOKE).collect()
     }
     assert {(r["src_a"], r["src_b"]): r["jaccard_ppm"] for r in auto} == exact
+
+
+def test_mixture_anneal_schedule(spark):
+    """Phase 0 is the uniform mixture, the final phase is exactly the
+    DoReMi weights, interpolation is monotone toward each source's final
+    weight, and per-phase targets never exceed the phase budget."""
+    from agf_data_ingestion_spark.plans.mixing import (
+        _ANN_PHASES,
+        docs_domain_reweight,
+        docs_mixture_anneal,
+    )
+
+    rows = docs_mixture_anneal(spark, SF_SMOKE).collect()
+    drm = {
+        r["source"]: r["weight_ppm"]
+        for r in docs_domain_reweight(spark, SF_SMOKE).collect()
+    }
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], {})[r["source"]] = r
+    assert set(by_phase) == set(range(_ANN_PHASES))
+    for s, r in by_phase[0].items():
+        assert r["weight_ppm"] == 1_000_000  # uniform start
+    for s, r in by_phase[_ANN_PHASES - 1].items():
+        assert r["weight_ppm"] == drm[s]  # DoReMi end
+    for s in drm:
+        ws = [by_phase[p][s]["weight_ppm"] for p in range(_ANN_PHASES)]
+        diffs = [b - a for a, b in zip(ws, ws[1:])]
+        assert all(d >= 0 for d in diffs) or all(d <= 0 for d in diffs)
+    for p, srcs in by_phase.items():
+        budget = None
+        tot = sum(r["target_tokens"] for r in srcs.values())
+        # truncating division: targets sum to at most the phase budget
+        from agf_data_ingestion_spark.plans.base import t as _t
+        from pyspark.sql import functions as FF
+
+        budget = (
+            _t(spark, SF_SMOKE, "documents")
+            .agg(FF.sum(FF.size(FF.split("text", " "))))
+            .collect()[0][0]
+            // _ANN_PHASES
+        )
+        assert 0 < tot <= budget
+
+
+def test_preference_pairs_invariants(spark):
+    """No document appears on both sides, margins are strictly positive,
+    pair ranks are dense from 1 within each source, and chosen docs
+    outscore rejected ones by exactly the margin."""
+    from agf_data_ingestion_spark.plans.quality_model import (
+        docs_preference_pairs,
+    )
+
+    rows = docs_preference_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    chosen = {r["chosen_id"] for r in rows}
+    rejected = {r["rejected_id"] for r in rows}
+    assert not (chosen & rejected)
+    assert all(r["margin"] > 0 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["pair_rank"])
+    for src, ranks in by_src.items():
+        ranks.sort()
+        # dense prefix 1..k (later ranks may drop via the margin filter,
+        # but only from the zero-margin middle outward)
+        assert ranks[0] == 1
+        assert ranks == list(range(1, len(ranks) + 1))
