@@ -188,6 +188,30 @@ def main() -> None:
             k: pipe_rep[k]
             for k in ("stages", "cut_tile", "n_shards", "total_tokens")
         }
+        # the O(batch) incremental append (r9): a 500-doc re-labeled batch
+        # probed and gated against the release just published above —
+        # measures the frozen-policy gates + pruned store probes + the
+        # nine-table append txn end-to-end
+        from pyspark.sql import functions as F
+
+        from agf_data_ingestion_spark.operators.curation import (
+            curate_incremental,
+        )
+
+        inc_batch = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 500)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        )
+        inc_rep = curate_incremental(
+            spark, inc_batch, pipe_dir, batch_label="bench"
+        )
+        timings["pipeline_curate_incremental"] = inc_rep["wall_s"]
+        samples["pipeline_curate_incremental"] = [inc_rep["wall_s"]]
+        pipeline_detail["incremental"] = {
+            "stages": inc_rep["stages"],
+            "n_new_shards": inc_rep["n_new_shards"],
+        }
     finally:
         shutil.rmtree(pipe_dir, ignore_errors=True)
 
@@ -287,6 +311,7 @@ def main() -> None:
         "ingest_backfill_180",
         "reconcile_60k_keys",
         "pipeline_curate_full",
+        "pipeline_curate_incremental",
     ]
     headline = {k: timings[k] for k in headline_keys if k in timings}
     print(
