@@ -79,6 +79,10 @@ TEST_COVERED = {
         "operators/curation.py `curate_incremental` (O(batch) release append: frozen-policy gates from the published policy table, pruned probe-store dedup — hash IN-list / band-signature / sets-by-candidate-id reads through cluster+bloom skipping — manifest-stats shard continuation, horizon-free WFQ ordering, nine-table append txn; scripts/agf_pipeline.py curate --append-batch)",
         "tests/test_curation_incremental.py (planted exact-dup/near-dup/internal-dup/gate-fail/good cases each pinned to their drop reason; shard + global_pos continuation; index and all three probe stores cover exactly the union corpus; new txn atomic across nine tables with the base txn still time-travelable and published rows byte-stable)",
     ),
+    "OP-X-CURATESTREAM": (
+        "streaming/curate_stream.py (continuous curation: document stream -> curate_incremental, one nine-table txn per micro-batch; exactly-once via op-label bookmark + durable HWM under the shards table; zero-survivor batches commit the label trail, empty batches only advance the HWM)",
+        "tests/test_curate_stream.py (real availableNow stream across a restart ≡ same-chop manual curate_incremental on a byte-identical twin release; replayed batch ids are exact no-ops; torn-HWM repair from the op-label scan; fresh batch still applies)",
+    ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
         "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness, txn-aligned snapshot_read_txn pins one publish against later single-table commits)",
