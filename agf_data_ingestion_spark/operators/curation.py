@@ -765,3 +765,105 @@ def curate_incremental(
         "total_rows": aligned[tbls["shards"]].count(),
         "wall_s": round(time.time() - t_run, 3),
     }
+
+
+def verify_release(
+    spark: SparkSession, out_root: str, *, txn_id: str | None = None
+) -> dict:
+    """Release AUDIT (r9): check the cross-table invariants a training
+    deployment gates on before consuming a release — the publish-side
+    twin of ``snapshot_write_audited``'s row rules, lifted to the
+    NINE-table release contract:
+
+    * all nine tables resolve to ONE txn (atomicity actually held);
+    * lineage is an exact disjoint cover of the shards table;
+    * ``global_pos`` is dense 1..N (no holes unless takedown ran —
+      reported, not failed, since takedown legitimately leaves holes);
+    * the index stats fold equals the shards token/doc totals;
+    * every probe store (hashes / bands / sets) covers exactly the
+      published doc set;
+    * the policy table carries a complete frozen policy.
+
+    Returns ``{"ok": bool, "txn_id": ..., "checks": {name: bool},
+    "counts": {...}}`` — cheap enough to run after every publish
+    (metadata + a few doc-count-sized aggregates; the corpus text is
+    never re-read)."""
+    import os
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read_txn
+
+    tbls = {
+        k: os.path.join(out_root, *p)
+        for k, p in {
+            "shards": ("shards",),
+            "lineage": ("lineage",),
+            "datacard": ("datacard",),
+            "postings": ("index", "postings"),
+            "stats": ("index", "stats"),
+            "hashes": ("stores", "hashes"),
+            "bands": ("stores", "bands"),
+            "sets": ("stores", "sets"),
+            "policy": ("policy",),
+        }.items()
+    }
+    aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn_id)
+    checks: dict[str, bool] = {"txn_aligned": True}  # read_txn raised otherwise
+
+    sh = aligned[tbls["shards"]].select("doc_id", "global_pos", "n_tokens")
+    sh = sh.localCheckpoint(eager=True)  # five consumers below
+    n_docs = sh.count()
+    tok_total = sh.agg(F.sum("n_tokens")).collect()[0][0] or 0
+
+    lin = aligned[tbls["lineage"]].select("doc_id")
+    checks["lineage_exact_cover"] = (
+        lin.count() == n_docs
+        and sh.join(lin, "doc_id", "left_anti").count() == 0
+    )
+    pos = sh.agg(
+        F.min("global_pos").alias("lo"),
+        F.max("global_pos").alias("hi"),
+        F.count_distinct("global_pos").alias("d"),
+    ).collect()[0]
+    dense = (
+        n_docs == 0
+        or (pos["lo"] == 1 and pos["hi"] == n_docs and pos["d"] == n_docs)
+    )
+    checks["global_pos_dense"] = bool(dense)  # takedown holes report False
+
+    srow = aligned[tbls["stats"]].agg(
+        F.sum("n_docs").alias("n"), F.sum("tot_dl").alias("t")
+    ).collect()[0]
+    checks["index_stats_match"] = (
+        int(srow["n"] or 0) == n_docs and int(srow["t"] or 0) == int(tok_total)
+    )
+
+    doc_ids = sh.select("doc_id")
+    for store, key in (("hashes", "doc_id"), ("sets", "doc_id")):
+        ids = aligned[tbls[store]].select(key)
+        checks[f"{store}_cover"] = (
+            ids.count() == n_docs
+            and doc_ids.join(ids, "doc_id", "left_anti").count() == 0
+        )
+    band_ids = aligned[tbls["bands"]].select("doc_id").distinct()
+    checks["bands_cover"] = (
+        band_ids.count() == n_docs
+        and doc_ids.join(band_ids, "doc_id", "left_anti").count() == 0
+    )
+
+    pol = {r["section"] for r in aligned[tbls["policy"]].collect()}
+    checks["policy_complete"] = {
+        "cut",
+        "quality_threshold",
+        "mix_weight",
+        "qmodel",
+    } <= pol
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_txn_versions
+
+    _versions, tid = snapshot_txn_versions(list(tbls.values()), txn_id)
+    return {
+        "ok": all(checks.values()),
+        "txn_id": tid,
+        "checks": checks,
+        "counts": {"docs": n_docs, "tokens": int(tok_total)},
+    }

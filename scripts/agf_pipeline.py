@@ -280,6 +280,14 @@ def cmd_curate(args) -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if getattr(args, "verify_release", False):
+        # release audit: cross-table invariants of the nine-table publish
+        from agf_data_ingestion_spark.operators.curation import verify_release
+
+        report = verify_release(_spark(), args.out)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 6
+
     if getattr(args, "append_batch", None):
         # O(batch) incremental append to a published release: frozen
         # policy gates + pruned probe-store dedup + shard continuation,
@@ -982,6 +990,10 @@ def main() -> int:
                         "under the release at --out (frozen policy, pruned "
                         "probe-store dedup) and append it as one txn")
     c.add_argument("--batch-label", default="b0")
+    c.add_argument("--verify-release", action="store_true",
+                   help="audit the release at --out: nine-table txn "
+                        "alignment, lineage/index/store coverage, dense "
+                        "positions, complete frozen policy")
     c.add_argument("--decontaminate", action="store_true",
                    help="drop docs sharing shingles with the benchmark slice")
     c.add_argument("--split", action="store_true",

@@ -182,3 +182,18 @@ def test_lineage_and_index_cover_exactly_the_release(spark, release):
     assert int(srow["n"]) == len(shard_ids)
     tok = aligned[tabs["shards"]].agg(F.sum("n_tokens")).collect()[0][0]
     assert int(srow["t"]) == int(tok)
+
+
+def test_verify_release_audit(spark, release):
+    """The production release audit passes on a fresh publish, pins the
+    txn id, and reports exact counts."""
+    import os
+
+    from agf_data_ingestion_spark.operators.curation import verify_release
+
+    root = os.path.dirname(release["tables"]["shards"])
+    rep = verify_release(spark, root, txn_id=release["txn"]["id"])
+    assert rep["ok"], rep["checks"]
+    assert rep["txn_id"] == release["txn"]["id"]
+    assert rep["counts"]["docs"] == release["stages"][-1]["rows_out"]
+    assert rep["counts"]["tokens"] == release["total_tokens"]
