@@ -285,3 +285,43 @@ def test_langid_apply_single_corpus_exchange(spark):
     assert len(doc_ex) == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert " Window " not in plan, plan
+
+
+def test_recall_curve_corpus_never_broadcast(spark):
+    # r9: both candidate passes keep the corpus off the broadcast path —
+    # the LSH bucket join broadcasts the QUERY side only, the IVF-PQ
+    # candidates come from a map-only Arrow pass, and the better-count
+    # join broadcasts the gt-sized side.  A corpus-side broadcast here
+    # would OOM at 1e9 vectors (the CLAUDE.md ban).
+    plan = _plan(spark, "emb_ann_recall_curve")
+    for line in plan.splitlines():
+        if "BroadcastExchange" not in line:
+            continue
+        assert "neighbor_id" not in line, line
+
+
+def test_packing_single_bucket_exchange(spark):
+    # r9: ONE corpus exchange (the bucket groupBy feeding applyInPandas);
+    # the per-bucket fold adds no further shuffle
+    plan = _plan(spark, "docs_packed_sequences")
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, plan
+    assert "bucket" in ex[0], ex[0]
+
+
+def test_preference_pairs_model_broadcast_only(spark):
+    # r9: the trained model rides a broadcast; the corpus collapses to
+    # 1 row/doc before any window — score rows shuffle, text never does
+    plan = _plan(spark, "docs_preference_pairs")
+    assert "BroadcastHashJoin" in plan
+    # windows partition on source over doc-count rows, never on raw text
+    assert "text" not in [
+        tok
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+        for tok in [l]
+    ] or all(
+        "text" not in l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
