@@ -861,9 +861,104 @@ def verify_release(
     from agf_data_ingestion_spark.sources.snapshots import snapshot_txn_versions
 
     _versions, tid = snapshot_txn_versions(list(tbls.values()), txn_id)
+    # global_pos holes are LEGITIMATE after a takedown (erasure leaves
+    # holes, never re-shards) — the check is informational, not a failure
     return {
-        "ok": all(checks.values()),
+        "ok": all(v for k, v in checks.items() if k != "global_pos_dense"),
         "txn_id": tid,
         "checks": checks,
         "counts": {"docs": n_docs, "tokens": int(tok_total)},
     }
+
+
+def release_forget(
+    spark: SparkSession, out_root: str, doc_ids: list[int]
+) -> dict:
+    """GDPR erasure for a PUBLISHED release (r9): remove the documents
+    from EVERY table that derives from their content — shards (the text
+    of record), lineage, index postings, and all three probe stores —
+    and repair the index stats, leaving ``verify_release`` green with
+    only the informational ``global_pos_dense`` flag cleared (erasure
+    leaves position holes, never a re-shard: surviving bytes stay
+    byte-identical).
+
+    ``takedown_shards`` (operators/shards.py) is the file-layout twin;
+    this is the erasure path for the nine-table snapshot release, built
+    on the zero-read equality delete (``snapshot_delete_keys``).
+
+    NOT one atomic txn — equality deletes are per-table commits — but
+    erasure-MONOTONE and IDEMPOTENT by construction, in a crash-safe
+    order:
+
+    1. probe the SHARDS table for the ids actually present (absent ids
+       are already-forgotten: full no-op, nothing commits);
+    2. eq-delete postings / hashes / bands / sets / lineage — each is
+       per-table idempotent (a re-run's delete disproves against stats
+       and commits nothing);
+    3. OVERWRITE the stats table from the remaining postings — a
+       recompute, not a delta, so replays converge instead of
+       double-correcting (the one non-idempotent delta this avoids);
+    4. append the datacard audit rows (at-least-once by design — a
+       crash just before the final step can replay it; an audit log
+       tolerates duplicates, silent absence it must not);
+    5. eq-delete SHARDS last: once the text of record is gone, a
+       re-run short-circuits at step 1.
+
+    A crash anywhere leaves a state a re-run completes; a torn state in
+    between is detected by ``verify_release`` coverage checks.  Scale
+    shape: O(removed docs + eq-key metadata) except the stats recompute,
+    one column-pruned postings scan — acceptable for an erasure op."""
+    import os
+
+    from agf_data_ingestion_spark.operators.text_index import _batch_stats
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete_keys,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    if not doc_ids:
+        return {"found": 0, "erased": 0}
+    tbls = {
+        "shards": os.path.join(out_root, "shards"),
+        "lineage": os.path.join(out_root, "lineage"),
+        "datacard": os.path.join(out_root, "datacard"),
+        "postings": os.path.join(out_root, "index", "postings"),
+        "stats": os.path.join(out_root, "index", "stats"),
+        "hashes": os.path.join(out_root, "stores", "hashes"),
+        "bands": os.path.join(out_root, "stores", "bands"),
+        "sets": os.path.join(out_root, "stores", "sets"),
+    }
+    ids = sorted(set(int(i) for i in doc_ids))
+    found = [
+        r["doc_id"]
+        for r in snapshot_read(
+            spark, tbls["shards"], where=[("doc_id", "in", ids)]
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    if not found:
+        return {"found": 0, "erased": 0}
+    keys = spark.createDataFrame([(int(i),) for i in sorted(found)], "doc_id long")
+
+    for t_ in ("postings", "hashes", "bands", "sets", "lineage"):
+        snapshot_delete_keys(keys, tbls[t_])
+    # stats = recompute from what remains (idempotent overwrite, never a
+    # negative delta that a replay could double-apply)
+    remaining = snapshot_read(spark, tbls["postings"]).select(
+        "token", "doc_id", "tf", "dl"
+    )
+    snapshot_write(
+        _batch_stats(remaining),
+        tbls["stats"],
+        mode="overwrite",
+        op=f"forget_stats:{len(found)}",
+    )
+    audit = spark.createDataFrame(
+        [("takedown", str(i), 1) for i in sorted(found)],
+        "section string, key string, value long",
+    )
+    snapshot_write(audit, tbls["datacard"], mode="append", op="forget_audit")
+    snapshot_delete_keys(keys, tbls["shards"])
+    return {"found": len(found), "erased": len(found), "doc_ids": sorted(found)}

@@ -280,6 +280,15 @@ def cmd_curate(args) -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if getattr(args, "forget_ids", None):
+        # release-level GDPR erasure: remove the docs from every
+        # content-derived table of the nine-table release + repair stats
+        from agf_data_ingestion_spark.operators.curation import release_forget
+
+        ids = [int(x) for x in args.forget_ids.split(",") if x.strip()]
+        print(json.dumps(release_forget(_spark(), args.out, ids)))
+        return 0
+
     if getattr(args, "verify_release", False):
         # release audit: cross-table invariants of the nine-table publish
         from agf_data_ingestion_spark.operators.curation import verify_release
@@ -990,6 +999,10 @@ def main() -> int:
                         "under the release at --out (frozen policy, pruned "
                         "probe-store dedup) and append it as one txn")
     c.add_argument("--batch-label", default="b0")
+    c.add_argument("--forget-ids", metavar="ID[,ID...]",
+                   help="release-level GDPR erasure: remove these doc ids "
+                        "from shards/lineage/index/stores of the release "
+                        "at --out, repair stats, append the audit trail")
     c.add_argument("--verify-release", action="store_true",
                    help="audit the release at --out: nine-table txn "
                         "alignment, lineage/index/store coverage, dense "

@@ -83,6 +83,10 @@ TEST_COVERED = {
         "streaming/curate_stream.py (continuous curation: document stream -> curate_incremental, one nine-table txn per micro-batch; exactly-once via op-label bookmark + durable HWM under the shards table; zero-survivor batches commit the label trail, empty batches only advance the HWM)",
         "tests/test_curate_stream.py (real availableNow stream across a restart ≡ same-chop manual curate_incremental on a byte-identical twin release; replayed batch ids are exact no-ops; torn-HWM repair from the op-label scan; fresh batch still applies)",
     ),
+    "OP-X-RELFORGET": (
+        "operators/curation.py `release_forget` + `verify_release` (nine-table GDPR erasure via zero-read eq deletes in a crash-safe idempotent order, stats recomputed not delta-corrected, datacard audit trail; release audit: txn alignment, lineage cover, stats match, store coverage, policy completeness; curate --forget-ids / --verify-release)",
+        "tests/test_release_forget.py (victims vanish from all six content tables' current state, survivors byte-stable, stats repair exact, audit rows land, replay is a {found: 0} no-op with no version churn, the publish txn still time-travels) + tests/test_curation.py::test_verify_release_audit",
+    ),
     "OP-X-MULTITXN": (
         "sources/snapshots.py `snapshot_multi_write` (two-phase multi-table atomic commit: lock-free staging, txn_marker manifest reservations under an ordered lock set, marker-rename decision point, publish/recovery unified in _repair_current, dead-staging reclaim under the table lock)",
         "tests/test_multi_commit.py (three-table atomicity with shared op label + as-of visibility, hard crash BEFORE the marker leaves nothing visible and frees the slots, hard crash AFTER the marker recovers ALL tables incl. COMMITS lines, OCC race with a lock-free single-table writer converges via whole-txn retry, duplicate-table refusal + mid-prepare abort cleanliness, txn-aligned snapshot_read_txn pins one publish against later single-table commits)",
