@@ -511,6 +511,14 @@ def curate_incremental(
     schema-carrying append), so ``snapshot_read_txn`` keeps resolving a
     single coherent release, and the PRIOR txn remains addressable for
     time travel.
+
+    Pinning split (r9, the forget interaction): the POLICY is read at
+    the txn (frozen by definition), but the dedup probes and the shard
+    continuation read CURRENT state — ``release_forget`` commits are
+    single-table (equality deletes carry no txn marker), and probing
+    txn-pinned stores would keep blocking re-ingestion of a FORGOTTEN
+    document's text on the basis of erased data, which is exactly what
+    erasure must prevent (pinned in tests/test_release_forget.py).
     """
     import os
 
@@ -599,7 +607,6 @@ def curate_incremental(
     published_h = snapshot_read(
         spark,
         tbls["hashes"],
-        version=versions[tbls["hashes"]],
         where=[("h", "in", batch_hashes)] if batch_hashes else None,
     ).select(F.col("h").alias("_h"))
     docs = _stage(
@@ -621,7 +628,6 @@ def curate_incremental(
     store_bands = snapshot_read(
         spark,
         tbls["bands"],
-        version=versions[tbls["bands"]],
         where=[("bsig", "in", batch_bsigs)] if batch_bsigs else None,
     ).alias("c")
     cands = cands.unionByName(
@@ -642,7 +648,6 @@ def curate_incremental(
     store_sets = snapshot_read(
         spark,
         tbls["sets"],
-        version=versions[tbls["sets"]],
         where=[("doc_id", "in", cand_dups)] if cand_dups else None,
     ).select("doc_id", "sset")
     flagged = best_jaccard_matches(
@@ -666,11 +671,14 @@ def curate_incremental(
     docs = _stage("quality_cut", docs.join(passing, "doc_id", "left_semi"))
 
     # ---- shard continuation from manifest stats (O(metadata)) ----
-    base_shard = _stats_max(tbls["shards"], versions[tbls["shards"]], "shard_id")
-    base_pos = _stats_max(tbls["shards"], versions[tbls["shards"]], "global_pos")
+    from agf_data_ingestion_spark.sources.snapshots import current_version
+
+    cur_shards = current_version(tbls["shards"])
+    base_shard = _stats_max(tbls["shards"], cur_shards, "shard_id")
+    base_pos = _stats_max(tbls["shards"], cur_shards, "global_pos")
     if base_shard is None or base_pos is None:  # stats-less fallback: scan
         row = (
-            snapshot_read(spark, tbls["shards"], version=versions[tbls["shards"]])
+            snapshot_read(spark, tbls["shards"])
             .agg(F.max("shard_id").alias("s"), F.max("global_pos").alias("p"))
             .collect()[0]
         )

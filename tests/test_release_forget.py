@@ -105,3 +105,43 @@ def test_verify_release_after_forget(spark, setup):
     rep = verify_release(spark, setup["out"], txn_id=setup["rel"]["txn"]["id"])
     # the txn-pinned audit still passes — history is coherent
     assert rep["ok"]
+
+
+def test_incremental_append_after_forget(spark, setup):
+    """The release keeps accepting O(batch) appends after an erasure:
+    probe stores with live equality-delete debt still answer correctly
+    (a batch doc duplicating a FORGOTTEN doc's text is NOT blocked — the
+    text of record is gone, so re-ingesting it is legitimate), and shard
+    continuation ids skip past the holes."""
+    from agf_data_ingestion_spark.operators.curation import curate_incremental
+
+    rel, out, victims = setup["rel"], setup["out"], setup["victims"]
+    # the forgotten doc's text, re-arriving with a fresh id
+    old = setup["before"]
+    # reconstruct the victim's text from the pinned pre-forget txn
+    pinned = snapshot_read_txn(
+        spark, [rel["tables"]["shards"]], txn_id=rel["txn"]["id"]
+    )[rel["tables"]["shards"]]
+    vic = (
+        pinned.filter(F.col("doc_id") == victims[0])
+        .select("text", "lang", "source")
+        .collect()[0]
+    )
+    batch = spark.createDataFrame(
+        [(5_000_000, vic["text"], vic["lang"], vic["source"], len(vic["text"]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rep = curate_incremental(
+        spark, batch, out, batch_label="postforget", seed="0", budget_tokens=2000
+    )
+    appended = {
+        r["doc_id"]
+        for r in snapshot_read(spark, rel["tables"]["shards"])
+        .select("doc_id")
+        .collect()
+        if r["doc_id"] >= 5_000_000
+    }
+    # the re-ingested text passes the hash probe (the published copy was
+    # erased) and every other frozen gate it passed at release time
+    assert appended == {5_000_000}
+    assert rep["first_new_shard"] > max(s for s, _p, _t in old.values())
