@@ -776,7 +776,11 @@ def curate_incremental(
 
 
 def verify_release(
-    spark: SparkSession, out_root: str, *, txn_id: str | None = None
+    spark: SparkSession,
+    out_root: str,
+    *,
+    txn_id: str | None = None,
+    current: bool = False,
 ) -> dict:
     """Release AUDIT (r9): check the cross-table invariants a training
     deployment gates on before consuming a release — the publish-side
@@ -792,13 +796,30 @@ def verify_release(
       published doc set;
     * the policy table carries a complete frozen policy.
 
+    Two audit modes (r10, ADVICE r9):
+
+    * default — tables pinned to the last (or given) multi-table txn:
+      "did the last PUBLISH land whole".  Single-table commits made
+      AFTER that txn (``release_forget``'s equality deletes carry no
+      txn marker) are intentionally invisible here.
+    * ``current=True`` — every table read at its CURRENT version:
+      "is the state a consumer reads NOW coherent".  This is the mode
+      that detects a TORN ``release_forget`` (some stores erased,
+      shards not yet): coverage counts diverge and the audit fails
+      until an idempotent re-run completes the erasure (pinned in
+      tests/test_release_forget.py).  ``txn_aligned`` is skipped —
+      current versions are per-table by definition.
+
     Returns ``{"ok": bool, "txn_id": ..., "checks": {name: bool},
     "counts": {...}}`` — cheap enough to run after every publish
     (metadata + a few doc-count-sized aggregates; the corpus text is
     never re-read)."""
     import os
 
-    from agf_data_ingestion_spark.sources.snapshots import snapshot_read_txn
+    from agf_data_ingestion_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_read_txn,
+    )
 
     tbls = {
         k: os.path.join(out_root, *p)
@@ -814,8 +835,12 @@ def verify_release(
             "policy": ("policy",),
         }.items()
     }
-    aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn_id)
-    checks: dict[str, bool] = {"txn_aligned": True}  # read_txn raised otherwise
+    if current:
+        aligned = {p: snapshot_read(spark, p) for p in tbls.values()}
+        checks: dict[str, bool] = {}
+    else:
+        aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn_id)
+        checks = {"txn_aligned": True}  # read_txn raised otherwise
 
     sh = aligned[tbls["shards"]].select("doc_id", "global_pos", "n_tokens")
     sh = sh.localCheckpoint(eager=True)  # five consumers below
@@ -874,6 +899,7 @@ def verify_release(
     return {
         "ok": all(v for k, v in checks.items() if k != "global_pos_dense"),
         "txn_id": tid,
+        "mode": "current" if current else "txn",
         "checks": checks,
         "counts": {"docs": n_docs, "tokens": int(tok_total)},
     }
@@ -913,7 +939,11 @@ def release_forget(
        re-run short-circuits at step 1.
 
     A crash anywhere leaves a state a re-run completes; a torn state in
-    between is detected by ``verify_release`` coverage checks.  Scale
+    between is detected by ``verify_release(current=True)`` coverage
+    checks — the txn-pinned DEFAULT mode audits the last multi-table
+    publish (forget's eq-delete commits carry no txn marker) and would
+    read the PRE-forget state green; only the current-state mode (or an
+    idempotent re-run of the forget) observes the tear.  Scale
     shape: O(removed docs + eq-key metadata) except the stats recompute,
     one column-pruned postings scan — acceptable for an erasure op."""
     import os

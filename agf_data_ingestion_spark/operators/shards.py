@@ -125,6 +125,7 @@ def assign_shards(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     order_key: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Adds ``n_tokens``, ``global_pos`` (1-based rank in the shuffled
     order) and ``shard_id`` (= floor((cumulative_tokens - 1) / budget))
@@ -132,10 +133,19 @@ def assign_shards(
     independent of cluster size, partition boundaries, or row arrival
     order.  ``order_key`` (r8) replaces the md5 shuffle order with a
     caller-supplied total-order column — the weighted-interleave hook
-    (``weighted_interleave``'s ``_wfq`` key)."""
+    (``weighted_interleave``'s ``_wfq`` key).  ``tokens_col`` (r10)
+    names a precomputed token-count column instead of splitting
+    ``text_col`` — the hook for callers whose rows no longer carry text
+    (``docs_reweighted_shards``' catalog twin)."""
     n_parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    if tokens_col is None:
+        base = docs.withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
+    elif tokens_col == "n_tokens":
+        base = docs
+    else:
+        base = docs.withColumn("n_tokens", F.col(tokens_col))
     ordered = (
-        docs.withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
+        base
         .withColumn(
             "_ord",
             F.col(order_key)

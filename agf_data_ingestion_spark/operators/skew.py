@@ -49,6 +49,140 @@ def salted_sum_count(
     )
 
 
+def max_group_count(df: DataFrame, key_col: str) -> int:
+    """Routing guard for the skewed-window decompositions below: the max
+    per-key row count, as ONE map-combined aggregate collected to the
+    driver (corpus-size-independent driver traffic — the
+    `_overlap_route` class from plans/mixing.py)."""
+    row = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("_n"))
+        .agg(F.coalesce(F.max("_n"), F.lit(0)).alias("_m"))
+        .collect()[0]
+    )
+    return int(row["_m"])
+
+
+def salted_prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    val_col: str,
+    hexkey_col: str,
+    tie_col: str,
+    *,
+    out_col: str = "cum",
+    k: int = 2,
+) -> DataFrame:
+    """EXACT keyed running sum without a whole-key single-reducer window
+    (the r7 skewed-rank decomposition, summed form — r10, VERDICT r9
+    asks #1/#2):
+
+        SUM(val) OVER (PARTITION BY part ORDER BY hexkey, tie
+                       ROWS UNBOUNDED PRECEDING)
+
+    computed as (running sum within a (part, salt) cell) + (total of the
+    key's earlier cells), where ``salt`` = the first ``k`` hex chars of
+    ``hexkey_col`` — a MONOTONE PREFIX of the leading sort key, so cells
+    are contiguous hexkey ranges and ordering by (salt, hexkey, tie)
+    equals ordering by (hexkey, tie).  Integer adds are order-free, so
+    the offset decomposition is bit-identical to the single window (the
+    oracle keeps the one-window form; pinned in tests/test_skew.py).
+
+    16^k cells per key: a key holding the WHOLE corpus fans out 256-way
+    at k=2, 4096-way at k=3 — md5-uniform keys balance the cells.  The
+    cell-total table is ≤ keys x 16^k rows but approaches corpus size
+    under many tiny keys — shuffle_hash pinned, never broadcast (the
+    corpus-side ban); both sides are already clustered on the cell key.
+    """
+    salted = df.withColumn("_salt", F.substring(F.col(hexkey_col), 1, k))
+    w_cell = (
+        Window.partitionBy(*part_cols, "_salt")
+        .orderBy(hexkey_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = salted.withColumn("_lcum", F.sum(val_col).over(w_cell))
+    cells = salted.groupBy(*part_cols, "_salt").agg(F.sum(val_col).alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cells.select(
+        *part_cols,
+        "_salt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        r1.join(offs.hint("shuffle_hash"), [*part_cols, "_salt"])
+        .withColumn(out_col, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_salt", "_lcum", "_off")
+    )
+
+
+def salted_rank_intkey(
+    df: DataFrame,
+    part_cols: list[str],
+    key_col: str,
+    tie_col: str,
+    *,
+    out_rank: str = "dr",
+    out_n: str = "n_part",
+    cells: int = 256,
+) -> DataFrame:
+    """EXACT keyed ``row_number() OVER (PARTITION BY part ORDER BY key,
+    tie)`` plus the partition row count ``out_n`` — without a whole-key
+    single-reducer window (r10, VERDICT r9 ask #2; the integer-key twin
+    of the urls.py `_salted_rank`):
+
+    ``salt = (key - min_key) DIV width`` with ``width = greatest(1,
+    (max_key - min_key) DIV cells + 1)`` — a MONOTONE integer bucketing
+    of the LEADING sort key (rows with equal key share a salt, so
+    (salt, key, tie) ordering equals (key, tie) ordering exactly).
+    Rank = row_number within the (part, salt) cell + the count of the
+    key's earlier cells; ``out_n`` = the per-part total from the same
+    tiny cell table.  min/max come from ONE 1-row aggregate (broadcast).
+
+    Exact for ANY key distribution; cell BALANCE degrades toward the
+    single window only when the key is near-constant (all rows in one
+    value bucket) — no worse than the undecomposed plan, and the
+    routing guard should keep such inputs on the plain branch.  The
+    cell table is shuffle_hash pinned (many tiny parts make it
+    corpus-shaped — never broadcast)."""
+    b = df.agg(
+        F.min(key_col).cast("long").alias("_kmin"),
+        F.max(key_col).cast("long").alias("_kmax"),
+    )
+    salted = (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            "_w",
+            F.expr(f"greatest(CAST(1 AS BIGINT), (_kmax - _kmin) DIV {int(cells)} + 1)"),
+        )
+        .withColumn("_salt", F.expr(f"(CAST({key_col} AS BIGINT) - _kmin) DIV _w"))
+        .drop("_kmin", "_kmax", "_w")
+    )
+    w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(key_col, tie_col)
+    r1 = salted.withColumn("_rn", F.row_number().over(w_cell))
+    cell_t = salted.groupBy(*part_cols, "_salt").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    offs = cell_t.select(
+        *part_cols,
+        "_salt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).cast("long").alias(out_n),
+    )
+    return (
+        r1.join(offs.hint("shuffle_hash"), [*part_cols, "_salt"])
+        .withColumn(out_rank, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_salt", "_rn", "_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

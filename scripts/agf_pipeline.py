@@ -317,8 +317,9 @@ def cmd_curate(args) -> int:
 
     if getattr(args, "full", False):
         # the end-to-end pipeline (operators/curation.py): every stage,
-        # one atomic five-table publish, funnel + per-stage walls in the
-        # JSON report
+        # one atomic nine-table publish (shards/lineage/datacard/postings/
+        # stats/hashes/bands/sets/policy), funnel + per-stage walls in
+        # the JSON report
         from agf_data_ingestion_spark.operators.curation import curate_full
 
         report = curate_full(

@@ -73,7 +73,7 @@ TEST_COVERED = {
     ),
     "OP-X-CURATE": (
         "operators/curation.py `curate_full` (end-to-end curation: rule gate → exact dedup → near-dup collapse → decontam → PR-curve-chosen trained-quality cut → DoReMi weights → WFQ interleave → token-budgeted shards; ONE snapshot_multi_write publishing shards+lineage+datacard(funnel)+index postings/stats; txn-aligned read-back verify; per-stage wall/rows; scripts/agf_pipeline.py curate --full; bench pipeline_curate_full)",
-        "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; five-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
+        "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; nine-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
     ),
     "OP-X-CURATEINC": (
         "operators/curation.py `curate_incremental` (O(batch) release append: frozen-policy gates from the published policy table, pruned probe-store dedup — hash IN-list / band-signature / sets-by-candidate-id reads through cluster+bloom skipping — manifest-stats shard continuation, horizon-free WFQ ordering, nine-table append txn; scripts/agf_pipeline.py curate --append-batch)",

@@ -94,7 +94,7 @@ def test_stage_by_stage_bit_identical(spark, release, tmp_path):
 
 
 def test_txn_alignment_survives_later_commits(spark, release):
-    """All five tables resolve to the SAME txn, and a later unrelated
+    """All nine tables resolve to the SAME txn, and a later unrelated
     single-table commit does not break (or silently retarget) the
     txn-aligned read."""
     from agf_data_ingestion_spark.sources.snapshots import (

@@ -315,13 +315,9 @@ def test_preference_pairs_model_broadcast_only(spark):
     plan = _plan(spark, "docs_preference_pairs")
     assert "BroadcastHashJoin" in plan
     # windows partition on source over doc-count rows, never on raw text
-    assert "text" not in [
-        tok
-        for l in plan.splitlines()
-        if "Exchange hashpartitioning" in l
-        for tok in [l]
-    ] or all(
+    # (r10: the old form list-membership-tested whole lines, vacuously true)
+    assert all(
         "text" not in l
         for l in plan.splitlines()
         if "Exchange hashpartitioning" in l
-    )
+    ), plan

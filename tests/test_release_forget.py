@@ -145,3 +145,36 @@ def test_incremental_append_after_forget(spark, setup):
     # erased) and every other frozen gate it passed at release time
     assert appended == {5_000_000}
     assert rep["first_new_shard"] > max(s for s, _p, _t in old.values())
+
+
+def test_torn_forget_detected_by_current_audit(spark, setup):
+    """r10 (ADVICE r9): a forget torn mid-way (some stores erased, shards
+    not yet) reads GREEN under the txn-pinned audit — eq-delete commits
+    carry no txn marker, so the pin resolves the pre-forget publish — and
+    must therefore fail the CURRENT-state audit until an idempotent
+    re-run completes the erasure.  Runs LAST in this module: it advances
+    the shared release's forget state."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_delete_keys
+
+    out, rel = setup["out"], setup["rel"]
+    victim = sorted(setup["before"])[5]
+    assert victim not in setup["victims"]
+    # tear: erase the hash-store row only (the crash window between
+    # release_forget's per-table eq deletes)
+    keys = spark.createDataFrame([(int(victim),)], "doc_id long")
+    snapshot_delete_keys(keys, rel["tables"]["hashes"])
+
+    torn = verify_release(spark, out, current=True)
+    assert torn["mode"] == "current"
+    assert not torn["ok"]
+    assert torn["checks"]["hashes_cover"] is False
+    # the txn-pinned default still reads the pre-forget publish green —
+    # exactly why it cannot confirm erasure
+    assert verify_release(spark, out, txn_id=rel["txn"]["id"])["ok"]
+
+    # idempotent re-run completes the erasure; current state goes green
+    rep = release_forget(spark, out, [victim])
+    assert rep["found"] == 1
+    healed = verify_release(spark, out, current=True)
+    assert healed["ok"], healed["checks"]
+    assert healed["checks"]["global_pos_dense"] is False  # holes: informational
