@@ -45,6 +45,14 @@ from pyspark.sql import functions as F
 _WFQ_SCALE = 1_000_000_000
 
 
+#: per-source row-count guard for the interleave's running sum: above it
+#: the cumsum runs through the salted-cell decomposition
+#: (operators/skew.py salted_prefix_sum) instead of one whole-source
+#: window — bit-identical either way (integer adds are order-free); the
+#: production default keeps small batches on the cheap plain branch
+_WI_SRC_ROUTE = 100_000
+
+
 def weighted_interleave(
     docs: DataFrame,
     weights: DataFrame,
@@ -54,6 +62,7 @@ def weighted_interleave(
     id_col: str = "doc_id",
     source_col: str = "source",
     horizon: bool = True,
+    source_route: int | None = None,
 ) -> DataFrame:
     """Deterministic WEIGHTED interleave of a multi-source corpus (r8,
     VERDICT r7 ask #5 — the consumer of ``docs_domain_reweight``'s
@@ -74,9 +83,19 @@ def weighted_interleave(
     ``docs_reweighted_shards`` (plans/mixing.py) is the single-window
     oracle twin of this two-pass pipeline.
 
-    Scale shape: one per-source window (hash-partitioned on source —
-    salt via the skewed-rank decomposition if one source dominates), a
-    K-row horizon aggregate, one broadcast; no corpus collect."""
+    Scale shape (r10, VERDICT r9 ask #2): the per-source running sum is
+    SKEW-ROUTED — at or below ``source_route`` rows in the largest
+    source (default ``_WI_SRC_ROUTE``; real LLM mixes put 60-80% of
+    tokens in one crawl source) it is one keyed window; above, the
+    salted-cell decomposition ``salted_prefix_sum`` (operators/skew.py),
+    bit-identical by the order-free-integer-adds rule and pinned in
+    tests/test_skew.py.  Plus a K-row horizon aggregate and one
+    broadcast; no corpus collect beyond the 1-row routing guard."""
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        salted_prefix_sum,
+    )
+
     d = docs.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long")
     ).withColumn(
@@ -86,12 +105,23 @@ def weighted_interleave(
     d = d.join(
         F.broadcast(weights.select(source_col, "weight_ppm")), source_col
     )
-    sw = (
-        Window.partitionBy(source_col)
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    route = (
+        source_route
+        if source_route is not None
+        else max_group_count(docs.select(source_col), source_col)
     )
-    d = d.withColumn("_cum", F.sum("n_tokens").over(sw)).withColumn(
+    if route > _WI_SRC_ROUTE:
+        d = salted_prefix_sum(
+            d, [source_col], "n_tokens", "_h", id_col, out_col="_cum"
+        )
+    else:
+        sw = (
+            Window.partitionBy(source_col)
+            .orderBy("_h", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = d.withColumn("_cum", F.sum("n_tokens").over(sw))
+    d = d.withColumn(
         "_t", F.expr(f"(_cum * {_WFQ_SCALE}) DIV weight_ppm")
     )
     if horizon:

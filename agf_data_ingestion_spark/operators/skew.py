@@ -15,7 +15,7 @@ correctness: a re-executed task must salt identically).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.plans.base import DEC_MONEY

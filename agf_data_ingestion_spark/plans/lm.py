@@ -909,8 +909,22 @@ def _bpe_ctes() -> list[str]:
 #: curriculum schedule length (training steps the competence ramps over)
 _CURR_STEPS = 1000
 
+#: per-source doc-count guard (r10, VERDICT r9 ask #2): above it the
+#: per-source percentile runs through the salted-rank decomposition
+#: instead of one whole-source window.  Both branches are BIT-IDENTICAL
+#: — the decomposition computes the same (rank-1)/(n-1) double — so the
+#: oracle keeps the single percent_rank window and the guard never
+#: crosses engines; it only puts the generated corpora on opposite
+#: sides (sf0.01 = 25 docs/source -> plain; sf0.1 = 250 -> decomposed)
+#: so both branches stay oracle-exercised.  Real LLM mixes put 60-80%
+#: of tokens in ONE crawl source — at 50 B rows the whole-source window
+#: is the canonical scale-killer (SCALE.md skew rung).
+_CURR_SRC_ROUTE = 100
 
-def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def docs_curriculum_order(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Competence-based curriculum (Platanios et al. NAACL'19): each doc
     gets a DIFFICULTY (mean inverse corpus frequency of its words — rare
     words are hard; rarity instead of the paper's log-likelihood because
@@ -928,8 +942,15 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-combined groupBy(word) and joins back on the exploded words
     with shuffle_hash pinned on BOTH sides (vocab is corpus-derived —
     never broadcast, the corpus-broadcast ban); per-doc reduce is
-    map-combined; percent_rank runs per SOURCE over the 1-row-per-doc
-    frame (keyed windows, the r7 quality-calibration shape)."""
+    map-combined; the per-source percentile is SKEW-ROUTED (r10): below
+    ``_CURR_SRC_ROUTE`` docs in the largest source it is one keyed
+    percent_rank window; above, the salted-rank decomposition
+    (operators/skew.py ``salted_rank_intkey`` — rank within (source,
+    difficulty-range salt) cells + cell-count offsets, value-monotone
+    bucketing so (salt, difficulty, doc_id) order ≡ (difficulty,
+    doc_id) order) with ``(dr-1)/(n-1)`` computed through the SAME
+    binary64 division percent_rank uses, so both branches are
+    bit-identical and the oracle keeps the single-window form."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     )
@@ -960,17 +981,46 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("inv_sum div n_tokens").alias("difficulty"),
         )
     )
-    return per_doc.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "difficulty",
-        F.expr(
-            "CAST(floor(percent_rank() OVER (PARTITION BY source"
-            " ORDER BY difficulty, doc_id)"
-            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
-        ).alias("p_ppm"),
-    ).select(
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        salted_rank_intkey,
+    )
+
+    route = _route if _route is not None else max_group_count(
+        t(spark, sf_dir, "documents").select("source"), "source"
+    )
+    if route > _CURR_SRC_ROUTE:
+        ranked = salted_rank_intkey(
+            per_doc, ["source"], "difficulty", "doc_id"
+        )
+        scored = ranked.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "difficulty",
+            # the EXACT binary64 arithmetic percent_rank evaluates:
+            # (rank-1)/(n-1) as double (0 when n=1), then *1e6, floor —
+            # correctly-rounded IEEE ops, identical in both engines
+            F.expr(
+                "CASE WHEN n_part <= 1 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(floor((CAST(dr - 1 AS DOUBLE)"
+                " / CAST(n_part - 1 AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+            ).alias("p_ppm"),
+        )
+    else:
+        scored = per_doc.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "difficulty",
+            F.expr(
+                "CAST(floor(percent_rank() OVER (PARTITION BY source"
+                " ORDER BY difficulty, doc_id)"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    return scored.select(
         "doc_id",
         "source",
         "n_tokens",

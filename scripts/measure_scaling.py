@@ -59,6 +59,13 @@ QUERIES = [
     "events_hilbert_layout",
     "events_drift_tvd",
     "docs_curriculum_order",
+    # r9 additions (r10, VERDICT r9 ask #4): packing fold, DPO pairs,
+    # anneal schedule, recall surface, reweighted WFQ stream
+    "docs_packed_sequences",
+    "docs_preference_pairs",
+    "docs_mixture_anneal",
+    "emb_ann_recall_curve",
+    "docs_reweighted_shards",
 ]
 
 
@@ -197,6 +204,119 @@ def skew_rung(reps: int) -> None:
         )
 
 
+def skew_scale_rung(factor: int, reps: int) -> None:
+    """r10 (VERDICT r9 ask #2 'Done'): the skew rung at VOLUME — a
+    ``factor``× replica in uniform vs 50%-mass-source form, timing the
+    skew-ROUTED per-source windows.  Both corpora put the largest source
+    above the routing guard, so this measures the salted decomposition
+    under the exact skew SCALE.md called "fatal at 50 B rows" for the
+    r9 whole-source windows; a flat ratio is the fix's evidence."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    uni_dir = f"/tmp/agf_skewscale_uni{factor}x"
+    skew_dir = f"/tmp/agf_skewscale_hot{factor}x"
+    for d in (uni_dir, skew_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    build_replica(uni_dir, factor)
+    os.makedirs(skew_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(uni_dir, "documents.parquet")).to_pandas()
+    docs.loc[docs["doc_id"] % 2 == 0, "source"] = "src0"
+    docs.to_parquet(os.path.join(skew_dir, "documents.parquet"))
+    for f in ("embeddings.parquet", "events.parquet"):
+        shutil.copyfile(os.path.join(uni_dir, f), os.path.join(skew_dir, f))
+
+    from agf_data_ingestion_spark.plans import QUERIES as CATALOG
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("measure-skew-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(
+        f"| query | uniform {factor}x | 50%-mass source {factor}x | ratio |"
+    )
+    print("|---|---|---|---|")
+    for name in ("docs_curriculum_order", "docs_reweighted_shards"):
+        fn = CATALOG[name].fn
+        fn(spark, uni_dir).count()  # warm
+        times = {}
+        for label, sf_dir in (("uni", uni_dir), ("skew", skew_dir)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            times[label] = median(samples)
+        print(
+            f"| {name} | {times['uni']:.2f} s | {times['skew']:.2f} s "
+            f"| {times['skew'] / times['uni']:.2f}x |",
+            flush=True,
+        )
+
+
+def pipeline_rung(factor: int) -> None:
+    """r10 (VERDICT r9 ask #4): curate_full at 1× vs ``factor``× (per-
+    stage walls from the funnel report) and a FIXED 500-doc
+    curate_incremental append against each published release — the
+    append wall must be flat (O(batch), not O(release))."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.curation import (
+        curate_full,
+        curate_incremental,
+    )
+    from agf_data_ingestion_spark.session import get_spark
+
+    big_dir = f"/tmp/agf_scale_sf{factor}x"
+    if not os.path.isdir(big_dir):
+        build_replica(big_dir, factor)
+    spark = get_spark("measure-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    reports = {}
+    for label, sf_dir in (("1x", BASE), (f"{factor}x", big_dir)):
+        out = tempfile.mkdtemp(prefix=f"agf_pipe_{label}_")
+        rep = curate_full(spark, sf_dir, out, budget_tokens=4000, seed="0")
+        reports[label] = rep
+        batch = (
+            spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+            .orderBy("doc_id")
+            .limit(500)
+            .select(
+                (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                F.concat(F.lit("inc "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.length("text") + 4).cast("long").alias("n_chars"),
+            )
+        )
+        inc = curate_incremental(
+            spark, batch, out, batch_label="ladder", budget_tokens=4000
+        )
+        rep["_inc_wall"] = inc["wall_s"]
+        rep["_inc_stages"] = inc["stages"]
+    print("| stage | 1x wall | %sx wall | ratio |" % factor)
+    print("|---|---|---|---|")
+    for i, st in enumerate(reports["1x"]["stages"]):
+        b = reports[f"{factor}x"]["stages"][i]
+        r = b["wall_s"] / max(st["wall_s"], 1e-3)
+        print(
+            f"| {st['name']} | {st['wall_s']:.2f} s | {b['wall_s']:.2f} s "
+            f"| {r:.2f}x |",
+            flush=True,
+        )
+    a, b = reports["1x"], reports[f"{factor}x"]
+    print(
+        f"| TOTAL curate_full | {a['wall_s']:.2f} s | {b['wall_s']:.2f} s "
+        f"| {b['wall_s'] / a['wall_s']:.2f}x |"
+    )
+    print(
+        f"| curate_incremental (500-doc batch) | {a['_inc_wall']:.2f} s "
+        f"| {b['_inc_wall']:.2f} s | {b['_inc_wall'] / a['_inc_wall']:.2f}x |"
+    )
+
+
 def eq_rung(factor: int, reps: int) -> None:
     """Eq-delete reader ladder (r8, VERDICT r7 ask #7): a snapshot table
     at 1× and N× carrying many LIVE multi-column equality-delete items;
@@ -275,6 +395,15 @@ def eq_rung(factor: int, reps: int) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_rung(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "skew10":
+        skew_scale_rung(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        pipeline_rung(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "eq":
         eq_rung(

@@ -40,6 +40,122 @@ def test_salted_sum_count_equals_plain(spark):
     assert salted == plain
 
 
+def test_salted_prefix_sum_equals_single_window(spark):
+    """r10 (VERDICT r9 asks #1/#2): the salted-cell keyed running sum is
+    bit-identical to the one-window form on a 50%-mass hot source —
+    including single-row keys and cells that only the hot key fills."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.operators.skew import salted_prefix_sum
+
+    # hot source carries half the rows; md5 order key like production
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("s"), (F.col("id") % 37).cast("string")))
+            .alias("source"),
+            (F.col("id") % 211 + 1).cast("long").alias("n_tokens"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        r["doc_id"]: r["c"]
+        for r in df.withColumn("c", F.sum("n_tokens").over(w)).collect()
+    }
+    dec = {
+        r["doc_id"]: r["cum"]
+        for r in salted_prefix_sum(
+            df, ["source"], "n_tokens", "h", "doc_id"
+        ).collect()
+    }
+    assert dec == plain
+
+
+def test_salted_rank_intkey_equals_single_window(spark):
+    """The value-bucketed keyed rank ≡ row_number over (key, tie), with
+    heavy value TIES (the bucketing is monotone in the value, so equal
+    values share a salt), a 50%-mass key, and singleton keys (n=1)."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.operators.skew import salted_rank_intkey
+
+    df = spark.range(10_001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(
+            F.when(F.col("id") == 1, F.lit("single")).otherwise(
+                F.concat(F.lit("s"), (F.col("id") % 23).cast("string"))
+            )
+        )
+        .alias("source"),
+        # only 97 distinct difficulty values -> massive ties per cell
+        (F.col("id") % 97).cast("long").alias("difficulty"),
+    )
+    w = Window.partitionBy("source").orderBy("difficulty", "doc_id")
+    plain = {
+        (r["doc_id"]): (r["r"], r["n"])
+        for r in df.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+        .collect()
+    }
+    dec = {
+        r["doc_id"]: (r["dr"], r["n_part"])
+        for r in salted_rank_intkey(
+            df, ["source"], "difficulty", "doc_id"
+        ).collect()
+    }
+    assert dec == plain
+
+
+def test_curriculum_routing_branches_identical(spark):
+    """Both curriculum branches (plain percent_rank window vs the
+    salted-rank decomposition) produce the identical result frame —
+    the oracle keeps the single-window SQL for both."""
+    from agf_data_ingestion_spark.plans.lm import docs_curriculum_order
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, docs_curriculum_order(spark, sf, _route=0).collect()))
+    b = sorted(map(tuple, docs_curriculum_order(spark, sf, _route=101).collect()))
+    assert a == b
+
+
+def test_weighted_interleave_routing_branches_identical(spark):
+    """weighted_interleave's skew-routed cumsum: forced-decomposed ≡
+    forced-plain on the catalog corpus (order keys, virtual times, and
+    the horizon cut all downstream of the cumsum)."""
+    from agf_data_ingestion_spark.operators.shards import weighted_interleave
+    from agf_data_ingestion_spark.plans.base import t as _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    wts = spark.createDataFrame(
+        [(f"src{i}", 1_000_000 + 37 * i) for i in range(20)],
+        "source string, weight_ppm long",
+    )
+    cols = ["doc_id", "_t", "_wfq"]
+    a = sorted(
+        map(
+            tuple,
+            weighted_interleave(docs, wts, source_route=0).select(cols).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            weighted_interleave(docs, wts, source_route=10**9)
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_salted_join_equals_plain(spark):
     big = _skewed(spark)
     small = spark.createDataFrame(
