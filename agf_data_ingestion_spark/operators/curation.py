@@ -17,9 +17,10 @@ composing the already-oracle-checked catalog stages into one artifact:
     WFQ interleave   weighted_interleave    (operators/shards.py)
     shard assignment assign_shards          (operators/shards.py)
 
-and PUBLISHING {shards, lineage, datacard, index(postings+stats)} in a
-single ``snapshot_multi_write`` transaction — a trainer either sees the
-whole release or none of it, and ``snapshot_read_txn`` pins every
+and PUBLISHING {shards, lineage, datacard, index(postings+stats), probe
+stores (hashes/bands/sets + the r10 benchmark shingle store), policy}
+in a single ``snapshot_multi_write`` transaction — a trainer either sees
+the whole release or none of it, and ``snapshot_read_txn`` pins every
 consumer to the same publish event.
 
 Determinism: every stage is a pure function of row values (no
@@ -336,6 +337,24 @@ def curate_full(
     sets_ = assigned.select("doc_id", _shingles().alias("sset")).withColumn(
         "sz", F.size("sset")
     )
+    # benchmark shingle store (r10, ADVICE r9): the held-out set the
+    # release was decontaminated against, published IN the txn so an
+    # incremental batch gates under the SAME frozen benchmark — without
+    # it a batch doc sharing shingles with the eval set would append
+    # into a release curate_full scrubbed.  Hash-clustered + bloom'd for
+    # batch-bounded IN-list probes (the hashes/bands/sets pattern).
+    from agf_data_ingestion_spark.plans.training_data import (
+        _BENCH_DOCS as _BD,
+        contam_shingles,
+    )
+
+    bench_sh = (
+        contam_shingles(
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") < _BD)
+        )
+        .select("sh")
+        .distinct()
+    )
     # frozen release policy: the quality model, the curve-chosen cut, the
     # per-language score thresholds, and the DoReMi mixture weights —
     # everything the incremental path needs to gate a batch under the
@@ -361,6 +380,7 @@ def curate_full(
     hashes_tbl = os.path.join(out_root, "stores", "hashes")
     bands_tbl = os.path.join(out_root, "stores", "bands")
     sets_tbl = os.path.join(out_root, "stores", "sets")
+    bench_tbl = os.path.join(out_root, "stores", "bench")
     policy_tbl = os.path.join(out_root, "policy")
 
     t0 = time.time()
@@ -374,6 +394,7 @@ def curate_full(
             (hashes, hashes_tbl),
             (bands, bands_tbl),
             (sets_, sets_tbl),
+            (bench_sh, bench_tbl),
             (policy, policy_tbl),
         ],
         mode="overwrite",
@@ -384,12 +405,14 @@ def curate_full(
             postings_tbl: ["token"],
             hashes_tbl: ["h"],
             bands_tbl: ["bsig"],
+            bench_tbl: ["sh"],
         },
         bloom_cols={
             lineage_tbl: ["doc_id"],
             postings_tbl: ["token"],
             hashes_tbl: ["h"],
             bands_tbl: ["bsig"],
+            bench_tbl: ["sh"],
         },
         cluster_files=(
             {postings_tbl: index_cluster_files} if index_cluster_files else None
@@ -399,7 +422,7 @@ def curate_full(
         {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
     )
 
-    # txn-aligned read-back: all nine tables resolve to the SAME publish
+    # txn-aligned read-back: all ten tables resolve to the SAME publish
     # event, and the shards table round-trips the exact row count — the
     # "did the release land whole" check a consumer would run
     t0 = time.time()
@@ -412,6 +435,7 @@ def curate_full(
         hashes_tbl,
         bands_tbl,
         sets_tbl,
+        bench_tbl,
         policy_tbl,
     ]
     aligned = snapshot_read_txn(spark, all_tbls)
@@ -449,6 +473,7 @@ def curate_full(
             "hashes": hashes_tbl,
             "bands": bands_tbl,
             "sets": sets_tbl,
+            "bench": bench_tbl,
             "policy": policy_tbl,
         },
         "wall_s": round(time.time() - t_run, 3),
@@ -484,7 +509,7 @@ def curate_incremental(
     published release's FROZEN policy, dedup it against the release via
     pruned probe-store reads, and extend the release — new shards,
     lineage, index postings/stats, probe stores, and a datacard funnel
-    delta — as ONE nine-table transaction.
+    delta — as ONE ten-table transaction.
 
     The frozen-policy rule: quantiles and mixture weights are a
     RELEASE-time decision — a batch is scored against the published
@@ -501,12 +526,17 @@ def curate_incremental(
       signatures the same way, then exact-verifies only the collision
       candidates against ``sets`` rows pruned by candidate doc id
       (the docs_incremental_neardup shape over the published release);
+    * decontamination (r10, ADVICE r9) probes the ``bench`` shingle
+      store — the SAME frozen benchmark set curate_full scrubbed
+      against, published in the release txn — with a batch-bounded
+      shingle IN-list (sh-clustered + bloom'd reads), and drops batch
+      docs claiming a benchmark id;
     * shard continuation ids come from MANIFEST STATS (O(metadata));
     * the batch interleave/pack is batch-sized; every store append is
       O(batch).
 
     Published documents are never re-gated, re-deduped, or rewritten —
-    the increment only ADDS; erasure stays the takedown path.  All nine
+    the increment only ADDS; erasure stays the takedown path.  All ten
     tables advance under one txn marker (the policy table gets an empty
     schema-carrying append), so ``snapshot_read_txn`` keeps resolving a
     single coherent release, and the PRIOR txn remains addressable for
@@ -555,6 +585,7 @@ def curate_incremental(
         "hashes": os.path.join(out_root, "stores", "hashes"),
         "bands": os.path.join(out_root, "stores", "bands"),
         "sets": os.path.join(out_root, "stores", "sets"),
+        "bench": os.path.join(out_root, "stores", "bench"),
         "policy": os.path.join(out_root, "policy"),
     }
     versions, base_txn = snapshot_txn_versions(list(tbls.values()), txn_id)
@@ -655,6 +686,36 @@ def curate_incremental(
     ).select(F.col("new_id").alias("doc_id"))
     docs = _stage("neardup", docs.join(flagged, "doc_id", "left_anti"))
 
+    # ---- decontamination vs the PUBLISHED benchmark shingle store ----
+    # (r10, ADVICE r9): the same frozen benchmark curate_full scrubbed
+    # against, probed with a batch-bounded shingle IN-list (bench store
+    # is sh-clustered + bloom'd -> pruned reads, O(batch shingles));
+    # batch docs claiming a benchmark id are dropped outright (the
+    # doc_id < _BENCH_DOCS fixture rule curate_full applies)
+    from agf_data_ingestion_spark.plans.training_data import (
+        _BENCH_DOCS,
+        contam_shingles,
+    )
+
+    batch_sh = contam_shingles(docs.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    sh_list = [r["sh"] for r in batch_sh.select("sh").distinct().collect()]
+    store_sh = snapshot_read(
+        spark,
+        tbls["bench"],
+        where=[("sh", "in", sh_list)] if sh_list else None,
+    ).select("sh")
+    contaminated = (
+        batch_sh.join(F.broadcast(store_sh), "sh").select("doc_id").distinct()
+    )
+    docs = _stage(
+        "decontam",
+        docs.filter(F.col("doc_id") >= _BENCH_DOCS).join(
+            contaminated, "doc_id", "left_anti"
+        ),
+    )
+
     # ---- quality cut at the FROZEN per-language thresholds ----
     fallback = min(thresholds.values())
     th = spark.createDataFrame(
@@ -705,7 +766,7 @@ def curate_incremental(
     n_final = assigned.count()
     stages.append({"name": "wfq_shards", "rows_out": n_final, "wall_s": 0.0})
 
-    # ---- one nine-table append txn ----
+    # ---- one ten-table append txn ----
     postings = _encode(assigned.select("doc_id", "text"), "text", "doc_id")
     funnel = spark.createDataFrame(
         [("funnel_inc:" + batch_label, s["name"], s["rows_out"]) for s in stages],
@@ -714,6 +775,10 @@ def curate_incremental(
     empty_policy = spark.createDataFrame(
         [], "section string, key string, value long"
     )
+    # the benchmark set is FROZEN at release time: the append carries an
+    # empty schema-bearing frame (the policy-table pattern) so all ten
+    # tables advance under one txn marker
+    empty_bench = spark.createDataFrame([], "sh string")
     t0 = time.time()
     new_versions = snapshot_multi_write(
         [
@@ -733,6 +798,7 @@ def curate_incremental(
                 ),
                 tbls["sets"],
             ),
+            (empty_bench, tbls["bench"]),
             (empty_policy, tbls["policy"]),
         ],
         mode="append",
@@ -785,15 +851,17 @@ def verify_release(
     """Release AUDIT (r9): check the cross-table invariants a training
     deployment gates on before consuming a release — the publish-side
     twin of ``snapshot_write_audited``'s row rules, lifted to the
-    NINE-table release contract:
+    TEN-table release contract:
 
-    * all nine tables resolve to ONE txn (atomicity actually held);
+    * all ten tables resolve to ONE txn (atomicity actually held);
     * lineage is an exact disjoint cover of the shards table;
     * ``global_pos`` is dense 1..N (no holes unless takedown ran —
       reported, not failed, since takedown legitimately leaves holes);
     * the index stats fold equals the shards token/doc totals;
     * every probe store (hashes / bands / sets) covers exactly the
       published doc set;
+    * the benchmark shingle store is present and non-empty (the frozen
+      decontamination target incremental batches gate against);
     * the policy table carries a complete frozen policy.
 
     Two audit modes (r10, ADVICE r9):
@@ -832,6 +900,7 @@ def verify_release(
             "hashes": ("stores", "hashes"),
             "bands": ("stores", "bands"),
             "sets": ("stores", "sets"),
+            "bench": ("stores", "bench"),
             "policy": ("policy",),
         }.items()
     }
@@ -883,6 +952,10 @@ def verify_release(
         and doc_ids.join(band_ids, "doc_id", "left_anti").count() == 0
     )
 
+    checks["bench_store_present"] = (
+        aligned[tbls["bench"]].limit(1).count() > 0
+    )
+
     pol = {r["section"] for r in aligned[tbls["policy"]].collect()}
     checks["policy_complete"] = {
         "cut",
@@ -917,7 +990,7 @@ def release_forget(
     byte-identical).
 
     ``takedown_shards`` (operators/shards.py) is the file-layout twin;
-    this is the erasure path for the nine-table snapshot release, built
+    this is the erasure path for the ten-table snapshot release, built
     on the zero-read equality delete (``snapshot_delete_keys``).
 
     NOT one atomic txn — equality deletes are per-table commits — but
@@ -983,16 +1056,33 @@ def release_forget(
     for t_ in ("postings", "hashes", "bands", "sets", "lineage"):
         snapshot_delete_keys(keys, tbls[t_])
     # stats = recompute from what remains (idempotent overwrite, never a
-    # negative delta that a replay could double-apply)
-    remaining = snapshot_read(spark, tbls["postings"]).select(
-        "token", "doc_id", "tf", "dl"
-    )
-    snapshot_write(
-        _batch_stats(remaining),
-        tbls["stats"],
-        mode="overwrite",
-        op=f"forget_stats:{len(found)}",
-    )
+    # negative delta that a replay could double-apply).  r10 (found by
+    # the release-churn soak design): the recompute is VERSION-PINNED
+    # against concurrent appends — curate_incremental commits
+    # postings+stats atomically, so an overwrite computed from an older
+    # postings read would erase that batch's stats rows; re-run until
+    # the postings version is stable across read -> commit (quiescence
+    # guarantees convergence; the bound guards a writer storm).
+    from agf_data_ingestion_spark.sources.snapshots import current_version
+
+    for _ in range(20):
+        v_post = current_version(tbls["postings"])
+        remaining = snapshot_read(
+            spark, tbls["postings"], version=v_post
+        ).select("token", "doc_id", "tf", "dl")
+        snapshot_write(
+            _batch_stats(remaining),
+            tbls["stats"],
+            mode="overwrite",
+            op=f"forget_stats:{len(found)}",
+        )
+        if current_version(tbls["postings"]) == v_post:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError(
+            "release_forget: postings kept advancing during the stats "
+            "recompute (20 attempts) — retry at quiescence"
+        )
     audit = spark.createDataFrame(
         [("takedown", str(i), 1) for i in sorted(found)],
         "section string, key string, value long",
@@ -1000,3 +1090,150 @@ def release_forget(
     snapshot_write(audit, tbls["datacard"], mode="append", op="forget_audit")
     snapshot_delete_keys(keys, tbls["shards"])
     return {"found": len(found), "erased": len(found), "doc_ids": sorted(found)}
+
+
+def release_diff(
+    spark: SparkSession,
+    out_root: str,
+    txn_a: str | None,
+    txn_b: str | None = None,
+) -> DataFrame:
+    """RELEASE-TO-RELEASE DIFF (r10, VERDICT r9 ask #7): the release-notes
+    artifact deployers read — what changed between two published txn ids
+    of the same release root (``None`` = the CURRENT per-table state,
+    which sees marker-less single-table commits like ``release_forget``'s
+    eq deletes).  ``verify_release`` audits ONE release; this compares
+    TWO:
+
+    * ``composition`` — per-source document counts in a and b;
+    * ``tokens`` — per-source token totals;
+    * ``lang`` — per-language document counts;
+    * ``added`` / ``removed`` — per-source churn (docs present in
+      exactly one side: appends add, forgets/takedowns remove);
+    * ``policy`` — per-section policy row counts (a frozen policy is
+      byte-stable, so any delta here flags a policy change);
+    * ``funnel`` — per-stage rows from the datacard (full-run funnel
+      plus any ``funnel_inc:*`` batch deltas that landed between the
+      two txns);
+    * ``total`` — docs / tokens / shards.
+
+    Output: (section, key, a, b, delta) — every column an exact BIGINT
+    (delta = b - a).  Scale shape: both sides are time-travel reads of
+    the shards table pruned to (doc_id, source, lang, n_tokens,
+    shard_id) — no text column is ever read — aggregated per source
+    (map-combined) and FULL-OUTER-joined on the K-row section keys; the
+    churn counts are doc-id-shaped anti-joins hash-partitioned on
+    doc_id.  The datacard/policy sides are metadata-sized.
+
+    The catalog twin ``docs_release_diff`` (plans/training_data.py)
+    derives two release compositions in-plan and is hash-checked against
+    the DuckDB oracle; this operator applies the same diff algebra to
+    real published txns (pinned in tests/test_release_diff.py)."""
+    import os
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read_txn
+
+    tbls = {
+        "shards": os.path.join(out_root, "shards"),
+        "datacard": os.path.join(out_root, "datacard"),
+        "policy": os.path.join(out_root, "policy"),
+    }
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    sides = {}
+    for label, txn in (("a", txn_a), ("b", txn_b)):
+        if txn is None:
+            # CURRENT state: sees single-table commits with no txn marker
+            # (release_forget's eq deletes) — the "what did erasure/
+            # maintenance change since the last publish" diff
+            aligned = {p: snapshot_read(spark, p) for p in tbls.values()}
+        else:
+            aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn)
+        sides[label] = {
+            "shards": aligned[tbls["shards"]].select(
+                "doc_id", "source", "lang", "n_tokens", "shard_id"
+            ),
+            "datacard": aligned[tbls["datacard"]],
+            "policy": aligned[tbls["policy"]],
+        }
+
+    def _counts(df: DataFrame, section: str, key_col, agg) -> DataFrame:
+        return df.groupBy(key_col.alias("key")).agg(agg.alias("v")).select(
+            F.lit(section).alias("section"), "key", "v"
+        )
+
+    def _sections(s: dict) -> DataFrame:
+        sh = s["shards"]
+        parts = [
+            _counts(sh, "composition", F.col("source"), F.count("*").cast("long")),
+            _counts(sh, "tokens", F.col("source"), F.sum("n_tokens").cast("long")),
+            _counts(sh, "lang", F.col("lang"), F.count("*").cast("long")),
+            _counts(
+                s["policy"], "policy", F.col("section"), F.count("*").cast("long")
+            ),
+            s["datacard"]
+            .filter(F.col("section").startswith("funnel"))
+            .select(
+                F.lit("funnel").alias("section"),
+                F.concat_ws(":", "section", "key").alias("key"),
+                F.col("value").cast("long").alias("v"),
+            ),
+            sh.agg(
+                F.count("*").cast("long").alias("docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens"),
+                (F.coalesce(F.max("shard_id"), F.lit(-1)) + 1)
+                .cast("long")
+                .alias("shards"),
+            ).selectExpr(
+                "stack(3, 'docs', docs, 'tokens', tokens, 'shards', shards)"
+                " AS (key, v)"
+            ).select(F.lit("total").alias("section"), "key", "v"),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    a, b = _sections(sides["a"]), _sections(sides["b"])
+    diff = (
+        a.select("section", "key", F.col("v").alias("a"))
+        .join(
+            b.select("section", "key", F.col("v").alias("b")),
+            ["section", "key"],
+            "full_outer",
+        )
+        .select(
+            "section",
+            "key",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+            (F.coalesce("b", F.lit(0)) - F.coalesce("a", F.lit(0))).alias("delta"),
+        )
+    )
+    ids_a = sides["a"]["shards"].select("doc_id", "source")
+    ids_b = sides["b"]["shards"].select("doc_id", "source")
+    added = (
+        ids_b.join(ids_a.select("doc_id"), "doc_id", "left_anti")
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count("*").cast("long").alias("b"))
+        .select(
+            F.lit("added").alias("section"),
+            "key",
+            F.lit(0).cast("long").alias("a"),
+            "b",
+            F.col("b").alias("delta"),
+        )
+    )
+    removed = (
+        ids_a.join(ids_b.select("doc_id"), "doc_id", "left_anti")
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count("*").cast("long").alias("a"))
+        .select(
+            F.lit("removed").alias("section"),
+            "key",
+            "a",
+            F.lit(0).cast("long").alias("b"),
+            (-F.col("a")).cast("long").alias("delta"),
+        )
+    )
+    return diff.unionByName(added).unionByName(removed)

@@ -545,6 +545,29 @@ _CONTAM_N = 4  # shingle width, words (real pipelines use 8-13; the synthetic
 _BENCH_DOCS = 10  # doc_id < _BENCH_DOCS plays the held-out benchmark set
 
 
+def contam_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): the distinct md5-16hex word-``_CONTAM_N``-gram
+    shingles of each document — THE decontamination shingle convention
+    (r10: module-level so curate_full can publish the benchmark set as a
+    probe store and curate_incremental can probe it; docs_contamination
+    below uses the identical construction)."""
+    w = df.select("doc_id", F.split(text_col, " ").alias("w"))
+    # guard: Spark's sequence(1, n) with n <= 0 counts DOWN (DuckDB's
+    # range is simply empty) — short docs must be dropped, not reversed
+    idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
+    gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
+    return (
+        w.filter(F.size("w") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-vs-benchmark contamination: flag corpus documents sharing
     any word-``_CONTAM_N``-gram with the (small) benchmark set, with the
@@ -556,26 +579,9 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark side is tiny → broadcast, so the corpus is never
     shuffled.  Never ship shingle text: 16-hex-digit hashes only.
     """
-    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
-
-    def shingles(df: DataFrame) -> DataFrame:
-        # guard: Spark's sequence(1, n) with n <= 0 counts DOWN (DuckDB's
-        # range is simply empty) — short docs must be dropped, not reversed
-        idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
-        gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
-        return (
-            df.filter(F.size("w") >= _CONTAM_N)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
-                ).alias("sh"),
-            )
-            .distinct()
-        )
-
-    corpus = shingles(d.filter(F.col("doc_id") >= _BENCH_DOCS))
-    bench = shingles(d.filter(F.col("doc_id") < _BENCH_DOCS)).select(
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = contam_shingles(d.filter(F.col("doc_id") >= _BENCH_DOCS))
+    bench = contam_shingles(d.filter(F.col("doc_id") < _BENCH_DOCS)).select(
         F.col("sh"), F.col("doc_id").alias("bench_doc_id")
     )
     return (
@@ -1487,7 +1493,228 @@ GROUP BY shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Release-to-release diff (OP-X-RELDIFF, r10 — VERDICT r9 ask #7)
+# ---------------------------------------------------------------------------
+
+
+def _rd_survivors(
+    d_all: DataFrame, subset: DataFrame
+) -> DataFrame:
+    """One side of the release diff: the curated composition of
+    ``subset`` under the release pipeline's SQL-expressible gates —
+    rule gate, exact keep-first dedup, benchmark decontamination (the
+    bench set always comes from the FULL corpus, matching curate_full's
+    frozen benchmark).  Returns (doc_id, source, n_tokens)."""
+    from agf_data_ingestion_spark.plans.text import quality_gate_frame
+
+    keep = quality_gate_frame(subset).filter(F.col("keep")).select("doc_id")
+    s = subset.join(keep, "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5(F.lower(F.col("text")))).orderBy(F.asc("doc_id"))
+    s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    bench = (
+        contam_shingles(d_all.filter(F.col("doc_id") < _BENCH_DOCS))
+        .select("sh")
+        .distinct()
+    )
+    s = s.filter(F.col("doc_id") >= _BENCH_DOCS)
+    contaminated = (
+        contam_shingles(s.select("doc_id", "text"))
+        .join(F.broadcast(bench), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    return s.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def docs_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELEASE-NOTES DIFF between two derived release compositions:
+    release A curates the even-doc_id half of the corpus, release B
+    curates the whole corpus — the "release B extends A with a second
+    batch" shape.  Output (section, key, a, b, delta), every column an
+    exact BIGINT:
+
+    * ``composition`` / ``tokens`` — per-source doc counts and token
+      totals on each side;
+    * ``added`` — docs only in B (the appended batch's net
+      contribution); ``removed`` — docs only in A (an ADDED doc can
+      displace A's exact-dedup winner when it carries the same text
+      with a lower id — the churn a release-notes reader needs called
+      out);
+    * ``total`` — docs and tokens.
+
+    ``release_diff`` (operators/curation.py) applies the same diff
+    algebra to two PUBLISHED txn ids of a real release (funnel/policy
+    sections included; pinned in tests/test_release_diff.py); this
+    catalog twin keeps the algebra oracle-hash-checked.  Scale shape:
+    two gate+dedup passes over (doc_id, text) projections, FULL OUTER
+    join on K-row section keys, anti-joins hash-partitioned on doc_id;
+    the benchmark side is tiny -> broadcast."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = _rd_survivors(d, d.filter(F.col("doc_id") % 2 == 0))
+    b = _rd_survivors(d, d)
+
+    def _sections(s: DataFrame) -> DataFrame:
+        comp = s.groupBy(F.col("source").alias("key")).agg(
+            F.count("*").cast("long").alias("v")
+        ).select(F.lit("composition").alias("section"), "key", "v")
+        toks = s.groupBy(F.col("source").alias("key")).agg(
+            F.sum("n_tokens").cast("long").alias("v")
+        ).select(F.lit("tokens").alias("section"), "key", "v")
+        tot = s.agg(
+            F.count("*").cast("long").alias("docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tokens"),
+        ).selectExpr(
+            "stack(2, 'docs', docs, 'tokens', tokens) AS (key, v)"
+        ).select(F.lit("total").alias("section"), "key", "v")
+        return comp.unionByName(toks).unionByName(tot)
+
+    diff = (
+        _sections(a).withColumnRenamed("v", "a")
+        .join(
+            _sections(b).withColumnRenamed("v", "b"),
+            ["section", "key"],
+            "full_outer",
+        )
+        .select(
+            "section",
+            "key",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("long").alias("b"),
+            (F.coalesce("b", F.lit(0)) - F.coalesce("a", F.lit(0)))
+            .cast("long")
+            .alias("delta"),
+        )
+    )
+    added = (
+        b.join(a.select("doc_id"), "doc_id", "left_anti")
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count("*").cast("long").alias("b"))
+        .select(
+            F.lit("added").alias("section"),
+            "key",
+            F.lit(0).cast("long").alias("a"),
+            "b",
+            F.col("b").cast("long").alias("delta"),
+        )
+    )
+    removed = (
+        a.join(b.select("doc_id"), "doc_id", "left_anti")
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count("*").cast("long").alias("a"))
+        .select(
+            F.lit("removed").alias("section"),
+            "key",
+            "a",
+            F.lit(0).cast("long").alias("b"),
+            (-F.col("a")).cast("long").alias("delta"),
+        )
+    )
+    return diff.unionByName(added).unionByName(removed)
+
+
+def _rd_side_sql(side: str, where: str) -> str:
+    from agf_data_ingestion_spark.plans.text import _STOPWORDS
+
+    return f"""s_{side} AS (SELECT doc_id, source, text FROM documents {where}),
+m_{side} AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS awl,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN {tuple(_STOPWORDS)!r})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS swr,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ur
+  FROM s_{side}),
+g_{side} AS (
+  SELECT doc_id, source, text FROM m_{side}
+  WHERE n_words >= 30 AND awl >= 3.0 AND awl <= 10.0 AND swr >= 0.05 AND ur >= 0.4),
+d_{side} AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+    FROM g_{side})
+  WHERE rn = 1),
+cw_{side} AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM d_{side}
+  WHERE doc_id >= {_BENCH_DOCS}),
+csh_{side} AS (
+  SELECT DISTINCT doc_id,
+         substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM cw_{side}, unnest(range(1, len(w) - {_CONTAM_N - 2})) AS t(i)),
+con_{side} AS (SELECT DISTINCT c.doc_id FROM csh_{side} c JOIN benchsh USING (sh)),
+surv_{side} AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM d_{side} d
+  WHERE d.doc_id >= {_BENCH_DOCS}
+    AND d.doc_id NOT IN (SELECT doc_id FROM con_{side})),
+secs_{side} AS (
+  SELECT 'composition' AS section, source AS key,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM surv_{side} GROUP BY 2
+  UNION ALL
+  SELECT 'tokens', source, CAST(SUM(n_tokens) AS BIGINT)
+  FROM surv_{side} GROUP BY 2
+  UNION ALL
+  SELECT 'total', 'docs', CAST(COUNT(*) AS BIGINT) FROM surv_{side}
+  UNION ALL
+  SELECT 'total', 'tokens', CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+  FROM surv_{side})"""
+
+
+_RELDIFF_SQL = f"""
+WITH bw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id < {_BENCH_DOCS}
+),
+benchsh AS (
+  SELECT DISTINCT substr(md5(array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')), 1, 16) AS sh
+  FROM bw, unnest(range(1, len(w) - {_CONTAM_N - 2})) AS t(i)
+),
+{_rd_side_sql("a", "WHERE doc_id % 2 = 0")},
+{_rd_side_sql("b", "")},
+va AS (SELECT section, key, v AS av FROM secs_a),
+vb AS (SELECT section, key, v AS bv FROM secs_b),
+diff AS (
+  SELECT section, key,
+         CAST(COALESCE(av, 0) AS BIGINT) AS a,
+         CAST(COALESCE(bv, 0) AS BIGINT) AS b,
+         CAST(COALESCE(bv, 0) - COALESCE(av, 0) AS BIGINT) AS delta
+  FROM va FULL OUTER JOIN vb USING (section, key)
+),
+added AS (
+  SELECT 'added' AS section, source AS key,
+         CAST(0 AS BIGINT) AS a,
+         CAST(COUNT(*) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS delta
+  FROM surv_b WHERE doc_id NOT IN (SELECT doc_id FROM surv_a)
+  GROUP BY 2
+),
+removed AS (
+  SELECT 'removed' AS section, source AS key,
+         CAST(COUNT(*) AS BIGINT) AS a,
+         CAST(0 AS BIGINT) AS b,
+         CAST(-COUNT(*) AS BIGINT) AS delta
+  FROM surv_a WHERE doc_id NOT IN (SELECT doc_id FROM surv_b)
+  GROUP BY 2
+)
+SELECT * FROM diff
+UNION ALL SELECT * FROM added
+UNION ALL SELECT * FROM removed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "docs_release_diff": QuerySpec(
+        docs_release_diff,
+        _RELDIFF_SQL,
+        ("OP-X-RELDIFF", "OP-X-DATACARD", "OP-X-DEDUP-EXACT"),
+    ),
     "docs_shard_plan": QuerySpec(
         docs_shard_plan, _SHARD_PLAN_SQL, ("OP-X-SHARDS", "OP-X-PACK")
     ),

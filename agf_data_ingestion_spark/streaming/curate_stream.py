@@ -1,6 +1,6 @@
 """Continuous curation: a document stream folds into a published
 release through ``curate_incremental`` (operators/curation.py) — one
-nine-table txn per micro-batch, so a trainer tailing the release sees
+ten-table txn per micro-batch, so a trainer tailing the release sees
 each batch's shards, lineage, index delta, probe-store delta, and
 funnel rows together or not at all.
 
@@ -15,7 +15,7 @@ own commit (per-stream batch ids are monotone, so the scan is O(new
 versions), never O(history)).
 
 An input batch that gates down to ZERO surviving documents still
-commits (empty nine-table appends carrying the op label) — the label
+commits (empty ten-table appends carrying the op label) — the label
 trail is what makes the replay decision durable; skipping the commit
 would re-gate the batch on every replay.  A batch that arrives EMPTY
 is skipped outright (its replay is empty by checkpoint determinism)

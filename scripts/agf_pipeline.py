@@ -282,7 +282,7 @@ def cmd_curate(args) -> int:
 
     if getattr(args, "forget_ids", None):
         # release-level GDPR erasure: remove the docs from every
-        # content-derived table of the nine-table release + repair stats
+        # content-derived table of the ten-table release + repair stats
         from agf_data_ingestion_spark.operators.curation import release_forget
 
         ids = [int(x) for x in args.forget_ids.split(",") if x.strip()]
@@ -290,17 +290,40 @@ def cmd_curate(args) -> int:
         return 0
 
     if getattr(args, "verify_release", False):
-        # release audit: cross-table invariants of the nine-table publish
+        # release audit: cross-table invariants of the ten-table publish
+        # (--current audits per-table CURRENT state — detects torn forgets)
         from agf_data_ingestion_spark.operators.curation import verify_release
 
-        report = verify_release(_spark(), args.out)
+        report = verify_release(
+            _spark(), args.out, current=getattr(args, "current", False)
+        )
         print(json.dumps(report))
         return 0 if report["ok"] else 6
+
+    if getattr(args, "diff_releases", None):
+        # release-to-release diff (r10): (section, key, a, b, delta) rows
+        # between two published txn ids; 'current' = per-table current
+        # state (sees marker-less forget commits)
+        from agf_data_ingestion_spark.operators.curation import release_diff
+
+        ta, tb = args.diff_releases
+        rows = release_diff(
+            _spark(),
+            args.out,
+            None if ta == "current" else ta,
+            None if tb == "current" else tb,
+        ).collect()
+        out = [
+            {k: r[k] for k in ("section", "key", "a", "b", "delta")}
+            for r in sorted(rows, key=lambda r: (r["section"], r["key"]))
+        ]
+        print(json.dumps(out))
+        return 0
 
     if getattr(args, "append_batch", None):
         # O(batch) incremental append to a published release: frozen
         # policy gates + pruned probe-store dedup + shard continuation,
-        # one nine-table txn (operators/curation.py curate_incremental)
+        # one ten-table txn (operators/curation.py curate_incremental)
         from agf_data_ingestion_spark.operators.curation import curate_incremental
 
         spark = _spark()
@@ -317,7 +340,7 @@ def cmd_curate(args) -> int:
 
     if getattr(args, "full", False):
         # the end-to-end pipeline (operators/curation.py): every stage,
-        # one atomic nine-table publish (shards/lineage/datacard/postings/
+        # one atomic ten-table publish (shards/lineage/datacard/postings/
         # stats/hashes/bands/sets/policy), funnel + per-stage walls in
         # the JSON report
         from agf_data_ingestion_spark.operators.curation import curate_full
@@ -1004,8 +1027,16 @@ def main() -> int:
                    help="release-level GDPR erasure: remove these doc ids "
                         "from shards/lineage/index/stores of the release "
                         "at --out, repair stats, append the audit trail")
+    c.add_argument("--diff-releases", nargs=2, metavar=("TXN_A", "TXN_B"),
+                   help="release-notes diff between two published txn ids "
+                        "of the release at --out ('current' = per-table "
+                        "current state); prints (section,key,a,b,delta) "
+                        "JSON rows")
+    c.add_argument("--current", action="store_true",
+                   help="with --verify-release: audit per-table CURRENT "
+                        "state instead of the txn-pinned publish")
     c.add_argument("--verify-release", action="store_true",
-                   help="audit the release at --out: nine-table txn "
+                   help="audit the release at --out: ten-table txn "
                         "alignment, lineage/index/store coverage, dense "
                         "positions, complete frozen policy")
     c.add_argument("--decontaminate", action="store_true",

@@ -72,19 +72,19 @@ TEST_COVERED = {
         "tests/test_text_index.py (5 cases: search ≡ docs_bm25_search bit-for-bit, append ≡ from-scratch rebuild incl. stats + search parity, lockstep two-table versions with stats ≡ direct recount, strict-subset probes via range pruning AND bloom exclusion of rare terms, unknown-term empty result) + tests/test_text_index_stream.py (stream ≡ one-shot build, replayed batch no-op, torn-HWM repair from op labels)",
     ),
     "OP-X-CURATE": (
-        "operators/curation.py `curate_full` (end-to-end curation: rule gate → exact dedup → near-dup collapse → decontam → PR-curve-chosen trained-quality cut → DoReMi weights → WFQ interleave → token-budgeted shards; ONE snapshot_multi_write publishing shards+lineage+datacard(funnel)+index postings/stats; txn-aligned read-back verify; per-stage wall/rows; scripts/agf_pipeline.py curate --full; bench pipeline_curate_full)",
-        "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; nine-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
+        "operators/curation.py `curate_full` (end-to-end curation: rule gate → exact dedup → near-dup collapse → decontam → PR-curve-chosen trained-quality cut → DoReMi weights → WFQ interleave → token-budgeted shards; ONE snapshot_multi_write publishing shards+lineage+datacard(funnel)+index postings/stats+probe stores (hashes/bands/sets + r10 benchmark shingles)+policy; txn-aligned read-back verify; per-stage wall/rows; scripts/agf_pipeline.py curate --full; bench pipeline_curate_full)",
+        "tests/test_curation.py (composed run BIT-IDENTICAL to stage-at-a-time execution with parquet round-trips between every stage; ten-table txn alignment survives later single-table commits; datacard funnel == report incl. monotone gates; lineage/postings/stats cover exactly the published corpus)",
     ),
     "OP-X-CURATEINC": (
-        "operators/curation.py `curate_incremental` (O(batch) release append: frozen-policy gates from the published policy table, pruned probe-store dedup — hash IN-list / band-signature / sets-by-candidate-id reads through cluster+bloom skipping — manifest-stats shard continuation, horizon-free WFQ ordering, nine-table append txn; scripts/agf_pipeline.py curate --append-batch)",
-        "tests/test_curation_incremental.py (planted exact-dup/near-dup/internal-dup/gate-fail/good cases each pinned to their drop reason; shard + global_pos continuation; index and all three probe stores cover exactly the union corpus; new txn atomic across nine tables with the base txn still time-travelable and published rows byte-stable)",
+        "operators/curation.py `curate_incremental` (O(batch) release append: frozen-policy gates from the published policy table, pruned probe-store dedup — hash IN-list / band-signature / sets-by-candidate-id reads through cluster+bloom skipping — r10 decontamination vs the txn-published benchmark shingle store (batch-bounded sh IN-list + the benchmark-id rule), manifest-stats shard continuation, horizon-free WFQ ordering, ten-table append txn; scripts/agf_pipeline.py curate --append-batch)",
+        "tests/test_curation_incremental.py (planted exact-dup/near-dup/internal-dup/gate-fail/good cases each pinned to their drop reason; shard + global_pos continuation; index and all three probe stores cover exactly the union corpus; new txn atomic across ten tables with the base txn still time-travelable and published rows byte-stable)",
     ),
     "OP-X-CURATESTREAM": (
-        "streaming/curate_stream.py (continuous curation: document stream -> curate_incremental, one nine-table txn per micro-batch; exactly-once via op-label bookmark + durable HWM under the shards table; zero-survivor batches commit the label trail, empty batches only advance the HWM)",
+        "streaming/curate_stream.py (continuous curation: document stream -> curate_incremental, one ten-table txn per micro-batch; exactly-once via op-label bookmark + durable HWM under the shards table; zero-survivor batches commit the label trail, empty batches only advance the HWM)",
         "tests/test_curate_stream.py (real availableNow stream across a restart ≡ same-chop manual curate_incremental on a byte-identical twin release; replayed batch ids are exact no-ops; torn-HWM repair from the op-label scan; fresh batch still applies)",
     ),
     "OP-X-RELFORGET": (
-        "operators/curation.py `release_forget` + `verify_release` (nine-table GDPR erasure via zero-read eq deletes in a crash-safe idempotent order, stats recomputed not delta-corrected, datacard audit trail; release audit: txn alignment, lineage cover, stats match, store coverage, policy completeness; curate --forget-ids / --verify-release)",
+        "operators/curation.py `release_forget` + `verify_release` (ten-table-release GDPR erasure via zero-read eq deletes in a crash-safe idempotent order, stats recomputed not delta-corrected, datacard audit trail; release audit: txn alignment, lineage cover, stats match, store coverage, bench-store presence, policy completeness, r10 current-state mode detecting torn forgets; curate --forget-ids / --verify-release [--current])",
         "tests/test_release_forget.py (victims vanish from all six content tables' current state, survivors byte-stable, stats repair exact, audit rows land, replay is a {found: 0} no-op with no version churn, the publish txn still time-travels) + tests/test_curation.py::test_verify_release_audit",
     ),
     "OP-X-MULTITXN": (

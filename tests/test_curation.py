@@ -5,7 +5,7 @@ Pins the VERDICT r8 ask #1 contract:
 * the composed ``curate_full`` run is BIT-IDENTICAL to executing the
   stages one at a time with parquet materialization between them (no
   hidden dependence on partitioning, caching, or plan fusion);
-* all five published tables land as ONE multi-table transaction and
+* all ten published tables land as ONE multi-table transaction and
   ``snapshot_read_txn`` keeps resolving that publish even after later
   unrelated single-table commits;
 * the release datacard carries the funnel (one row per stage) and the
@@ -94,7 +94,7 @@ def test_stage_by_stage_bit_identical(spark, release, tmp_path):
 
 
 def test_txn_alignment_survives_later_commits(spark, release):
-    """All nine tables resolve to the SAME txn, and a later unrelated
+    """All ten tables resolve to the SAME txn, and a later unrelated
     single-table commit does not break (or silently retarget) the
     txn-aligned read."""
     from agf_data_ingestion_spark.sources.snapshots import (
@@ -103,7 +103,7 @@ def test_txn_alignment_survives_later_commits(spark, release):
         snapshot_write,
     )
 
-    tables = sorted(release["tables"].values())  # all nine release tables
+    tables = sorted(release["tables"].values())  # all ten release tables
     versions, txn_id = snapshot_txn_versions(tables)
     assert txn_id == release["txn"]["id"]
     assert versions == release["txn"]["versions"]

@@ -2,7 +2,7 @@
 the O(batch) delta path of the r9 pipeline.  Pins the frozen-policy
 contract — a batch is gated by the PUBLISHED thresholds/weights and
 deduped against the release's probe stores — plus shard continuation,
-store/index coverage of exactly the union corpus, nine-table txn
+store/index coverage of exactly the union corpus, ten-table txn
 atomicity, and time travel back to the base release.
 """
 
@@ -101,6 +101,51 @@ def setup(spark, tmp_path_factory):
     # planted: fails the rule gate (too short)
     gate_fail_id = base + 103
     rows.append((gate_fail_id, "a a a a", "en", "src0", 7))
+    # planted (r10, ADVICE r9): shares 4-gram shingles with the held-out
+    # benchmark set — must be dropped by the NEW incremental decontam
+    # stage probing the published bench store.  Built like the near-dup
+    # plant (perturb every 5th word) but from GATE-PASSING benchmark
+    # docs, which are never published, so the bands store cannot flag
+    # them first and the drop is attributable to decontam.
+    from agf_data_ingestion_spark.plans.text import quality_gate_frame
+
+    bench_raw = t(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 10)
+    bench_keep = {
+        r["doc_id"]
+        for r in quality_gate_frame(bench_raw)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    bench_rows = sorted(
+        (r for r in bench_raw.collect() if r["doc_id"] in bench_keep),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(bench_rows) >= 2, "need two gate-passing benchmark docs"
+
+    def _perturb(text, tag):
+        # leave stopwords intact: replacing them pushed stopword_ratio
+        # under the 0.05 gate and the drop mis-attributed to rule_gate
+        from agf_data_ingestion_spark.plans.text import _STOPWORDS
+
+        words = text.split()
+        for j in range(0, len(words), 5):
+            if words[j] not in _STOPWORDS:
+                words[j] = f"{tag}{j}"
+        return " ".join(words)
+
+    contaminated_id = base + 104
+    ctext = _perturb(bench_rows[0]["text"], "zc")
+    rows.append(
+        (contaminated_id, ctext, bench_rows[0]["lang"], bench_rows[0]["source"], len(ctext))
+    )
+    # planted (r10): claims a benchmark doc id — the doc_id < _BENCH_DOCS
+    # rule curate_full applies must hold for batches too
+    bench_id = 5
+    btext = _perturb(bench_rows[1]["text"], "zr")
+    rows.append(
+        (bench_id, btext, bench_rows[1]["lang"], bench_rows[1]["source"], len(btext))
+    )
     batch = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -117,6 +162,8 @@ def setup(spark, tmp_path_factory):
             "near_dup": near_dup_id,
             "internal_dup": internal_dup_id,
             "gate_fail": gate_fail_id,
+            "contaminated": contaminated_id,
+            "bench_id": bench_id,
         },
     }
 
@@ -146,6 +193,19 @@ def test_planted_cases(spark, setup):
     assert appended <= set(setup["good_ids"])
     assert setup["good_ids"][0] in appended
     assert len(appended) >= len(setup["good_ids"]) // 2
+
+
+def test_incremental_decontam(spark, setup):
+    """r10 (ADVICE r9 medium): a batch doc sharing shingles with the
+    held-out benchmark set — or claiming a benchmark id — is dropped by
+    the decontam stage probing the txn-published bench store; the stage
+    delta attributes exactly those two drops to decontamination."""
+    appended = _appended_ids(spark, setup)
+    pl = setup["planted"]
+    assert pl["contaminated"] not in appended
+    assert pl["bench_id"] not in appended
+    stages = {s["name"]: s["rows_out"] for s in setup["rep"]["stages"]}
+    assert stages["neardup"] - stages["decontam"] == 2, stages
 
 
 def test_shard_continuation_and_lineage(spark, setup):

