@@ -149,18 +149,30 @@ def score_quality(weights: DataFrame, docs: DataFrame) -> DataFrame:
     exchange apply shape (broadcast model, map-side partial collapse)."""
     from agf_data_ingestion_spark.plans.quality_model import _D
 
+    # char-array bigrams (the r10 O(len^2)-substr fix — substr(text, i)
+    # scans codepoints from the string start; see quality_model._bigrams)
     bg = (
         docs.filter(F.length("text") >= 2)
+        .select("doc_id", F.split("text", "").alias("cs"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
-            F.col("text"),
+            "cs",
+            F.explode(F.sequence(F.lit(1), F.size("cs") - 1)).alias("i"),
         )
         .select(
             "doc_id",
             (
                 F.conv(
-                    F.substring(F.md5(F.col("text").substr(F.col("i"), F.lit(2))), 1, 6),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.element_at("cs", F.col("i")),
+                                F.element_at("cs", F.col("i") + 1),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
                     16,
                     10,
                 ).cast("long")

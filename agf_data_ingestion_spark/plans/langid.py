@@ -89,20 +89,33 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigrams(c: DataFrame) -> DataFrame:
     """(doc_id, lang, is_train, bucket): one row per character bigram,
-    md5-hashed into ``_D`` buckets."""
+    md5-hashed into ``_D`` buckets.  Char-array form (r10): ``substr``
+    per exploded position scans codepoints from the string start —
+    O(len^2) per doc; split-once + O(1) element_at is byte-identical
+    (see plans/quality_model._bigrams)."""
     return (
-        c.select(
+        c.filter(F.length("text") >= 2)
+        .select(
             "doc_id",
             "lang",
             "is_train",
-            "text",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            F.split("text", "").alias("cs"),
         )
         .select(
             "doc_id",
             "lang",
             "is_train",
-            F.col("text").substr(F.col("i"), F.lit(2)).alias("bg"),
+            "cs",
+            F.explode(F.sequence(F.lit(1), F.size("cs") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            F.concat(
+                F.element_at("cs", F.col("i")),
+                F.element_at("cs", F.col("i") + 1),
+            ).alias("bg"),
         )
         .select(
             "doc_id",

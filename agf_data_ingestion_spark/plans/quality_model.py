@@ -109,22 +109,42 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigrams(c: DataFrame) -> DataFrame:
     """One row per character bigram, md5-hashed into ``_D`` buckets
-    (the langid feature pipeline over the quality-labeled corpus)."""
+    (the langid feature pipeline over the quality-labeled corpus).
+
+    r10 (the preference-pairs ladder melt): the bigram is built from a
+    per-doc CHAR ARRAY (``split(text, '')`` once, then O(1)
+    ``element_at``), not ``substr(text, i, 2)`` — UTF8String substring
+    is a codepoint scan from the string START, so the substr form costs
+    O(position) per exploded row = O(len^2) per document (measured 3x
+    on the 10x corpus).  ``concat`` of two codepoints is byte-identical
+    to the 2-codepoint substring, so hashes and the DuckDB oracle are
+    unchanged."""
     return (
-        c.select(
+        c.filter(F.length("text") >= 2)
+        .select(
             "doc_id",
             "lang",
             "is_train",
             "hi",
-            "text",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            F.split("text", "").alias("cs"),
         )
         .select(
             "doc_id",
             "lang",
             "is_train",
             "hi",
-            F.col("text").substr(F.col("i"), F.lit(2)).alias("bg"),
+            "cs",
+            F.explode(F.sequence(F.lit(1), F.size("cs") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "is_train",
+            "hi",
+            F.concat(
+                F.element_at("cs", F.col("i")),
+                F.element_at("cs", F.col("i") + 1),
+            ).alias("bg"),
         )
         .select(
             "doc_id",
@@ -425,18 +445,29 @@ def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     w = _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # char-array bigrams (the r10 O(len^2)-substr fix — see _bigrams)
     bg = (
         d.filter(F.length("text") >= 2)
+        .select("doc_id", F.split("text", "").alias("cs"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
-            F.col("text"),
+            "cs",
+            F.explode(F.sequence(F.lit(1), F.size("cs") - 1)).alias("i"),
         )
         .select(
             "doc_id",
             (
                 F.conv(
-                    F.substring(F.md5(F.col("text").substr(F.col("i"), F.lit(2))), 1, 6),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.element_at("cs", F.col("i")),
+                                F.element_at("cs", F.col("i") + 1),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
                     16,
                     10,
                 ).cast("long")
