@@ -708,7 +708,10 @@ _RWS_SRC_ROUTE = 100
 
 
 def _rws_ts(
-    spark: SparkSession, sf_dir: str, _route: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    _route: int | None = None,
+    _wts: DataFrame | None = None,
 ) -> DataFrame:
     """The horizon-cut WFQ stream (one row per surviving doc, composite
     order key ``_ordk`` attached) — every row-level step of
@@ -738,7 +741,11 @@ def _rws_ts(
     )
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    wts = docs_domain_reweight(spark, sf_dir).select("source", "weight_ppm")
+    wts = (
+        _wts
+        if _wts is not None
+        else docs_domain_reweight(spark, sf_dir).select("source", "weight_ppm")
+    )
     base = d.select(
         "doc_id",
         "source",
@@ -786,14 +793,17 @@ def _rws_ts(
 
 
 def _rws_stream(
-    spark: SparkSession, sf_dir: str, _route: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    _route: int | None = None,
+    _wts: DataFrame | None = None,
 ) -> DataFrame:
     """``_rws_ts`` with ``shard_id`` assigned by the two-pass
     distributed prefix sum (operators/shards.py ``assign_shards``)."""
     from agf_data_ingestion_spark.operators.shards import assign_shards
 
     return assign_shards(
-        _rws_ts(spark, sf_dir, _route),
+        _rws_ts(spark, sf_dir, _route, _wts),
         budget_tokens=_SHARD_BUDGET,
         order_key="_ordk",
         tokens_col="n_tokens",
@@ -826,16 +836,16 @@ def docs_reweighted_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-pass distributed prefix sum and the per-source cumsum is
     skew-routed (see ``_rws_stream``); the oracle keeps the two-window
     SQL form, which the decompositions match bit-for-bit."""
-    assigned = _rws_stream(spark, sf_dir)
+    # the DRM weight table is corpus-derived (one text scan): build it
+    # ONCE and share the plan between the stream and the total
+    wts = docs_domain_reweight(spark, sf_dir).select("source", "weight_ppm")
+    assigned = _rws_stream(spark, sf_dir, _wts=wts)
     per = assigned.groupBy("shard_id", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens"),
         F.max("weight_ppm").alias("weight_ppm"),
     )
-    total_w = (
-        docs_domain_reweight(spark, sf_dir)
-        .agg(F.sum("weight_ppm").cast("long").alias("total_w"))
-    )
+    total_w = wts.agg(F.sum("weight_ppm").cast("long").alias("total_w"))
     shard_w = Window.partitionBy("shard_id")
     return (
         per.crossJoin(F.broadcast(total_w))
