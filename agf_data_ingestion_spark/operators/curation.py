@@ -833,7 +833,18 @@ def curate_incremental(
         {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
     )
 
+    # alignment check only — all ten tables resolve to THIS txn; the row
+    # total comes from manifest metadata (r10: the old full-table count
+    # was the one O(release) read in the append path; live eq-delete
+    # debt makes the metadata count refuse, so fall back to the scan
+    # only then)
     aligned = snapshot_read_txn(spark, list(tbls.values()))
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_rowcount
+
+    try:
+        total_rows = snapshot_rowcount(tbls["shards"])
+    except RuntimeError:
+        total_rows = aligned[tbls["shards"]].count()
     inc_txn = snapshot_txn_id(tbls["shards"], new_versions[tbls["shards"]])
     tok_row = assigned.agg(
         F.max("shard_id").alias("m"), F.sum("n_tokens").alias("t")
@@ -848,7 +859,7 @@ def curate_incremental(
             int(tok_row["m"]) - base_shard + 1 if tok_row["m"] is not None else 0
         ),
         "new_tokens": int(tok_row["t"]) if tok_row["t"] is not None else 0,
-        "total_rows": aligned[tbls["shards"]].count(),
+        "total_rows": total_rows,
         "wall_s": round(time.time() - t_run, 3),
     }
 
