@@ -870,6 +870,7 @@ def verify_release(
     *,
     txn_id: str | None = None,
     current: bool = False,
+    deep: bool = False,
 ) -> dict:
     """Release AUDIT (r9): check the cross-table invariants a training
     deployment gates on before consuming a release — the publish-side
@@ -901,10 +902,18 @@ def verify_release(
       tests/test_release_forget.py).  ``txn_aligned`` is skipped —
       current versions are per-table by definition.
 
+    ``deep=True`` (r10) adds ``decontam_clean``: no published document
+    shares a shingle with the release's own benchmark store — the
+    content-level claim the metadata checks cannot make (a doc appended
+    around the gates, or a benchmark widened after publish, is caught
+    here).  Deep mode re-reads the corpus TEXT (one shingle scan,
+    bench side shuffle-hash-pinned as the build side) — run it on
+    release milestones, not every append.
+
     Returns ``{"ok": bool, "txn_id": ..., "checks": {name: bool},
-    "counts": {...}}`` — cheap enough to run after every publish
-    (metadata + a few doc-count-sized aggregates; the corpus text is
-    never re-read)."""
+    "counts": {...}}`` — the default audit is cheap enough to run after
+    every publish (metadata + a few doc-count-sized aggregates; the
+    corpus text is never re-read unless ``deep``)."""
     import os
 
     from agf_data_ingestion_spark.sources.snapshots import (
@@ -978,6 +987,21 @@ def verify_release(
     checks["bench_store_present"] = (
         aligned[tbls["bench"]].limit(1).count() > 0
     )
+    if deep:
+        from agf_data_ingestion_spark.plans.training_data import contam_shingles
+
+        dirty = (
+            contam_shingles(aligned[tbls["shards"]].select("doc_id", "text"))
+            .join(
+                aligned[tbls["bench"]].select("sh").hint("shuffle_hash"),
+                "sh",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        checks["decontam_clean"] = dirty == 0
 
     pol = {r["section"] for r in aligned[tbls["policy"]].collect()}
     checks["policy_complete"] = {

@@ -295,7 +295,10 @@ def cmd_curate(args) -> int:
         from agf_data_ingestion_spark.operators.curation import verify_release
 
         report = verify_release(
-            _spark(), args.out, current=getattr(args, "current", False)
+            _spark(),
+            args.out,
+            current=getattr(args, "current", False),
+            deep=getattr(args, "deep", False),
         )
         print(json.dumps(report))
         return 0 if report["ok"] else 6
@@ -1035,6 +1038,10 @@ def main() -> int:
     c.add_argument("--current", action="store_true",
                    help="with --verify-release: audit per-table CURRENT "
                         "state instead of the txn-pinned publish")
+    c.add_argument("--deep", action="store_true",
+                   help="with --verify-release: also verify no published "
+                        "document shares a shingle with the benchmark "
+                        "store (re-reads corpus text)")
     c.add_argument("--verify-release", action="store_true",
                    help="audit the release at --out: ten-table txn "
                         "alignment, lineage/index/store coverage, dense "

@@ -84,7 +84,7 @@ TEST_COVERED = {
         "tests/test_curate_stream.py (real availableNow stream across a restart ≡ same-chop manual curate_incremental on a byte-identical twin release; replayed batch ids are exact no-ops; torn-HWM repair from the op-label scan; fresh batch still applies)",
     ),
     "OP-X-RELFORGET": (
-        "operators/curation.py `release_forget` + `verify_release` (ten-table-release GDPR erasure via zero-read eq deletes in a crash-safe idempotent order, stats recomputed not delta-corrected, datacard audit trail; release audit: txn alignment, lineage cover, stats match, store coverage, bench-store presence, policy completeness, r10 current-state mode detecting torn forgets; curate --forget-ids / --verify-release [--current])",
+        "operators/curation.py `release_forget` + `verify_release` (ten-table-release GDPR erasure via zero-read eq deletes in a crash-safe idempotent order, stats recomputed not delta-corrected, datacard audit trail; release audit: txn alignment, lineage cover, stats match, store coverage, bench-store presence, policy completeness, r10 current-state mode detecting torn forgets + deep mode verifying NO published doc shares a shingle with the benchmark store; curate --forget-ids / --verify-release [--current] [--deep])",
         "tests/test_release_forget.py (victims vanish from all six content tables' current state, survivors byte-stable, stats repair exact, audit rows land, replay is a {found: 0} no-op with no version churn, the publish txn still time-travels) + tests/test_curation.py::test_verify_release_audit",
     ),
     "OP-X-MULTITXN": (

@@ -197,3 +197,50 @@ def test_verify_release_audit(spark, release):
     assert rep["txn_id"] == release["txn"]["id"]
     assert rep["counts"]["docs"] == release["stages"][-1]["rows_out"]
     assert rep["counts"]["tokens"] == release["total_tokens"]
+
+
+def test_deep_audit_catches_contaminated_append(spark, release):
+    """r10 ``deep=True``: the content-level decontamination claim.  A
+    fresh publish audits clean; a benchmark-text document appended
+    AROUND the gates (a raw snapshot append, as a buggy side-writer
+    would) is invisible to every metadata check but fails
+    ``decontam_clean``.  Runs LAST in this module: it mutates the
+    shared release's current state (txn-pinned tests are unaffected)."""
+    import os
+
+    from agf_data_ingestion_spark.operators.curation import verify_release
+    from agf_data_ingestion_spark.plans.base import t
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_write
+
+    root = os.path.dirname(release["tables"]["shards"])
+    clean = verify_release(spark, root, txn_id=release["txn"]["id"], deep=True)
+    assert clean["ok"] and clean["checks"]["decontam_clean"] is True
+
+    bench_doc = (
+        t(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 10)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    schema = snapshot_read(spark, release["tables"]["shards"]).schema
+    vals = {
+        "doc_id": 9_000_000,
+        "text": bench_doc["text"],
+        "lang": bench_doc["lang"],
+        "source": bench_doc["source"],
+        "n_chars": len(bench_doc["text"]),
+        "shard_id": 0,
+        "global_pos": 9_000_000,
+        "n_tokens": len(bench_doc["text"].split()),
+    }
+    dirty = spark.createDataFrame(
+        [tuple(vals[f.name] for f in schema.fields)], schema
+    )
+    snapshot_write(dirty, release["tables"]["shards"], mode="append", op="rogue")
+
+    audited = verify_release(spark, root, current=True, deep=True)
+    assert audited["checks"]["decontam_clean"] is False
+    assert not audited["ok"]
