@@ -3,6 +3,7 @@ exactly, including on pathologically skewed inputs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.operators.skew import salted_join, salted_sum_count
@@ -154,6 +155,75 @@ def test_weighted_interleave_routing_branches_identical(spark):
         )
     )
     assert a == b
+
+
+_HYPO = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["hot", "a", "b"]),  # part (hot key included)
+        st.integers(min_value=0, max_value=5),  # value key with heavy ties
+        st.integers(min_value=1, max_value=100),  # summand
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_ROWS)
+def test_salted_prefix_sum_property(spark, rows):
+    """Arbitrary inputs: the salted decomposition equals a pure-Python
+    re-statement of the keyed running sum (k=1 -> 16 tiny cells, so cell
+    boundaries are exercised even on small examples)."""
+    import hashlib
+
+    data = [
+        (p, hashlib.md5(str(i).encode()).hexdigest()[:16], i, v)
+        for i, (p, _k, v) in enumerate(rows)
+    ]
+    from agf_data_ingestion_spark.operators.skew import salted_prefix_sum
+
+    df = spark.createDataFrame(data, "part string, h string, tie long, val long")
+    got = {
+        r["tie"]: r["cum"]
+        for r in salted_prefix_sum(df, ["part"], "val", "h", "tie", k=1).collect()
+    }
+    truth = {}
+    for part in {d[0] for d in data}:
+        run = 0
+        for _p, _h, tie, v in sorted(
+            (d for d in data if d[0] == part), key=lambda d: (d[1], d[2])
+        ):
+            run += v
+            truth[tie] = run
+    assert got == truth
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_ROWS)
+def test_salted_rank_intkey_property(spark, rows):
+    """Arbitrary inputs incl. heavy value ties: the salted rank equals a
+    pure-Python (key, tie) row_number + partition count (cells=4 forces
+    multiple value buckets on tiny examples)."""
+    from agf_data_ingestion_spark.operators.skew import salted_rank_intkey
+
+    data = [(p, k, i) for i, (p, k, _v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "part string, key long, tie long")
+    got = {
+        r["tie"]: (r["dr"], r["n_part"])
+        for r in salted_rank_intkey(df, ["part"], "key", "tie", cells=4).collect()
+    }
+    truth = {}
+    for part in {d[0] for d in data}:
+        members = sorted(
+            (d for d in data if d[0] == part), key=lambda d: (d[1], d[2])
+        )
+        for rank, (_p, _k, tie) in enumerate(members, 1):
+            truth[tie] = (rank, len(members))
+    assert got == truth
 
 
 def test_salted_join_equals_plain(spark):
