@@ -347,6 +347,23 @@ def test_reweighted_shards_no_single_partition_window(spark):
     assert a == b
 
 
+def test_curriculum_decomposed_plan_keyed(spark):
+    """r10 (VERDICT r9 ask #2): the forced-decomposed curriculum plan
+    carries only KEYED windows — the per-source percentile runs in
+    (source, difficulty-range salt) cells, never one whole-source
+    partition — and the salt actually engages."""
+    from agf_data_ingestion_spark.plans.lm import docs_curriculum_order
+
+    df = docs_curriculum_order(spark, SF, _route=101)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan  # the decomposition engaged
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "difficulty" in line:
+            assert "source" in line, line
+    assert "windowspecdefinition(1," not in plan, plan
+
+
 def test_preference_pairs_model_broadcast_only(spark):
     # r9: the trained model rides a broadcast; the corpus collapses to
     # 1 row/doc before any window — score rows shuffle, text never does
