@@ -66,6 +66,8 @@ QUERIES = [
     "docs_mixture_anneal",
     "emb_ann_recall_curve",
     "docs_reweighted_shards",
+    # r10 addition: release-notes diff (two gate+dedup+shingle passes)
+    "docs_release_diff",
 ]
 
 
