@@ -119,6 +119,212 @@ def salted_prefix_sum(
     )
 
 
+def salted_prefix_sum_intkey(
+    df: DataFrame,
+    part_cols: list[str],
+    val_col: str,
+    key_col: str,
+    tie_col: str | None = None,
+    *,
+    out_col: str = "cum",
+    cells: int = 256,
+) -> DataFrame:
+    """EXACT keyed running sum ordered by an INTEGER key (r11, VERDICT
+    r10 ask #1 — the ``docs_token_packing`` shape):
+
+        SUM(val) OVER (PARTITION BY part ORDER BY key[, tie]
+                       ROWS UNBOUNDED PRECEDING)
+
+    the integer-key twin of ``salted_prefix_sum``: the salt is the
+    VALUE-RANGE bucket of ``key_col`` (the ``salted_rank_intkey``
+    bucketing — monotone, equal keys share a salt), the running sum runs
+    within each (part, salt) cell, and earlier cells contribute via the
+    tiny cell-total table.  Integer adds are order-free, so the
+    decomposition is bit-identical to the single window (the oracle
+    keeps the one-window form).  ``tie_col=None`` requires ``key_col``
+    unique within each partition (doc_id order)."""
+    order_cols = [key_col] if tie_col is None else [key_col, tie_col]
+    b = df.agg(
+        F.min(key_col).cast("long").alias("_kmin"),
+        F.max(key_col).cast("long").alias("_kmax"),
+    )
+    salted = (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            "_w",
+            F.expr(f"greatest(CAST(1 AS BIGINT), (_kmax - _kmin) DIV {int(cells)} + 1)"),
+        )
+        .withColumn("_salt", F.expr(f"(CAST({key_col} AS BIGINT) - _kmin) DIV _w"))
+        .drop("_kmin", "_kmax", "_w")
+    )
+    w_cell = (
+        Window.partitionBy(*part_cols, "_salt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = salted.withColumn("_lcum", F.sum(val_col).over(w_cell))
+    cell_t = salted.groupBy(*part_cols, "_salt").agg(F.sum(val_col).alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cell_t.select(
+        *part_cols,
+        "_salt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        r1.join(offs.hint("shuffle_hash"), [*part_cols, "_salt"])
+        .withColumn(out_col, (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_salt", "_lcum", "_off")
+    )
+
+
+def salted_rank_hexkey(
+    df: DataFrame,
+    part_cols: list[str],
+    hexkey_col: str,
+    tie_col: str,
+    *,
+    out_rank: str = "dr",
+    out_n: str = "n_part",
+    k: int = 2,
+) -> DataFrame:
+    """EXACT keyed ``row_number() OVER (PARTITION BY part ORDER BY
+    hexkey, tie)`` + partition count, salted on the first ``k`` hex
+    chars of the leading sort key (r11 — the ``docs_epoch_order``
+    shape: 2 epochs × the whole corpus through two window tasks).  The
+    hex prefix is a MONOTONE prefix of the sort key, so cells are
+    contiguous hexkey ranges and (salt, hexkey, tie) order ≡ (hexkey,
+    tie) order — the ``salted_prefix_sum`` salting applied to ranks.
+    md5-uniform keys balance the 16^k cells; the cell table is
+    shuffle_hash pinned (never broadcast — corpus-shaped under many
+    tiny partitions)."""
+    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
+    if out_rank in _reserved or out_n in _reserved:
+        raise ValueError(
+            f"out_rank/out_n must not collide with internal columns {_reserved}"
+        )
+    salted = df.withColumn("_salt", F.substring(F.col(hexkey_col), 1, k))
+    w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(hexkey_col, tie_col)
+    r1 = salted.withColumn("_rn", F.row_number().over(w_cell))
+    cell_t = salted.groupBy(*part_cols, "_salt").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    offs = cell_t.select(
+        *part_cols,
+        "_salt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).cast("long").alias(out_n),
+    )
+    return (
+        r1.join(offs.hint("shuffle_hash"), [*part_cols, "_salt"])
+        .withColumn(out_rank, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_salt", "_rn", "_off")
+    )
+
+
+def salted_rank_dblkey(
+    df: DataFrame,
+    part_cols: list[str],
+    key_col: str,
+    tie_col: str,
+    *,
+    out_rank: str = "dr",
+    out_n: str = "n_part",
+    cells: int = 256,
+) -> DataFrame:
+    """``salted_rank_intkey`` for a DOUBLE sort key (r11 — the
+    ``docs_lm_buckets`` shape, where the key is a BIGINT/BIGINT→DOUBLE
+    score): salt = value-range bucket of the key in binary64.
+
+    Monotonicity holds because correctly-rounded IEEE subtraction and
+    division are monotone for a fixed positive divisor and ``floor`` is
+    monotone — so bucket(key) never inverts the key order, and equal
+    keys share a bucket.  The salt is INTERNAL to the Spark plan (the
+    oracle keeps the single-window form), so cross-engine float rules
+    don't apply to it; ranks and counts coming out are exact integers.
+    ``least(..., cells)`` caps the top key's bucket (the max key can
+    round to exactly ``cells``)."""
+    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
+    if out_rank in _reserved or out_n in _reserved:
+        raise ValueError(
+            f"out_rank/out_n must not collide with internal columns {_reserved}"
+        )
+    b = df.agg(
+        F.min(key_col).cast("double").alias("_kmin"),
+        F.max(key_col).cast("double").alias("_kmax"),
+    )
+    salted = (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            "_salt",
+            F.expr(
+                f"CASE WHEN _kmax <= _kmin THEN CAST(0 AS BIGINT) "
+                f"ELSE LEAST(CAST(floor((CAST({key_col} AS DOUBLE) - _kmin)"
+                f" / ((_kmax - _kmin) / CAST({int(cells)} AS DOUBLE))) AS BIGINT),"
+                f" CAST({int(cells)} AS BIGINT)) END"
+            ),
+        )
+        .drop("_kmin", "_kmax")
+    )
+    w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(key_col, tie_col)
+    r1 = salted.withColumn("_rn", F.row_number().over(w_cell))
+    cell_t = salted.groupBy(*part_cols, "_salt").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    offs = cell_t.select(
+        *part_cols,
+        "_salt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).cast("long").alias(out_n),
+    )
+    return (
+        r1.join(offs.hint("shuffle_hash"), [*part_cols, "_salt"])
+        .withColumn(out_rank, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_salt", "_rn", "_off")
+    )
+
+
+def pct_rank_expr(rank_col: str, n_col: str) -> Column:
+    """The EXACT binary64 arithmetic ``percent_rank()`` evaluates, from a
+    decomposed (row_number, partition count): (rank-1)/(n-1) as double,
+    0.0 for single-row partitions — identical IEEE ops in Spark and
+    DuckDB (the verified BIGINT/BIGINT→DOUBLE construct), so a routed
+    branch built on ``salted_rank_*`` is bit-identical to the
+    single-window plan the oracle keeps."""
+    return F.expr(
+        f"CASE WHEN {n_col} <= 1 THEN CAST(0 AS DOUBLE)"
+        f" ELSE CAST({rank_col} - 1 AS DOUBLE) / CAST({n_col} - 1 AS DOUBLE) END"
+    )
+
+
+def ntile_expr(rank_col: str, n_col: str, tiles: int) -> Column:
+    """``ntile(tiles)`` replayed as integer math on a decomposed
+    (row_number, partition count): with n rows, base = n DIV T rows per
+    tile and the first n % T tiles take one extra row — remainder rows
+    go to EARLIER buckets in both engines (the verified r3 construct).
+    ``greatest(base, 1)`` guards the (unreachable when base=0) else
+    branch against ANSI division-by-zero; all arithmetic is BIGINT."""
+    t = int(tiles)
+    return F.expr(
+        f"CASE WHEN {rank_col} <= ({n_col} % {t}) * ({n_col} DIV {t} + 1)"
+        f" THEN ({rank_col} - 1) DIV ({n_col} DIV {t} + 1) + 1"
+        f" ELSE ({n_col} % {t})"
+        f"  + ({rank_col} - ({n_col} % {t}) * ({n_col} DIV {t} + 1) - 1)"
+        f"    DIV greatest({n_col} DIV {t}, 1) + 1 END"
+    )
+
+
 def salted_rank_intkey(
     df: DataFrame,
     part_cols: list[str],
@@ -148,6 +354,11 @@ def salted_rank_intkey(
     routing guard should keep such inputs on the plain branch.  The
     cell table is shuffle_hash pinned (many tiny parts make it
     corpus-shaped — never broadcast)."""
+    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
+    if out_rank in _reserved or out_n in _reserved:
+        raise ValueError(
+            f"out_rank/out_n must not collide with internal columns {_reserved}"
+        )
     b = df.agg(
         F.min(key_col).cast("long").alias("_kmin"),
         F.max(key_col).cast("long").alias("_kmax"),

@@ -451,7 +451,22 @@ FROM sel WHERE i <= n_grams - {_WIN_W - 1}
 # ---------------------------------------------------------------------------
 
 
-def docs_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-language doc-count guard (r11, VERDICT r10 ask #1): `lang` has 5
+#: values (en ≈ 40%), so the keyed ntile window funnels a corpus share
+#: through one task.  Above the guard the cut routes through the
+#: DOUBLE-key salted rank (the LM score is a BIGINT/BIGINT→DOUBLE
+#: ratio; operators/skew.py salted_rank_dblkey buckets the binary64
+#: value monotonically) with ntile replayed as integer math
+#: (ntile_expr).  (score DESC, doc_id ASC) ranks come from the REVERSE
+#: order (score ASC, doc_id DESC) as n - rw + 1.  Straddles the
+#: corpora: 218 docs in the largest lang at sf0.01 -> plain; 2059 at
+#: sf0.1 -> decomposed.
+_LMB_LANG_ROUTE = 1000
+
+
+def docs_lm_buckets(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """CCNet's language-model partition (Wenzek et al. 2020): within each
     language, rank documents by LM score and cut into equal thirds —
     ``head`` (most fluent under the corpus model), ``middle``, ``tail``.
@@ -460,25 +475,46 @@ def docs_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ntile(3)`` over (score DESC, doc_id) — the unique tiebreaker makes
     the cut deterministic, and both engines assign remainder rows to the
     earlier buckets.  Scale: the LM model build dominates (see
-    ``docs_bigram_lm_score``); the bucket pass adds one lang-keyed
-    shuffle whose partitions are per-language corpus shares."""
-    scored = docs_bigram_lm_score(spark, sf_dir)
-    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    win = Window.partitionBy("lang").orderBy(
-        F.desc("lm_score_micro"), F.asc("doc_id")
+    ``docs_bigram_lm_score``); the bucket pass is SKEW-ROUTED above
+    ``_LMB_LANG_ROUTE`` docs in the largest language (see guard note)."""
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        ntile_expr,
+        salted_rank_dblkey,
     )
-    return (
-        scored.join(langs, "doc_id")
-        .withColumn("tile", F.ntile(3).over(win))
-        .select(
-            "doc_id",
-            "lang",
+
+    scored = docs_bigram_lm_score(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    joined = scored.join(langs, "doc_id")
+    route = _route if _route is not None else max_group_count(
+        docs.select("lang"), "lang"
+    )
+    if route > _LMB_LANG_ROUTE:
+        dec = salted_rank_dblkey(
+            joined.withColumn("_nid", -F.col("doc_id")),
+            ["lang"],
             "lm_score_micro",
-            F.when(F.col("tile") == 1, "head")
-            .when(F.col("tile") == 2, "middle")
-            .otherwise("tail")
-            .alias("bucket"),
+            "_nid",
+            out_rank="rw",
         )
+        tiled = dec.withColumn(
+            "tile",
+            ntile_expr("(n_part - rw + 1)", "n_part", 3),
+        )
+    else:
+        win = Window.partitionBy("lang").orderBy(
+            F.desc("lm_score_micro"), F.asc("doc_id")
+        )
+        tiled = joined.withColumn("tile", F.ntile(3).over(win))
+    return tiled.select(
+        "doc_id",
+        "lang",
+        "lm_score_micro",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 
@@ -986,8 +1022,15 @@ def docs_curriculum_order(
         salted_rank_intkey,
     )
 
+    # r11 (ADVICE r10): per_doc is a NARROW 1-row-per-doc frame consumed
+    # by salted_rank_intkey's min/max aggregate AND both decomposition
+    # branches AND the routing guard — cache it (the r4
+    # multiply-consumed-narrow-frame rule) and derive the guard from it
+    # instead of a third documents scan (every doc yields ≥1 word, so
+    # per-source counts match the raw table).
+    per_doc = per_doc.cache()
     route = _route if _route is not None else max_group_count(
-        t(spark, sf_dir, "documents").select("source"), "source"
+        per_doc.select("source"), "source"
     )
     if route > _CURR_SRC_ROUTE:
         ranked = salted_rank_intkey(

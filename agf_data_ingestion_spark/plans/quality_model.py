@@ -195,12 +195,50 @@ def docs_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-language doc-count guard for the calibration windows (r11,
+#: VERDICT r10 ask #1): the planted ``lang`` has THREE values — each
+#: language partition is corpus/3 through ONE window task at any scale.
+#: Above the guard the percent_rank / ntile route through
+#: salted_rank_intkey + the exact integer/binary64 replays
+#: (operators/skew.py pct_rank_expr / ntile_expr); both branches are
+#: bit-identical, so the oracle keeps the single-window SQL.  Straddles
+#: the corpora: ~170 docs/lang at sf0.01 -> plain; ~1700 at sf0.1 ->
+#: decomposed (the guard counts ALL docs per planted lang — one
+#: doc_id-column scan — as a routing proxy for the held-out subset).
+_QM_LANG_ROUTE = 500
+
+
+def _qm_lang_route(spark: SparkSession, sf_dir: str) -> int:
+    from agf_data_ingestion_spark.operators.skew import max_group_count
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qm:"), F.col("doc_id").cast("string"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return max_group_count(d.select((b % 3).alias("lang")), "lang")
+
+
+def docs_quality_apply(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Score the HELD-OUT 20%: int64 dot product of bucket counts with
     the trained weights, HIGH iff score > 0, per-language percent-rank
     calibration; ``correct`` is the planted self-evaluation (pytest pins
     accuracy ≥ 95%).  Single-exchange corpus shape (see module
-    docstring)."""
+    docstring); the calibration window is SKEW-ROUTED above
+    ``_QM_LANG_ROUTE`` docs per language (r11)."""
+    from agf_data_ingestion_spark.operators.skew import (
+        pct_rank_expr,
+        salted_rank_intkey,
+    )
+
     bg = _bigrams(_corpus(spark, sf_dir))
     w = _weights(bg)
     held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
@@ -210,15 +248,23 @@ def docs_quality_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = joined.groupBy("doc_id", "lang", "hi").agg(
         F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score")
     )
-    wl = Window.partitionBy("lang").orderBy("score", "doc_id")
-    return scores.select(
+    route = _route if _route is not None else _qm_lang_route(spark, sf_dir)
+    if route > _QM_LANG_ROUTE:
+        ranked = salted_rank_intkey(scores, ["lang"], "score", "doc_id")
+        pctile = pct_rank_expr("dr", "n_part")
+        base = ranked
+    else:
+        wl = Window.partitionBy("lang").orderBy("score", "doc_id")
+        pctile = F.percent_rank().over(wl)
+        base = scores
+    return base.select(
         "doc_id",
         "lang",
         F.col("hi").alias("true_hi"),
         "score",
         (F.col("score") > 0).alias("pred_hi"),
         ((F.col("score") > 0) == F.col("hi")).alias("correct"),
-        F.percent_rank().over(wl).alias("lang_pctile"),
+        pctile.alias("lang_pctile"),
     )
 
 
@@ -226,7 +272,9 @@ _PR_TILES = 20
 _PPM = 1_000_000
 
 
-def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_quality_pr_curve(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Precision/recall SWEEP for the trained gate (r8, VERDICT r7 ask
     #6): a deployer picks a THRESHOLD, not a model — this emits the
     exact-integer confusion counts at every per-language ntile cut of
@@ -239,7 +287,15 @@ def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verified r3 construct — and the suffix window plus every rate is
     int64, so the whole curve hash-matches the oracle).  Scale shape:
     the corpus collapses to 1 row/doc (the apply shape), then to an
-    N-row tile table; the curve is window math on N rows."""
+    N-row tile table; the curve is window math on N rows.  The per-lang
+    ntile is SKEW-ROUTED above ``_QM_LANG_ROUTE`` docs per language
+    (r11 — ntile replayed as integer math on the decomposed rank,
+    operators/skew.py ntile_expr)."""
+    from agf_data_ingestion_spark.operators.skew import (
+        ntile_expr,
+        salted_rank_intkey,
+    )
+
     bg = _bigrams(_corpus(spark, sf_dir))
     w = _weights(bg)
     held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
@@ -248,10 +304,16 @@ def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "hi")
         .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"))
     )
-    tl = Window.partitionBy("lang").orderBy("score", "doc_id")
+    route = _route if _route is not None else _qm_lang_route(spark, sf_dir)
+    if route > _QM_LANG_ROUTE:
+        tiled = salted_rank_intkey(scores, ["lang"], "score", "doc_id").select(
+            "hi", ntile_expr("dr", "n_part", _PR_TILES).alias("tile")
+        )
+    else:
+        tl = Window.partitionBy("lang").orderBy("score", "doc_id")
+        tiled = scores.select("hi", F.ntile(_PR_TILES).over(tl).alias("tile"))
     per_tile = (
-        scores.select("hi", F.ntile(_PR_TILES).over(tl).alias("tile"))
-        .groupBy("tile")
+        tiled.groupBy("tile")
         .agg(
             F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_hi"),
             F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("long").alias("n_lo"),
@@ -424,7 +486,20 @@ QUERIES: dict[str, QuerySpec] = {
 _DP_D = _D
 
 
-def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-source doc-count guard (r11, VERDICT r10 ask #1): above it the
+#: two per-source row_number windows + the count(*) window route through
+#: ONE salted-rank decomposition — rw (score asc, doc_id desc) comes
+#: from salted_rank_intkey and rb = n - rw + 1, because (score DESC,
+#: doc_id ASC) is the exact REVERSE total order of (score ASC, doc_id
+#: DESC) and row numbers over reverse orders sum to n+1.  Straddles the
+#: corpora: 25 docs/source at sf0.01 -> plain; 250 at sf0.1 ->
+#: decomposed (the docs_curriculum_order flip).
+_DPO_SRC_ROUTE = 100
+
+
+def docs_preference_pairs(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Preference pairs for DPO-style training (Rafailov et al. 2023):
     within each source, rank the REAL documents by their trained quality
     score and pair the k-th best with the k-th worst — the standard
@@ -440,9 +515,17 @@ def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops at ``n DIV 2`` so no document appears on both sides.
 
     Scale shape: ONE corpus bigram scan collapsing map-side to a row per
-    doc (broadcast ≤4096-row model), then per-source windows over
-    1-row-per-doc score frames — the corpus text is never windowed.
+    doc (broadcast ≤4096-row model), then per-source ranks over
+    1-row-per-doc score frames — the corpus text is never windowed, and
+    the ranks are SKEW-ROUTED above ``_DPO_SRC_ROUTE`` docs in the
+    largest source (r11; see guard note — one decomposition serves both
+    rank directions and the partition count).
     """
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        salted_rank_intkey,
+    )
+
     w = _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # char-array bigrams (the r10 O(len^2)-substr fix — see _bigrams)
@@ -483,16 +566,44 @@ def docs_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = d.select("doc_id", "source").join(scores, "doc_id", "left").na.fill(
         {"score": 0}
     )
-    wd = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
-    wa = Window.partitionBy("source").orderBy(F.asc("score"), F.desc("doc_id"))
-    ranked = sd.select(
-        "source",
-        "doc_id",
-        "score",
-        F.row_number().over(wd).alias("rb"),
-        F.row_number().over(wa).alias("rw"),
-        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    route = _route if _route is not None else max_group_count(
+        d.select("source"), "source"
     )
+    if route > _DPO_SRC_ROUTE:
+        # rw = row_number over (score ASC, doc_id DESC) — the integer key
+        # decomposition with the NEGATED doc_id as ascending tiebreaker;
+        # rb = n - rw + 1 (reverse-order row numbers sum to n+1)
+        dec = salted_rank_intkey(
+            sd.withColumn("_nid", -F.col("doc_id")),
+            ["source"],
+            "score",
+            "_nid",
+            out_rank="rw",
+            out_n="n",
+        )
+        ranked = dec.select(
+            "source",
+            "doc_id",
+            "score",
+            (F.col("n") - F.col("rw") + 1).alias("rb"),
+            "rw",
+            "n",
+        )
+    else:
+        wd = Window.partitionBy("source").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        wa = Window.partitionBy("source").orderBy(
+            F.asc("score"), F.desc("doc_id")
+        )
+        ranked = sd.select(
+            "source",
+            "doc_id",
+            "score",
+            F.row_number().over(wd).alias("rb"),
+            F.row_number().over(wa).alias("rw"),
+            F.count("*").over(Window.partitionBy("source")).alias("n"),
+        )
     best = ranked.select(
         "source",
         F.col("rb").alias("pair_rank"),

@@ -1525,8 +1525,20 @@ FROM r
 
 _CALIBRATED_DROP_FRAC = 0.30  # drop the bottom 30% of each language
 
+#: per-language doc-count guard (r11, VERDICT r10 ask #1): `lang` has 5
+#: values (en ≈ 40% of docs), so the keyed percent_rank window pushes a
+#: corpus share through one task at any scale.  Above the guard the
+#: percentile routes through salted_rank_intkey + the exact (rank-1)/
+#: (n-1) binary64 replay (operators/skew.py pct_rank_expr) — both
+#: branches bit-identical, oracle keeps the single-window form.
+#: Straddles the corpora: 218 docs in the largest lang at sf0.01 ->
+#: plain; 2059 at sf0.1 -> decomposed.
+_CAL_LANG_ROUTE = 1000
 
-def docs_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def docs_quality_calibrated(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Relative (per-language) quality gate: an integer-derived composite
     score — lexical diversity plus stopword mass, both scaled-BIGINT floor
     ratios — is percent-ranked WITHIN each language, and a doc is kept
@@ -1536,11 +1548,16 @@ def docs_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the window orders by (score_micro, doc_id) so ranks are
     a total order; percent_rank = (rank-1)/(n-1) is the same
     BIGINT/BIGINT→DOUBLE division in both engines.  Scale: one map-only
-    scoring projection, then one shuffle keyed on ``lang`` — partition
-    sizes are per-language corpus shares, the same axis
-    ``docs_mix_weights`` balances; a skewed dominant language would be
-    range-partitioned by the same window machinery AQE already handles.
+    scoring projection, then one shuffle keyed on ``lang`` — SKEW-ROUTED
+    above ``_CAL_LANG_ROUTE`` docs in the largest language (see guard
+    note) so no corpus share funnels through a single window task.
     """
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        pct_rank_expr,
+        salted_rank_intkey,
+    )
+
     d = t(spark, sf_dir, "documents")
     w = _words()
     n_words = F.size(w)
@@ -1560,13 +1577,30 @@ def docs_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (1000000 * cast(n_stop as bigint)) div n_words"
         ).alias("score_micro"),
     )
-    win = Window.partitionBy("lang").orderBy(F.asc("score_micro"), F.asc("doc_id"))
-    return scored.select(
-        "doc_id",
-        "lang",
-        "score_micro",
-        F.percent_rank().over(win).alias("lang_pct_rank"),
-    ).withColumn("keep", F.col("lang_pct_rank") >= F.lit(_CALIBRATED_DROP_FRAC))
+    route = _route if _route is not None else max_group_count(
+        d.select("lang"), "lang"
+    )
+    if route > _CAL_LANG_ROUTE:
+        ranked = salted_rank_intkey(scored, ["lang"], "score_micro", "doc_id")
+        pct = ranked.select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            pct_rank_expr("dr", "n_part").alias("lang_pct_rank"),
+        )
+    else:
+        win = Window.partitionBy("lang").orderBy(
+            F.asc("score_micro"), F.asc("doc_id")
+        )
+        pct = scored.select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            F.percent_rank().over(win).alias("lang_pct_rank"),
+        )
+    return pct.withColumn(
+        "keep", F.col("lang_pct_rank") >= F.lit(_CALIBRATED_DROP_FRAC)
+    )
 
 
 _QUALITY_CALIBRATED_SQL = f"""
