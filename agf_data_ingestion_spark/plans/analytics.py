@@ -268,14 +268,42 @@ SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
 # ---------------------------------------------------------------------------
 
 
-def docs_name_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-source doc-count guard (r11 — found by the plan-sweep test, the
+#: same whole-partition window class as docs_preference_pairs): above it
+#: the collision rank routes through salted_rank_intkey (doc_id is the
+#: unique integer sort key).  Straddles the corpora: 25 docs/source at
+#: sf0.01 -> plain; 250 at sf0.1 -> decomposed.
+_NC_SRC_ROUTE = 100
+
+
+def docs_name_collision(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        salted_rank_intkey,
+    )
+
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
-    rn = F.row_number().over(w)
-    return d.select(
+    route = _route if _route is not None else max_group_count(
+        d.select("source"), "source"
+    )
+    if route > _NC_SRC_ROUTE:
+        ranked = salted_rank_intkey(
+            d.select("doc_id", "source"), ["source"], "doc_id", "doc_id",
+            out_rank="_rnc",
+        )
+        rn_col = F.col("_rnc")
+    else:
+        w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+        ranked = d.select(
+            "doc_id", "source", F.row_number().over(w).alias("_rnc")
+        )
+        rn_col = F.col("_rnc")
+    return ranked.select(
         "doc_id",
         "source",
-        F.when(rn > 1, F.concat_ws("_", "source", (rn - 1).cast("string")))
+        F.when(rn_col > 1, F.concat_ws("_", "source", (rn_col - 1).cast("string")))
         .otherwise(F.col("source"))
         .alias("export_name"),
     )
@@ -571,14 +599,48 @@ WHERE event_type = 'purchase' AND props NOT LIKE '%/' AND props NOT LIKE '%.DS_S
 # ---------------------------------------------------------------------------
 
 
-def events_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-event_type row guard for the median/MAD rank windows (r11 —
+#: found by the plan-sweep test): event_type has FIVE values, so the
+#: keyed rank funnels corpus/5 through one task at any scale.  Above
+#: the guard the (value, event_id) rank + partition count route through
+#: salted_rank_dblkey (binary64 value-range bucketing — the sort key is
+#: a double); row_number/count are exact integers, so both branches are
+#: bit-identical and the oracle keeps the single-window SQL.  Straddles
+#: the corpora: 2017 rows in the largest type at sf0.01 -> plain;
+#: 20302 at sf0.1 -> decomposed.
+_EVT_TYPE_ROUTE = 10_000
+
+
+def _evt_ranked(df: DataFrame, val_col: str, route: int) -> DataFrame:
+    """(df + rn + n) ranked by (val, event_id) within event_type —
+    skew-routed (see ``_EVT_TYPE_ROUTE``)."""
+    from agf_data_ingestion_spark.operators.skew import salted_rank_dblkey
+
+    if route > _EVT_TYPE_ROUTE:
+        return salted_rank_dblkey(
+            df, ["event_type"], val_col, "event_id", out_rank="rn", out_n="n"
+        )
+    w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+    return df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+
+
+def _evt_route(spark: SparkSession, sf_dir: str) -> int:
+    from agf_data_ingestion_spark.operators.skew import max_group_count
+
+    return max_group_count(
+        t(spark, sf_dir, "events").select("event_type"), "event_type"
+    )
+
+
+def events_median_value(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = e.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    route = _route if _route is not None else _evt_route(spark, sf_dir)
+    ranked = _evt_ranked(
+        e.select("event_type", "value", "event_id"), "value", route
     )
     odd_mid = (F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))
     even_mid = (F.col("n") % 2 == 0) & (
@@ -613,7 +675,9 @@ FROM mid GROUP BY event_type
 _MAD_CUTOFF = 3.0 * 1.4826  # 3σ-equivalent under normality
 
 
-def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_mad_outliers(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Robust outlier detection per event_type: median absolute deviation
     (MAD), the 3σ-equivalent cutoff ``3·1.4826·MAD``, and the count of
     values beyond it — the rep-filtering shape a training-data pipeline
@@ -623,16 +687,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: both medians use the row_number midpoint trick with a
     decimal-exact two-row average (same as events_median_value); every
     deviation is the same IEEE double in both engines.  Scale shape: two
-    chained windows on the same event_type partitioning + one broadcast of
-    the 5-row median table — two shuffles total, both on the group key."""
+    chained ranks on the same event_type key + one broadcast of the
+    5-row median table — and both ranks are SKEW-ROUTED above
+    ``_EVT_TYPE_ROUTE`` rows per type (r11; see guard note)."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = e.select(
-        "event_type",
-        "value",
-        "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    route = _route if _route is not None else _evt_route(spark, sf_dir)
+    ranked = _evt_ranked(
+        e.select("event_type", "value", "event_id"), "value", route
     )
     is_mid = ((F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))) | (
         (F.col("n") % 2 == 0)
@@ -654,12 +715,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("value") - F.col("med")).alias("d"),
     )
-    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
-    dranked = dev.select(
-        "event_type",
-        "d",
-        F.row_number().over(w2).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    dranked = _evt_ranked(
+        dev.select("event_type", "d", "event_id"), "d", route
     )
     is_mid2 = ((F.col("n") % 2 == 1) & (F.col("rn") == F.expr("(n + 1) div 2"))) | (
         (F.col("n") % 2 == 0)

@@ -489,3 +489,21 @@ def test_ntile_and_pct_rank_exprs_match_builtins(spark, rows, tiles):
         ).collect()
     }
     assert got == plain
+
+
+def test_name_collision_routing_branches_identical(spark):
+    from agf_data_ingestion_spark.plans.analytics import docs_name_collision
+
+    _both_routes(docs_name_collision, spark)
+
+
+def test_median_value_routing_branches_identical(spark):
+    from agf_data_ingestion_spark.plans.analytics import events_median_value
+
+    _both_routes(events_median_value, spark)
+
+
+def test_mad_outliers_routing_branches_identical(spark):
+    from agf_data_ingestion_spark.plans.analytics import events_mad_outliers
+
+    _both_routes(events_mad_outliers, spark)
