@@ -507,6 +507,57 @@ def _stats_max(table: str, version: int, col: str):
     return max(vals) if vals else None
 
 
+#: max distinct probe keys shipped to the driver as an IN-list predicate
+#: (r11, VERDICT r10 ask #3): the micro-batch design point is thousands
+#: of keys, but the batch size is USER-controlled — a bulk append was
+#: the one collect in the repo whose size the caller could blow up.  At
+#: or below the guard each probe keeps the exact file-pruned IN-list
+#: read; above it the probe flips to a min/max range-pruned store scan
+#: + a shuffle-hash LEFT SEMI join — O(1) driver traffic at any batch
+#: size (the stores are key-clustered, so the range prune still skips
+#: files).  Both branches return the same rows: the IN-list row-filters
+#: exactly, the range scan over-reads and the semi-join exact-filters.
+_PROBE_INLIST_MAX = 100_000
+
+
+def _probe_store(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    store_path: str,
+    store_key: str,
+    *,
+    limit: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """Store rows whose ``store_key`` is in ``keys_df``'s single column,
+    routed by distinct-key count (see ``_PROBE_INLIST_MAX``).  Returns
+    (rows, inlist_used) — callers may broadcast the result ONLY when
+    ``inlist_used`` (the fallback result is batch-shaped)."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    lim = _PROBE_INLIST_MAX if limit is None else limit
+    kcol = keys_df.columns[0]
+    distinct = keys_df.distinct()
+    head = distinct.limit(lim + 1).collect()
+    if len(head) <= lim:
+        vals = [r[0] for r in head]
+        return (
+            snapshot_read(
+                spark,
+                store_path,
+                where=[(store_key, "in", vals)] if vals else None,
+            ),
+            True,
+        )
+    b = distinct.agg(F.min(kcol).alias("lo"), F.max(kcol).alias("hi")).collect()[0]
+    store = snapshot_read(
+        spark,
+        store_path,
+        where=[(store_key, ">=", b["lo"]), (store_key, "<=", b["hi"])],
+    )
+    keys = distinct.withColumnRenamed(kcol, store_key)
+    return store.join(keys.hint("shuffle_hash"), store_key, "left_semi"), False
+
+
 def curate_incremental(
     spark: SparkSession,
     batch: DataFrame,
@@ -533,7 +584,11 @@ def curate_incremental(
     Scale shape — nothing corpus-sized moves:
 
     * exact dedup probes the ``hashes`` store with a batch-bounded IN
-      list (hash-clustered + bloom'd files → pruned reads);
+      list (hash-clustered + bloom'd files → pruned reads); every probe
+      IN-list is ROUTED (r11): above ``_PROBE_INLIST_MAX`` distinct keys
+      it becomes a range-pruned scan + shuffle-hash semi-join, so a
+      bulk append never pushes a corpus-sized key list through the
+      driver;
     * near-dup probes the ``bands`` store by the batch's band
       signatures the same way, then exact-verifies only the collision
       candidates against ``sets`` rows pruned by candidate doc id
@@ -646,14 +701,19 @@ def curate_incremental(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    batch_hashes = [r["_h"] for r in docs.select("_h").distinct().collect()]
-    published_h = snapshot_read(
-        spark,
-        tbls["hashes"],
-        where=[("h", "in", batch_hashes)] if batch_hashes else None,
-    ).select(F.col("h").alias("_h"))
+    published_h, _small = _probe_store(
+        spark, docs.select("_h"), tbls["hashes"], "h"
+    )
+    published_h = published_h.select(F.col("h").alias("_h"))
     docs = _stage(
-        "exact_dedup", docs.join(F.broadcast(published_h), "_h", "left_anti")
+        "exact_dedup",
+        docs.join(
+            F.broadcast(published_h)
+            if _small
+            else published_h.hint("shuffle_hash"),
+            "_h",
+            "left_anti",
+        ),
     )
 
     # ---- near-dup: batch self-pairs + pruned band-store probe ----
@@ -667,12 +727,10 @@ def curate_incremental(
         & (F.col("n.bsig") == F.col("c.bsig"))
         & (F.col("n.doc_id") > F.col("c.doc_id")),
     ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
-    batch_bsigs = [r["bsig"] for r in bands.select("bsig").distinct().collect()]
-    store_bands = snapshot_read(
-        spark,
-        tbls["bands"],
-        where=[("bsig", "in", batch_bsigs)] if batch_bsigs else None,
-    ).alias("c")
+    store_bands, _ = _probe_store(
+        spark, bands.select("bsig"), tbls["bands"], "bsig"
+    )
+    store_bands = store_bands.alias("c")
     cands = cands.unionByName(
         nb.hint("shuffle_hash")
         .join(
@@ -687,12 +745,10 @@ def curate_incremental(
     batch_sets = docs.select("doc_id", _shingles().alias("sset")).localCheckpoint(
         eager=True
     )
-    cand_dups = [r["dup_of"] for r in cands.select("dup_of").distinct().collect()]
-    store_sets = snapshot_read(
-        spark,
-        tbls["sets"],
-        where=[("doc_id", "in", cand_dups)] if cand_dups else None,
-    ).select("doc_id", "sset")
+    store_sets, _ = _probe_store(
+        spark, cands.select("dup_of"), tbls["sets"], "doc_id"
+    )
+    store_sets = store_sets.select("doc_id", "sset")
     flagged = best_jaccard_matches(
         cands, batch_sets, batch_sets.unionByName(store_sets)
     ).select(F.col("new_id").alias("doc_id"))
@@ -712,14 +768,17 @@ def curate_incremental(
     batch_sh = contam_shingles(docs.select("doc_id", "text")).localCheckpoint(
         eager=True
     )
-    sh_list = [r["sh"] for r in batch_sh.select("sh").distinct().collect()]
-    store_sh = snapshot_read(
-        spark,
-        tbls["bench"],
-        where=[("sh", "in", sh_list)] if sh_list else None,
-    ).select("sh")
+    store_sh, _small_sh = _probe_store(
+        spark, batch_sh.select("sh"), tbls["bench"], "sh"
+    )
+    store_sh = store_sh.select("sh")
     contaminated = (
-        batch_sh.join(F.broadcast(store_sh), "sh").select("doc_id").distinct()
+        batch_sh.join(
+            F.broadcast(store_sh) if _small_sh else store_sh.hint("shuffle_hash"),
+            "sh",
+        )
+        .select("doc_id")
+        .distinct()
     )
     docs = _stage(
         "decontam",
@@ -864,6 +923,29 @@ def curate_incremental(
     }
 
 
+def _stable_current_versions(paths: list[str]) -> dict[str, int]:
+    """Repair-aware CURRENT version per table, re-resolved until one full
+    pass is stable (r11, ADVICE r10): per-table ``snapshot_read()`` calls
+    resolve independently, so a publish landing mid-resolution yields an
+    incoherent side (shards from the new txn, datacard from the old) —
+    and the raw pointer misses marker-committed-but-unpublished txns
+    entirely.  Two identical consecutive passes mean no commit landed in
+    between; under a sustained writer storm this raises loudly instead
+    of returning a torn version set."""
+    from agf_data_ingestion_spark.sources.snapshots import _repair_current
+
+    prev: dict[str, int] | None = None
+    for _ in range(10):
+        cur = {p: _repair_current(p) for p in paths}
+        if cur == prev:
+            return cur
+        prev = cur
+    raise RuntimeError(
+        "current versions kept advancing during resolution (10 passes) — "
+        "retry at quiescence or pin a txn_id"
+    )
+
+
 def verify_release(
     spark: SparkSession,
     out_root: str,
@@ -937,7 +1019,12 @@ def verify_release(
         }.items()
     }
     if current:
-        aligned = {p: snapshot_read(spark, p) for p in tbls.values()}
+        # one coherent, repair-aware version set (r11 — see
+        # _stable_current_versions), then every read pinned to it
+        vset = _stable_current_versions(list(tbls.values()))
+        aligned = {
+            p: snapshot_read(spark, p, version=vset[p]) for p in tbls.values()
+        }
         checks: dict[str, bool] = {}
     else:
         aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn_id)
@@ -1110,10 +1197,18 @@ def release_forget(
     # postings read would erase that batch's stats rows; re-run until
     # the postings version is stable across read -> commit (quiescence
     # guarantees convergence; the bound guards a writer storm).
-    from agf_data_ingestion_spark.sources.snapshots import current_version
+    # r11 (ADVICE r10 medium): both the pin and the stability check go
+    # through _repair_current, NOT the raw pointer — a multi-table txn
+    # whose marker has landed but whose phase-2 pointer bump hasn't is
+    # COMMITTED (the marker rename is the atomic point), and the raw
+    # pointer is blind to it: the overwrite's own snapshot_write would
+    # roll the stats table forward over that txn while the stale-pointer
+    # stability check exits "stable", silently erasing the interleaved
+    # batch's stats rows.
+    from agf_data_ingestion_spark.sources.snapshots import _repair_current
 
     for _ in range(20):
-        v_post = current_version(tbls["postings"])
+        v_post = _repair_current(tbls["postings"])
         remaining = snapshot_read(
             spark, tbls["postings"], version=v_post
         ).select("token", "doc_id", "tf", "dl")
@@ -1123,7 +1218,7 @@ def release_forget(
             mode="overwrite",
             op=f"forget_stats:{len(found)}",
         )
-        if current_version(tbls["postings"]) == v_post:
+        if _repair_current(tbls["postings"]) == v_post:
             break
     else:  # pragma: no cover
         raise RuntimeError(
@@ -1192,8 +1287,14 @@ def release_diff(
         if txn is None:
             # CURRENT state: sees single-table commits with no txn marker
             # (release_forget's eq deletes) — the "what did erasure/
-            # maintenance change since the last publish" diff
-            aligned = {p: snapshot_read(spark, p) for p in tbls.values()}
+            # maintenance change since the last publish" diff.  One
+            # coherent repair-aware version set per side (r11, ADVICE
+            # r10): independent reads could mix a mid-landing publish.
+            vset = _stable_current_versions(list(tbls.values()))
+            aligned = {
+                p: snapshot_read(spark, p, version=vset[p])
+                for p in tbls.values()
+            }
         else:
             aligned = snapshot_read_txn(spark, list(tbls.values()), txn_id=txn)
         sides[label] = {

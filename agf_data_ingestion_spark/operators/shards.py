@@ -40,9 +40,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-#: WFQ virtual-time scale (weighted_interleave) — cum_tokens × scale must
-#: fit BIGINT: safe to ~9e9 tokens per source
+#: WFQ virtual-time scale (weighted_interleave).  r11 (ADVICE r10): the
+#: virtual time is computed as the OVERFLOW-SAFE decomposition
+#:   t = (cum DIV w)·S + ((cum % w)·S) DIV w          (w = weight_ppm)
+#: which equals (cum·S) DIV w exactly for non-negative integers (write
+#: cum = q·w + r: the q·w·S term divides w exactly, and the remainder
+#: term is floor(r·S/w)) while every intermediate stays in BIGINT:
+#: r·S < w·S ≤ 1e6·1e9 = 1e15, and q·S ≤ t.  The naive form overflowed
+#: cum·S at ~9.2e9 cumulative tokens per source under ANSI; the ceiling
+#: is now t < 2^63, i.e. cum < ~9.2e9 × weight_ppm tokens per source —
+#: a 1000-ppm source holds ~9.2e12 tokens, a 50% source ~4.6e15 (far
+#: past 100 TB of text).
 _WFQ_SCALE = 1_000_000_000
+
+
+def _wfq_t_expr(cum_col: str, w_col: str = "weight_ppm") -> str:
+    """SQL for the overflow-safe WFQ virtual time (see ``_WFQ_SCALE``) —
+    fully parenthesized (the CLAUDE.md generated-expression rule)."""
+    return (
+        f"(({cum_col} DIV {w_col}) * {_WFQ_SCALE})"
+        f" + ((({cum_col} % {w_col}) * {_WFQ_SCALE}) DIV {w_col})"
+    )
 
 
 #: per-source row-count guard for the interleave's running sum: above it
@@ -121,9 +139,7 @@ def weighted_interleave(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         d = d.withColumn("_cum", F.sum("n_tokens").over(sw))
-    d = d.withColumn(
-        "_t", F.expr(f"(_cum * {_WFQ_SCALE}) DIV weight_ppm")
-    )
+    d = d.withColumn("_t", F.expr(_wfq_t_expr("_cum")))
     if horizon:
         hor = (
             d.groupBy(source_col)

@@ -690,9 +690,11 @@ JOIN sizes sb ON i.src_b = sb.source
 
 
 #: WFQ virtual-time scale and shard token budget for the reweighted
-#: shard stream.  cum_tokens * _WFQ_SCALE must fit BIGINT: fine to
-#: ~9e9 tokens per source; at a larger per-source corpus drop the scale
-#: a decimal place per 10x (the share arithmetic is scale-free).
+#: shard stream.  r11 (ADVICE r10): the virtual time uses the
+#: overflow-safe decomposition t = (cum DIV w)·S + ((cum % w)·S) DIV w
+#: ≡ (cum·S) DIV w exactly (operators/shards.py ``_wfq_t_expr`` — the
+#: oracle carries the same decomposition, so both engines stay BIGINT
+#: throughout); per-source token ceiling ~9.2e9 × weight_ppm.
 _WFQ_SCALE = 1_000_000_000
 _SHARD_BUDGET = 4000
 
@@ -770,7 +772,9 @@ def _rws_ts(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         ts = base.withColumn("cum", F.sum("n_tokens").over(sw))
-    ts = ts.withColumn("t", F.expr(f"(cum * {_WFQ_SCALE}) DIV weight_ppm"))
+    from agf_data_ingestion_spark.operators.shards import _wfq_t_expr
+
+    ts = ts.withColumn("t", F.expr(_wfq_t_expr("cum")))
     hor = (
         ts.groupBy("source")
         .agg(F.max("t").alias("tm"))
@@ -876,7 +880,10 @@ cums AS (
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM dh JOIN wts w ON dh.source = w.source
 ),
-tss AS (SELECT *, (cum * {{_WFQ_SCALE}}) // weight_ppm AS t FROM cums),
+tss AS (SELECT *,
+               ((cum // weight_ppm) * {{_WFQ_SCALE}})
+                 + (((cum % weight_ppm) * {{_WFQ_SCALE}}) // weight_ppm) AS t
+        FROM cums),
 hor AS (
   SELECT MIN(tm) AS hor
   FROM (SELECT source, MAX(t) AS tm FROM tss GROUP BY 1)

@@ -344,7 +344,7 @@ def cmd_curate(args) -> int:
     if getattr(args, "full", False):
         # the end-to-end pipeline (operators/curation.py): every stage,
         # one atomic ten-table publish (shards/lineage/datacard/postings/
-        # stats/hashes/bands/sets/policy), funnel + per-stage walls in
+        # stats/hashes/bands/sets/bench/policy), funnel + per-stage walls in
         # the JSON report
         from agf_data_ingestion_spark.operators.curation import curate_full
 

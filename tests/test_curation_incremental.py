@@ -291,3 +291,84 @@ def test_txn_atomicity_and_time_travel(spark, setup):
         .collect()
     }
     assert pub_now == setup["published_ids"]
+
+
+# ---------------------------------------------------------------------------
+# r11 (VERDICT r10 ask #3): the probe IN-lists are routed — above
+# _PROBE_INLIST_MAX distinct keys each store probe becomes a range-pruned
+# scan + shuffle-hash semi-join instead of a driver-collected IN-list.
+# ---------------------------------------------------------------------------
+
+
+def test_probe_store_join_branch_equals_inlist(spark, tmp_path):
+    """Both probe branches return the same store rows; the flag reports
+    which branch ran (callers broadcast only on the IN-list branch)."""
+    from agf_data_ingestion_spark.operators.curation import _probe_store
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_write
+
+    store = str(tmp_path / "store")
+    rows = [(f"k{i:04d}", i) for i in range(200)]
+    snapshot_write(
+        spark.createDataFrame(rows, "h string, v long"),
+        store,
+        mode="overwrite",
+        cluster_by=["h"],
+    )
+    keys = spark.createDataFrame(
+        [(f"k{i:04d}",) for i in range(50, 120)] + [("absent",)], "h string"
+    )
+    small, used_inlist = _probe_store(spark, keys, store, "h", limit=1000)
+    big, used_join = _probe_store(spark, keys, store, "h", limit=3)
+    assert used_inlist is True and used_join is False
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b
+    assert len(a) == 70  # the 70 present keys, 'absent' matches nothing
+
+
+def test_incremental_probe_join_fallback_end_to_end(
+    spark, setup, monkeypatch
+):
+    """Force every probe onto the join branch (guard=0) and re-submit the
+    already-published good docs as exact dups plus near-dup perturbations
+    — the hashes/bands/sets probes must drop ALL of them through the
+    semi-join path, appending nothing new (existing O(batch) pins keep
+    the IN-list branch covered)."""
+    from agf_data_ingestion_spark.operators import curation
+
+    monkeypatch.setattr(curation, "_PROBE_INLIST_MAX", 0)
+    before = _appended_ids(spark, setup)
+    rel = setup["rel"]
+
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    pub = sorted(
+        snapshot_read(spark, rel["tables"]["shards"])
+        .select(*_DOC_COLS)
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )[:6]
+    rows = []
+    for i, g in enumerate(pub):
+        # exact dup (hashes probe) ...
+        rows.append((2_000_000 + i, g["text"], g["lang"], g["source"], len(g["text"])))
+        # ... and a near-dup perturbation (bands + sets probes)
+        words = g["text"].split()
+        for j in range(0, len(words), 5):
+            words[j] = f"zj{j}"
+        nt = " ".join(words)
+        rows.append((2_000_100 + i, nt, g["lang"], g["source"], len(nt)))
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+
+    out_root = os.path.dirname(rel["tables"]["shards"])
+    rep = curation.curate_incremental(
+        spark, batch, out_root, batch_label="probe_join", seed="0",
+        budget_tokens=2000,
+    )
+    by_name = {s["name"]: s["rows_out"] for s in rep["stages"]}
+    assert by_name["exact_dedup"] <= len(pub)  # exact dups dropped via join probe
+    after = _appended_ids(spark, setup)
+    assert after == before, f"join-branch probes let dups through: {after - before}"

@@ -199,3 +199,32 @@ def test_weighted_interleave_horizon_drops_past_first_exhaustion(spark):
         .agg((F.sum("n") * 1000).alias("tm"))
         .collect()
     )
+
+
+def test_wfq_virtual_time_overflow_safe(spark):
+    """r11 (ADVICE r10): the decomposed WFQ virtual time equals
+    (cum*SCALE) DIV weight_ppm exactly AND survives cumulative token
+    counts where the naive product overflows BIGINT under ANSI
+    (cum=1e10 -> cum*1e9 = 1e19 > 2^63)."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.shards import (
+        _WFQ_SCALE,
+        _wfq_t_expr,
+    )
+
+    cases = [
+        (1, 1),
+        (999, 1_000_000),
+        (10_000_000_000, 250_000),  # naive form overflows here
+        (10_000_000_000, 1_000),
+        (9_223_372, 999_999),
+        (123_456_789_012, 500_000),
+    ]
+    df = spark.createDataFrame(cases, "cum long, weight_ppm long")
+    got = {
+        (r["cum"], r["weight_ppm"]): r["t"]
+        for r in df.withColumn("t", F.expr(_wfq_t_expr("cum"))).collect()
+    }
+    for cum, w in cases:
+        assert got[(cum, w)] == (cum * _WFQ_SCALE) // w, (cum, w)
