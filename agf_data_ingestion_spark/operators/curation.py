@@ -666,6 +666,20 @@ def curate_incremental(
         )
         return out
 
+    # per-trigger segment walls (r11 — the curate_stream latency rung):
+    # coarse wall-clock between the stage checkpoints, catching the cost
+    # the _stage timers DON'T see (probe-store limit-collects, the
+    # txn-version resolve, the WFQ interleave/assign checkpoints, the
+    # ten-table publish).  Additive report key; the datacard funnel rows
+    # are unchanged.
+    segments: dict[str, float] = {}
+    _seg_t = [time.time()]
+
+    def _seg(name: str) -> None:
+        now = time.time()
+        segments[name] = round(now - _seg_t[0], 3)
+        _seg_t[0] = now
+
     # ---- frozen policy ----
     pol = snapshot_read(
         spark, tbls["policy"], version=versions[tbls["policy"]]
@@ -686,6 +700,7 @@ def curate_incremental(
     )
     if not thresholds or not weights:
         raise ValueError("curate_incremental: release policy table is incomplete")
+    _seg("resolve_and_policy")
 
     docs = _stage("batch_input", batch)
 
@@ -801,6 +816,7 @@ def curate_incremental(
         .select("doc_id")
     )
     docs = _stage("quality_cut", docs.join(passing, "doc_id", "left_semi"))
+    _seg("gates_and_probes")
 
     # ---- shard continuation from manifest stats (O(metadata)) ----
     from agf_data_ingestion_spark.sources.snapshots import current_version
@@ -835,7 +851,10 @@ def curate_incremental(
         .localCheckpoint(eager=True)
     )
     n_final = assigned.count()
-    stages.append({"name": "wfq_shards", "rows_out": n_final, "wall_s": 0.0})
+    _seg("wfq_assign")
+    stages.append(
+        {"name": "wfq_shards", "rows_out": n_final, "wall_s": segments["wfq_assign"]}
+    )
 
     # ---- one ten-table append txn ----
     postings = _encode(assigned.select("doc_id", "text"), "text", "doc_id")
@@ -843,13 +862,17 @@ def curate_incremental(
         [("funnel_inc:" + batch_label, s["name"], s["rows_out"]) for s in stages],
         "section string, key string, value long",
     )
-    empty_policy = spark.createDataFrame(
-        [], "section string, key string, value long"
-    )
+    # PROVABLY-empty frames (r11, the curate_stream latency rung):
+    # empty_frame plans to maxRows=0, so _stage_write skips the Spark
+    # write job for both — two fewer jobs per trigger vs the opaque
+    # createDataFrame([], ...) LogicalRDD form
+    from agf_data_ingestion_spark.sources.snapshots import empty_frame
+
+    empty_policy = empty_frame(spark, "section string, key string, value long")
     # the benchmark set is FROZEN at release time: the append carries an
     # empty schema-bearing frame (the policy-table pattern) so all ten
     # tables advance under one txn marker
-    empty_bench = spark.createDataFrame([], "sh string")
+    empty_bench = empty_frame(spark, "sh string")
     t0 = time.time()
     new_versions = snapshot_multi_write(
         [
@@ -891,6 +914,7 @@ def curate_incremental(
     stages.append(
         {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
     )
+    _seg("publish")
 
     # alignment check only — all ten tables resolve to THIS txn; the row
     # total comes from manifest metadata (r10: the old full-table count
@@ -908,8 +932,10 @@ def curate_incremental(
     tok_row = assigned.agg(
         F.max("shard_id").alias("m"), F.sum("n_tokens").alias("t")
     ).collect()[0]
+    _seg("verify_and_report")
     return {
         "stages": stages,
+        "segments": segments,
         "base_txn": base_txn,
         "txn": {"id": inc_txn, "versions": new_versions},
         "tables": dict(tbls),

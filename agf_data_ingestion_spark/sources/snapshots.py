@@ -1408,6 +1408,36 @@ def _common_bloom_cols(entries: list[dict]) -> list[str]:
     return sorted(cols)
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True iff the optimizer PROVES the frame has zero rows
+    (``maxRows == Some(0)`` on the optimized plan — ``empty_frame``
+    below constructs such frames).  Driver-side inspection only, so a
+    lazy corpus frame can never trigger a job here; note a Python
+    ``createDataFrame([], schema)`` plans as a LogicalRDD whose row
+    count is UNKNOWABLE statically — use ``empty_frame`` instead for
+    schema-carrying empty appends."""
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return (not mr.isEmpty()) and int(mr.get()) == 0
+    except Exception:  # noqa: BLE001 — conservative: treat as non-empty
+        return False
+
+
+def empty_frame(spark: SparkSession, ddl: str) -> DataFrame:
+    """A schema-carrying frame the optimizer can PROVE empty (r11 —
+    ``spark.range(0)`` projected to the DDL schema; maxRows folds to 0).
+    Use for the per-txn empty appends (curate_incremental's policy/bench
+    rows): ``_stage_write`` then skips the Spark write job entirely,
+    saving one job per empty table per trigger."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(ddl)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def _stage_write(
     df: DataFrame,
     table: str,
@@ -1425,6 +1455,7 @@ def _stage_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     batch_schema = _schema_of(df)
+    empty_local = _statically_empty(df)
     flds = None
     # raw manifest: staging consults schema/fields/specs/sort-order only —
     # resolving the full file list here was O(table) per append (r9)
@@ -1488,6 +1519,14 @@ def _stage_write(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*pcols, *cluster_by)
+    if empty_local:
+        # r11 (curate_stream latency rung): a provably 0-row literal
+        # batch — the schema-carrying policy/bench appends every
+        # incremental txn makes — skips the Spark write job entirely.
+        # ``_write_data_files`` drops 0-row part files anyway, so the
+        # manifest entries are identical ([]); every schema/spec/sort
+        # validation above still ran on the empty batch.
+        return [], batch_schema
     new_files = _write_data_files(
         df, table, bloom_cols=bloom_cols, fields=flds, **spec_kwargs
     )

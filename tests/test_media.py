@@ -513,3 +513,126 @@ def test_audio_fingerprint_planted_recovery(spark):
         assert 0 <= r["hamming"] <= _AFP_MAX_HAM
     # precision: unplanted survivors are rare (hash-collision tier only)
     assert sum(1 for r in rows if not r["planted"]) <= max(1, len(rows) // 10)
+
+
+# ---------------------------------------------------------------------------
+# r11 (VERDICT r10 ask #5): real-codec audio path — the stdlib ``wave``
+# decoder mirrors the r10 PIL pattern (pure-Python, so not even gated),
+# and the synthetic fingerprint pipeline is cross-validated end-to-end
+# against real PCM16 WAV containers.
+# ---------------------------------------------------------------------------
+
+
+def _afp_samples(doc_id: int) -> list[int]:
+    """Python mirror of media_audio_fingerprint's md5 waveform (amp+jit),
+    samples 0..63 — byte-for-byte the values the SQL derives."""
+    import hashlib as _hl
+
+    from agf_data_ingestion_spark.plans.media import (
+        _AFP_AMP,
+        _AFP_JITTER,
+        _AFP_SAMPLES,
+    )
+
+    base = doc_id - 1 if doc_id % 29 == 1 else doc_id
+    out = []
+    for j in range(_AFP_SAMPLES):
+        amp = int(_hl.md5(f"wav:{base}:{j}".encode()).hexdigest()[:4], 16) % _AFP_AMP
+        jit = (
+            int(_hl.md5(f"pw:{doc_id}:{j}".encode()).hexdigest()[:2], 16)
+            % _AFP_JITTER
+            if doc_id % 29 == 1
+            else 0
+        )
+        out.append(amp + jit)
+    return out
+
+
+def test_decode_audio_meta_wave_backend(spark):
+    """Real WAV container decode through the mapInPandas plumbing: the
+    stdlib ``wave`` backend parses planted PCM16 files exactly; the fake
+    backend keeps the md5 contract."""
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.multimodal import (
+        attach_media,
+        decode_audio_meta,
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    clips = [(i, _afp_samples(i)) for i in (0, 1, 7, 29, 30)]
+    rows = [
+        (i, f"/lake/audio/{i}.wav", "audio/wav", encode_wav_pcm16(s, sample_rate=8000))
+        for i, s in clips
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, path string, mime string, content binary"
+    )
+    media = attach_media(
+        df.select("doc_id", "path", "mime", "content"),
+        path=F.col("path"),
+        mime=F.col("mime"),
+        content=F.col("content"),
+    ).select("doc_id", "media")
+    got = {
+        r["doc_id"]: (r["n_channels"], r["sample_rate"], r["n_frames"])
+        for r in decode_audio_meta(media, backend="wave").collect()
+    }
+    for i, s in clips:
+        assert got[i] == (1, 8000, len(s))
+    # round-trip: encode -> real decode recovers the exact samples
+    for i, s in clips:
+        assert decode_wav_samples(encode_wav_pcm16(s)) == s
+    # fake backend: same schema, deterministic
+    fake = decode_audio_meta(media, backend="fake").collect()
+    assert {r["doc_id"] for r in fake} == {i for i, _ in clips}
+
+
+def test_audio_fingerprint_real_decode_cross_validation(spark):
+    """The catalog query's near-dup pairs reproduced from REAL container
+    decode: synthesize PCM16 WAVs of the same md5 waveform, decode them
+    with the stdlib ``wave`` codec, recompute gradient fingerprints +
+    banded LSH + Hamming verify in pure Python — the pair set must equal
+    ``media_audio_fingerprint``'s exactly."""
+    from agf_data_ingestion_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        gradient_fingerprint,
+    )
+    from agf_data_ingestion_spark.plans.base import t as _t
+    from agf_data_ingestion_spark.plans.media import (
+        _AFP_MAX_HAM,
+        _AFP_STRIDE,
+        _PHASH_BAND_MOD,
+        _PHASH_BANDS,
+        media_audio_fingerprint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = sorted(
+        r["doc_id"] for r in _t(spark, sf, "documents").select("doc_id").collect()
+    )
+    fps = {}
+    for i in ids:
+        wav = encode_wav_pcm16(_afp_samples(i))
+        fps[i] = gradient_fingerprint(
+            decode_wav_samples(wav), stride=_AFP_STRIDE
+        )
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, fp in fps.items():
+        for b in range(_PHASH_BANDS):
+            buckets.setdefault(
+                (b, (fp // _PHASH_BAND_MOD**b) % _PHASH_BAND_MOD), []
+            ).append(i)
+    py_pairs = set()
+    for members in buckets.values():
+        for x in members:
+            for y in members:
+                if x < y and bin(fps[x] ^ fps[y]).count("1") <= _AFP_MAX_HAM:
+                    py_pairs.add((x, y))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in media_audio_fingerprint(spark, sf).collect()
+    }
+    assert got == py_pairs and py_pairs
