@@ -212,6 +212,25 @@ def main() -> None:
             "stages": inc_rep["stages"],
             "n_new_shards": inc_rep["n_new_shards"],
         }
+        # release-to-release diff on the two REAL published txns above
+        # (r11, VERDICT r10 ask #6): the full release vs the release +
+        # the 500-doc append — metadata + doc-id-shaped reads only, the
+        # text column is never scanned (plan-pinned in
+        # tests/test_release_diff.py)
+        import time as _time
+
+        from agf_data_ingestion_spark.operators.curation import release_diff
+
+        rd_samples = []
+        for _ in range(reps):
+            t0 = _time.time()
+            n_diff = release_diff(
+                spark, pipe_dir, pipe_rep["txn"]["id"], inc_rep["txn"]["id"]
+            ).count()
+            rd_samples.append(round(_time.time() - t0, 3))
+        timings["pipeline_release_diff"] = sorted(rd_samples)[reps // 2]
+        samples["pipeline_release_diff"] = rd_samples
+        pipeline_detail["release_diff_rows"] = int(n_diff)
     finally:
         shutil.rmtree(pipe_dir, ignore_errors=True)
 
@@ -312,6 +331,7 @@ def main() -> None:
         "reconcile_60k_keys",
         "pipeline_curate_full",
         "pipeline_curate_incremental",
+        "pipeline_release_diff",
     ]
     headline = {k: timings[k] for k in headline_keys if k in timings}
     print(

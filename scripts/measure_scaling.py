@@ -256,6 +256,90 @@ def skew_scale_rung(factor: int, reps: int) -> None:
         )
 
 
+def window_skew_rung(factor: int, reps: int) -> None:
+    """r11 (VERDICT r10 ask #1 'Done'): the newly routed whole-partition
+    windows at VOLUME under 50%-mass keys — a ``factor``× replica in
+    uniform vs skewed form where ONE language, ONE source, and ONE
+    event_type each carry half their corpus (each query is keyed on
+    exactly one of those, so one skewed twin serves all).  Both corpora
+    put the largest key above every routing guard, so this times the
+    salted decompositions (operators/skew.py) under the exact skew the
+    r9/r10 verdicts called fatal for the undecomposed plans; a flat
+    ratio is the fix's evidence.  (docs_quality_apply / _pr_curve key on
+    the PLANTED md5 lang — corpus/3 by construction at ANY corpus, so
+    the uniform ladder itself is their skew case; docs_epoch_order's
+    epoch is always 2-valued likewise — all three are covered by the
+    uniform column of this table.)"""
+    import pyarrow.parquet as pq
+
+    uni_dir = f"/tmp/agf_winskew_uni{factor}x"
+    skew_dir = f"/tmp/agf_winskew_hot{factor}x"
+    for d in (uni_dir, skew_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    build_replica(uni_dir, factor)
+    os.makedirs(skew_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(uni_dir, "documents.parquet")).to_pandas()
+    half = docs["doc_id"] % 2 == 0
+    docs.loc[half, "lang"] = "en"
+    docs.loc[half, "source"] = "src0"
+    docs.to_parquet(os.path.join(skew_dir, "documents.parquet"))
+    evs = pq.read_table(os.path.join(uni_dir, "events.parquet")).to_pandas()
+    evs.loc[evs["event_id"] % 2 == 0, "event_type"] = "purchase"
+    evs.to_parquet(os.path.join(skew_dir, "events.parquet"))
+    shutil.copyfile(
+        os.path.join(uni_dir, "embeddings.parquet"),
+        os.path.join(skew_dir, "embeddings.parquet"),
+    )
+
+    from agf_data_ingestion_spark.plans import QUERIES as CATALOG
+    from agf_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("measure-window-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(
+        f"| query | uniform {factor}x | 50%-mass key {factor}x | ratio |"
+    )
+    print("|---|---|---|---|")
+    for name in (
+        "docs_token_packing",          # lang-keyed running sum
+        "docs_quality_calibrated",     # lang-keyed percent_rank
+        "docs_lm_buckets",             # lang-keyed ntile (double key)
+        "docs_preference_pairs",       # source-keyed double rank
+        "docs_name_collision",         # source-keyed row_number
+        "docs_quality_apply",          # planted-lang percent_rank (corpus/3)
+        "docs_epoch_order",            # epoch-keyed rank (corpus/2)
+        "events_median_value",         # event_type-keyed median rank
+        "events_mad_outliers",         # event_type-keyed double median
+    ):
+        fn = CATALOG[name].fn
+        fn(spark, uni_dir).count()  # warm
+        times = {}
+        for label, sf_dir in (("uni", uni_dir), ("skew", skew_dir)):
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            times[label] = median(samples)
+        print(
+            f"| {name} | {times['uni']:.2f} s | {times['skew']:.2f} s "
+            f"| {times['skew'] / times['uni']:.2f}x |",
+            flush=True,
+        )
+
+
+def _dir_mb(root: str) -> float:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total / 1e6
+
+
 def pipeline_rung(factor: int) -> None:
     """r10 (VERDICT r9 ask #4): curate_full at 1× vs ``factor``× (per-
     stage walls from the funnel report) and a FIXED 500-doc
@@ -298,6 +382,20 @@ def pipeline_rung(factor: int) -> None:
         )
         rep["_inc_wall"] = inc["wall_s"]
         rep["_inc_stages"] = inc["stages"]
+        # r11 (VERDICT r10 ask #7): publish throughput envelope — bytes
+        # the full-release publish wrote vs its stage wall
+        rep["_mb"] = _dir_mb(out)
+        rep["_pub_wall"] = next(
+            s["wall_s"] for s in rep["stages"] if s["name"] == "publish"
+        )
+        # r11 (ask #6): release_diff over the two REAL txns just
+        # published (full release vs release+append) — must be flat in
+        # release size (text never read)
+        from agf_data_ingestion_spark.operators.curation import release_diff
+
+        t0 = time.time()
+        release_diff(spark, out, rep["txn"]["id"], inc["txn"]["id"]).count()
+        rep["_diff_wall"] = round(time.time() - t0, 3)
     print("| stage | 1x wall | %sx wall | ratio |" % factor)
     print("|---|---|---|---|")
     for i, st in enumerate(reports["1x"]["stages"]):
@@ -316,6 +414,17 @@ def pipeline_rung(factor: int) -> None:
     print(
         f"| curate_incremental (500-doc batch) | {a['_inc_wall']:.2f} s "
         f"| {b['_inc_wall']:.2f} s | {b['_inc_wall'] / a['_inc_wall']:.2f}x |"
+    )
+    print(
+        f"| publish MB/s (release bytes / publish wall) "
+        f"| {a['_mb']:.0f} MB in {a['_pub_wall']:.2f} s = "
+        f"{a['_mb'] / max(a['_pub_wall'], 1e-3):.0f} MB/s "
+        f"| {b['_mb']:.0f} MB in {b['_pub_wall']:.2f} s = "
+        f"{b['_mb'] / max(b['_pub_wall'], 1e-3):.0f} MB/s | — |"
+    )
+    print(
+        f"| release_diff (real txns, full vs +append) | {a['_diff_wall']:.2f} s "
+        f"| {b['_diff_wall']:.2f} s | {b['_diff_wall'] / a['_diff_wall']:.2f}x |"
     )
 
 
@@ -400,6 +509,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew10":
         skew_scale_rung(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "winskew":
+        window_skew_rung(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
