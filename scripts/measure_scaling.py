@@ -81,6 +81,17 @@ def build_replica(out_dir: str, factor: int) -> None:
     embs = pq.read_table(os.path.join(BASE, "embeddings.parquet")).to_pandas()
     dim = len(embs["embedding"].iloc[0])
 
+    # replica texts are decorrelated by prefixing NON-STOPWORD tokens
+    # (r11 FIX: the old every-word prefix zeroed every replica doc's
+    # stopword_ratio, so the rule gate dropped 100% of replica docs and
+    # the r10 pipeline ladder measured a constant ~1x survivor set
+    # downstream of rule_gate — 'ok' counts were FLAT at any factor.
+    # Leaving stopwords intact keeps the gate pass rate proportional
+    # while near-dup jaccard vs the original stays low, the same rule as
+    # tests/test_curation_incremental._perturb.  Pipeline-rung numbers
+    # before this fix are not comparable.)
+    from agf_data_ingestion_spark.plans.text import _STOPWORDS
+
     doc_parts, emb_parts = [], []
     for k in range(factor):
         d = docs.copy()
@@ -88,7 +99,9 @@ def build_replica(out_dir: str, factor: int) -> None:
             d["doc_id"] = d["doc_id"] + 10_000_000 * k
             pre = f"r{k}"
             d["text"] = d["text"].map(
-                lambda t: " ".join(pre + w for w in t.split())
+                lambda t: " ".join(
+                    w if w in _STOPWORDS else pre + w for w in t.split()
+                )
             )
             d["n_chars"] = d["text"].str.len().astype("int64")
         doc_parts.append(d)
@@ -417,10 +430,10 @@ def pipeline_rung(factor: int) -> None:
     )
     print(
         f"| publish MB/s (release bytes / publish wall) "
-        f"| {a['_mb']:.0f} MB in {a['_pub_wall']:.2f} s = "
-        f"{a['_mb'] / max(a['_pub_wall'], 1e-3):.0f} MB/s "
-        f"| {b['_mb']:.0f} MB in {b['_pub_wall']:.2f} s = "
-        f"{b['_mb'] / max(b['_pub_wall'], 1e-3):.0f} MB/s | — |"
+        f"| {a['_mb']:.1f} MB in {a['_pub_wall']:.2f} s = "
+        f"{a['_mb'] / max(a['_pub_wall'], 1e-3):.2f} MB/s "
+        f"| {b['_mb']:.1f} MB in {b['_pub_wall']:.2f} s = "
+        f"{b['_mb'] / max(b['_pub_wall'], 1e-3):.2f} MB/s | — |"
     )
     print(
         f"| release_diff (real txns, full vs +append) | {a['_diff_wall']:.2f} s "
