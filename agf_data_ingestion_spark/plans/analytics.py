@@ -290,7 +290,8 @@ def docs_name_collision(
     )
     if route > _NC_SRC_ROUTE:
         ranked = salted_rank_intkey(
-            d.select("doc_id", "source"), ["source"], "doc_id", "doc_id",
+            d.select("doc_id", "source").cache(),  # narrow, 3 consumers
+            ["source"], "doc_id", "doc_id",
             out_rank="_rnc",
         )
         rn_col = F.col("_rnc")
@@ -617,8 +618,10 @@ def _evt_ranked(df: DataFrame, val_col: str, route: int) -> DataFrame:
     from agf_data_ingestion_spark.operators.skew import salted_rank_dblkey
 
     if route > _EVT_TYPE_ROUTE:
+        # narrow (event_type, value, event_id) frame; the decomposition's
+        # bounds aggregate + both salted branches re-scan it otherwise
         return salted_rank_dblkey(
-            df, ["event_type"], val_col, "event_id", out_rank="rn", out_n="n"
+            df.cache(), ["event_type"], val_col, "event_id", out_rank="rn", out_n="n"
         )
     w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
     return df.withColumn("rn", F.row_number().over(w)).withColumn(

@@ -491,6 +491,9 @@ def docs_lm_buckets(
         docs.select("lang"), "lang"
     )
     if route > _LMB_LANG_ROUTE:
+        # narrow (doc_id, lang, score) frame over the EXPENSIVE LM-score
+        # build — cache before the decomposition's three consumers
+        joined = joined.cache()
         dec = salted_rank_dblkey(
             joined.withColumn("_nid", -F.col("doc_id")),
             ["lang"],

@@ -250,6 +250,11 @@ def docs_quality_apply(
     )
     route = _route if _route is not None else _qm_lang_route(spark, sf_dir)
     if route > _QM_LANG_ROUTE:
+        # the narrow 1-row-per-doc scores frame feeds the decomposition's
+        # bounds aggregate AND both salted branches — cache it (the r4 /
+        # curriculum multiply-consumed-narrow-frame rule) or the corpus
+        # bigram scan upstream replays once per consumer
+        scores = scores.cache()
         ranked = salted_rank_intkey(scores, ["lang"], "score", "doc_id")
         pctile = pct_rank_expr("dr", "n_part")
         base = ranked
@@ -306,6 +311,8 @@ def docs_quality_pr_curve(
     )
     route = _route if _route is not None else _qm_lang_route(spark, sf_dir)
     if route > _QM_LANG_ROUTE:
+        # cache: see docs_quality_apply (same decomposition fan-out)
+        scores = scores.cache()
         tiled = salted_rank_intkey(scores, ["lang"], "score", "doc_id").select(
             "hi", ntile_expr("dr", "n_part", _PR_TILES).alias("tile")
         )
@@ -572,7 +579,10 @@ def docs_preference_pairs(
     if route > _DPO_SRC_ROUTE:
         # rw = row_number over (score ASC, doc_id DESC) — the integer key
         # decomposition with the NEGATED doc_id as ascending tiebreaker;
-        # rb = n - rw + 1 (reverse-order row numbers sum to n+1)
+        # rb = n - rw + 1 (reverse-order row numbers sum to n+1).  sd is
+        # the narrow per-doc score frame multiply consumed by the
+        # decomposition — cache it (curriculum per_doc rule)
+        sd = sd.cache()
         dec = salted_rank_intkey(
             sd.withColumn("_nid", -F.col("doc_id")),
             ["source"],

@@ -1581,6 +1581,8 @@ def docs_quality_calibrated(
         d.select("lang"), "lang"
     )
     if route > _CAL_LANG_ROUTE:
+        # narrow per-doc frame, multiply consumed by the decomposition
+        scored = scored.cache()
         ranked = salted_rank_intkey(scored, ["lang"], "score_micro", "doc_id")
         pct = ranked.select(
             "doc_id",

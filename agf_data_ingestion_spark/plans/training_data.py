@@ -319,6 +319,7 @@ def docs_token_packing(
         d.select("lang"), "lang"
     )
     if route > _LANG_ROUTE:
+        base = base.cache()  # narrow; bounds agg + both salted branches
         cummed = salted_prefix_sum_intkey(
             base, ["lang"], "n_tokens", "doc_id", out_col="_cum"
         )

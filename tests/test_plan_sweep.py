@@ -135,6 +135,11 @@ def test_no_unrouted_corpus_windows_on_low_card_keys(spark):
         bad = [b for b in bad if (name, b) not in ALLOW]
         if bad:
             failures[name] = bad
+    # the decomposed branches cache() their narrow pre-rank frames;
+    # CacheManager dedupes by canonicalized plan ACROSS tests, so leave
+    # no entries behind (a later plain-branch plan pin would otherwise
+    # see InMemoryRelation where it asserts the raw exchange shape)
+    spark.catalog.clearCache()
     assert not errors, f"queries failed to build a plan: {errors}"
     assert not failures, (
         "unrouted corpus windows on low-cardinality keys (route through "

@@ -325,6 +325,9 @@ _SF = "/root/testdata/sf0.001"
 def _both_routes(fn, spark, lo=0, hi=10**9):
     a = sorted(map(tuple, fn(spark, _SF, _route=lo).collect()))
     b = sorted(map(tuple, fn(spark, _SF, _route=hi).collect()))
+    # decomposed branches cache() narrow frames; don't leak entries into
+    # later tests' plan pins (CacheManager dedupes across tests)
+    spark.catalog.clearCache()
     assert a == b
     assert len(a) > 0
 
