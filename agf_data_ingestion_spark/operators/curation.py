@@ -199,8 +199,20 @@ def quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
 
 
+#: per-language doc-count guard for the release quality-cut ntile (r11
+#: — the PRODUCTION twin of the docs_quality_pr_curve routing; this
+#: window lives inside curate_full, which the catalog plan sweep cannot
+#: see).  Above it the per-lang ntile routes through salted_rank_intkey
+#: + the exact integer ntile replay; both branches are bit-identical.
+_CUT_LANG_ROUTE = 1000
+
+
 def stage_quality_cut(
-    spark: SparkSession, sf_dir: str, docs: DataFrame, cut_tile: int
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    cut_tile: int,
+    _route: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Trained-quality threshold: score each surviving document's REAL
     text with the planted-corpus model (hashed character-bigram weights,
@@ -216,20 +228,35 @@ def stage_quality_cut(
 
     Single-exchange shape: bigram rows LEFT-join the broadcast ≤4096-row
     model, ONE groupBy(doc_id) collapses map-side to a row per doc, and
-    the per-language ntile windows doc-count score rows (never text)."""
+    the per-language cut ranks doc-count score rows (never text) —
+    SKEW-ROUTED above ``_CUT_LANG_ROUTE`` docs in the largest language
+    (r11; the salted decomposition, operators/skew.py)."""
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        ntile_expr,
+        salted_rank_intkey,
+    )
+
     w = quality_model_weights(spark, sf_dir)
     scores = score_quality(w, docs)
-    tiled = (
-        docs.select("doc_id", "lang")
-        .join(scores, "doc_id")
-        .withColumn(
+    sd = docs.select("doc_id", "lang").join(scores, "doc_id")
+    route = _route if _route is not None else max_group_count(
+        docs.select("lang"), "lang"
+    )
+    if route > _CUT_LANG_ROUTE:
+        # narrow per-doc frame, multiply consumed by the decomposition
+        sd = sd.cache()
+        tiled = salted_rank_intkey(
+            sd, ["lang"], "_score", "doc_id"
+        ).withColumn("_tile", ntile_expr("dr", "n_part", _CUT_TILES))
+    else:
+        tiled = sd.withColumn(
             "_tile",
             F.ntile(_CUT_TILES).over(
                 Window.partitionBy("lang").orderBy("_score", "doc_id")
             ),
         )
-        .filter(F.col("_tile") > cut_tile)
-    )
+    tiled = tiled.filter(F.col("_tile") > cut_tile)
     thresholds = tiled.groupBy("lang").agg(
         F.min("_score").cast("long").alias("value")
     )

@@ -510,3 +510,24 @@ def test_mad_outliers_routing_branches_identical(spark):
     from agf_data_ingestion_spark.plans.analytics import events_mad_outliers
 
     _both_routes(events_mad_outliers, spark)
+
+
+def test_stage_quality_cut_routing_branches_identical(spark):
+    """The PRODUCTION release quality-cut ntile (inside curate_full,
+    invisible to the catalog plan sweep) — forced-decomposed ≡
+    forced-plain: same survivor set, same frozen per-language
+    thresholds."""
+    from agf_data_ingestion_spark.operators.curation import stage_quality_cut
+    from agf_data_ingestion_spark.plans.base import t as _t
+
+    docs = _t(spark, _SF, "documents")
+    out = {}
+    for route in (0, 10**9):
+        surv, thr = stage_quality_cut(spark, _SF, docs, 12, _route=route)
+        out[route] = (
+            sorted(r["doc_id"] for r in surv.select("doc_id").collect()),
+            sorted(map(tuple, thr.collect())),
+        )
+    spark.catalog.clearCache()
+    assert out[0] == out[10**9]
+    assert out[0][0] and out[0][1]
