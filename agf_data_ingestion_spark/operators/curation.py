@@ -544,7 +544,15 @@ def _stats_max(table: str, version: int, col: str):
 #: size (the stores are key-clustered, so the range prune still skips
 #: files).  Both branches return the same rows: the IN-list row-filters
 #: exactly, the range scan over-reads and the semi-join exact-filters.
-_PROBE_INLIST_MAX = 100_000
+#: Threshold MEASURED (SCALE.md r11 probe rung): the IN-list's wall
+#: grows with key count on EVERY store shape (a K-literal predicate
+#: costs O(K) to analyze and O(K x files) to prune on the driver),
+#: crossing the join branch's flat ~1-3 s well below 2k keys (2k: 7.1 s
+#: vs 2.7 s; 150k: 108 s vs 0.8 s; an all-join incremental run beat the
+#: all-inlist run by ~2.5 s at bench scale).  1024 keeps genuinely tiny
+#: probes (per-trigger hash / candidate-id lookups) on the bloom-pruned
+#: point-lookup path and sends everything larger to the semi-join.
+_PROBE_INLIST_MAX = 1024
 
 
 def _probe_store(

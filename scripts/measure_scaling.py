@@ -342,6 +342,55 @@ def window_skew_rung(factor: int, reps: int) -> None:
         )
 
 
+def probe_rung(store_rows: int, probe_keys: int, reps: int) -> None:
+    """r11 (VERDICT r10 ask #3 'Done' + scale evidence): the routed
+    store probe at BULK batch size — an ``store_rows``-row key-clustered
+    snapshot store probed with ``probe_keys`` distinct keys, IN-list
+    branch (driver-collected predicate) vs the join branch (min/max
+    range-pruned scan + shuffle-hash semi-join).  The join branch's
+    driver traffic is O(1) regardless of batch size; the IN-list ships
+    every key through the driver AND plants a probe_keys-wide predicate
+    into the scan."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from agf_data_ingestion_spark.operators.curation import _probe_store
+    from agf_data_ingestion_spark.session import get_spark
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_write
+
+    spark = get_spark("probe-rung")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = "/tmp/agf_probe_rung"
+    if os.path.isdir(root):
+        _sh.rmtree(root)
+    store = os.path.join(root, "store")
+    rows = spark.range(store_rows).select(
+        F.md5(F.col("id").cast("string")).alias("h"), F.col("id").alias("v")
+    )
+    snapshot_write(rows, store, mode="overwrite", cluster_by=["h"], cluster_files=16)
+    # every other probe key hits; keys are md5s, so the min/max range
+    # prune keeps most files (worst case for the join branch)
+    keys = spark.range(probe_keys).select(
+        F.md5((F.col("id") * 2).cast("string")).alias("h")
+    ).localCheckpoint(eager=True)
+    print(f"| branch | store rows | probe keys | matched | median wall |")
+    print("|---|---|---|---|---|")
+    for label, limit in (("in-list", 10**9), ("semi-join", 0)):
+        samples, n = [], 0
+        for _ in range(reps):
+            t0 = time.time()
+            df, used_inlist = _probe_store(spark, keys, store, "h", limit=limit)
+            n = df.count()
+            samples.append(time.time() - t0)
+            assert used_inlist == (limit > 0)
+        print(
+            f"| {label} | {store_rows} | {probe_keys} | {n} "
+            f"| {median(samples):.2f} s |",
+            flush=True,
+        )
+
+
 def _dir_mb(root: str) -> float:
     total = 0
     for dirpath, _dirs, files in os.walk(root):
@@ -524,6 +573,13 @@ def main() -> None:
         skew_scale_rung(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10,
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "probe":
+        probe_rung(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 500_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 150_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 3,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "winskew":
