@@ -192,15 +192,18 @@ def salted_rank_hexkey(
     k: int = 2,
 ) -> DataFrame:
     """EXACT keyed ``row_number() OVER (PARTITION BY part ORDER BY
-    hexkey, tie)`` + partition count, salted on the first ``k`` hex
-    chars of the leading sort key (r11 — the ``docs_epoch_order``
-    shape: 2 epochs × the whole corpus through two window tasks).  The
-    hex prefix is a MONOTONE prefix of the sort key, so cells are
-    contiguous hexkey ranges and (salt, hexkey, tie) order ≡ (hexkey,
-    tie) order — the ``salted_prefix_sum`` salting applied to ranks.
-    md5-uniform keys balance the 16^k cells; the cell table is
-    shuffle_hash pinned (never broadcast — corpus-shaped under many
-    tiny partitions)."""
+    strkey, tie)`` + partition count, salted on the first ``k`` chars
+    of the leading STRING sort key (r11 — the ``docs_epoch_order``
+    shape: 2 epochs × the whole corpus through two window tasks).  A
+    string prefix is a MONOTONE prefix of string ordering — correct
+    for ANY string key, not just hex: cells are contiguous key ranges
+    and (salt, key, tie) order ≡ (key, tie) order — the
+    ``salted_prefix_sum`` salting applied to ranks.  BALANCE depends on
+    the key distribution at depth ``k``: md5-uniform keys balance 16^k
+    cells at k hex chars; path-like keys with a constant head need
+    ``k`` past the head (docs_export_zip_manifest uses k=8 over
+    'docs/<id>/…').  The cell table is shuffle_hash pinned (never
+    broadcast — corpus-shaped under many tiny partitions)."""
     _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
     if out_rank in _reserved or out_n in _reserved:
         raise ValueError(
@@ -238,6 +241,7 @@ def salted_rank_dblkey(
     out_rank: str = "dr",
     out_n: str = "n_part",
     cells: int = 256,
+    nulls_last: bool = False,
 ) -> DataFrame:
     """``salted_rank_intkey`` for a DOUBLE sort key (r11 — the
     ``docs_lm_buckets`` shape, where the key is a BIGINT/BIGINT→DOUBLE
@@ -250,7 +254,13 @@ def salted_rank_dblkey(
     oracle keeps the single-window form), so cross-engine float rules
     don't apply to it; ranks and counts coming out are exact integers.
     ``least(..., cells)`` caps the top key's bucket (the max key can
-    round to exactly ``cells``)."""
+    round to exactly ``cells``).
+
+    ``nulls_last=True`` replays ``ORDER BY key ASC NULLS LAST, tie``
+    (the DuckDB-default convention events_quantile_sketch matches):
+    NULL keys salt into a dedicated cell AFTER every value cell, and
+    the in-cell sort uses ``asc_nulls_last`` — min/max aggregates
+    ignore NULLs, so the value buckets are unchanged."""
     _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
     if out_rank in _reserved or out_n in _reserved:
         raise ValueError(
@@ -260,20 +270,24 @@ def salted_rank_dblkey(
         F.min(key_col).cast("double").alias("_kmin"),
         F.max(key_col).cast("double").alias("_kmax"),
     )
+    bucket_sql = (
+        f"CASE WHEN _kmax <= _kmin THEN CAST(0 AS BIGINT) "
+        f"ELSE LEAST(CAST(floor((CAST({key_col} AS DOUBLE) - _kmin)"
+        f" / ((_kmax - _kmin) / CAST({int(cells)} AS DOUBLE))) AS BIGINT),"
+        f" CAST({int(cells)} AS BIGINT)) END"
+    )
+    if nulls_last:
+        # NULL key -> NULL bucket -> the one-past-the-end cell
+        bucket_sql = f"COALESCE({bucket_sql}, CAST({int(cells) + 2} AS BIGINT))"
     salted = (
         df.crossJoin(F.broadcast(b))
-        .withColumn(
-            "_salt",
-            F.expr(
-                f"CASE WHEN _kmax <= _kmin THEN CAST(0 AS BIGINT) "
-                f"ELSE LEAST(CAST(floor((CAST({key_col} AS DOUBLE) - _kmin)"
-                f" / ((_kmax - _kmin) / CAST({int(cells)} AS DOUBLE))) AS BIGINT),"
-                f" CAST({int(cells)} AS BIGINT)) END"
-            ),
-        )
+        .withColumn("_salt", F.expr(bucket_sql))
         .drop("_kmin", "_kmax")
     )
-    w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(key_col, tie_col)
+    key_order = (
+        F.asc_nulls_last(key_col) if nulls_last else F.asc(key_col)
+    )
+    w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(key_order, tie_col)
     r1 = salted.withColumn("_rn", F.row_number().over(w_cell))
     cell_t = salted.groupBy(*part_cols, "_salt").agg(F.count("*").alias("_c"))
     w_off = (

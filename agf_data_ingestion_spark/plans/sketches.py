@@ -163,7 +163,21 @@ FROM sk, ex
 _QK = 256  # sample size per group
 
 
-def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-event_type row guard for the EXACT-q50 ground-truth rank (r11 —
+#: found by the node-local plan-sweep fix: the sample branch's
+#: WindowGroupLimit had been exonerating the exact branch's corpus
+#: window; event_type has 5 values = corpus/5 per task).  Above the
+#: guard the exact rank routes through salted_rank_dblkey with
+#: nulls_last (the sample branch stays a plain window — its input is
+#: the WindowGroupLimit-bounded ≤ _QK×types k-min sample).  Straddles
+#: the corpora: 2017 rows in the largest type at sf0.01 -> plain;
+#: 20302 at sf0.1 -> decomposed.
+_QS_TYPE_ROUTE = 10_000
+
+
+def events_quantile_sketch(
+    spark: SparkSession, sf_dir: str, _route: int | None = None
+) -> DataFrame:
     """Per-event-type quantile estimates from a deterministic uniform
     sample: the ``_QK`` events with the smallest md5(event_id) hash ARE a
     uniform random sample (md5 is uniform, event_id is unique), and like
@@ -175,26 +189,43 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantile convention: lower-value at index ``floor((n-1)·q)`` of the
     (value, event_id)-sorted sample — exact integer arithmetic, no
     interpolation, so both engines select the identical element.  The exact
-    q50 over the full data (same convention) rides along as ground truth.
+    q50 over the full data (same convention) rides along as ground truth —
+    SKEW-ROUTED above ``_QS_TYPE_ROUTE`` rows per type (r11).
     """
+    from agf_data_ingestion_spark.operators.skew import (
+        max_group_count,
+        salted_rank_dblkey,
+    )
+
     e = t(spark, sf_dir, "events")
     h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, _HASH_HEX), 16, 10)
     base = e.select("event_type", "event_id", "value", h.cast("long").alias("h"))
 
-    def _q_cols(df: DataFrame, qs: dict[str, float]) -> DataFrame:
+    def _q_cols(df: DataFrame, qs: dict[str, float], decomposed: bool) -> DataFrame:
         # nulls LAST to match DuckDB's ASC default (Spark ASC puts nulls
         # first — a single NULL value in a regenerated corpus would shift
         # every rank and silently break the oracle)
-        wv = Window.partitionBy("event_type").orderBy(
-            F.asc_nulls_last("value"), "event_id"
-        )
-        wn = Window.partitionBy("event_type")
-        ranked = df.select(
-            "event_type",
-            "value",
-            F.row_number().over(wv).alias("vrn"),
-            F.count("*").over(wn).alias("n"),
-        )
+        if decomposed:
+            ranked = salted_rank_dblkey(
+                df.select("event_type", "value", "event_id"),
+                ["event_type"],
+                "value",
+                "event_id",
+                out_rank="vrn",
+                out_n="n",
+                nulls_last=True,
+            )
+        else:
+            wv = Window.partitionBy("event_type").orderBy(
+                F.asc_nulls_last("value"), "event_id"
+            )
+            wn = Window.partitionBy("event_type")
+            ranked = df.select(
+                "event_type",
+                "value",
+                F.row_number().over(wv).alias("vrn"),
+                F.count("*").over(wn).alias("n"),
+            )
         aggs = [
             F.max(
                 F.when(
@@ -206,11 +237,18 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return ranked.groupBy("event_type").agg(F.max("n").alias("n_rows"), *aggs)
 
+    route = _route if _route is not None else max_group_count(
+        e.select("event_type"), "event_type"
+    )
     sample = _k_min(base, ["event_type"], k=_QK)
-    est = _q_cols(sample, {"q25_est": 0.25, "q50_est": 0.5, "q75_est": 0.75}).select(
+    est = _q_cols(
+        sample, {"q25_est": 0.25, "q50_est": 0.5, "q75_est": 0.75}, False
+    ).select(
         "event_type", F.col("n_rows").alias("n_sampled"), "q25_est", "q50_est", "q75_est"
     )
-    exact = _q_cols(base, {"q50_exact": 0.5}).select("event_type", "q50_exact")
+    exact = _q_cols(
+        base, {"q50_exact": 0.5}, route > _QS_TYPE_ROUTE
+    ).select("event_type", "q50_exact")
     return est.join(exact, "event_type")
 
 

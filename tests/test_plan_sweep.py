@@ -36,8 +36,12 @@ import inspect
 import pytest
 
 #: low-cardinality corpus columns: a Window partitioned ONLY by these is
-#: a corpus-through-one-task plan unless protected/blessed
-BAD_KEYS = {"lang", "source", "epoch", "event_type"}
+#: a corpus-through-one-task plan unless protected/blessed.
+#: export_group is `source` RENAMED (plans/media.py) — the sweep sees
+#: attribute names, not lineage, so known aliases of bad keys must be
+#: listed explicitly.  `k` rides along only in combination (export_group,
+#: k) via the subset rule.
+BAD_KEYS = {"lang", "source", "epoch", "event_type", "export_group", "k"}
 
 #: (query, partition-tuple) -> reason, for windows the rules above can't
 #: see are bounded.  Keep EMPTY unless a genuinely K-row case appears —
@@ -67,8 +71,14 @@ _UNARY_PASS = {
 
 
 def _salt_cell_blessed(win_node) -> bool:
-    """Descend through unary nodes; True iff the first Aggregate found
-    groups by a salt column (the skew-decomposition cell table)."""
+    """Descend through unary nodes; True iff the first structural node
+    found is EITHER a WindowGroupLimit (the optimizer bounded THIS
+    window's partitions map-side — protection must be node-local: a
+    plan-global check by partition tuple let one protected top-k window
+    exonerate unprotected corpus windows on the same key elsewhere in
+    the plan, which is exactly how events_quantile_sketch's exact branch
+    slipped through) OR an Aggregate grouping by a salt column (the
+    skew-decomposition cell table)."""
     node = win_node
     while True:
         ch = node.children()
@@ -76,6 +86,8 @@ def _salt_cell_blessed(win_node) -> bool:
             return False
         node = ch.apply(0)
         cls = node.getClass().getSimpleName()
+        if cls == "WindowGroupLimit":
+            return True
         if cls == "Aggregate":
             g = _names(node.groupingExpressions())
             return any(n in ("_salt", "salt") for n in g)
@@ -85,23 +97,18 @@ def _salt_cell_blessed(win_node) -> bool:
 
 def _violations(df) -> list[tuple[str, ...]]:
     plan = df._jdf.queryExecution().optimizedPlan()
-    wins, limits = [], set()
+    wins = []
     stack = [plan]
     while stack:
         node = stack.pop()
-        cls = node.getClass().getSimpleName()
-        if cls == "Window":
+        if node.getClass().getSimpleName() == "Window":
             wins.append((_names(node.partitionSpec()), node))
-        elif cls == "WindowGroupLimit":
-            limits.add(_names(node.partitionSpec()))
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     bad = []
     for names, node in wins:
         if not names or not set(names) <= BAD_KEYS:
-            continue
-        if names in limits:
             continue
         if _salt_cell_blessed(node):
             continue

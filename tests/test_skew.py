@@ -531,3 +531,15 @@ def test_stage_quality_cut_routing_branches_identical(spark):
     spark.catalog.clearCache()
     assert out[0] == out[10**9]
     assert out[0][0] and out[0][1]
+
+
+def test_quantile_sketch_routing_branches_identical(spark):
+    from agf_data_ingestion_spark.plans.sketches import events_quantile_sketch
+
+    _both_routes(events_quantile_sketch, spark)
+
+
+def test_zip_manifest_routing_branches_identical(spark):
+    from agf_data_ingestion_spark.plans.media import docs_export_zip_manifest
+
+    _both_routes(docs_export_zip_manifest, spark)
