@@ -324,6 +324,8 @@ def window_skew_rung(factor: int, reps: int) -> None:
         "docs_epoch_order",            # epoch-keyed rank (corpus/2)
         "events_median_value",         # event_type-keyed median rank
         "events_mad_outliers",         # event_type-keyed double median
+        "events_quantile_sketch",      # event_type exact-q50 rank (late r11)
+        "docs_export_zip_manifest",    # export_group(=source) entry ranks
     ):
         fn = CATALOG[name].fn
         fn(spark, uni_dir).count()  # warm
