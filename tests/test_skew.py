@@ -543,3 +543,35 @@ def test_zip_manifest_routing_branches_identical(spark):
     from agf_data_ingestion_spark.plans.media import docs_export_zip_manifest
 
     _both_routes(docs_export_zip_manifest, spark)
+
+
+def test_salted_rank_dblkey_nulls_last(spark):
+    """NULL sort keys under nulls_last=True rank AFTER every value (the
+    DuckDB ASC convention events_quantile_sketch matches) — including an
+    all-NULL partition, where min/max are NULL and every row lands in
+    the dedicated trailing cell."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.operators.skew import salted_rank_dblkey
+
+    rows = []
+    for i in range(2000):
+        part = "hot" if i % 2 == 0 else f"s{i % 7}"
+        val = None if i % 11 == 0 else (i % 97) / 7.0
+        rows.append((part, val, i))
+    rows += [("allnull", None, 10_000 + j) for j in range(5)]
+    df = spark.createDataFrame(rows, "part string, key double, tie long")
+    w = Window.partitionBy("part").orderBy(F.asc_nulls_last("key"), "tie")
+    plain = {
+        r["tie"]: (r["r"], r["n"])
+        for r in df.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("part")))
+        .collect()
+    }
+    dec = {
+        r["tie"]: (r["dr"], r["n_part"])
+        for r in salted_rank_dblkey(
+            df, ["part"], "key", "tie", cells=8, nulls_last=True
+        ).collect()
+    }
+    assert dec == plain
