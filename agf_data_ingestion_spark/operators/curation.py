@@ -575,12 +575,15 @@ def _probe_store(
     head = distinct.limit(lim + 1).collect()
     if len(head) <= lim:
         vals = [r[0] for r in head]
+        if not vals:
+            # Empty micro-batch (ADVICE r11): where=None would return the
+            # ENTIRE store as "inlist_used" and callers then broadcast a
+            # corpus-sized frame.  Probe with no keys matches nothing —
+            # return a schema-carrying empty frame on the same store read.
+            empty = snapshot_read(spark, store_path).where(F.lit(False))
+            return empty, True
         return (
-            snapshot_read(
-                spark,
-                store_path,
-                where=[(store_key, "in", vals)] if vals else None,
-            ),
+            snapshot_read(spark, store_path, where=[(store_key, "in", vals)]),
             True,
         )
     b = distinct.agg(F.min(kcol).alias("lo"), F.max(kcol).alias("hi")).collect()[0]

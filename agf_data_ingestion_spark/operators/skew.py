@@ -63,6 +63,19 @@ def max_group_count(df: DataFrame, key_col: str) -> int:
     return int(row["_m"])
 
 
+#: Internal column names every salted helper materializes; user-facing
+#: output names must not collide (the final .drop() would corrupt them).
+_RESERVED = frozenset({"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"})
+
+
+def _check_out_names(*names: str) -> None:
+    bad = [n for n in names if n in _RESERVED]
+    if bad:
+        raise ValueError(
+            f"output column(s) {bad} collide with internal columns {set(_RESERVED)}"
+        )
+
+
 def salted_prefix_sum(
     df: DataFrame,
     part_cols: list[str],
@@ -93,8 +106,18 @@ def salted_prefix_sum(
     cell-total table is ≤ keys x 16^k rows but approaches corpus size
     under many tiny keys — shuffle_hash pinned, never broadcast (the
     corpus-side ban); both sides are already clustered on the cell key.
+
+    NULL keys (ADVICE r11): ``substring(NULL)`` is NULL and the
+    offsets equi-join never matches NULL=NULL — so NULL keys coalesce
+    into the '' cell, which sorts BEFORE every non-empty prefix, and
+    the in-cell ``asc`` (nulls-first) order ranks them ahead of any
+    ''-valued key in the same cell — exactly the plain window's
+    ``ORDER BY key ASC`` (nulls first) placement.
     """
-    salted = df.withColumn("_salt", F.substring(F.col(hexkey_col), 1, k))
+    _check_out_names(out_col)
+    salted = df.withColumn(
+        "_salt", F.coalesce(F.substring(F.col(hexkey_col), 1, k), F.lit(""))
+    )
     w_cell = (
         Window.partitionBy(*part_cols, "_salt")
         .orderBy(hexkey_col, tie_col)
@@ -142,7 +165,13 @@ def salted_prefix_sum_intkey(
     tiny cell-total table.  Integer adds are order-free, so the
     decomposition is bit-identical to the single window (the oracle
     keeps the one-window form).  ``tie_col=None`` requires ``key_col``
-    unique within each partition (doc_id order)."""
+    unique within each partition (doc_id order).
+
+    NULL keys (ADVICE r11): a NULL key would salt NULL and vanish in
+    the offsets equi-join — coalesce into cell -1, which sorts before
+    every value cell (value salts are ≥ 0), matching the plain
+    window's ``ASC`` nulls-first placement."""
+    _check_out_names(out_col)
     order_cols = [key_col] if tie_col is None else [key_col, tie_col]
     b = df.agg(
         F.min(key_col).cast("long").alias("_kmin"),
@@ -154,7 +183,13 @@ def salted_prefix_sum_intkey(
             "_w",
             F.expr(f"greatest(CAST(1 AS BIGINT), (_kmax - _kmin) DIV {int(cells)} + 1)"),
         )
-        .withColumn("_salt", F.expr(f"(CAST({key_col} AS BIGINT) - _kmin) DIV _w"))
+        .withColumn(
+            "_salt",
+            F.expr(
+                f"COALESCE((CAST({key_col} AS BIGINT) - _kmin) DIV _w,"
+                f" CAST(-1 AS BIGINT))"
+            ),
+        )
         .drop("_kmin", "_kmax", "_w")
     )
     w_cell = (
@@ -203,13 +238,15 @@ def salted_rank_hexkey(
     cells at k hex chars; path-like keys with a constant head need
     ``k`` past the head (docs_export_zip_manifest uses k=8 over
     'docs/<id>/…').  The cell table is shuffle_hash pinned (never
-    broadcast — corpus-shaped under many tiny partitions)."""
-    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
-    if out_rank in _reserved or out_n in _reserved:
-        raise ValueError(
-            f"out_rank/out_n must not collide with internal columns {_reserved}"
-        )
-    salted = df.withColumn("_salt", F.substring(F.col(hexkey_col), 1, k))
+    broadcast — corpus-shaped under many tiny partitions).
+
+    NULL keys coalesce into the '' cell (sorts before every non-empty
+    prefix; in-cell nulls-first order puts them ahead of ''-valued
+    keys) — see ``salted_prefix_sum``."""
+    _check_out_names(out_rank, out_n)
+    salted = df.withColumn(
+        "_salt", F.coalesce(F.substring(F.col(hexkey_col), 1, k), F.lit(""))
+    )
     w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(hexkey_col, tie_col)
     r1 = salted.withColumn("_rn", F.row_number().over(w_cell))
     cell_t = salted.groupBy(*part_cols, "_salt").agg(F.count("*").alias("_c"))
@@ -260,25 +297,38 @@ def salted_rank_dblkey(
     (the DuckDB-default convention events_quantile_sketch matches):
     NULL keys salt into a dedicated cell AFTER every value cell, and
     the in-cell sort uses ``asc_nulls_last`` — min/max aggregates
-    ignore NULLs, so the value buckets are unchanged."""
-    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
-    if out_rank in _reserved or out_n in _reserved:
-        raise ValueError(
-            f"out_rank/out_n must not collide with internal columns {_reserved}"
-        )
+    ignore NULLs, so the value buckets are unchanged.
+
+    NULL / NaN keys (ADVICE r11): with ``nulls_last=False`` a NULL key
+    salts into cell -1 (before every value cell — Spark ``asc`` is
+    nulls FIRST), so NULL rows are never dropped by the offsets
+    equi-join.  NaN sorts GREATER than every non-NaN double in both
+    branches, so NaN keys bucket into the terminal value cell
+    ``cells + 1`` (before the nulls_last NULL cell at ``cells + 2``),
+    and kmin/kmax are computed over non-NaN values only — a poisoned
+    double column stays bit-identical to the plain window instead of
+    failing the ANSI CAST(floor(NaN))."""
+    _check_out_names(out_rank, out_n)
     b = df.agg(
-        F.min(key_col).cast("double").alias("_kmin"),
-        F.max(key_col).cast("double").alias("_kmax"),
+        F.min(F.when(~F.isnan(F.col(key_col)), F.col(key_col)))
+        .cast("double")
+        .alias("_kmin"),
+        F.max(F.when(~F.isnan(F.col(key_col)), F.col(key_col)))
+        .cast("double")
+        .alias("_kmax"),
     )
+    # NULL cell: after the NaN cell (nulls_last) or before everything
+    # (Spark asc = nulls FIRST); checked first so it holds even when the
+    # whole corpus is NULL/NaN and _kmax is NULL.
+    null_cell = int(cells) + 2 if nulls_last else -1
     bucket_sql = (
-        f"CASE WHEN _kmax <= _kmin THEN CAST(0 AS BIGINT) "
+        f"CASE WHEN {key_col} IS NULL THEN CAST({null_cell} AS BIGINT) "
+        f"WHEN isnan({key_col}) THEN CAST({int(cells) + 1} AS BIGINT) "
+        f"WHEN _kmax IS NULL OR _kmax <= _kmin THEN CAST(0 AS BIGINT) "
         f"ELSE LEAST(CAST(floor((CAST({key_col} AS DOUBLE) - _kmin)"
         f" / ((_kmax - _kmin) / CAST({int(cells)} AS DOUBLE))) AS BIGINT),"
         f" CAST({int(cells)} AS BIGINT)) END"
     )
-    if nulls_last:
-        # NULL key -> NULL bucket -> the one-past-the-end cell
-        bucket_sql = f"COALESCE({bucket_sql}, CAST({int(cells) + 2} AS BIGINT))"
     salted = (
         df.crossJoin(F.broadcast(b))
         .withColumn("_salt", F.expr(bucket_sql))
@@ -367,12 +417,12 @@ def salted_rank_intkey(
     value bucket) — no worse than the undecomposed plan, and the
     routing guard should keep such inputs on the plain branch.  The
     cell table is shuffle_hash pinned (many tiny parts make it
-    corpus-shaped — never broadcast)."""
-    _reserved = {"_rn", "_salt", "_off", "_c", "_kmin", "_kmax", "_w", "_lcum"}
-    if out_rank in _reserved or out_n in _reserved:
-        raise ValueError(
-            f"out_rank/out_n must not collide with internal columns {_reserved}"
-        )
+    corpus-shaped — never broadcast).
+
+    NULL keys coalesce into cell -1 (before every value cell —
+    Spark ``asc`` is nulls first) instead of vanishing in the offsets
+    equi-join (ADVICE r11)."""
+    _check_out_names(out_rank, out_n)
     b = df.agg(
         F.min(key_col).cast("long").alias("_kmin"),
         F.max(key_col).cast("long").alias("_kmax"),
@@ -383,7 +433,13 @@ def salted_rank_intkey(
             "_w",
             F.expr(f"greatest(CAST(1 AS BIGINT), (_kmax - _kmin) DIV {int(cells)} + 1)"),
         )
-        .withColumn("_salt", F.expr(f"(CAST({key_col} AS BIGINT) - _kmin) DIV _w"))
+        .withColumn(
+            "_salt",
+            F.expr(
+                f"COALESCE((CAST({key_col} AS BIGINT) - _kmin) DIV _w,"
+                f" CAST(-1 AS BIGINT))"
+            ),
+        )
         .drop("_kmin", "_kmax", "_w")
     )
     w_cell = Window.partitionBy(*part_cols, "_salt").orderBy(key_col, tie_col)

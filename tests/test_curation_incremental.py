@@ -325,6 +325,15 @@ def test_probe_store_join_branch_equals_inlist(spark, tmp_path):
     assert a == b
     assert len(a) == 70  # the 70 present keys, 'absent' matches nothing
 
+    # ADVICE r11: an EMPTY key set must match NOTHING — the old
+    # where=None path returned the whole store marked broadcastable.
+    none_df, used = _probe_store(
+        spark, spark.createDataFrame([], "h string"), store, "h"
+    )
+    assert used is True
+    assert none_df.count() == 0
+    assert none_df.columns == ["h", "v"]
+
 
 def test_incremental_probe_join_fallback_end_to_end(
     spark, setup, monkeypatch

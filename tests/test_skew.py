@@ -575,3 +575,142 @@ def test_salted_rank_dblkey_nulls_last(spark):
         ).collect()
     }
     assert dec == plain
+
+
+def test_salted_helpers_keep_null_keys_nulls_first(spark):
+    """ADVICE r11 (medium): a NULL sort key used to salt to NULL and
+    vanish in the offsets equi-join.  Every helper's default
+    (nulls-FIRST, Spark asc) path must now rank/sum NULL-key rows
+    exactly like the plain single window."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.operators.skew import (
+        salted_prefix_sum,
+        salted_prefix_sum_intkey,
+        salted_rank_dblkey,
+        salted_rank_hexkey,
+        salted_rank_intkey,
+    )
+
+    rows = []
+    for i in range(1200):
+        part = "hot" if i % 3 else f"s{i % 5}"
+        k = None if i % 13 == 0 else i % 41
+        rows.append((part, k, i, (i % 7) + 1))
+    rows += [("allnull", None, 10_000 + j, 1) for j in range(4)]
+    df = (
+        spark.createDataFrame(rows, "part string, ik long, tie long, val long")
+        .withColumn("dk", F.col("ik").cast("double"))
+        .withColumn(
+            "hk",
+            F.when(F.col("ik").isNotNull(), F.md5(F.col("ik").cast("string"))),
+        )
+    )
+    n_null = sum(1 for r in rows if r[1] is None)
+    w_all = Window.partitionBy("part")
+
+    # ranks: intkey / dblkey / hexkey vs the engine window
+    for key, fn in (
+        ("ik", salted_rank_intkey),
+        ("dk", salted_rank_dblkey),
+        ("hk", salted_rank_hexkey),
+    ):
+        w = Window.partitionBy("part").orderBy(F.asc(key), "tie")
+        plain = {
+            r["tie"]: (r["r"], r["n"])
+            for r in df.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(w_all))
+            .collect()
+        }
+        kwargs = {"k": 2} if key == "hk" else {"cells": 8}
+        dec = {
+            r["tie"]: (r["dr"], r["n_part"])
+            for r in fn(df, ["part"], key, "tie", **kwargs).collect()
+        }
+        assert dec == plain, f"rank mismatch for key={key}"
+        assert len(dec) == len(rows)
+
+    # running sums: hex-prefix and int-bucket forms
+    w_ik = (
+        Window.partitionBy("part")
+        .orderBy(F.asc("ik"), "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain_ik = {
+        r["tie"]: r["c"]
+        for r in df.withColumn("c", F.sum("val").over(w_ik)).collect()
+    }
+    dec_ik = {
+        r["tie"]: r["cum"]
+        for r in salted_prefix_sum_intkey(
+            df, ["part"], "val", "ik", "tie", cells=8
+        ).collect()
+    }
+    assert dec_ik == plain_ik
+    w_hk = (
+        Window.partitionBy("part")
+        .orderBy(F.asc("hk"), "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain_hk = {
+        r["tie"]: r["c"]
+        for r in df.withColumn("c", F.sum("val").over(w_hk)).collect()
+    }
+    dec_hk = {
+        r["tie"]: r["cum"]
+        for r in salted_prefix_sum(df, ["part"], "val", "hk", "tie", k=2).collect()
+    }
+    assert dec_hk == plain_hk
+    assert n_null > 0  # the fixture actually exercises NULL keys
+
+
+def test_salted_rank_dblkey_nan_keys(spark):
+    """ADVICE r11 (low): NaN sort keys bucket into the terminal value
+    cell instead of poisoning kmax -> CAST(floor(NaN)) under ANSI.
+    NaN sorts greater than every value in both branches; under
+    nulls_last NULLs still come after NaN."""
+    from pyspark.sql import Window
+
+    from agf_data_ingestion_spark.operators.skew import salted_rank_dblkey
+
+    rows = []
+    for i in range(600):
+        if i % 17 == 0:
+            k = float("nan")
+        elif i % 13 == 0:
+            k = None
+        else:
+            k = (i % 37) / 3.0
+        rows.append(("hot" if i % 3 else f"s{i % 4}", k, i))
+    df = spark.createDataFrame(rows, "part string, key double, tie long")
+    for nulls_last in (False, True):
+        order = F.asc_nulls_last("key") if nulls_last else F.asc("key")
+        w = Window.partitionBy("part").orderBy(order, "tie")
+        plain = {
+            r["tie"]: (r["r"], r["n"])
+            for r in df.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(Window.partitionBy("part")))
+            .collect()
+        }
+        dec = {
+            r["tie"]: (r["dr"], r["n_part"])
+            for r in salted_rank_dblkey(
+                df, ["part"], "key", "tie", cells=8, nulls_last=nulls_last
+            ).collect()
+        }
+        assert dec == plain, f"nulls_last={nulls_last}"
+
+
+def test_salted_prefix_sum_out_col_guard(spark):
+    """ADVICE r11 (low): both prefix-sum helpers raise on reserved
+    out_col names instead of silently dropping the output."""
+    from agf_data_ingestion_spark.operators.skew import (
+        salted_prefix_sum,
+        salted_prefix_sum_intkey,
+    )
+
+    df = spark.createDataFrame([("a", "ff", 1, 1)], "p string, h string, t long, v long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_prefix_sum(df, ["p"], "v", "h", "t", out_col="_salt")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_prefix_sum_intkey(df, ["p"], "v", "t", None, out_col="_lcum")
