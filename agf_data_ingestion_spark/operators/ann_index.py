@@ -573,6 +573,15 @@ def ann_index_search(
             )
 
     scored = scan.mapInPandas(score, "query_id bigint, neighbor_id bigint, ascore bigint")
+    return rank_topk_per_query(scored, k)
+
+
+def rank_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` ADC candidates per query by (score desc, id asc) — the
+    search ranking window, extracted for the structural sweep
+    (plan_registry, r12).  Partitions on ``query_id`` (query-set
+    cardinality, never corpus) and the ``rank <= k`` filter gives the
+    optimizer its map-side WindowGroupLimit bound."""
     w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -90,6 +90,20 @@ def stage_exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def batch_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Batch-internal exact dedup over a PRECOMPUTED ``_h`` content hash:
+    keep the lowest-doc_id row per hash.  The curate_incremental inline
+    window, extracted so the structural sweep can walk its plan
+    (plan_registry, r12); partitions on the hash — corpus-cardinality at
+    any scale."""
+    w_exact = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def stage_neardup(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """Near-duplicate collapse: cluster labels from the FULL-corpus LSH
     graph (edges through gated-out members still connect their surviving
@@ -747,13 +761,7 @@ def curate_incremental(
     docs = _stage("rule_gate", docs.join(keep, "doc_id", "left_semi"))
 
     # ---- exact dedup: batch-internal + vs the published hash store ----
-    docs = docs.withColumn("_h", F.md5(F.lower(F.col("text"))))
-    w_exact = Window.partitionBy("_h").orderBy(F.asc("doc_id"))
-    docs = (
-        docs.withColumn("_rn", F.row_number().over(w_exact))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    docs = batch_exact_dedup(docs.withColumn("_h", F.md5(F.lower(F.col("text")))))
     published_h, _small = _probe_store(
         spark, docs.select("_h"), tbls["hashes"], "h"
     )

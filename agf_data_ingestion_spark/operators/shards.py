@@ -162,6 +162,45 @@ def weighted_interleave(
     ).drop("_cum", "_hor", "_h")
 
 
+def shuffle_order_plan(
+    docs: DataFrame,
+    *,
+    seed: str = "0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    order_key: str | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The PRE-checkpoint plan of ``assign_shards``: token counts, the
+    deterministic shuffle order ``_ord``, range partitioning on it, and
+    the physical partition id ``_part``.  Extracted (r12, VERDICT r11
+    ask #1) so the structural window sweep can walk the plan the eager
+    ``localCheckpoint`` in ``assign_shards`` otherwise truncates —
+    registered in ``plan_registry``."""
+    n_parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    if tokens_col is None:
+        base = docs.withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
+    elif tokens_col == "n_tokens":
+        base = docs
+    else:
+        base = docs.withColumn("n_tokens", F.col(tokens_col))
+    return (
+        base
+        .withColumn(
+            "_ord",
+            F.col(order_key)
+            if order_key
+            else F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+        )
+        .repartitionByRange(n_parts, "_ord")
+        .sortWithinPartitions("_ord")
+        .withColumn("_part", F.spark_partition_id())
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     *,
@@ -183,36 +222,23 @@ def assign_shards(
     names a precomputed token-count column instead of splitting
     ``text_col`` — the hook for callers whose rows no longer carry text
     (``docs_reweighted_shards``' catalog twin)."""
-    n_parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    if tokens_col is None:
-        base = docs.withColumn("n_tokens", F.size(F.split(F.col(text_col), " ")))
-    elif tokens_col == "n_tokens":
-        base = docs
-    else:
-        base = docs.withColumn("n_tokens", F.col(tokens_col))
-    ordered = (
-        base
-        .withColumn(
-            "_ord",
-            F.col(order_key)
-            if order_key
-            else F.md5(
-                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-            ),
-        )
-        .repartitionByRange(n_parts, "_ord")
-        .sortWithinPartitions("_ord")
-        .withColumn("_part", F.spark_partition_id())
-        # PIN the materialized partitioning: repartitionByRange samples its
-        # boundaries with an rdd.id-seeded reservoir, so re-executing the
-        # plan in a second job (the pass-2 join below is a separate action
-        # from the pass-1 collect) could land boundary rows in DIFFERENT
-        # partitions than the ones whose offsets were collected.  The
-        # checkpoint makes both passes read the same physical partitions —
-        # the same rule as every other multi-action plan in this repo
-        # (plans/iterative.py).
-        .localCheckpoint(eager=True)
-    )
+    # PIN the materialized partitioning: repartitionByRange samples its
+    # boundaries with an rdd.id-seeded reservoir, so re-executing the
+    # plan in a second job (the pass-2 join below is a separate action
+    # from the pass-1 collect) could land boundary rows in DIFFERENT
+    # partitions than the ones whose offsets were collected.  The
+    # checkpoint makes both passes read the same physical partitions —
+    # the same rule as every other multi-action plan in this repo
+    # (plans/iterative.py).
+    ordered = shuffle_order_plan(
+        docs,
+        seed=seed,
+        text_col=text_col,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        order_key=order_key,
+        tokens_col=tokens_col,
+    ).localCheckpoint(eager=True)
     # pass 1: per-partition subtotals — the collect is bounded by the
     # partition count (rows ≤ n_parts), never by data size
     subtotals = {

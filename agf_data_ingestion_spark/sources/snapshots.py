@@ -1660,8 +1660,9 @@ def snapshot_multi_write(
     if len({_scan_path(tbl) for tbl in tables}) != len(tables):
         raise ValueError("snapshot_multi_write: duplicate table in writes")
     order = sorted(range(len(writes)), key=lambda i: _scan_path(tables[i]))
-    staged = [
-        (
+
+    def _stage_one(i: int):
+        return (
             tables[i],
             *_stage_write(
                 writes[i][0],
@@ -1672,8 +1673,24 @@ def snapshot_multi_write(
                 cluster_files=(cluster_files or {}).get(tables[i]),
             ),
         )
-        for i in order
-    ]
+
+    # r12 (VERDICT r11 ask #2): the N staged writes are INDEPENDENT until
+    # the marker rename — each stages under its own uuid commit dir on a
+    # different table, and Spark job submission is thread-safe per
+    # session — so stage them from a thread pool instead of serially
+    # (publish was N x fixed job cost at any corpus size; SCALE.md r11
+    # envelope).  ex.map preserves ``order``'s sorted-path sequence for
+    # the deadlock-free lock set below; the CAS/marker protocol after
+    # staging stays strictly serial.  Pool bounded at 8: each stage is
+    # its own Spark job and beyond scheduler parallelism extra threads
+    # only queue.
+    if len(writes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(writes))) as ex:
+            staged = list(ex.map(_stage_one, order))
+    else:
+        staged = [_stage_one(i) for i in order]
     txn_id = uuid.uuid4().hex
     marker = os.path.join(
         _scan_path(_snap_path(staged[0][0])), "txns", f"{txn_id}.committed"

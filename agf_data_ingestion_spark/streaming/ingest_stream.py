@@ -70,6 +70,46 @@ def _write_quarantine(bad: DataFrame, warehouse: str, source: str) -> None:
     )
 
 
+def keep_greatest_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Within-batch key-collision resolution for the put_item-parity
+    sink: keep the greatest non-key tuple per key (deterministic on any
+    cluster).  Unorderable columns (maps anywhere in the type)
+    participate only through the canonical-JSON hash tiebreaker.
+    Extracted from the ``snapshot_replace`` write closure for the
+    structural sweep (plan_registry, r12); partitions on the tracked-row
+    key — table cardinality at any scale."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        # a map ANYWHERE in the type (incl. inside arrays/structs)
+        # makes the column unorderable
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(keys)
+    # unorderable columns participate via the canonical-JSON hash
+    # tiebreaker instead
+    types = {f.name: f.dataType for f in df.schema.fields}
+    orderable = [c for c in others if _orderable(types[c])]
+    tiebreak = F.desc(F.md5(F.to_json(F.struct(*[F.col(c) for c in others]))))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in orderable], tiebreak
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _sink_for(sink: str):
     """Dispatch the keyed idempotent write: ``parquet`` = plain-Parquet
     upsert (lock-serialized where two queries share a table), ``snapshot``
@@ -93,45 +133,10 @@ def _sink_for(sink: str):
         # ignored.  Within-batch key collisions are resolved by the
         # greatest non-key tuple (deterministic on any cluster; the
         # reference's own winner is arrival-order nondeterministic).
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
         from agf_data_ingestion_spark.sources.snapshots import snapshot_merge
 
         def write(df, path, keys, shared=False):
-            from pyspark.sql.types import ArrayType, MapType, StructType
-
-            def _orderable(dt) -> bool:
-                # a map ANYWHERE in the type (incl. inside arrays/structs)
-                # makes the column unorderable
-                if isinstance(dt, MapType):
-                    return False
-                if isinstance(dt, ArrayType):
-                    return _orderable(dt.elementType)
-                if isinstance(dt, StructType):
-                    return all(_orderable(f.dataType) for f in dt.fields)
-                return True
-
-            others = [c for c in df.columns if c not in keys]
-            if others:
-                # unorderable columns participate via the canonical-JSON
-                # hash tiebreaker instead
-                types = {f.name: f.dataType for f in df.schema.fields}
-                orderable = [c for c in others if _orderable(types[c])]
-                tiebreak = F.desc(
-                    F.md5(F.to_json(F.struct(*[F.col(c) for c in others])))
-                )
-                w = Window.partitionBy(*keys).orderBy(
-                    *[F.desc(c) for c in orderable], tiebreak
-                )
-                df = (
-                    df.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
-            else:
-                df = df.dropDuplicates(keys)
-            snapshot_merge(df, path, keys)
+            snapshot_merge(keep_greatest_per_key(df, keys), path, keys)
     else:
         raise ValueError(
             f"sink must be parquet|snapshot|snapshot_replace, got {sink!r}"

@@ -177,9 +177,16 @@ def neardup_sink(
     return sink
 
 
+def best_dup_rows(d: DataFrame) -> DataFrame:
+    """Keep the best-jaccard/lowest-dup_of row per ``new_id`` — the dup
+    table's keep-best window, extracted for the structural sweep
+    (plan_registry, r12).  Partitions on the new-doc id: batch/corpus
+    cardinality at any scale."""
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
 def read_dups(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accumulated dup table; keyed by new_id (re-deliveries dropped,
     keeping the best-jaccard/lowest-dup_of row like the sink's window)."""
-    d = snapshot_read(spark, os.path.join(store_dir, "dups"))
-    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
-    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return best_dup_rows(snapshot_read(spark, os.path.join(store_dir, "dups")))

@@ -128,6 +128,25 @@ def upsert_applied_batch_ids(
     return out
 
 
+def net_last_change_per_key(
+    batch: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Last change per key wins (batch-sized window, never the table); a
+    unique key column breaks exact order ties.  Extracted from
+    ``cdc_upsert_batch`` for the structural sweep (plan_registry, r12)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(k) for k in keys]
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", order_col)
+    )
+
+
 def cdc_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -155,16 +174,7 @@ def cdc_upsert_batch(
             return None
         batch = batch_df.localCheckpoint(eager=True)
         if order_col is not None:
-            # last change per key wins (batch-sized window, never the
-            # table); a unique key column breaks exact order ties
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(order_col).desc(), *[F.col(k) for k in keys]
-            )
-            batch = (
-                batch.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", order_col)
-            )
+            batch = net_last_change_per_key(batch, keys, order_col)
         dels = None
         if delete_col is not None:
             flag = F.coalesce(F.col(delete_col), F.lit(False))

@@ -32,8 +32,8 @@ own routing guards and plan pins (tests/test_plan_shapes.py).
 from __future__ import annotations
 
 import inspect
-
-import pytest
+import signal
+from contextlib import contextmanager
 
 #: low-cardinality corpus columns: a Window partitioned ONLY by these is
 #: a corpus-through-one-task plan unless protected/blessed.
@@ -116,7 +116,25 @@ def _violations(df) -> list[tuple[str, ...]]:
     return bad
 
 
-@pytest.mark.timeout(1200)
+@contextmanager
+def _deadline(seconds: int):
+    """Hard wall-clock bound via SIGALRM (VERDICT r11 #6: the previous
+    ``@pytest.mark.timeout`` was a silent no-op — pytest-timeout is not
+    installed and installs are forbidden here).  Safe for this test:
+    plan building is driver-side work in the main thread, where the
+    alarm is delivered."""
+    def _fire(signum, frame):
+        raise TimeoutError(f"plan sweep exceeded {seconds}s wall-clock bound")
+
+    prev = signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 def test_no_unrouted_corpus_windows_on_low_card_keys(spark):
     import importlib.util
 
@@ -127,21 +145,22 @@ def test_no_unrouted_corpus_windows_on_low_card_keys(spark):
     spec.loader.exec_module(mod)
     failures = {}
     errors = {}
-    for name, fn in sorted(mod.queries().items()):
-        kwargs = {}
-        try:
-            if "_route" in inspect.signature(fn).parameters:
-                # force the decomposed (at-scale) branch: the sweep must
-                # see the plan a 100 TB corpus would run
-                kwargs["_route"] = 10**9
-            df = fn(spark, _SF, **kwargs)
-            bad = _violations(df)
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            errors[name] = repr(e)[:200]
-            continue
-        bad = [b for b in bad if (name, b) not in ALLOW]
-        if bad:
-            failures[name] = bad
+    with _deadline(1200):
+        for name, fn in sorted(mod.queries().items()):
+            kwargs = {}
+            try:
+                if "_route" in inspect.signature(fn).parameters:
+                    # force the decomposed (at-scale) branch: the sweep must
+                    # see the plan a 100 TB corpus would run
+                    kwargs["_route"] = 10**9
+                df = fn(spark, _SF, **kwargs)
+                bad = _violations(df)
+            except Exception as e:  # noqa: BLE001 — collect, report all at once
+                errors[name] = repr(e)[:200]
+                continue
+            bad = [b for b in bad if (name, b) not in ALLOW]
+            if bad:
+                failures[name] = bad
     # the decomposed branches cache() their narrow pre-rank frames;
     # CacheManager dedupes by canonicalized plan ACROSS tests, so leave
     # no entries behind (a later plain-branch plan pin would otherwise
@@ -150,5 +169,107 @@ def test_no_unrouted_corpus_windows_on_low_card_keys(spark):
     assert not errors, f"queries failed to build a plan: {errors}"
     assert not failures, (
         "unrouted corpus windows on low-cardinality keys (route through "
+        f"operators/skew.py salted_* or whitelist with a reason): {failures}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 ask #1): the sweep extended BEYOND the catalog.  The
+# class's third recurrence (stage_quality_cut) was a window inside an
+# operator the catalog sweep couldn't see; plan_registry.py registers
+# every production frame-builder and these two tests make registration
+# mandatory (AST completeness) and meaningful (same plan rules).
+# ---------------------------------------------------------------------------
+
+_PKG = "/root/repo/agf_data_ingestion_spark"
+_SCAN_DIRS = ("operators", "streaming", "functions", "sources")
+
+
+def _scan_source() -> tuple[set[tuple[str, str]], set[tuple[str, str]]]:
+    """(window_fns, all_fns): top-level functions under the scanned dirs,
+    and the subset whose body constructs ``Window.partitionBy(...)``."""
+    import ast
+    import pathlib
+
+    wins, all_fns = set(), set()
+    for sub in _SCAN_DIRS:
+        for py in sorted(pathlib.Path(_PKG, sub).glob("*.py")):
+            tree = ast.parse(py.read_text())
+            for node in tree.body:
+                if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                all_fns.add((f"{sub}/{py.name}", node.name))
+                for inner in ast.walk(node):
+                    if (
+                        isinstance(inner, ast.Attribute)
+                        and inner.attr == "partitionBy"
+                        and isinstance(inner.value, ast.Name)
+                        and inner.value.id == "Window"
+                    ):
+                        wins.add((f"{sub}/{py.name}", node.name))
+                        break
+    return wins, all_fns
+
+
+def test_registry_covers_every_production_window():
+    """A NEW window-bearing function in operators/streaming/functions/
+    sources must register a frame-builder (or be allowlisted with a
+    reason) before the suite goes green — the structural guarantee the
+    catalog sweep alone could not give."""
+    from agf_data_ingestion_spark.plan_registry import (
+        ALLOW_UNREGISTERED,
+        FRAME_BUILDERS,
+    )
+
+    found, all_fns = _scan_source()
+    covered = set()
+    for entry in FRAME_BUILDERS.values():
+        covered |= entry["covers"]
+    missing = found - covered - set(ALLOW_UNREGISTERED)
+    assert not missing, (
+        "production Window.partitionBy sites with no registered "
+        f"frame-builder (add to plan_registry.py): {sorted(missing)}"
+    )
+    # covers/allowlist entries must name REAL functions — a dangling
+    # entry means the registry silently stopped guarding a site that
+    # moved or renamed.  (A covers entry WITHOUT a window today is fine:
+    # shuffle_order_plan registers the pre-checkpoint plan so a window
+    # added there later is walked, not hidden by the checkpoint.)
+    dangling = (covered | set(ALLOW_UNREGISTERED)) - all_fns
+    assert not dangling, (
+        f"registry names functions that do not exist: {sorted(dangling)}"
+    )
+    # allowlist entries must still be window sites — an allowlisted
+    # function that lost its window should drop off the list
+    stale_allow = set(ALLOW_UNREGISTERED) - found
+    assert not stale_allow, (
+        f"ALLOW_UNREGISTERED entries with no window: {sorted(stale_allow)}"
+    )
+
+
+def test_no_unrouted_windows_in_registered_builders(spark):
+    """Walk every registered production frame's optimized plan with the
+    SAME rules as the catalog sweep (BAD_KEYS / WindowGroupLimit /
+    salt-cell), builders forced onto their at-scale branches."""
+    from agf_data_ingestion_spark.plan_registry import FRAME_BUILDERS
+
+    failures = {}
+    errors = {}
+    with _deadline(900):
+        for name, entry in sorted(FRAME_BUILDERS.items()):
+            try:
+                frames = entry["build"](spark, _SF)
+            except Exception as e:  # noqa: BLE001 — collect, report all at once
+                errors[name] = repr(e)[:200]
+                continue
+            bad = []
+            for df in frames:
+                bad.extend(_violations(df))
+            if bad:
+                failures[name] = bad
+    spark.catalog.clearCache()
+    assert not errors, f"builders failed to build a plan: {errors}"
+    assert not failures, (
+        "unrouted corpus windows in PRODUCTION frames (route through "
         f"operators/skew.py salted_* or whitelist with a reason): {failures}"
     )
