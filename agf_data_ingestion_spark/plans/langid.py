@@ -139,10 +139,20 @@ def _weights(bg: DataFrame) -> DataFrame:
     )
 
 
+def _bg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CACHED labeled bigram rows — narrow scalar columns only (the
+    r4 cache rule).  ``docs_langid_apply`` consumed this subtree twice
+    (the `_weights` counts/totals side + the held-out side) and
+    ``docs_langid_train`` shares the canonicalized plan, so the
+    CacheManager serves the whole family from one corpus explode (the
+    quality_model `_bg` pattern, r12)."""
+    return _bigrams(_corpus(spark, sf_dir)).cache()
+
+
 def docs_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained model table: per (feature bucket, language), the raw
     training count and the per-million integer weight."""
-    return _weights(_bigrams(_corpus(spark, sf_dir))).select(
+    return _weights(_bg(spark, sf_dir)).select(
         "bucket", "lang", "n", "weight"
     )
 
@@ -169,7 +179,7 @@ def docs_langid_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT join (all-null scores → pred −1), preserving the r6 left-join
     semantics exactly — the DuckDB twin keeps its clearer
     feats/scores/argmin/left-join form and hash-matches bit-for-bit."""
-    bg = _bigrams(_corpus(spark, sf_dir))
+    bg = _bg(spark, sf_dir)  # r12: cached — see _bg
     w = _weights(bg)
     held = bg.filter(~F.col("is_train")).select(
         "doc_id", F.col("lang").alias("true_lang"), "bucket"

@@ -393,15 +393,30 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) of the shingle table's size."""
     d = _words(spark, sf_dir).filter(F.size("w") >= _WIN_K)
     idx = F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1))
-    gram_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.array_join(F.slice("w", i, _WIN_K), " ")), 1, 12), 16, 10
-    ).cast("long")
+    # r12: explode the index sequence FIRST and hash per row in codegen
+    # (the posexplode(transform(...)) form ran every md5 interpreted —
+    # the CLAUDE.md higher-order-fold rule; position p0+1 ≡ the exploded
+    # index value for sequence(1, n))
     grams = d.select(
         "doc_id",
         (F.size("w") - (_WIN_K - 1)).cast("long").alias("n_grams"),
-        F.posexplode(F.transform(idx, gram_hash)).alias("p0", "h"),
+        "w",
+        F.explode(idx).alias("_gi"),
     ).select(
-        "doc_id", "n_grams", (F.col("p0") + 1).cast("long").alias("i"), "h"
+        "doc_id",
+        "n_grams",
+        F.col("_gi").cast("long").alias("i"),
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"array_join(slice(w, _gi, {_WIN_K}), ' ')")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
     )
     win = (
         Window.partitionBy("doc_id")

@@ -187,10 +187,23 @@ def _weights(bg: DataFrame) -> DataFrame:
     )
 
 
+def _bg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CACHED labeled bigram rows (doc_id, lang, is_train, hi,
+    bucket) — narrow scalar columns only (the r4 cache rule).  Every
+    family member consumed this subtree 2-3× per query (the `_weights`
+    counts + totals scans plus the held-out side — three parquet scans
+    with the full bigram explode in the r12 before-plans), and the
+    CacheManager dedupes the canonicalized plan ACROSS the family
+    (train/apply/pr_curve/preference_pairs' model + curate_full's
+    pick_cut_tile and scoring weights), so the corpus is exploded once
+    per session instead of ~10×."""
+    return _bigrams(_corpus(spark, sf_dir)).cache()
+
+
 def docs_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained model table: per feature bucket, the raw HIGH/LOW
     training counts and the integer rate-difference weight."""
-    return _weights(_bigrams(_corpus(spark, sf_dir))).select(
+    return _weights(_bg(spark, sf_dir)).select(
         "bucket", "n_hi", "n_lo", "weight"
     )
 
@@ -239,7 +252,7 @@ def docs_quality_apply(
         salted_rank_intkey,
     )
 
-    bg = _bigrams(_corpus(spark, sf_dir))
+    bg = _bg(spark, sf_dir)  # r12: cached — see _bg
     w = _weights(bg)
     held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
     joined = held.join(
@@ -301,7 +314,7 @@ def docs_quality_pr_curve(
         salted_rank_intkey,
     )
 
-    bg = _bigrams(_corpus(spark, sf_dir))
+    bg = _bg(spark, sf_dir)  # r12: cached — see _bg
     w = _weights(bg)
     held = bg.filter(~F.col("is_train")).select("doc_id", "lang", "hi", "bucket")
     scores = (
@@ -533,7 +546,7 @@ def docs_preference_pairs(
         salted_rank_intkey,
     )
 
-    w = _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
+    w = _weights(_bg(spark, sf_dir)).select("bucket", "weight")
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # char-array bigrams (the r10 O(len^2)-substr fix — see _bigrams)
     bg = (

@@ -307,21 +307,40 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-then-hash ≡ hash-then-distinct (same hash set), but natural
     text repeats grams heavily, so the md5 count drops to the distinct
     gram count and the aggregated rows shrink 32→8 chars (measured 2.4×
-    at sf0.1×3)."""
+    at sf0.1×3).
+
+    r12: the gram is rebuilt from a per-doc CHAR ARRAY (``split(nt, '')``
+    once, then eight O(1) ``get`` lookups) instead of
+    ``substring(nt, i, 8)`` — UTF8String substring scans codepoints from
+    the string START, so the substr form cost O(position) per exploded
+    row = O(len²) per document (the r10 preference-pairs rule, CLAUDE.md).
+    ``concat_ws('', ...)`` skips the NULLs that ``get`` returns past the
+    array end, so the tail grams of a short document come out exactly as
+    ``substring``'s truncated slices — byte-identical, oracle unchanged
+    (equivalence pinned in tests/test_r12_rewrites.py; measured
+    6.05 → 1.78 s median at sf0.1)."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
-    base = d.select("doc_id", F.md5(norm).alias("doc_hash"), norm.alias("nt"))
+    base = d.select(
+        "doc_id", F.md5(norm).alias("doc_hash"), F.split(norm, "").alias("cs")
+    )
     rep = base.repartition("doc_id")
     grams = (
         rep.select(
             "doc_id",
             "doc_hash",
-            "nt",
+            "cs",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("nt") - 7, F.lit(1)))
+                F.sequence(F.lit(1), F.greatest(F.size("cs") - 7, F.lit(1)))
             ).alias("i"),
         )
-        .select("doc_id", "doc_hash", F.expr("substring(nt, i, 8)").alias("g"))
+        .select(
+            "doc_id",
+            "doc_hash",
+            F.concat_ws(
+                "", *[F.get("cs", F.col("i") + k - 2) for k in range(1, 9)]
+            ).alias("g"),
+        )
         .distinct()
         .select("doc_id", "doc_hash", F.md5("g").alias("h"))
     )

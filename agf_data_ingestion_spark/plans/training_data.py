@@ -610,13 +610,19 @@ def contam_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     # guard: Spark's sequence(1, n) with n <= 0 counts DOWN (DuckDB's
     # range is simply empty) — short docs must be dropped, not reversed
     idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
-    gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
+    # r12: explode the index sequence FIRST, hash per row in codegen —
+    # the transform-lambda form evaluated every md5 interpreted (the
+    # CLAUDE.md higher-order-fold rule; same rewrite as the media pHash
+    # gram stage, measured there 0.71 → 0.52 s at sf0.1)
     return (
         w.filter(F.size("w") >= _CONTAM_N)
+        .select("doc_id", "w", F.explode(idx).alias("i"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
+            F.substring(
+                F.md5(F.expr(f"array_join(slice(w, i, {_CONTAM_N}), ' ')")),
+                1,
+                16,
             ).alias("sh"),
         )
         .distinct()
@@ -943,13 +949,17 @@ def docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (_CONTAM_N - 1))
-    gram = lambda i: F.array_join(F.slice("w", i, _CONTAM_N), " ")  # noqa: E731
+    # r12: explode-then-hash in codegen (see contam_shingles — the
+    # transform-lambda form ran every md5 interpreted)
     sh = (
         d.filter(F.size("w") >= _CONTAM_N)
+        .select("doc_id", "w", F.explode(idx).alias("i"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))
+            F.substring(
+                F.md5(F.expr(f"array_join(slice(w, i, {_CONTAM_N}), ' ')")),
+                1,
+                16,
             ).alias("sh"),
         )
         .distinct()
@@ -1120,12 +1130,18 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1))
-    gram = lambda i: F.array_join(F.slice("w", i, _SPAN_N), " ")  # noqa: E731
-    spans = d.filter(F.size("w") >= _SPAN_N).select(
-        "doc_id",
-        F.explode(F.transform(idx, lambda i: F.substring(F.md5(gram(i)), 1, 16))).alias(
-            "sh"
-        ),
+    # r12: explode-then-hash in codegen (see contam_shingles)
+    spans = (
+        d.filter(F.size("w") >= _SPAN_N)
+        .select("doc_id", "w", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.expr(f"array_join(slice(w, i, {_SPAN_N}), ' ')")),
+                1,
+                16,
+            ).alias("sh"),
+        )
     )
     span_docs = spans.distinct().groupBy("sh").agg(F.count("*").alias("ndocs"))
     return (
@@ -1610,8 +1626,13 @@ def docs_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on K-row section keys, anti-joins hash-partitioned on doc_id;
     the benchmark side is tiny -> broadcast."""
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    a = _rd_survivors(d, d.filter(F.col("doc_id") % 2 == 0))
-    b = _rd_survivors(d, d)
+    # r12: each side is consumed FOUR times (composition/tokens/total
+    # sections + the added/removed anti-joins), and without a cache each
+    # consumer replayed the whole gate + md5-window dedup + two shingle
+    # passes — cache the narrow (doc_id, source, n_tokens) survivors
+    # (the r4 narrow-derived-frame rule; measured 3.66 → 2.51 s at sf0.1)
+    a = _rd_survivors(d, d.filter(F.col("doc_id") % 2 == 0)).cache()
+    b = _rd_survivors(d, d).cache()
 
     def _sections(s: DataFrame) -> DataFrame:
         comp = s.groupBy(F.col("source").alias("key")).agg(
