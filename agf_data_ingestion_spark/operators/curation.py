@@ -203,14 +203,14 @@ def score_quality(weights: DataFrame, docs: DataFrame) -> DataFrame:
 
 
 def quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained (bucket, weight) model frame (plans/quality_model.py)."""
-    from agf_data_ingestion_spark.plans.quality_model import (
-        _bigrams,
-        _corpus,
-        _weights,
-    )
+    """The trained (bucket, weight) model frame (plans/quality_model.py).
+    Rides the family's cached bigram frame (r12 `_bg`): inside
+    curate_full, pick_cut_tile's pr_curve has already materialized it,
+    so training the scoring weights is a cache read, not a third corpus
+    explode."""
+    from agf_data_ingestion_spark.plans.quality_model import _bg, _weights
 
-    return _weights(_bigrams(_corpus(spark, sf_dir))).select("bucket", "weight")
+    return _weights(_bg(spark, sf_dir)).select("bucket", "weight")
 
 
 #: per-language doc-count guard for the release quality-cut ntile (r11
@@ -338,6 +338,7 @@ def curate_full(
     thresh_rows = {r["lang"]: int(r["value"]) for r in thresholds.collect()}
     docs = _checkpointed("quality_cut", cut_docs)
     stages[-1]["wall_s"] = round(time.time() - t0, 3)  # include curve pick
+    n_cut = stages[-1]["rows_out"]
 
     t0 = time.time()
     weights = domain_reweight_frame(docs).select("source", "weight_ppm")
@@ -350,8 +351,22 @@ def curate_full(
     )
 
     t0 = time.time()
+    # r12 (VERDICT r11 ask #7, the curriculum guard-folding rule): the
+    # interleave's skew-route guard is max-docs-per-source, and the
+    # quality-cut stage count just materialized is an UPPER BOUND on it —
+    # when the bound already clears the route threshold the guard scan
+    # proves nothing the count didn't (both branches are bit-identical
+    # anyway; the guard only picks the cheaper plan), so skip that Spark
+    # job and fall back to the honest aggregate only above the bound.
+    from agf_data_ingestion_spark.operators.shards import _WI_SRC_ROUTE
+
     assigned = assign_shards(
-        weighted_interleave(docs, weights, seed=seed),
+        weighted_interleave(
+            docs,
+            weights,
+            seed=seed,
+            source_route=(n_cut if n_cut <= _WI_SRC_ROUTE else None),
+        ),
         budget_tokens=budget_tokens,
         seed=seed,
         order_key="_wfq",
@@ -882,11 +897,23 @@ def curate_incremental(
     wdf = spark.createDataFrame(
         sorted(weights.items()), "source string, weight_ppm long"
     )
+    # r12: the quality-cut stage count bounds max-docs-per-source — skip
+    # the guard job when the bound already picks the plain branch (see
+    # the curate_full twin)
+    from agf_data_ingestion_spark.operators.shards import _WI_SRC_ROUTE
+
+    n_gated = stages[-1]["rows_out"]
     assigned = (
         assign_shards(
             # horizon=False: an append extends a release — the one-epoch
             # exhaustion cut would starve a small batch (see shards.py)
-            weighted_interleave(docs, wdf, seed=seed, horizon=False),
+            weighted_interleave(
+                docs,
+                wdf,
+                seed=seed,
+                horizon=False,
+                source_route=(n_gated if n_gated <= _WI_SRC_ROUTE else None),
+            ),
             budget_tokens=budget_tokens,
             seed=seed,
             order_key="_wfq",

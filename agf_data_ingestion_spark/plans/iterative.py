@@ -114,9 +114,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list + outdeg fused once; every round reuses this checkpointed table
     ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
 
+    # r12: the rounds chain lazily into ONE plan — ``_PR_ITERS`` is a
+    # fixed constant, so lineage depth is bounded and the per-round
+    # eager localCheckpoints were 8 blocking driver round-trips of pure
+    # fixed cost for a 15k-edge graph; the 8 identical ew-side shuffles
+    # canonicalize to one exchange that AQE reuses round-over-round.
+    # Integer ranks make every round order-free, so the single-plan
+    # execution is bit-identical (measured 3.38 -> 3.07 s median under
+    # external box load — the win is 8 fewer blocking jobs; at cluster
+    # scale those are 8 fewer full barriers).
     ranks = d.select(
         F.col("doc_id").alias("node"), F.lit(base).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(_PR_ITERS):
         contrib = (
             ew.join(
@@ -143,7 +152,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " + 85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
@@ -394,7 +402,16 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     training path at all (its closest analog is the static label layout,
     agf_ingestion_lambda.py:179-248)."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.select(
+    # r12: widen a narrower-than-cores scan before the checkpoint so the
+    # per-round assignment passes use every core instead of one task
+    # (the _ivfpq_codes_from rule — a no-op at real scale where the scan
+    # already carries >= cores partitions; integer distances/sums are
+    # partition-order-free)
+    src = e.select("vec_id", "embedding")
+    dp = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < dp:
+        src = src.repartition(dp)
+    q = src.select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * _KM_Q).cast("long")

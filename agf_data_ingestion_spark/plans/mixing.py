@@ -252,9 +252,14 @@ def docs_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("h").alias("mh"))
         # THE multi-consumer corpus aggregate (r4 rule): two pair-side
         # consumers plus the source list would each replan the corpus
-        # scan — checkpointing the <= K·S-row table makes "the corpus is
-        # touched once" a physical guarantee, not an AQE reuse hope
-        .localCheckpoint(eager=True)
+        # scan.  r12: cache() instead of localCheckpoint — same physical
+        # "corpus touched once" guarantee once materialized (the <= K·S-row
+        # table is deterministic, no partition-id dependence), and the
+        # CacheManager additionally shares the canonicalized subtree with
+        # ``docs_source_overlap_auto``'s sketch branch, so the catalog
+        # pays the corpus gram scan once for the two queries instead of
+        # twice (a checkpoint is a fresh RDD scan — never shareable).
+        .cache()
     )
     srcs = sig.select("source").distinct()
     # K-row × K-row pair table (K = enumerable sources): broadcast BOTH

@@ -1614,7 +1614,22 @@ def _ivfpq_codes_from(e: DataFrame, *, checkpoint: bool = True) -> DataFrame:
     ``checkpoint=False`` skips the eager localCheckpoint for SINGLE-
     consumer callers (the index encode path): a checkpoint there is a
     pure blocking job per streaming micro-batch with nothing to reuse
-    (the r4 rule: checkpoint only multi-consumer corpus aggregates)."""
+    (the r4 rule: checkpoint only multi-consumer corpus aggregates).
+
+    r12 (the committed warm profile, scripts/r12_ivfpq_profile.py): at
+    bench scale the embeddings parquet is ONE scan partition, so the
+    checkpointed codes kept one partition and every downstream training
+    scan (4 per `_ivfpq_train`) + the ADC pass ran as a single task on
+    one core — train_4scans was the dominant and most variable term of
+    emb_ivfpq_topk's wall (median 2.19 of 3.78 s).  Scale-adaptively
+    widen ONLY the checkpointed multi-consumer frame: when the source
+    yields fewer partitions than defaultParallelism, repartition up to
+    it (a few MB round-robin shuffle at small scale; a no-op at real
+    scale where the scan already carries >= cores partitions).  All
+    consumers are partition-order-free (integer partial sums merged at
+    the driver, per-row scoring, rank by (ascore, id)), and the eager
+    checkpoint pins the placement across the multi-action training
+    loop."""
 
     def codes_batches(batches):
         for pdf in batches:
@@ -1630,9 +1645,12 @@ def _ivfpq_codes_from(e: DataFrame, *, checkpoint: bool = True) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "c": [row.tolist() for row in C]}
             )
 
-    codes = e.select("vec_id", "embedding").mapInPandas(
-        codes_batches, "vec_id bigint, c array<bigint>"
-    )
+    src = e.select("vec_id", "embedding")
+    if checkpoint:
+        dp = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < dp:
+            src = src.repartition(dp)
+    codes = src.mapInPandas(codes_batches, "vec_id bigint, c array<bigint>")
     return codes.localCheckpoint(eager=True) if checkpoint else codes
 
 

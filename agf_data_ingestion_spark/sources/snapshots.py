@@ -1273,6 +1273,31 @@ def _bloom_of(path: str, col: str, bits: int = _BLOOM_BITS) -> str | None:
     return bytes(arr).hex()
 
 
+@functools.lru_cache(maxsize=512)
+def _bloom_bytes_cached(hx: str) -> bytes | None:
+    """Decoded bloom bitmap, memoized on the hex STRING OBJECT (r12):
+    an IN-list probe checks K values against F files, and decoding the
+    up-to-1 MiB hex per (file, value) pair made driver-side pruning
+    O(K x F x bloom_bytes).  The hex strings come out of the process-wide
+    ``_SEG_CACHE`` (entry dicts are shallow copies sharing the str
+    objects), so the lru key hashes once per string and hits by
+    identity."""
+    try:
+        return bytes.fromhex(hx)
+    except ValueError:
+        return None
+
+
+@functools.lru_cache(maxsize=8192)
+def _probe_positions(value, bits: int) -> tuple[int, ...]:
+    """Probe-side twin of :func:`_bloom_positions` (r12): an IN-list
+    checks the same value against every candidate file, and the md5 was
+    recomputed per (file, value).  Build side (`_bloom_of`) stays
+    uncached — it streams every ROW value exactly once and would thrash
+    the cache."""
+    return tuple(_bloom_positions(value, bits))
+
+
 def _bloom_excludes(f: dict, col: str, value) -> bool:
     """True iff the file's bloom filter PROVES ``col == value`` matches no
     row (absent/odd blooms prove nothing).
@@ -1295,14 +1320,13 @@ def _bloom_excludes(f: dict, col: str, value) -> bool:
         # no stats to confirm the stored type: only trust the documented
         # bloom column types
         return False
-    try:
-        arr = bytes.fromhex(hx)
-    except ValueError:
+    arr = _bloom_bytes_cached(hx)
+    if arr is None:
         return False
     bits = len(arr) * 8
     return any(
         not (arr[pos // 8] >> (pos % 8)) & 1
-        for pos in _bloom_positions(value, bits)
+        for pos in _probe_positions(value, bits)
     )
 
 
