@@ -711,13 +711,16 @@ def events_mad_outliers(
             ).alias("med")
         )
     )
+    # r12: dev is consumed TWICE (the MAD rank below AND the final
+    # outlier flagging) — without a cache each consumer replayed the
+    # events scan + median join (narrow scalar columns, the r4 rule)
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
         "value",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("d"),
-    )
+    ).cache()
     dranked = _evt_ranked(
         dev.select("event_type", "d", "event_id"), "d", route
     )

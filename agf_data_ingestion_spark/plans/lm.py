@@ -275,17 +275,16 @@ def docs_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _words(spark, sf_dir).filter(F.size("w") >= _SPAN_N)
     idx = F.sequence(F.lit(1), F.size("w") - (_SPAN_N - 1))
-    pos = d.select(
+    # r12: explode the index sequence FIRST and hash per row in codegen
+    # (the posexplode(transform(...)) form ran every md5 interpreted —
+    # see docs_winnowing; position p0+1 ≡ the exploded index value)
+    pos = d.select("doc_id", "w", F.explode(idx).alias("i")).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.substring(
-                    F.md5(F.array_join(F.slice("w", i, _SPAN_N), " ")), 1, 16
-                ),
-            )
-        ).alias("p0", "sh"),
-    ).select("doc_id", (F.col("p0") + 1).alias("i"), "sh")
+        "i",
+        F.substring(
+            F.md5(F.expr(f"array_join(slice(w, i, {_SPAN_N}), ' ')")), 1, 16
+        ).alias("sh"),
+    )
     dup_sh = (
         pos.select("doc_id", "sh")
         .distinct()

@@ -2090,7 +2090,11 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = (
         emb_cosine_topk(spark, sf_dir)
         .select("query_id", F.col("neighbor_id").alias("gt_id"))
-        .localCheckpoint(eager=True)  # reused by both family branches
+        # reused by both family branches; r12: cache() instead of an
+        # eager localCheckpoint — same multi-consumer guarantee for the
+        # tiny n_queries x k frame, without re-running the exact-cosine
+        # pass on every invocation in a session (the scores.cache rule)
+        .cache()
     )
 
     # ---- LSH branch: min probe level per ground-truth pair ----

@@ -1064,19 +1064,34 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(127.0)
-    q = F.transform("embedding", lambda x: (x.cast("double") / scale).cast("int"))
+    # r12: materialize the quantized array and the integer self-dot ONCE
+    # per row — the single-projection form re-evaluated the INTERPRETED
+    # transform/zip_with/aggregate lambdas per consumer (q referenced by
+    # max/min/dot = 4 evaluations, the dot twice more); staged selects
+    # survive CollapseProject because the referenced exprs are non-cheap.
+    # Same expressions, same per-element IEEE ops — bit-identical output.
+    q = F.transform(
+        "embedding", lambda x: (x.cast("double") / F.col("scale")).cast("int")
+    )
     qdot = F.aggregate(
-        F.zip_with(q, q, lambda a, b: (a * b).cast("long")),
+        F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return e.select(
-        "vec_id",
-        scale.alias("scale"),
-        F.array_max(q).alias("q_max"),
-        F.array_min(q).alias("q_min"),
-        qdot.alias("q_self_dot"),
-        (F.sqrt(qdot.cast("double")) * scale).alias("l2_norm_approx"),
+    return (
+        e.select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", "scale", q.alias("qv"))
+        .select("vec_id", "scale", "qv", qdot.alias("q_self_dot"))
+        .select(
+            "vec_id",
+            "scale",
+            F.array_max("qv").alias("q_max"),
+            F.array_min("qv").alias("q_min"),
+            "q_self_dot",
+            (F.sqrt(F.col("q_self_dot").cast("double")) * F.col("scale")).alias(
+                "l2_norm_approx"
+            ),
+        )
     )
 
 
