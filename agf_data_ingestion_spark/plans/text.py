@@ -318,13 +318,23 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     array end, so the tail grams of a short document come out exactly as
     ``substring``'s truncated slices — byte-identical, oracle unchanged
     (equivalence pinned in tests/test_r12_rewrites.py; measured
-    6.05 → 1.78 s median at sf0.1)."""
+    6.05 → 1.78 s median at sf0.1).
+
+    r13 (both ADVICE r12 items): (1) a NULL text must yield g = NULL
+    (md5(NULL) = NULL, the pre-r12 and oracle behavior) — concat_ws over
+    the all-NULL gets of a NULL char array would instead produce '' →
+    md5('') — so the gram is gated on ``cs`` being non-null; (2) the
+    char-array split now happens AFTER the doc_id repartition — the
+    per-character array (per-element offsets + 1-char UTF8Strings,
+    several × the raw string bytes) stays out of the corpus exchange and
+    the compact normalized string ships instead.  Byte-identical output
+    either way."""
     d = t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
-    base = d.select(
-        "doc_id", F.md5(norm).alias("doc_hash"), F.split(norm, "").alias("cs")
+    base = d.select("doc_id", F.md5(norm).alias("doc_hash"), norm.alias("nt"))
+    rep = base.repartition("doc_id").select(
+        "doc_id", "doc_hash", F.split("nt", "").alias("cs")
     )
-    rep = base.repartition("doc_id")
     grams = (
         rep.select(
             "doc_id",
@@ -337,9 +347,15 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "doc_hash",
-            F.concat_ws(
-                "", *[F.get("cs", F.col("i") + k - 2) for k in range(1, 9)]
-            ).alias("g"),
+            F.when(
+                F.col("cs").isNull(), F.lit(None).cast("string")
+            )
+            .otherwise(
+                F.concat_ws(
+                    "", *[F.get("cs", F.col("i") + k - 2) for k in range(1, 9)]
+                )
+            )
+            .alias("g"),
         )
         .distinct()
         .select("doc_id", "doc_hash", F.md5("g").alias("h"))

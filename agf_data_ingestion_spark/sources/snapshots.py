@@ -1273,7 +1273,7 @@ def _bloom_of(path: str, col: str, bits: int = _BLOOM_BITS) -> str | None:
     return bytes(arr).hex()
 
 
-@functools.lru_cache(maxsize=512)
+@functools.lru_cache(maxsize=64)
 def _bloom_bytes_cached(hx: str) -> bytes | None:
     """Decoded bloom bitmap, memoized on the hex STRING OBJECT (r12):
     an IN-list probe checks K values against F files, and decoding the
@@ -1281,7 +1281,14 @@ def _bloom_bytes_cached(hx: str) -> bytes | None:
     O(K x F x bloom_bytes).  The hex strings come out of the process-wide
     ``_SEG_CACHE`` (entry dicts are shallow copies sharing the str
     objects), so the lru key hashes once per string and hits by
-    identity."""
+    identity.
+
+    Sizing (r13, ADVICE r12): the prune loop is FILE-outer — within one
+    probe each file's bloom is decoded once regardless of cache size, so
+    the cache only has to span files across CONSECUTIVE probes of the
+    same store version.  64 entries covers that working set while
+    bounding worst-case driver pinning at 64 × the 1 MiB bloom cap
+    (vs ~512 MiB at the old maxsize=512); typical store blooms are KBs."""
     try:
         return bytes.fromhex(hx)
     except ValueError:

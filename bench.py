@@ -97,6 +97,17 @@ def main() -> None:
     except ValueError:
         sf = 0.0  # custom-named scale dir: report unknown, keep benching
 
+    # Box-load visibility (VERDICT r12 ask #2): the r12 32-core driver run
+    # was contaminated by external load on the shared sandbox host
+    # (noise_suspect fired; the 8-core run beat it in absolute terms).
+    # Record load-avg before/after in the DETAIL artifact only — stdout
+    # stays exactly one JSON line — so a judge can gate PERF comparisons
+    # on load < 0.5.
+    try:
+        load_before = list(os.getloadavg())
+    except OSError:
+        load_before = None
+
     from agf_data_ingestion_spark.plans import QUERIES
     from agf_data_ingestion_spark.session import get_spark
 
@@ -274,9 +285,18 @@ def main() -> None:
     except Exception:
         pass  # the guard must never break the bench
 
+    try:
+        load_after = list(os.getloadavg())
+    except OSError:
+        load_after = None
+
     # Full per-query detail: file + stderr (driver only keeps the stdout tail,
     # so the stdout line must stay well under 2,000 chars — VERDICT.md r1 #1).
     detail = {
+        "load_avg_before": load_before,
+        "load_avg_after": load_after,
+        "os_cpu_count": os.cpu_count(),
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
         "metric": "catalog_total_s",
         "value": total,
         "unit": "sec",

@@ -25,6 +25,7 @@ EDGE_TEXTS = [
     (7, "café touché naïve résumé words here ok"),
     (8, "one  two   three    four spaced"),
     (9, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+    (10, None),              # r13 (ADVICE r12): NULL text → g must be NULL
 ]
 
 
@@ -53,11 +54,23 @@ def test_fingerprint_chargram_equiv(spark):
     ).select(
         "doc_id",
         "i",
-        F.concat_ws(
-            "", *[F.get("cs", F.col("i") + k - 2) for k in range(1, 9)]
-        ).alias("g"),
+        # the production NULL gate (r13, ADVICE r12): NULL text must give
+        # g = NULL like substring(NULL, i, 8), not concat_ws's ''
+        F.when(F.col("cs").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                "", *[F.get("cs", F.col("i") + k - 2) for k in range(1, 9)]
+            )
+        )
+        .alias("g"),
     )
-    assert sorted(old.collect()) == sorted(new.collect())
+    old_rows = sorted(old.collect(), key=lambda r: (r[0], r[1], r[2] or ""))
+    new_rows = sorted(new.collect(), key=lambda r: (r[0], r[1], r[2] or ""))
+    assert old_rows == new_rows
+    # the NULL-text row must be present and carry a NULL gram in BOTH
+    nulls = [r for r in new_rows if r["doc_id"] == 10]
+    assert nulls and all(r["g"] is None for r in nulls)
+    assert [r for r in old_rows if r["doc_id"] == 10] == nulls
 
 
 def _old_gram_hashes(d, n):
