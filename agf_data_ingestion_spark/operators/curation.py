@@ -244,7 +244,14 @@ def stage_quality_cut(
     model, ONE groupBy(doc_id) collapses map-side to a row per doc, and
     the per-language cut ranks doc-count score rows (never text) —
     SKEW-ROUTED above ``_CUT_LANG_ROUTE`` docs in the largest language
-    (r11; the salted decomposition, operators/skew.py)."""
+    (r11; the salted decomposition, operators/skew.py).
+
+    r13 (VERDICT r12 ask #3): the kept-tile frame is CACHED — it has two
+    consumers (the thresholds collect and the survivors semi-join), and
+    uncached each replayed the whole real-text bigram scoring pass, i.e.
+    the release paid the corpus bigram explode twice.  The cache is the
+    narrow (doc_id, lang, _score) per-doc frame (the r4 rule); one
+    scoring pass per release."""
     from agf_data_ingestion_spark.operators.skew import (
         max_group_count,
         ntile_expr,
@@ -270,12 +277,16 @@ def stage_quality_cut(
                 Window.partitionBy("lang").orderBy("_score", "doc_id")
             ),
         )
-    tiled = tiled.filter(F.col("_tile") > cut_tile)
-    thresholds = tiled.groupBy("lang").agg(
+    kept = (
+        tiled.filter(F.col("_tile") > cut_tile)
+        .select("doc_id", "lang", "_score")
+        .cache()
+    )
+    thresholds = kept.groupBy("lang").agg(
         F.min("_score").cast("long").alias("value")
     )
     return (
-        docs.join(tiled.select("doc_id"), "doc_id", "left_semi"),
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi"),
         thresholds,
     )
 
@@ -334,7 +345,16 @@ def curate_full(
 
     t0 = time.time()
     cut = pick_cut_tile(spark, sf_dir)
-    cut_docs, thresholds = stage_quality_cut(spark, sf_dir, docs, cut)
+    # r13 (the r12 guard-folding rule applied to the quality-cut window):
+    # the decontam stage count just materialized is an upper bound on
+    # max-docs-per-language — when it already clears the route threshold
+    # the guard job proves nothing the count didn't (both branches are
+    # bit-identical; the guard only picks the plan)
+    n_dec = stages[-1]["rows_out"]
+    cut_docs, thresholds = stage_quality_cut(
+        spark, sf_dir, docs, cut,
+        _route=(n_dec if n_dec <= _CUT_LANG_ROUTE else None),
+    )
     thresh_rows = {r["lang"]: int(r["value"]) for r in thresholds.collect()}
     docs = _checkpointed("quality_cut", cut_docs)
     stages[-1]["wall_s"] = round(time.time() - t0, 3)  # include curve pick
@@ -625,6 +645,101 @@ def _probe_store(
     return store.join(keys.hint("shuffle_hash"), store_key, "left_semi"), False
 
 
+def _fused_probe_frame(
+    specs: list[tuple[str, DataFrame, str, str]], lim: int
+) -> DataFrame:
+    """The ONE-job probe frame `_probe_stores_fused` collects: per tag,
+    the first ``lim + 1`` distinct keys (row_number ≤ k filter → the
+    optimizer's WindowGroupLimit bounds every partition map-side; the
+    tag window never sees more than (lim+1) × npartitions rows at any
+    batch size) unioned with the per-tag min/max stats row.  Plan-only —
+    registered with the structural window sweep (plan_registry.py)."""
+    tagged = None
+    for tag, kdf, _, _ in specs:
+        part = kdf.select(
+            F.lit(tag).alias("_t"), F.col(kdf.columns[0]).alias("_k")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    distinct = tagged.distinct()
+    w = Window.partitionBy("_t").orderBy("_k")
+    head = distinct.withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(F.col("_rn") <= lim + 1).select(
+        "_t", F.lit("k").alias("_kind"), "_k", F.lit(None).cast("string").alias("_k2")
+    )
+    stats = distinct.groupBy("_t").agg(
+        F.min("_k").alias("_k"), F.max("_k").alias("_k2")
+    ).select("_t", F.lit("m").alias("_kind"), "_k", "_k2")
+    return head.unionByName(stats)
+
+
+def _probe_stores_fused(
+    spark: SparkSession,
+    specs: list[tuple[str, DataFrame, str, str]],
+    *,
+    limit: int | None = None,
+) -> dict[str, tuple[DataFrame, bool]]:
+    """Probe SEVERAL stores with ONE driver job (r13, VERDICT r12 ask #5
+    — the gates_and_probes floor was 4 sequential `_probe_store`
+    limit-collects per trigger).
+
+    ``specs``: (tag, single-column key frame, store_path, store_key).
+    All key columns must be STRING-typed (they union into one tagged
+    frame).  One job computes, per tag, BOTH the first ``lim+1`` distinct
+    keys (a rank-filtered window → Spark's WindowGroupLimit keeps it
+    top-k per partition, never a full sort) AND the distinct-count/
+    min/max aggregate — encoded as two row kinds of one union so the
+    big-key fallback needs no second job.  Per tag the routing contract
+    is `_probe_store`'s exactly: ≤ ``lim`` distinct keys → the pruned
+    IN-list read (the collected rows ARE the complete distinct set);
+    more → min/max range-pruned scan + shuffle-hash LEFT SEMI join,
+    O(lim) driver traffic at any batch size.  Returns
+    {tag: (rows, inlist_used)}."""
+    from agf_data_ingestion_spark.sources.snapshots import snapshot_read
+
+    lim = _PROBE_INLIST_MAX if limit is None else limit
+    rows = _fused_probe_frame(specs, lim).collect()
+    vals_by_tag: dict[str, list] = {}
+    bounds_by_tag: dict[str, tuple] = {}
+    for r in rows:
+        if r["_kind"] == "k":
+            vals_by_tag.setdefault(r["_t"], []).append(r["_k"])
+        else:
+            bounds_by_tag[r["_t"]] = (r["_k"], r["_k2"])
+    out: dict[str, tuple[DataFrame, bool]] = {}
+    for tag, kdf, store_path, store_key in specs:
+        vals = vals_by_tag.get(tag, [])
+        if len(vals) <= lim:
+            if not vals:
+                # empty key set matches nothing (the ADVICE r11 rule)
+                out[tag] = (
+                    snapshot_read(spark, store_path).where(F.lit(False)),
+                    True,
+                )
+            else:
+                out[tag] = (
+                    snapshot_read(
+                        spark, store_path, where=[(store_key, "in", vals)]
+                    ),
+                    True,
+                )
+        else:
+            lo, hi = bounds_by_tag[tag]
+            store = snapshot_read(
+                spark,
+                store_path,
+                where=[(store_key, ">=", lo), (store_key, "<=", hi)],
+            )
+            keys = (
+                kdf.select(F.col(kdf.columns[0]).alias(store_key)).distinct()
+            )
+            out[tag] = (
+                store.join(keys.hint("shuffle_hash"), store_key, "left_semi"),
+                False,
+            )
+    return out
+
+
 def curate_incremental(
     spark: SparkSession,
     batch: DataFrame,
@@ -775,15 +890,50 @@ def curate_incremental(
     keep = quality_gate_frame(docs).filter(F.col("keep")).select("doc_id")
     docs = _stage("rule_gate", docs.join(keep, "doc_id", "left_semi"))
 
-    # ---- exact dedup: batch-internal + vs the published hash store ----
-    docs = batch_exact_dedup(docs.withColumn("_h", F.md5(F.lower(F.col("text")))))
-    published_h, _small = _probe_store(
-        spark, docs.select("_h"), tbls["hashes"], "h"
+    # ---- r13 probe fusion (VERDICT r12 ask #5) ------------------------
+    # The hash / band / benchmark-shingle probe KEYS are all derivable
+    # from the batch right after the internal dedup, BEFORE the store
+    # gates shrink it — later-stage keys are a SUBSET, and a probe key
+    # superset only ever over-reads the store (every gate still
+    # anti-joins on its own rows, so results are bit-identical; the sets
+    # store likewise only answers for ids the candidate join actually
+    # probes).  That turns 4 sequential `_probe_store` limit-collects
+    # (one of which re-ran the dedup window) into ONE fused job + the
+    # dependent sets probe.  The three key frames are .cache()d, not
+    # eagerly checkpointed: each is multiply consumed but every consumer
+    # runs inside later stage actions, so materialization rides the
+    # fused-probe job instead of three extra blocking jobs; all three
+    # are explicitly unpersisted after publish (trigger-scoped caches
+    # must not accumulate across a long-running stream).
+    from agf_data_ingestion_spark.plans.training_data import (
+        _BENCH_DOCS,
+        contam_shingles,
     )
+
+    docs_bd = batch_exact_dedup(
+        docs.withColumn("_h", F.md5(F.lower(F.col("text"))))
+    ).localCheckpoint(eager=True)
+    bands_all = _lsh_bands(_sigs_of(docs_bd.select("doc_id", "text"))).cache()
+    sh_all = contam_shingles(docs_bd.select("doc_id", "text")).cache()
+    sets_all = docs_bd.select("doc_id", _shingles().alias("sset")).cache()
+
+    probed = _probe_stores_fused(
+        spark,
+        [
+            ("h", docs_bd.select("_h"), tbls["hashes"], "h"),
+            ("b", bands_all.select("bsig"), tbls["bands"], "bsig"),
+            ("s", sh_all.select("sh"), tbls["bench"], "sh"),
+        ],
+    )
+    published_h, _small = probed["h"]
+    store_bands, _ = probed["b"]
+    store_sh, _small_sh = probed["s"]
+
+    # ---- exact dedup: batch-internal + vs the published hash store ----
     published_h = published_h.select(F.col("h").alias("_h"))
     docs = _stage(
         "exact_dedup",
-        docs.join(
+        docs_bd.join(
             F.broadcast(published_h)
             if _small
             else published_h.hint("shuffle_hash"),
@@ -793,9 +943,9 @@ def curate_incremental(
     )
 
     # ---- near-dup: batch self-pairs + pruned band-store probe ----
-    bands = _lsh_bands(_sigs_of(docs.select("doc_id", "text"))).localCheckpoint(
-        eager=True
-    )
+    # bands of the CURRENT survivors = the cached superset semi-filtered
+    # (bands are per-doc deterministic, so filtering ≡ recomputing)
+    bands = bands_all.join(docs.select("doc_id"), "doc_id", "left_semi")
     nb, wb = bands.alias("n"), bands.alias("c")
     cands = nb.join(
         wb,
@@ -803,9 +953,6 @@ def curate_incremental(
         & (F.col("n.bsig") == F.col("c.bsig"))
         & (F.col("n.doc_id") > F.col("c.doc_id")),
     ).select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
-    store_bands, _ = _probe_store(
-        spark, bands.select("bsig"), tbls["bands"], "bsig"
-    )
     store_bands = store_bands.alias("c")
     cands = cands.unionByName(
         nb.hint("shuffle_hash")
@@ -818,35 +965,28 @@ def curate_incremental(
             F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of")
         )
     ).distinct()
-    batch_sets = docs.select("doc_id", _shingles().alias("sset")).localCheckpoint(
-        eager=True
-    )
+    # the sets probe stays keyed on cands.dup_of (it depends on the
+    # band-store result, so it cannot join the fused job; keying on
+    # store ids alone would drop the batch-id rows the old probe
+    # fetched when caller ids overlap published ids — re-ingest paths).
+    # Its key job now reads the cached bands instead of recomputing
+    # signatures.
     store_sets, _ = _probe_store(
         spark, cands.select("dup_of"), tbls["sets"], "doc_id"
     )
     store_sets = store_sets.select("doc_id", "sset")
     flagged = best_jaccard_matches(
-        cands, batch_sets, batch_sets.unionByName(store_sets)
+        cands, sets_all, sets_all.unionByName(store_sets)
     ).select(F.col("new_id").alias("doc_id"))
     docs = _stage("neardup", docs.join(flagged, "doc_id", "left_anti"))
 
     # ---- decontamination vs the PUBLISHED benchmark shingle store ----
     # (r10, ADVICE r9): the same frozen benchmark curate_full scrubbed
-    # against, probed with a batch-bounded shingle IN-list (bench store
-    # is sh-clustered + bloom'd -> pruned reads, O(batch shingles));
+    # against, probed via the fused job above (bench store is
+    # sh-clustered + bloom'd -> pruned reads, O(batch shingles));
     # batch docs claiming a benchmark id are dropped outright (the
     # doc_id < _BENCH_DOCS fixture rule curate_full applies)
-    from agf_data_ingestion_spark.plans.training_data import (
-        _BENCH_DOCS,
-        contam_shingles,
-    )
-
-    batch_sh = contam_shingles(docs.select("doc_id", "text")).localCheckpoint(
-        eager=True
-    )
-    store_sh, _small_sh = _probe_store(
-        spark, batch_sh.select("sh"), tbls["bench"], "sh"
-    )
+    batch_sh = sh_all.join(docs.select("doc_id"), "doc_id", "left_semi")
     store_sh = store_sh.select("sh")
     contaminated = (
         batch_sh.join(
@@ -988,6 +1128,13 @@ def curate_incremental(
         {"name": "publish", "rows_out": n_final, "wall_s": round(time.time() - t0, 3)}
     )
     _seg("publish")
+    # trigger-scoped caches released NOW (r13, VERDICT r12 ask #9): every
+    # consumer has executed (all stages checkpointed, publish committed),
+    # and each trigger's batch frame canonicalizes differently, so
+    # leaving them cached would grow the CacheManager without bound
+    # across a long-running stream
+    for _c in (bands_all, sh_all, sets_all):
+        _c.unpersist()
 
     # alignment check only — all ten tables resolve to THIS txn; the row
     # total comes from manifest metadata (r10: the old full-table count

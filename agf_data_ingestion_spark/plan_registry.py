@@ -109,6 +109,27 @@ def _curation_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 
 
 @register(
+    "fused_store_probe",
+    covers={
+        ("operators/curation.py", "_fused_probe_frame"),
+        ("operators/curation.py", "_probe_stores_fused"),
+    },
+)
+def _fused_probe_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    from agf_data_ingestion_spark.operators.curation import _fused_probe_frame
+
+    docs = _docs(spark, sf_dir)
+    specs = [
+        ("h", docs.select(F.md5(F.lower(F.col("text"))).alias("_h")), "", ""),
+        ("s", docs.select(F.md5(F.col("doc_id").cast("string")).alias("sh")), "", ""),
+    ]
+    # the row_number ≤ lim+1 filter must optimize to a WindowGroupLimit
+    # (per-partition top-k) — the sweep's rule #1 — so the tag window is
+    # bounded map-side at any batch size
+    return [_fused_probe_frame(specs, 4096)]
+
+
+@register(
     "shards_interleave",
     covers={
         ("operators/shards.py", "weighted_interleave"),

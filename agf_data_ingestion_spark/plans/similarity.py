@@ -1133,11 +1133,13 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 P[m * _PQ_SUBDIM + j, m * _PQ_SEED_BITS + b] = _pq_plane(m, b, j)
     seed_w = 1 << np.arange(_PQ_SEED_BITS, dtype=np.int64)
 
-    def _sub_keys(pdf):
+    def _sub_keys(vid, C, batch):
         """(n·M,) composite (m, cb_label) keys + (n·M, SUBDIM) subvector
-        codes for the SEED assignment of one Arrow batch."""
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
-        lab = pdf["label"].to_numpy().astype(np.int64)
+        codes for the SEED assignment of one Arrow batch (r13: the codes
+        matrix arrives pre-decoded; label rides the raw batch)."""
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
         signs = (C @ P) >= 0
         h = (signs.reshape(len(C), _PQ_M, _PQ_SEED_BITS) * seed_w).sum(axis=2)
         cb = lab[:, None] * (1 << _PQ_SEED_BITS) + h
@@ -1177,8 +1179,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Empty sub-clusters simply vanish (K shrinks); everything stays
     # BIGINT-exact, so the refined codebook is bit-identical to the
     # oracle's.
-    def _lloyd_keys(pdf):
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+    def _lloyd_keys(vid, C, _batch):
         cb = _pq_assign(C, cdim)
         keys = (
             np.tile(np.arange(_PQ_M, dtype=np.int64), len(C)) * _MKEY
@@ -1629,20 +1630,41 @@ def _ivfpq_codes_from(e: DataFrame, *, checkpoint: bool = True) -> DataFrame:
     consumers are partition-order-free (integer partial sums merged at
     the driver, per-row scoring, rank by (ascore, id)), and the eager
     checkpoint pins the placement across the multi-action training
-    loop."""
+    loop.
+
+    r13 (VERDICT r12 ask #7, guide §4.2/§4.3): ``mapInArrow`` instead of
+    ``mapInPandas`` — the list<float> column is ONE contiguous values
+    buffer + offsets, so the (n × dim) matrix is a reshape instead of a
+    per-row pandas object loop, and the output codes go back as one
+    Arrow list column built from a flat buffer.  The numeric path is
+    UNCHANGED (float32 → float64 is exact, the ‖x‖ fold stays the
+    order-preserving per-dimension loop, floor/divide/multiply are the
+    same IEEE ops), so every code is still bit-identical to the
+    oracle."""
 
     def codes_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vals = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            V = np.ascontiguousarray(vals, dtype=np.float64).reshape(
+                batch.num_rows, -1
+            )
             acc = np.zeros(V.shape[0])
             for i in range(V.shape[1]):
                 acc = acc + V[:, i] * V[:, i]
             nrm = np.sqrt(acc)
             C = np.floor(V / nrm[:, None] * _IVFPQ_SCALE).astype(np.int64)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "c": [row.tolist() for row in C]}
+            offs = pa.array(
+                np.arange(0, (len(C) + 1) * C.shape[1], C.shape[1], dtype=np.int32)
+            )
+            lst = pa.ListArray.from_arrays(offs, pa.array(C.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), lst], ["vec_id", "c"]
             )
 
     src = e.select("vec_id", "embedding")
@@ -1650,25 +1672,48 @@ def _ivfpq_codes_from(e: DataFrame, *, checkpoint: bool = True) -> DataFrame:
         dp = src.sparkSession.sparkContext.defaultParallelism
         if src.rdd.getNumPartitions() < dp:
             src = src.repartition(dp)
-    codes = src.mapInPandas(codes_batches, "vec_id bigint, c array<bigint>")
+    codes = src.mapInArrow(codes_batches, "vec_id bigint, c array<bigint>")
     return codes.localCheckpoint(eager=True) if checkpoint else codes
 
 
-def _ivfpq_grouped_sums(codes: DataFrame, group_fn) -> dict:
-    """ONE map-only global aggregate: ``group_fn(pdf)`` → (int64 keys,
-    int64 vectors); per-key sum-vectors partial-aggregate INSIDE the Arrow
-    closure (≤ K rows per partition regardless of corpus size), then the
-    ≤ K·npartitions collected rows finish merging at the driver.  Integer
-    sums are order-free (the module's integer-distance rule), so the
-    result is bit-identical to an explode + groupBy — without its
-    exchange: each training step is a single map stage + a KiB collect."""
+def _ivfpq_grouped_sums(
+    codes: DataFrame, group_fn, *, query_ids_below: int | None = None
+):
+    """ONE map-only global aggregate: ``group_fn(vid, C, batch)`` → (int64 keys,
+    int64 row block); per-key sum-vectors partial-aggregate INSIDE the
+    Arrow closure (≤ K rows per partition regardless of corpus size),
+    then the ≤ K·npartitions collected rows finish merging at the driver.
+    Integer sums are order-free (the module's integer-distance rule), so
+    the result is bit-identical to an explode + groupBy — without its
+    exchange: each training step is a single map stage + a KiB collect.
+
+    r13 (VERDICT r12 ask #7, guide §4.2/§4.3): ``mapInArrow`` — the codes
+    matrix decodes by reshaping the list column's contiguous values
+    buffer (no per-row pandas object loop), and the partial sums return
+    as one Arrow list column.  ``query_ids_below=N`` additionally passes
+    the code rows of vec_id < N through the SAME scan as pseudo-keys
+    −(vec_id+1) with n = −1 (cell and (m, cb) keys are ≥ 0, so negative
+    keys cannot collide) — `_ivfpq_state` then skips its separate
+    query-collect job; the transported codes are verbatim int64, so the
+    query side is bit-identical to the old collect.  Only valid on a
+    scan whose summed rows have the SAME width as the code rows (the
+    coarse seed scan).  Returns ``merged`` — or ``(merged, {vec_id:
+    code_row})`` when ``query_ids_below`` is set."""
+    import pyarrow as pa
 
     def partial(batches):
         acc: dict = {}
-        for pdf in batches:
-            if not len(pdf):
+        qrows: dict = {}
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            keys, V = group_fn(pdf)
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            vals = batch.column("c").flatten().to_numpy(zero_copy_only=False)
+            C = np.ascontiguousarray(vals, dtype=np.int64).reshape(len(vid), -1)
+            if query_ids_below is not None:
+                for j in np.nonzero(vid < query_ids_below)[0]:
+                    qrows[int(vid[j])] = C[j]
+            keys, V = group_fn(vid, C, batch)
             for k in np.unique(keys):
                 mask = keys == k
                 s = V[mask].sum(axis=0)
@@ -1679,18 +1724,27 @@ def _ivfpq_grouped_sums(codes: DataFrame, group_fn) -> dict:
                 else:
                     got[0] += s
                     got[1] += n
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "k": list(acc),
-                    "s": [v[0].tolist() for v in acc.values()],
-                    "n": [v[1] for v in acc.values()],
-                }
+        rows = [(k, v[0], v[1]) for k, v in acc.items()]
+        rows += [(-(q + 1), c, -1) for q, c in qrows.items()]
+        if rows:
+            ks = np.array([r[0] for r in rows], dtype=np.int64)
+            ns = np.array([r[2] for r in rows], dtype=np.int64)
+            S = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
+            offs = pa.array(
+                np.arange(0, (len(rows) + 1) * S.shape[1], S.shape[1], dtype=np.int32)
+            )
+            lst = pa.ListArray.from_arrays(offs, pa.array(S.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ks), lst, pa.array(ns)], ["k", "s", "n"]
             )
 
     merged: dict = {}
-    for r in codes.mapInPandas(partial, "k bigint, s array<bigint>, n bigint").collect():
+    queries: dict = {}
+    for r in codes.mapInArrow(partial, "k bigint, s array<bigint>, n bigint").collect():
         k = int(r["k"])
+        if k < 0:
+            queries[-k - 1] = np.array(list(r["s"]), dtype=np.int64)
+            continue
         s = np.array(list(r["s"]), dtype=np.int64)
         got = merged.get(k)
         if got is None:
@@ -1698,6 +1752,8 @@ def _ivfpq_grouped_sums(codes: DataFrame, group_fn) -> dict:
         else:
             got[0] += s
             got[1] += int(r["n"])
+    if query_ids_below is not None:
+        return merged, queries
     return merged
 
 
@@ -1759,28 +1815,36 @@ def _ivfpq_rcb_from(merged: dict) -> dict:
     return rcb
 
 
-def _ivfpq_train(codes: DataFrame):
+def _ivfpq_train(codes: DataFrame, *, query_ids_below: int | None = None):
     """(cells, ccv, rcb) from a codes frame — coarse hyperplane seed + one
     exact-integer Lloyd round, then residual PQ seed + one Lloyd round.
     Each step is one Arrow scan + a K·d-bounded collect (the closure
     pattern); shared by the `emb_ivfpq_topk` catalog query and the
-    persisted incremental index (operators/ann_index.py)."""
+    persisted incremental index (operators/ann_index.py).
+
+    ``query_ids_below=N`` (r13): the FIRST scan additionally transports
+    the code rows of vec_id < N back to the driver (see
+    `_ivfpq_grouped_sums`) and the return becomes
+    ``(cells, ccv, rcb, {vec_id: code_row})`` — one fewer Spark job for
+    callers that need the query codes (`_ivfpq_state`)."""
     PC = _ivfpq_planes_mat("ivfpqc", _IVFPQ_COARSE_BITS)
     bitsC = np.int64(1) << np.arange(_IVFPQ_COARSE_BITS, dtype=np.int64)
 
     # ---- coarse quantizer: hyperplane seed cells → one Lloyd round ----
-    def seed_group(pdf):
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+    def seed_group(vid, C, _batch):
         h = (((C @ PC) >= 0).astype(np.int64) * bitsC).sum(axis=1)
         return h, C
 
-    cells0, ccv0 = _ivfpq_codebook_from(
-        _ivfpq_grouped_sums(codes, seed_group), _IVFPQ_Q
-    )
+    if query_ids_below is not None:
+        g0, qmap = _ivfpq_grouped_sums(
+            codes, seed_group, query_ids_below=query_ids_below
+        )
+    else:
+        g0, qmap = _ivfpq_grouped_sums(codes, seed_group), None
+    cells0, ccv0 = _ivfpq_codebook_from(g0, _IVFPQ_Q)
 
-    def assign_group(pdf):
+    def assign_group(vid, C, _batch):
         cell_arr = np.array(cells0, dtype=np.int64)
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
         return cell_arr[_ivfpq_assign(C, ccv0)], C
 
     cells, ccv = _ivfpq_codebook_from(
@@ -1793,8 +1857,7 @@ def _ivfpq_train(codes: DataFrame):
     )
     bitsR = np.int64(1) << np.arange(_IVFPQ_SEED_BITS, dtype=np.int64)
 
-    def rseed_group(pdf):
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+    def rseed_group(vid, C, _batch):
         Rs = _ivfpq_residuals(C, ccv)
         dv = np.einsum("nmj,mjb->nmb", Rs, PR)  # exact int64 dots
         cb = ((dv >= 0).astype(np.int64) * bitsR).sum(axis=2)
@@ -1802,12 +1865,13 @@ def _ivfpq_train(codes: DataFrame):
 
     rcb0 = _ivfpq_rcb_from(_ivfpq_grouped_sums(codes, rseed_group))
 
-    def rassign_group(pdf):
-        C = np.stack(pdf["c"].to_numpy()).astype(np.int64)
+    def rassign_group(vid, C, _batch):
         Rs = _ivfpq_residuals(C, ccv)
         return _ivfpq_flat_subspaces(Rs, _ivfpq_rassign(Rs, rcb0))
 
     rcb = _ivfpq_rcb_from(_ivfpq_grouped_sums(codes, rassign_group))
+    if query_ids_below is not None:
+        return cells, ccv, rcb, qmap
     return cells, ccv, rcb
 
 
@@ -1831,15 +1895,18 @@ def _ivfpq_state(spark: SparkSession, sf_dir: str):
     ({query_id: [cell, …] by (d2 asc, cell asc)})."""
     e = t(spark, sf_dir, "embeddings")
     codes = _ivfpq_codes_df(spark, sf_dir)
-    cells, ccv, rcb = _ivfpq_train(codes)
+    # r13: the query codes ride back inside the first training scan
+    # (`_ivfpq_grouped_sums` query_ids_below) — the separate
+    # codes.filter(vec_id < N).collect() job is gone; contents verbatim
+    cells, ccv, rcb, qmap = _ivfpq_train(codes, query_ids_below=_N_QUERIES)
 
     # ---- queries: probe lists from exact integer d2 to every cell ----
-    qrows = sorted(
-        codes.filter(F.col("vec_id") < _N_QUERIES).collect(),
-        key=lambda r: int(r["vec_id"]),
+    qids = sorted(qmap)
+    qC = (
+        np.stack([qmap[q] for q in qids])
+        if qids
+        else np.zeros((0, _DIM), dtype=np.int64)
     )
-    qids = [int(r["vec_id"]) for r in qrows]
-    qC = np.array([list(r["c"]) for r in qrows], dtype=np.int64)
     qvq = qC * _IVFPQ_Q
     probes = {}
     for qi, q in enumerate(qids):
@@ -2242,7 +2309,10 @@ def emb_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cands = codes.mapInPandas(
         cand_batches, "query_id bigint, neighbor_id bigint, crank bigint, ascore bigint"
-    ).localCheckpoint(eager=True)  # two consumers: gt lookup + better-counts
+    ).cache()  # two consumers (gt lookup + better-counts), BOTH inside the
+    # final action — cache() materializes during that action instead of
+    # the eager checkpoint's separate blocking job (r13; the r12
+    # checkpoint→cache rule, one Spark job fewer per invocation)
     g_info = gt.join(
         cands.select(
             "query_id",

@@ -43,7 +43,10 @@ def main() -> None:
     from agf_data_ingestion_spark.plans import QUERIES
     from agf_data_ingestion_spark.session import get_spark
 
-    spark = get_spark("agf-r13-trigger-jobs")
+    # the session factory disables the UI; the job census needs its REST API
+    spark = get_spark(
+        "agf-r13-trigger-jobs", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q1_pricing_summary"].fn(spark, sf_dir).count()
     from pyspark.sql.functions import col, pandas_udf
