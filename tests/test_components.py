@@ -76,6 +76,7 @@ def test_star_matches_union_find_random(spark):
     assert got == _union_find(130, edges)
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by test_components small-star correctness pins
 def test_star_logarithmic_rounds_on_chain(spark):
     """VERDICT r3 #2: a 1000-long chain needs ~1000 min-label propagation
     rounds (connected_components raises at its max_iter=25); large-star/
@@ -94,6 +95,7 @@ def test_star_logarithmic_rounds_on_chain(spark):
         _cc(spark, n, edges, fn=connected_components)
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by test_components union-find equivalence at fixed shapes
 def test_star_matches_union_find_shape_sweep(spark):
     """One bounded sweep over adversarial graph SHAPES (clique, hub star,
     two components joined by one bridge, duplicate + reversed edges,

@@ -3,6 +3,8 @@ checked against independently-computed per-stage survivor sets."""
 
 from __future__ import annotations
 
+import pytest
+
 import argparse
 import importlib.util
 import json
@@ -136,6 +138,7 @@ def test_curate_release_table_and_tag(spark, tmp_path, capsys):
     assert released.count() == report["after_neardup"]
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by tests/test_maintenance.py + test_snapshots.py expiry/compaction
 def test_maintain_cli_compacts_and_reclaims(spark, tmp_path, capsys):
     import json
 
@@ -195,6 +198,7 @@ def test_history_cli(spark, tmp_path, capsys):
     assert out["history"][-1]["total_rows"] == 3
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by tests/test_lm.py BPE equivalence
 def test_tokenizer_subcommand_emits_merge_table(spark, capsys):
     """r5: the tokenizer subcommand prints the trained merge table plus
     corpus token totals as one JSON line, consistent with the catalog

@@ -29,6 +29,13 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
+#: r13 suite-wall gate (conftest): multi-minute rung; the property is
+#: pinned at small fixtures by the pairwise-race pins in tests/test_snapshots.py,
+#: test_deletion_vectors.py and test_equality_deletes.py.
+pytestmark = pytest.mark.heavy_rung
+
 from pyspark.sql import functions as F
 
 from agf_data_ingestion_spark.sources.snapshots import (

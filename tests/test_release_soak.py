@@ -30,6 +30,13 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
+#: r13 suite-wall gate (conftest): multi-minute rung; the property is
+#: pinned at small fixtures by tests/test_release_forget.py (forget vs append races)
+#: and tests/test_curation_incremental.py (gate semantics).
+pytestmark = pytest.mark.heavy_rung
+
 from agf_data_ingestion_spark.operators.curation import (
     _DOC_COLS,
     curate_full,

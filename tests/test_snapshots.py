@@ -1299,6 +1299,7 @@ def test_audited_write_records_bloom_cols(spark, tmp_path):
     assert plan_files(tbl, where=[("k", "==", 777)]) == []
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by segment-reuse asserts in test_snapshots (O(delta) staging)
 def test_segment_manifests_commit_o_delta(spark, tmp_path):
     """r5 segment manifests: a commit writes only its DELTA segment and
     names the parent's segments — manifest JSON stays tiny at any table
@@ -1338,6 +1339,7 @@ def test_segment_manifests_commit_o_delta(spark, tmp_path):
     assert got[3] == "MERGED" and len(got) == 10
 
 
+@pytest.mark.heavy_rung  # r13 suite-wall gate: scale rung; property pinned by adjacent-merge unit asserts (coalescer) at small commit counts
 def test_segment_coalescing_bounds_manifest_width(spark, tmp_path, monkeypatch):
     """Geometric coalescing keeps the per-manifest segment count bounded
     (LSM-style smallest-pair merges) without changing the resolved table."""
